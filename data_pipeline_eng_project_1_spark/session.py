@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the config story is written for a real cluster:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+shuffle partitions sized to the parallelism at hand, UTC session timezone so
+timestamp semantics match the DuckDB oracle, and Arrow enabled so the few
+Pandas-UDF paths (multimodal decode) transfer columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (non-static) confs applied even when the caller hands us an
+# existing session — e.g. the verification driver builds its own.
+_RUNTIME_CONFS: dict[str, str] = {
+    # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long nanos and convert (sources/catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Worker-thread count: $SPARK_GRAFT_CPUS, else all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply session-level confs this engine depends on to any session.
+
+    Safe to call on a session we did not build (the driver's); every key
+    here is a runtime SQLConf, not a static one.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def get_spark(app_name: str = "data_pipeline_eng_project_1_spark",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Shuffle partitions default to the core count: at local scale the Spark
+    default of 200 over-fragments tiny shuffles; on a real cluster this would
+    be ~2-3x total executor cores (and AQE coalesces the rest).
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: pack small fixture files into few partitions, but keep the
+        # knob visible — at 100 TB this is the scan-granularity control.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

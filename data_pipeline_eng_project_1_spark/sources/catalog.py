@@ -1,0 +1,78 @@
+"""Fixture-table catalog.
+
+Loads the driver-generated TPC-H-ish parquet tables (TESTDATA.md) with the
+normalizations the rest of the engine relies on:
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  rejects outright. We read it as long nanoseconds
+  (``spark.sql.legacy.parquet.nanosAsLong``) and surface BOTH:
+    * ``ts``      TimestampType (microsecond, truncated from nanos — matches
+                  DuckDB's CAST(ts AS TIMESTAMP) semantics), and
+    * ``ts_ms``   epoch milliseconds as BIGINT (exact integer column for
+                  oracle-parity bucketing — no float, no timezone).
+- every other table is passed through untouched; filters/column pruning are
+  left to Catalyst so parquet pushdown stays effective (check with
+  ``df.explain``: PushedFilters + ReadSchema).
+
+At 100 TB these readers are unchanged: parquet scans scale horizontally, and
+nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    # nanosAsLong leaves ts as BIGINT nanos; expose truncated-µs timestamp +
+    # exact epoch-millis. Integer DIV (never `/`): ns values exceed 2^53 and
+    # would lose precision through a double.
+    return df.select(
+        "event_id",
+        F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").alias("ts"),
+        F.expr("CAST(ts DIV 1000000 AS LONG)").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one fixture table, applying per-table normalization."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view (for the SQL entry points)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,70 @@
+"""Incremental file intake + archive lifecycle.
+
+The reference polls a GCS bucket every 8 hours, re-listing the whole bucket
+(the recency filter is commented out — dags/utils.py:367-383), then moves each
+processed file to a second bucket as a poor-man's checkpoint
+(move_file, dags/utils.py:31-52; main.py:62-90). That design is O(bucket) per
+run and at-least-once (crash between load and move ⇒ duplicate rows).
+
+Spark-first replacements, in preference order:
+
+1. Structured Streaming file source (streaming/pipeline.py) — exactly-once
+   discovery via checkpoint, optional ``cleanSource=archive`` = move_file.
+2. Batch ``modifiedAfter`` reader option (below) — the fixed version of the
+   reference's "files published today" listing (main.py:34-56), pushed into
+   the DataSource so listing happens once, driver-side, cheaply.
+3. Explicit driver-side archive for batch mode (below) — same observable
+   behavior as move_file but applied AFTER a successful bulk write, so the
+   at-least-once window shrinks to the archive step alone.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_json_modified_after(spark: SparkSession, schema: T.StructType,
+                             src_dir: str, modified_after: datetime,
+                             multiline: bool = True) -> DataFrame:
+    """Batch incremental intake: only files newer than the watermark.
+
+    Equivalent to the blob.updated date filter at main.py:51-52, but executed
+    by Spark's file index (no per-file HTTPS metadata round-trips) and exact
+    to the second.
+    """
+    ts = modified_after.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", str(multiline).lower())
+        .option("modifiedAfter", ts)
+        .json(src_dir)
+    )
+
+
+def list_files(src_dir: str, suffix: str = ".json") -> list[str]:
+    """Work-queue listing (reference: get_files_published_today,
+    dags/utils.py:367-383). Local-fs stand-in for the GCS list_blobs call."""
+    return sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(suffix)
+    )
+
+
+def archive_file(src_path: str, archive_dir: str) -> str:
+    """Move one processed file to the archive dir (reference: move_file,
+    dags/utils.py:31-52 — copy to used-bucket then delete source).
+
+    Call only after the batch write has committed; the move itself is the
+    only remaining at-least-once window (same as the reference, minus its
+    per-row failure modes).
+    """
+    os.makedirs(archive_dir, exist_ok=True)
+    dst = os.path.join(archive_dir, os.path.basename(src_path))
+    shutil.move(src_path, dst)
+    return dst
