@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 #: heuristic. Must stay in sync with the oracle SQL literals.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+#: Function-word profiles for the language-ID heuristic, in preference
+#: order (ties resolve to the earlier language). Mirrored verbatim in the
+#: DuckDB oracle (plans/llm_ops.py).
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "of", "and", "to", "in", "is")),
+    ("es", ("el", "la", "de", "que", "y", "en", "un")),
+    ("fr", ("le", "la", "et", "les", "des", "un", "une")),
+    ("de", ("der", "die", "und", "das", "ein", "zu", "ist")),
+    ("zh", ("de", "le", "shi", "zai", "he", "you", "wo")),
+)
+
+#: BPE-ish chunking: greedy runs of 1-4 word chars approximate subword
+#: token counts without a vocab. Same regex in the oracle.
+BPE_CHUNK_RE = "[a-z0-9]{1,4}"
+
 
 def tokens(text: Column) -> Column:
     """Split on single spaces, dropping empty tokens."""
@@ -68,6 +83,50 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     t = normalize(text)
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased) — a crude
+    boilerplate/markup signal."""
+    t = F.lower(text)
+    kept = F.length(F.regexp_replace(t, "[^a-z0-9 ]", ""))
+    return (F.length(t) - kept).cast("double") / F.length(t).cast("double")
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Subword-ish token count: number of greedy 1-4 char alnum chunks."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_CHUNK_RE), 0)) \
+        .cast("long")
+
+
+def _in_set(words: tuple[str, ...]):
+    # Factory (not a default arg) so the returned lambda stays unary —
+    # F.filter treats a 2-arg lambda as (element, index).
+    return lambda t: t.isin(*words)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-language function-word hit counts (with multiplicity)."""
+    toks = tokenize_words(text)
+    return [
+        (lang, F.size(F.filter(toks, _in_set(words))))
+        for lang, words in LANG_PROFILES
+    ]
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of function-word profile hits; ties
+    resolve in LANG_PROFILES order; zero hits everywhere → 'und'."""
+    scores = lang_scores(text)
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # Iterate in REVERSE preference order so earlier languages win ties
+    # via strict > comparison on the later ones.
+    for lang, score in reversed(scores):
+        is_better = score >= best_score  # later overwrite => reversed order
+        best = F.when(score >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

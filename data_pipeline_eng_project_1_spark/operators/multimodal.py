@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design: image/audio/video travel as `binary` columns with a struct of typed
+metadata beside them. All relational operators treat the payload as opaque
+bytes (project/filter/join/partition work unchanged); modality-specific work
+happens in Arrow-batched Pandas iterators (`mapInPandas`) so bytes move
+columnar, never row-at-a-time.
+
+The decode step itself (PIL/librosa/av) is NOT available in this
+environment, so `decode_image` raises NotImplementedError behind an
+import-try — but everything Spark-side (schema, batch iteration, partition
+behavior, output contract) is real and tested, including a deterministic
+metadata extractor (`extract_binary_meta`) that exercises the exact same
+plumbing with verifiable output.
+
+At 100 TB: payload columns dominate bytes; keep them OUT of shuffles —
+extract metadata first, shuffle/join on metadata, and re-join payloads by
+key only where needed. `spark.sql.files.maxPartitionBytes` sizes scan
+partitions; Arrow batch size (`spark.sql.execution.arrow.maxRecordsPerBatch`)
+bounds per-batch memory for fat rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Output contract of extract_binary_meta.
+BINARY_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("head_hex", T.StringType()),  # first 4 bytes, upper hex
+])
+
+MAGIC_PREFIXES = {
+    "PNG": b"\x89PNG",
+    "JPEG": b"\xff\xd8\xff",
+    "RIFF": b"RIFF",  # wav/avi containers
+}
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text",
+                        out: str = "content") -> DataFrame:
+    """Fixture adapter: utf-8 encode a text column into a binary payload so
+    the multimodal path is exercisable on the driver fixtures (which carry
+    no real media)."""
+    return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_binary_meta(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "content") -> DataFrame:
+    """Arrow-batched metadata extraction over a binary column.
+
+    The pandas function sees columnar batches (pyarrow → pandas zero-ish
+    copy); per-batch it runs plain vectorized python over `bytes` objects.
+    This is the template every real decoder (image resize, audio resample,
+    frame sample) plugs into: same iterator signature, same output-schema
+    declaration, different per-batch body.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payload = pdf["p"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_len": payload.map(len).astype("int64"),
+                "head_hex": payload.map(lambda b: bytes(b)[:4].hex().upper()),
+            })
+
+    return src.mapInPandas(batches, BINARY_META_SCHEMA)
+
+
+def sniff_modality(meta: DataFrame, head_col: str = "head_hex") -> DataFrame:
+    """Classify payloads by magic bytes (column algebra over the extracted
+    metadata — the payload itself is no longer needed)."""
+    col = F.col(head_col)
+    out = F.lit("UNKNOWN")
+    for name, magic in MAGIC_PREFIXES.items():
+        prefix = magic.hex().upper()
+        out = F.when(col.startswith(prefix), F.lit(name)).otherwise(out)
+    return meta.withColumn("modality", out)
+
+
+def decode_image(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """Decode an image payload column to (width, height, mode) — requires an
+    imaging library not present in this environment."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL; this environment ships none. "
+            "The mapInPandas plumbing to slot a decoder into is "
+            "extract_binary_meta()."
+        ) from e
+    raise NotImplementedError("decoder body intentionally out of scope")

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns.
+
+Two rungs:
+
+1. `topk_cosine` — brute-force exact: probe×corpus join, cosine in codegen,
+   per-probe window top-k. The oracle-checkable baseline. Cost is
+   |probes|·|corpus|·dim multiply-adds; fine for small probe sets even on
+   huge corpora (the probe side broadcasts), never for all-pairs.
+
+2. `lsh_topk_cosine` — the scale path: random-hyperplane LSH. Each vector
+   gets a `planes`-bit signature (sign of dot with each hyperplane);
+   candidates = corpus rows whose signature matches the probe's bucket;
+   exact cosine re-ranks only candidates. Recall < 1 by construction —
+   tunable with more planes/multi-probe. Hyperplane weights are DERIVED
+   DETERMINISTICALLY from md5 (functions/hashing.py), so the oracle SQL can
+   embed the same constants and the result is exactly reproducible — no RNG
+   state anywhere.
+
+At 100 TB: signatures are computed scan-side (narrow), the bucket join
+shuffles on the bucket key, and AQE handles bucket skew. For production ANN
+(recall targets, IVF centroids learned from data) the bucketing column would
+come from a trained coarse quantizer; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.functions import hashing, vectors
+
+#: Hyperplane weights are small signed ints derived from md5("p:d") — the
+#: same literals are embedded in the DuckDB oracle (plans/llm_ops.py).
+PLANE_WEIGHT_RANGE = 1001
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: weight[p][d] ∈ [-500, 500]."""
+    return [
+        [hashing.py_hex_int(f"{p}:{d}") % PLANE_WEIGHT_RANGE - 500
+         for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def signature(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id: bit p = (dot(vec, plane_p) > 0). Plain column algebra —
+    the plane is a literal array, the dot is a zip_with+aggregate fold."""
+    out = F.lit(0)
+    for p, w in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in w])
+        out = out + F.when(vectors.dot(vec, plane) > 0,
+                           F.lit(1 << p)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k: for each probe, the k nearest corpus vectors by cosine
+    (self-matches excluded). Returns (probe_id, match_id, cosine, rank).
+
+    The probe side should be small: Spark broadcasts it, so the corpus scan
+    streams once with no shuffle; the window then shuffles only
+    |probes|·|corpus| scored rows pruned to k per probe.
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(p).join(c, F.col("probe_id") != F.col("match_id"))
+        .select("probe_id", "match_id",
+                vectors.cosine(F.col("pv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
+                    num_planes: int = 8, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the probe's LSH bucket, exact
+    cosine re-ranks within the bucket. Probes with an empty bucket simply
+    return fewer (or no) rows — that's the recall trade, surfaced honestly.
+    """
+    planes = hyperplanes(num_planes, dim)
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+                      signature(F.col(vec_col), planes).alias("sig"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+                      signature(F.col(vec_col), planes).alias("sig"))
+    scored = (
+        F.broadcast(p).join(c, "sig")
+        .filter(F.col("probe_id") != F.col("match_id"))
+        .select("probe_id", "match_id",
+                vectors.cosine(F.col("pv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

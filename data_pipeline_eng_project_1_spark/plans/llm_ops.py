@@ -1,0 +1,472 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — each registered with an exactly-mirrored
+DuckDB oracle (SURVEY.md §2.8; these are extensions beyond the reference,
+which has no dedup/similarity/text ops at all).
+
+Oracle-parity ground rules (beyond plans/queries.py's):
+- all hashing is md5-based (functions/hashing.py) — bit-identical across
+  engines; derived ints stay within 60 bits (signed-BIGINT-safe);
+- tokenization / shingling / normalization SQL mirrors the Spark column
+  algebra operation-for-operation (same regexes, same slice bounds);
+- LSH plane weights and hash seeds are Python-computed constants embedded
+  as literals in BOTH the Spark plan and the oracle SQL;
+- approximate operators (MinHash-LSH, SimHash banding, hyperplane ANN) are
+  deterministic, so the oracle mirrors the ALGORITHM (same candidates, same
+  misses), not an idealized exact answer — except simhash banding, whose
+  pigeonhole guarantee makes the banded result provably equal to the
+  all-pairs answer the oracle computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.functions import texts
+from data_pipeline_eng_project_1_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from data_pipeline_eng_project_1_spark.plans.registry import register as _register
+from data_pipeline_eng_project_1_spark.sources import catalog
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return catalog.load_table(spark, name, sf_dir)
+
+
+# --- shared SQL fragments (DuckDB) -----------------------------------------
+
+#: whitespace tokens, empty strings dropped == texts.tokens
+SQL_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+#: lowercase word tokens == texts.tokenize_words
+SQL_WTOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+#: normalized text == texts.normalize
+SQL_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+            " ' +', ' ', 'g'))")
+#: distinct word 3-grams == texts.word_shingles(n=3)
+SQL_SHINGLES = f"""list_distinct(list_transform(
+      generate_series(1, greatest(len({SQL_TOKS}) - 2, 1)),
+      i -> array_to_string(list_slice({SQL_TOKS}, i, i + 2), ' ')))"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({SQL_NORM}) AS fingerprint
+      FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+    SELECT source, count(*) AS n_kept
+    FROM fp JOIN keep USING (doc_id)
+    GROUP BY source
+    """,
+    doc="exact dedup: md5 fingerprint of normalized text, keep min-id row "
+        "per fingerprint (hash groupBy + semi join)",
+)
+def _q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(d).groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    ex AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sz_a + sz_b - inter), 4) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8
+    """,
+    doc="n-gram Jaccard near-dup pairs via inverted shingle index "
+        "(explode + equi-join, never O(n²))",
+)
+def _q_dedup_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingled(d)
+    return (
+        dedup.jaccard_pairs(sh, 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4,
+                    threshold: float = 0.8) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT id, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    sigs AS (
+      SELECT id, s,
+             {mh_cols}
+      FROM sh
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.s, sb.s)) * 1.0
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, round(j, 4) AS jaccard
+    FROM verified WHERE j >= {threshold}
+    """
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash(8)-LSH(4 bands×2) candidates + exact Jaccard verify; "
+        "md5-seeded hash family, deterministic across engines",
+)
+def _q_dedup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_dedup_pairs(d, num_hashes=8, bands=4, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _simhash_oracle_expr(bits: int = dedup.SIMHASH_BITS) -> str:
+    """Per-bit sign sums over md5-derived token hashes, packed to a BIGINT."""
+    hd = bits // 4
+    hs = (f"list_transform({SQL_TOKS}, "
+          f"t -> CAST('0x' || substr(md5(t), 1, {hd}) AS BIGINT))")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0"
+        f" THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"SELECT doc_id, {terms} AS simhash FROM (SELECT doc_id, {hs} AS hs FROM documents)"
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH sims AS ({_simhash_oracle_expr()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sims a JOIN sims b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="60-bit SimHash near-dup pairs, hamming<=3; Spark side uses 4×15-bit "
+        "banding (recall-complete by pigeonhole ⇒ equals the oracle's "
+        "all-pairs scan)",
+)
+def _q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_pairs(d, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs (exact all-pairs verifier; the "
+        "LSH-pruned scale path is similarity_ann_lsh)",
+)
+def _q_dedup_embedding(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        dedup.embedding_dup_pairs(e, threshold=0.4)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@_register(
+    "similarity_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e p JOIN e c ON p.vec_id < 5 AND p.vec_id <> c.vec_id
+    )
+    SELECT probe_id, match_id, round(cos, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, match_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    doc="brute-force exact cosine top-k (probe side broadcast; per-probe "
+        "window top-k)",
+)
+def _q_similarity_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return (
+        similarity.topk_cosine(probes, e, k=10)
+        .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _ann_oracle(num_planes: int = 8, dim: int = 64, k: int = 5,
+                n_probes: int = 20) -> str:
+    planes = similarity.hyperplanes(num_planes, dim)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {[float(x) for x in planes[p]]}::DOUBLE[]) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM sigs p JOIN sigs c ON p.sig = c.sig
+      WHERE p.vec_id < {n_probes} AND p.vec_id <> c.vec_id
+    )
+    SELECT probe_id, match_id, round(cos, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, match_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@_register(
+    "similarity_ann_lsh",
+    _ann_oracle(),
+    doc="approximate top-k: 8 md5-derived random hyperplanes → bucket "
+        "signature → exact re-rank within bucket; oracle mirrors the same "
+        "algorithm with the same plane constants",
+)
+def _q_similarity_ann(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    return (
+        similarity.lsh_topk_cosine(probes, e, k=5, num_planes=8, dim=64)
+        .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_STOPS = "['" + "','".join(texts.STOPWORDS) + "']"
+
+
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{texts.BPE_CHUNK_RE}'))
+                AS BIGINT) AS bpe_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len({SQL_TOKS}), 4) AS avg_token_len,
+           round(len(list_filter({SQL_TOKS},
+                     t -> list_contains({_SQL_STOPS}, t))) * 1.0
+                 / len({SQL_TOKS}), 4) AS stopword_ratio,
+           round((length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                 * 1.0 / length(text), 4) AS punct_ratio,
+           (len({SQL_TOKS}) BETWEEN 20 AND 1000)
+             AND (len(list_filter({SQL_TOKS},
+                      t -> list_contains({_SQL_STOPS}, t))) * 1.0
+                  / len({SQL_TOKS})) BETWEEN 0.01 AND 0.6 AS keep
+    FROM documents
+    """,
+    doc="per-doc quality scoring: token counts (whitespace + BPE-ish regex), "
+        "avg token length, stopword/punctuation ratios, keep flag",
+)
+def _q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = texts.n_tokens(text)
+    stop_ratio = texts.stopword_ratio(text)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        texts.bpe_ish_count(text).alias("bpe_tokens"),
+        F.round(texts.avg_token_len(text), 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(texts.punct_ratio(text), 4).alias("punct_ratio"),
+        (n_tokens.between(20, 1000) & stop_ratio.between(0.01, 0.6)).alias("keep"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (f"len(list_filter({SQL_WTOKS}, t -> list_contains("
+               f"['" + "','".join(words) + "'], t)))")
+        for lang, words in texts.LANG_PROFILES
+    }
+    langs = [lang for lang, _ in texts.LANG_PROFILES]
+    cases = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join([*later, f"s_{lang} > 0"])
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "\n             ".join(cases)
+    score_cols = ",\n             ".join(
+        f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    WITH scores AS (
+      SELECT lang,
+             {score_cols}
+      FROM documents
+    )
+    SELECT lang,
+           CASE {case_sql}
+                ELSE 'und' END AS pred,
+           count(*) AS n
+    FROM scores
+    GROUP BY 1, 2
+    """
+
+
+@_register(
+    "text_langid",
+    _langid_oracle(),
+    doc="heuristic language ID (function-word profiles, earlier profile "
+        "wins ties) → confusion counts vs the fixture lang column",
+)
+def _q_text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", texts.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "text_token_topk",
+    f"""
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest({SQL_TOKS}) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, t
+    LIMIT 20
+    """,
+    doc="corpus term frequencies: explode tokens → hash agg → global top-k",
+)
+def _q_text_token_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(texts.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({SQL_NORM}) AS fingerprint,
+           CAST(length({SQL_NORM}) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    doc="per-doc deterministic fingerprint of normalized text",
+)
+def _q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = texts.normalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        texts.fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           upper(hex(encode(substr(text, 1, 4)))) AS head_hex,
+           CASE WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '89504E47')
+                THEN 'PNG'
+                WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), 'FFD8FF')
+                THEN 'JPEG'
+                WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '52494646')
+                THEN 'RIFF'
+                ELSE 'UNKNOWN' END AS modality
+    FROM documents
+    """,
+    doc="binary-payload metadata via Arrow-batched mapInPandas (byte length "
+        "+ magic-byte sniff); fixture payload = utf-8 encoded text, so the "
+        "oracle mirrors with encode(); ascii corpus ⇒ char slice == byte slice",
+)
+def _q_multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(d)
+    meta = multimodal.extract_binary_meta(payload)
+    return multimodal.sniff_modality(meta).select(
+        "doc_id", "byte_len", "head_hex", "modality")

@@ -22,32 +22,18 @@ shuffle once on their partition keys, and no builder ever collects.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_eng_project_1_spark.functions import texts, vectors
 from data_pipeline_eng_project_1_spark.operators import relational
+from data_pipeline_eng_project_1_spark.plans.registry import (
+    QuerySpec,
+    all_specs,
+    register as _register,
+)
 from data_pipeline_eng_project_1_spark.sources import catalog
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None -> rows-only check (non-SQL op)
-    doc: str = ""
-
-
-_SPECS: list[QuerySpec] = []
-
-
-def _register(name: str, oracle: str | None, doc: str = ""):
-    def deco(fn):
-        _SPECS.append(QuerySpec(name, fn, oracle, doc))
-        return fn
-    return deco
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -653,12 +639,16 @@ def _q_vector_norms(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def specs() -> list[QuerySpec]:
-    return list(_SPECS)
+    # Importing the sibling plan modules triggers their registrations;
+    # deferred to call time to avoid import cycles.
+    from data_pipeline_eng_project_1_spark.plans import llm_ops  # noqa: F401
+
+    return all_specs()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {s.name: s.builder for s in _SPECS}
+    return {s.name: s.builder for s in specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}
+    return {s.name: s.oracle for s in specs() if s.oracle is not None}

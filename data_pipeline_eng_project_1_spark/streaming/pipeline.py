@@ -1,0 +1,170 @@
+"""Structured Streaming: the engine-native form of the reference's intake.
+
+The reference hand-rolls incremental processing: an Airflow cron lists a
+bucket every 8 h (dags/dag_pipeline.py:33, dags/utils.py:367-383), a serial
+loop transforms+loads each file (dags/utils.py:350-365), and `move_file`
+archives processed blobs as a poor-man's checkpoint (dags/utils.py:31-52).
+Crash between load and move ⇒ duplicate rows: at-least-once with no dedup.
+
+Structured Streaming replaces every piece:
+
+| reference                          | here                                  |
+|------------------------------------|---------------------------------------|
+| cron poll + full bucket relist     | file source incremental listing       |
+| move_file archive "checkpoint"     | checkpoint dir (exactly-once) +       |
+|                                    | optional cleanSource=archive          |
+| serial per-file loop               | partition-parallel micro-batches      |
+| duplicate rows on crash            | idempotent restart from checkpoint    |
+| no late-data story                 | watermarks + windowed aggregation     |
+
+Batch/stream parity: the SAME transform functions (plans/flashscore.py)
+apply to the streaming DataFrame — one definition of the logic, two
+execution modes. `trigger(availableNow=True)` gives the scheduled-batch
+cadence of the reference (run under any scheduler, drain everything new,
+stop) with streaming's bookkeeping.
+
+At 100 TB: `maxFilesPerTrigger` bounds micro-batch size; state stores back
+the windowed/session aggs (RocksDB provider on a real cluster); watermarks
+bound state growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from data_pipeline_eng_project_1_spark.plans import flashscore
+from data_pipeline_eng_project_1_spark.sources.json_source import MATCH_SCHEMA
+
+#: events-stream schema (ts as epoch-millis long: fixture parity, and no
+#: parquet-NANOS hazard on the streaming path).
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# Flashscore intake (reference pipeline, streaming form)
+# ---------------------------------------------------------------------------
+
+
+def stream_matches(spark: SparkSession, src_dir: str,
+                   max_files_per_trigger: int | None = None,
+                   archive_dir: str | None = None) -> DataFrame:
+    """Streaming source over a directory of flashscore JSON dumps.
+
+    `archive_dir` enables cleanSource=archive — the exact observable
+    behavior of the reference's move_file, but applied only after the
+    checkpoint has committed the batch.
+    """
+    reader = (
+        spark.readStream.schema(MATCH_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if archive_dir:
+        reader = (reader.option("cleanSource", "archive")
+                  .option("sourceArchiveDir", archive_dir))
+    return reader.json(src_dir)
+
+
+def run_matches_pipeline(spark: SparkSession, src_dir: str, out_dir: str,
+                         checkpoint_dir: str,
+                         archive_dir: str | None = None) -> StreamingQuery:
+    """Drain all new files into the four output tables, then stop
+    (availableNow ≙ one scheduled run of the reference DAG).
+
+    foreachBatch fans one micro-batch out to all four sinks; the transform
+    subtree is shared and the deterministic ID_MATCH (flashscore.match_id)
+    keeps parent/child keys consistent across sinks AND across retries —
+    a replayed batch overwrites itself instead of duplicating.
+    """
+    src = stream_matches(spark, src_dir, archive_dir=archive_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tables = flashscore.transform_all(batch_df)
+        for name, tdf in tables.items():
+            (tdf.withColumn("__batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{out_dir}/{name}"))
+
+    return (
+        src.writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (windowed aggregation + sessionization)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """JSON event stream with an event-time timestamp column."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(src_dir)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window counts/sums per event type, late data bounded by the
+    watermark (batch twin: plans/queries.py::events_tumbling_1h)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Sliding-window variant: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (state-store backed; the batch twin
+    is operators/relational.py::sessionize's lag+running-sum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str,
+                  output_mode: str = "append") -> StreamingQuery:
+    """availableNow drain into an in-memory table (test/debug sink)."""
+    return (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

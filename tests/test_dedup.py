@@ -1,0 +1,88 @@
+"""Unit tests for the dedup ladder on hand-built corpora with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.operators import dedup
+
+DOC = ("the quick brown fox jumps over the lazy dog and then runs far away "
+       "to the deep green forest where it hides under a tall old tree")
+NEAR = DOC.replace("lazy", "sleepy")  # one token differs
+OTHER = ("completely different words about spark query engines shuffles "
+         "joins aggregations windows and columnar parquet storage layers")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, DOC),
+        (1, DOC + "!"),          # same after normalization -> exact dup of 0
+        (2, NEAR),               # near-dup of 0
+        (3, OTHER),              # unrelated
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [0, 2, 3]  # doc 1 collapses into doc 0
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    sh = dedup.shingled(docs)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(sh, 0.5).collect()}
+    # shingling is over RAW tokens ("dog!" != "dog"), so the trailing "!"
+    # on doc 1 perturbs its last shingles: high jaccard, not 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.9
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_matches_exact_jaccard_on_planted_dups(docs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    # LSH at 4 bands x 2 rows catches j=1.0 with certainty; the j~0.8 pair
+    # collides unless all 4 bands miss (p ~ (1-j^2)^4 < 0.02).
+    assert (0, 1) in got
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_deterministic_and_close_for_near_dups(spark, docs):
+    s = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+    assert all(0 <= v < 2 ** 60 for v in s.values())
+    ham02 = bin(s[0] ^ s[2]).count("1")
+    ham03 = bin(s[0] ^ s[3]).count("1")
+    assert ham02 < ham03  # near-dup much closer than unrelated doc
+    again = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+    assert s == again
+
+
+def test_simhash_pairs_recall_complete_vs_allpairs(spark):
+    # 20 docs: 10 clones of DOC with tiny edits + 10 distinct docs.
+    rows = [(i, DOC + f" tail{i % 3}") for i in range(10)]
+    rows += [(100 + i, f"{OTHER} variant {i} " + " ".join(
+        f"w{i}{j}" for j in range(15))) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    banded = {(r["id_a"], r["id_b"]) for r in
+              dedup.simhash_pairs(df, max_hamming=3).collect()}
+    s = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+    allpairs = {(a, b) for a in s for b in s if a < b
+                and bin(s[a] ^ s[b]).count("1") <= 3}
+    assert banded == allpairs  # pigeonhole: banding loses nothing
+
+
+def test_embedding_dup_pairs_exact_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # same direction as 0 -> cosine 1
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_dup_pairs(df, threshold=0.9).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert abs(pairs[(0, 1)] - 1.0) < 1e-12

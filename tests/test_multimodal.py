@@ -1,0 +1,42 @@
+"""Unit tests for the multimodal binary-column plumbing."""
+
+import pytest
+
+from data_pipeline_eng_project_1_spark.operators import multimodal
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+JPEG = b"\xff\xd8\xff\xe0" + b"\x01" * 8
+WAV = b"RIFF" + b"\x02" * 12
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [(0, PNG), (1, JPEG), (2, WAV), (3, b"plain text bytes")]
+    return spark.createDataFrame(rows, ["doc_id", "content"])
+
+
+def test_extract_binary_meta(payloads):
+    meta = {r["doc_id"]: r for r in
+            multimodal.extract_binary_meta(payloads).collect()}
+    assert meta[0]["byte_len"] == len(PNG)
+    assert meta[0]["head_hex"] == "89504E47"
+    assert meta[3]["head_hex"] == b"plai".hex().upper()
+
+
+def test_sniff_modality(payloads):
+    meta = multimodal.extract_binary_meta(payloads)
+    mod = {r["doc_id"]: r["modality"]
+           for r in multimodal.sniff_modality(meta).collect()}
+    assert mod == {0: "PNG", 1: "JPEG", 2: "RIFF", 3: "UNKNOWN"}
+
+
+def test_text_payload_roundtrip(spark):
+    df = spark.createDataFrame([(7, "héllo")], ["doc_id", "text"])
+    out = multimodal.extract_binary_meta(
+        multimodal.with_binary_payload(df)).collect()[0]
+    assert out["byte_len"] == len("héllo".encode())  # utf-8 bytes, not chars
+
+
+def test_decode_image_is_stubbed(payloads):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(payloads)

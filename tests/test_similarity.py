@@ -1,0 +1,48 @@
+"""Unit tests for similarity search (exact + LSH) with known geometry."""
+
+import math
+
+import pytest
+
+from data_pipeline_eng_project_1_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),    # closest to 0
+        (2, [0.5, 0.5, 0.0, 0.0]),    # second
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_topk_cosine_exact_ranking(vectors_df):
+    probes = vectors_df.filter("vec_id = 0")
+    out = similarity.topk_cosine(probes, vectors_df, k=3).collect()
+    ranked = [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    by_id = {r["match_id"]: r["cosine"] for r in out}
+    assert abs(by_id[1] - 0.9 / math.hypot(0.9, 0.1)) < 1e-12
+    assert abs(by_id[2] - 0.5 / math.hypot(0.5, 0.5)) < 1e-12
+
+
+def test_lsh_finds_identical_vector(spark):
+    # identical vectors share every hyperplane sign -> always same bucket
+    rows = [(i, [float(i % 7 - 3), 1.0, float(i % 5), -2.0]) for i in range(30)]
+    rows.append((100, rows[4][1]))  # clone of vec 4
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter("vec_id = 100")
+    out = similarity.lsh_topk_cosine(probes, df, k=3, num_planes=8, dim=4)
+    top = sorted(out.collect(), key=lambda r: r["rank"])
+    assert top and top[0]["match_id"] == 4
+    assert abs(top[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_hyperplanes_deterministic():
+    a = similarity.hyperplanes(4, 8)
+    b = similarity.hyperplanes(4, 8)
+    assert a == b
+    assert all(-500 <= w <= 500 for row in a for w in row)

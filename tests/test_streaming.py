@@ -1,0 +1,103 @@
+"""Structured Streaming tests: flashscore intake exactly-once semantics and
+windowed event analytics, all with availableNow (drain-and-stop) triggers."""
+
+import json
+
+import pytest
+
+from data_pipeline_eng_project_1_spark.streaming import pipeline as sp
+from tests.test_flashscore import _record
+
+TABLES = ("MATCH_FINISHED", "HOME_STARTING_LINEUP",
+          "AWAY_STARTING_LINEUP", "ODDS")
+
+
+def _write_events(path, events):
+    path.write_text("\n".join(json.dumps(e) for e in events))
+
+
+def _event(eid, ts_ms, user=1, etype="click", value=1.0):
+    return {"event_id": eid, "ts_ms": ts_ms, "user_id": user,
+            "event_type": etype, "value": value}
+
+
+def test_matches_stream_end_to_end(spark, tmp_path):
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "a.json").write_text(json.dumps([_record(), _record(home="Lyon")]))
+    q = sp.run_matches_pipeline(spark, str(src), str(out), str(ckpt))
+    q.awaitTermination()
+    match = spark.read.parquet(f"{out}/MATCH_FINISHED")
+    assert match.count() == 2
+    for t in TABLES[1:]:
+        assert spark.read.parquet(f"{out}/{t}").count() == 2
+
+    # Restart with NO new files: checkpoint prevents reprocessing (the
+    # reference would re-ingest anything not yet archived).
+    q2 = sp.run_matches_pipeline(spark, str(src), str(out), str(ckpt))
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{out}/MATCH_FINISHED").count() == 2
+
+    # New file arrives -> only it is processed, ids stay deterministic.
+    (src / "b.json").write_text(json.dumps([_record(home="Metz")]))
+    q3 = sp.run_matches_pipeline(spark, str(src), str(out), str(ckpt))
+    q3.awaitTermination()
+    match3 = spark.read.parquet(f"{out}/MATCH_FINISHED")
+    assert match3.count() == 3
+    assert match3.select("ID_MATCH").distinct().count() == 3
+
+
+def test_tumbling_counts_with_watermark(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    h = 3600 * 1000
+    _write_events(src / "e1.json", [
+        _event(1, 0 * h + 60_000), _event(2, 0 * h + 120_000),
+        _event(3, 1 * h + 60_000, etype="purchase"),
+    ])
+    # append mode would hold back windows the watermark hasn't closed when
+    # the drain ends; complete mode emits every window's current state.
+    q = sp.run_to_memory(
+        sp.tumbling_counts(sp.stream_events(spark, str(src))),
+        "tumbling_t", str(ckpt), output_mode="complete")
+    q.awaitTermination()
+    rows = {(r["window_start"].minute + 60 * r["window_start"].hour,
+             r["event_type"]): r["n"]
+            for r in spark.table("tumbling_t").collect()}
+    assert rows[(0, "click")] == 2
+    assert rows[(60, "purchase")] == 1
+
+
+def test_session_counts(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    m = 60 * 1000
+    _write_events(src / "e1.json", [
+        _event(1, 0), _event(2, 5 * m), _event(3, 10 * m),   # session 1
+        _event(4, 120 * m), _event(5, 125 * m),              # session 2
+        _event(6, 0, user=2),                                # other user
+    ])
+    q = sp.run_to_memory(
+        sp.session_counts(sp.stream_events(spark, str(src)), gap="30 minutes"),
+        "sessions_t", str(ckpt), output_mode="complete")
+    q.awaitTermination()
+    rows = sorted((r["user_id"], r["n_events"])
+                  for r in spark.table("sessions_t").collect())
+    assert rows == [(1, 2), (1, 3), (2, 1)]
+
+
+def test_stream_archive_source(spark, tmp_path):
+    src, out, ckpt, arch = (tmp_path / "in", tmp_path / "out",
+                            tmp_path / "ckpt", tmp_path / "done")
+    src.mkdir()
+    (src / "a.json").write_text(json.dumps([_record()]))
+    q = sp.run_matches_pipeline(spark, str(src), str(out), str(ckpt),
+                                archive_dir=str(arch))
+    q.awaitTermination()
+    assert spark.read.parquet(f"{out}/MATCH_FINISHED").count() == 1
+    # cleanSource=archive moves consumed files out of the source dir
+    # (reference: move_file to the used-bucket, dags/utils.py:31-52) —
+    # archival is asynchronous/best-effort, so only assert non-loss.
+    remaining = list(src.glob("*.json"))
+    archived = list(arch.rglob("*.json"))
+    assert len(remaining) + len(archived) >= 1
