@@ -145,15 +145,38 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     With 4 bands × 2 rows, a pair at Jaccard j collides with probability
     1-(1-j²)⁴ — ≈1 for j≥0.8, ≈0.15 for j=0.2; the verify step removes the
     false positives exactly.
+
+    Physical shape: shingles are EXPLODED once and the signature computed as
+    `num_hashes` min() aggregates over the exploded rows — Catalyst's
+    higher-order functions (transform/array_min) are interpreted per
+    element, so the array formulation (minhash_signature, kept for per-row
+    use) re-evaluates the shingle expression per hash seed and runs ~10×
+    slower; the exploded groupBy stays in whole-stage codegen and shuffles
+    once on the doc id. The same agg rebuilds the shingle set + size for
+    the verify step, so shingling happens exactly once end to end.
     """
     rows_per_band = num_hashes // bands
-    sh = shingled(df, id_col, text_col, n)
-    banded = (
-        sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-        .select("id", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band))
-                .alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(texts.word_shingles(F.col(text_col), n)).alias("g"),
     )
+    sig = ex.groupBy("id").agg(
+        *[F.min(hashing.seeded_md5(i, F.col("g"))).alias(f"mh{i}")
+          for i in range(num_hashes)],
+        F.collect_set("g").alias("sh"),  # shingles are distinct per doc
+        F.count("*").alias("sz"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
+                                   for r in range(rows_per_band)]).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -162,10 +185,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                    F.col("sz").alias("sz_a"))
-    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                    F.col("sz").alias("sz_b"))
+    sha = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                     F.col("sz").alias("sz_a"))
+    shb = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                     F.col("sz").alias("sz_b"))
     verified = (
         cand.join(sha, "id_a").join(shb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -224,6 +247,34 @@ def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def simhash_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, sh) simhash per document via exploded tokens + codegen hash agg.
+
+    Same values as simhash(), different physical shape: tokens explode to
+    rows, the md5-derived hash is a regular codegen expression evaluated
+    once per token, and the per-bit sign sums are `bits` plain sum()
+    aggregates — one shuffle on the doc id, no interpreted array lambdas.
+    ~10× faster than the array fold on wide corpora; use the fold form only
+    inside row-level expressions.
+    """
+    hex_digits = bits // 4
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(texts.tokens(F.col(text_col))).alias("t"),
+    ).select("id", hashing.hex_int(F.col("t"), hex_digits).alias("h"))
+    sums = ex.groupBy("id").agg(*[
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
+        for i in range(bits)
+    ])
+    packed = sum(
+        (F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(bits)),
+        start=F.lit(0),
+    )
+    return sums.select("id", packed.cast("long").alias("sh"))
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
                   bits: int = SIMHASH_BITS,
@@ -239,8 +290,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     assert max_hamming <= bands - 1, "banding loses recall beyond bands-1"
     width = bits // bands
     mask = (1 << width) - 1
-    s = df.select(F.col(id_col).alias("id"),
-                  simhash(F.col(text_col), bits).alias("sh"))
+    s = simhash_table(df, id_col, text_col, bits)
     banded = s.select(
         "id", "sh",
         F.explode(F.array(*[
@@ -271,12 +321,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.9) -> DataFrame:
-    """Pairs of vectors with cosine >= threshold (exact, all-pairs).
+    """Pairs of vectors with cosine >= threshold (exact, all-pairs) — pure
+    column-algebra form.
 
-    This is the verification-grade variant: O(n²) dot products in codegen.
-    At 100 TB you never run this raw — operators/similarity.py provides the
-    random-hyperplane LSH bucketing that prunes the pair space first; this
-    exact form is what runs inside each bucket.
+    Row-pair dot products through Catalyst higher-order functions are
+    interpreted per element, so this form is only for small inputs and as
+    the semantic reference; `embedding_dup_pairs_blocked` is the production
+    path (vectorized GEMM), and operators/similarity.py's LSH bucketing
+    prunes the pair space before either.
     """
     from data_pipeline_eng_project_1_spark.functions import vectors
 
@@ -288,3 +340,64 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                 vectors.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.9,
+                                num_blocks: int = 8) -> DataFrame:
+    """All-pairs cosine >= threshold as a distributed blocked matrix
+    product (the scalable exact form).
+
+    Rows hash into `num_blocks` blocks; each row is replicated to every
+    unordered block pair it participates in, and each (bi, bj) group
+    computes its sub-matrix product with vectorized numpy (BLAS) inside
+    applyInPandas — thousands of dot products per instruction instead of
+    one interpreted lambda per element.
+
+    Scale accounting: replication factor = num_blocks, so shuffle volume is
+    num_blocks × |data|, while per-task memory is O((n/num_blocks)·dim) —
+    pick num_blocks so a block pair fits executor memory, AQE balances the
+    rest. The n² work is inherent to exactness; prune candidates first
+    (similarity.lsh_topk_cosine's bucketing) when recall < 1 is acceptable.
+    """
+    import pandas as pd
+
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("b"),
+    )
+    rep = e.select(
+        "id", "v", "b",
+        F.explode(F.array(*[
+            F.struct(F.least(F.col("b"), F.lit(j)).alias("bi"),
+                     F.greatest(F.col("b"), F.lit(j)).alias("bj"))
+            for j in range(num_blocks)
+        ])).alias("bp"),
+    ).select("id", "v", "b", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def block_pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        bi, bj = key
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        if bi == bj:
+            sims = mat @ mat.T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            id_a, id_b = ids[ia], ids[ib]
+        else:
+            left, right = pdf["b"].to_numpy() == bi, pdf["b"].to_numpy() == bj
+            sims = mat[left] @ mat[right].T
+            ia, ib = np.nonzero(sims >= threshold)
+            id_a, id_b = ids[left][ia], ids[right][ib]
+        vals = sims[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
+
+    return rep.groupBy("bi", "bj").applyInPandas(block_pairs, out_schema)

@@ -211,13 +211,14 @@ def _q_dedup_simhash(spark, sf_dir):
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
-    doc="embedding-cosine near-dup pairs (exact all-pairs verifier; the "
-        "LSH-pruned scale path is similarity_ann_lsh)",
+    doc="embedding-cosine near-dup pairs: exact all-pairs via blocked numpy "
+        "GEMM (applyInPandas); the LSH-pruned scale path is "
+        "similarity_ann_lsh",
 )
 def _q_dedup_embedding(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return (
-        dedup.embedding_dup_pairs(e, threshold=0.4)
+        dedup.embedding_dup_pairs_blocked(e, threshold=0.4)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
 
