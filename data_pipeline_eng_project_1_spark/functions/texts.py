@@ -107,33 +107,75 @@ def _in_set(words: tuple[str, ...]):
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
     """Per-language function-word hit counts (with multiplicity)."""
-    toks = tokenize_words(text)
-    return [
-        (lang, F.size(F.filter(toks, _in_set(words))))
-        for lang, words in LANG_PROFILES
-    ]
+    return lang_scores_of(tokenize_words(text))
 
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of function-word profile hits; ties
-    resolve in LANG_PROFILES order; zero hits everywhere → 'und'."""
-    scores = lang_scores(text)
-    best: Column = F.lit("und")
-    best_score: Column = F.lit(0)
-    # Iterate in REVERSE preference order so earlier languages win ties
-    # via strict > comparison on the later ones.
-    for lang, score in reversed(scores):
-        is_better = score >= best_score  # later overwrite => reversed order
-        best = F.when(score >= best_score, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    resolve in LANG_PROFILES order; zero hits everywhere → 'und'.
+
+    Row-expression form — re-tokenizes once per language profile; for bulk
+    scoring use lang_id_of over a materialized tokenize_words column."""
+    return lang_id_of(tokenize_words(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as array<string>."""
-    toks = tokens(text)
+def word_shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a pre-materialized token-array column.
+
+    The token column MUST be an attribute materialized behind a projection
+    or exchange boundary — higher-order functions are interpreted and share
+    no subexpressions, so inlining `tokens(text)` here re-runs the split for
+    every shingle index: O(tokens²) work per document. See
+    operators/dedup.py::tokenized for the canonical shape.
+    """
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as array<string> (row-expression form; for bulk
+    shingling prefer word_shingles_of over materialized tokens)."""
+    return word_shingles_of(tokens(text), n)
+
+
+def stopword_ratio_of(toks: Column) -> Column:
+    """stopword_ratio over a materialized token array."""
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stops).cast("double") / F.size(toks).cast("double")
+
+
+def avg_token_len_of(toks: Column, text: Column) -> Column:
+    """avg_token_len over a materialized token array."""
+    chars = F.length(F.regexp_replace(text, " ", ""))
+    return chars.cast("double") / F.size(toks).cast("double")
+
+
+def lang_scores_of(wtoks: Column) -> list[tuple[str, Column]]:
+    """lang_scores over a materialized word-token array."""
+    return [
+        (lang, F.size(F.filter(wtoks, _in_set(words))))
+        for lang, words in LANG_PROFILES
+    ]
+
+
+def argmax_label(scores: list[tuple[str, Column]], default: str = "und") -> Column:
+    """Label of the max score; ties resolve to the EARLIER list entry; all
+    scores <= 0 → default. The when-chain references each score column
+    several times, so pass cheap attributes (pre-computed score columns)
+    for bulk use, not filter expressions.
+    """
+    best: Column = F.lit(default)
+    best_score: Column = F.lit(0)
+    # Reverse order + >= comparison => earlier entries win ties.
+    for label, score in reversed(scores):
+        best = F.when(score >= best_score, F.lit(label)).otherwise(best)
+        best_score = F.when(score >= best_score, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit(default))
+
+
+def lang_id_of(wtoks: Column) -> Column:
+    """lang_id over a materialized word-token array."""
+    return argmax_label(lang_scores_of(wtoks))

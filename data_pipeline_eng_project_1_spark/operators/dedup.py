@@ -65,12 +65,36 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, __toks, *extra) with the token array MATERIALIZED behind a hash
+    repartition on the id.
+
+    The exchange does two jobs at once:
+    - a hard materialization barrier: everything downstream reads the token
+      array as a plain attribute, so per-element lambdas (shingling, profile
+      filters) never re-run the tokenizer — without it they are O(tokens²)
+      per doc (interpreted higher-order functions share no subexpressions);
+    - CPU spread: text corpora arrive as few fat parquet files (one
+      row-group = one split), so tokenize/shingle work would otherwise run
+      on a handful of cores no matter the cluster size. Hash-partitioning
+      by id also lets the downstream groupBy("id") reuse the partitioning
+      instead of shuffling again.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(
+        F.col(id_col).alias("id"),
+        texts.tokens(F.col(text_col)).alias("__toks"),
+        *extra_cols,
+    ).repartition(n, "id")
+
+
 def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """(id, sh: array<string> distinct word n-grams, sz: int)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        texts.word_shingles(F.col(text_col), n).alias("sh"),
+    return tokenized(df, id_col, text_col).select(
+        "id",
+        texts.word_shingles_of(F.col("__toks"), n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
 
 
@@ -156,9 +180,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     the verify step, so shingling happens exactly once end to end.
     """
     rows_per_band = num_hashes // bands
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(texts.word_shingles(F.col(text_col), n)).alias("g"),
+    ex = tokenized(df, id_col, text_col).select(
+        "id",
+        F.explode(texts.word_shingles_of(F.col("__toks"), n)).alias("g"),
     )
     sig = ex.groupBy("id").agg(
         *[F.min(hashing.seeded_md5(i, F.col("g"))).alias(f"mh{i}")
@@ -259,9 +283,8 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id",
     inside row-level expressions.
     """
     hex_digits = bits // 4
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(texts.tokens(F.col(text_col))).alias("t"),
+    ex = tokenized(df, id_col, text_col).select(
+        "id", F.explode("__toks").alias("t"),
     ).select("id", hashing.hex_int(F.col("t"), hex_digits).alias("h"))
     sums = ex.groupBy("id").agg(*[
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")

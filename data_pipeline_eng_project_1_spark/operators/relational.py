@@ -91,6 +91,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     )
 
 
+def binned_range_join(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str,
+                      lower: int, upper: int) -> DataFrame:
+    """Inner range join: pairs (l, r) sharing `on` with
+    ``right_ts ∈ [left_ts + lower, left_ts + upper)``.
+
+    Plan: both sides bucket by ``w = upper - lower``; each left row explodes
+    to every bucket its window overlaps (≤2 when the span ≤ w), turning the
+    inequality join — which Spark would plan as a BroadcastNestedLoopJoin,
+    O(n·m) and broadcast-bounded — into a plain shuffled equi-join on
+    (key, bucket) plus an exact range filter. Cost: ≤2× replication of the
+    left side, one hash shuffle per side, AQE handles per-bucket skew.
+
+    Timestamps must be non-negative integers (epoch ms): bucket math uses
+    integer DIV (exact; a double division could mis-floor near bucket edges).
+    """
+    w = int(upper - lower)
+    l = left.withColumn(
+        "__b",
+        F.explode(F.sequence(
+            F.expr(f"({left_ts} + {lower}) DIV {w}"),
+            F.expr(f"({left_ts} + {upper} - 1) DIV {w}"),
+        )),
+    )
+    r = right.withColumn("__b", F.expr(f"{right_ts} DIV {w}"))
+    return (
+        l.join(r, [on, "__b"])
+        .filter((F.col(right_ts) >= F.col(left_ts) + lower)
+                & (F.col(right_ts) < F.col(left_ts) + upper))
+        .drop("__b")
+    )
+
+
 def sessionize(df: DataFrame, key: str, ts: str, gap: int,
                order_tiebreak: str) -> DataFrame:
     """Assign session ids per key: a new session starts when the gap to the

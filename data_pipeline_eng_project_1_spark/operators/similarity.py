@@ -63,12 +63,20 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     streams once with no shuffle; the window then shuffles only
     |probes|·|corpus| scored rows pruned to k per probe.
     """
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    # Norms precomputed per ROW, not per pair: the join's cosine then costs
+    # one fold per candidate instead of three (the fold is interpreted, so
+    # this is the hot-path constant). dot/(na*nb) is the exact oracle
+    # expression — identical doubles, no parity risk.
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+                      vectors.l2_norm(F.col(vec_col)).alias("pn"))
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism) \
+        .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+                vectors.l2_norm(F.col(vec_col)).alias("cn"))
     scored = (
         F.broadcast(p).join(c, F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
-                vectors.cosine(F.col("pv"), F.col("cv")).alias("cosine"))
+                (vectors.dot(F.col("pv"), F.col("cv"))
+                 / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
     return (
@@ -86,14 +94,18 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     """
     planes = hyperplanes(num_planes, dim)
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+                      vectors.l2_norm(F.col(vec_col)).alias("pn"),
                       signature(F.col(vec_col), planes).alias("sig"))
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
-                      signature(F.col(vec_col), planes).alias("sig"))
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism) \
+        .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+                vectors.l2_norm(F.col(vec_col)).alias("cn"),
+                signature(F.col(vec_col), planes).alias("sig"))
     scored = (
         F.broadcast(p).join(c, "sig")
         .filter(F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
-                vectors.cosine(F.col("pv"), F.col("cv")).alias("cosine"))
+                (vectors.dot(F.col("pv"), F.col("cv"))
+                 / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
     return (

@@ -36,6 +36,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     return catalog.load_table(spark, name, sf_dir)
 
 
+def _spread(df):
+    """Round-robin repartition to full parallelism before CPU-dense row
+    work: text corpora land as few fat parquet files (1 row-group = 1
+    split), which would pin regex/hash-heavy scans to a handful of cores
+    regardless of cluster size."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # --- shared SQL fragments (DuckDB) -----------------------------------------
 
 #: whitespace tokens, empty strings dropped == texts.tokens
@@ -71,7 +79,7 @@ SQL_SHINGLES = f"""list_distinct(list_transform(
         "per fingerprint (hash groupBy + semi join)",
 )
 def _q_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return dedup.dedup_exact(d).groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
@@ -342,17 +350,23 @@ _SQL_STOPS = "['" + "','".join(texts.STOPWORDS) + "']"
 )
 def _q_text_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_tokens = texts.n_tokens(text)
-    stop_ratio = texts.stopword_ratio(text)
-    return d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
+    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
+    text, toks = F.col("text"), F.col("__toks")
+    pre = toked.select(
+        F.col("id").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
         texts.bpe_ish_count(text).alias("bpe_tokens"),
-        F.round(texts.avg_token_len(text), 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(texts.punct_ratio(text), 4).alias("punct_ratio"),
-        (n_tokens.between(20, 1000) & stop_ratio.between(0.01, 0.6)).alias("keep"),
+        texts.avg_token_len_of(toks, text).alias("_avg"),
+        texts.stopword_ratio_of(toks).alias("_stop"),
+        texts.punct_ratio(text).alias("_punct"),
+    )
+    return pre.select(
+        "doc_id", "n_tokens", "bpe_tokens",
+        F.round("_avg", 4).alias("avg_token_len"),
+        F.round("_stop", 4).alias("stopword_ratio"),
+        F.round("_punct", 4).alias("punct_ratio"),
+        (F.col("n_tokens").between(20, 1000)
+         & F.col("_stop").between(0.01, 0.6)).alias("keep"),
     )
 
 
@@ -394,8 +408,17 @@ def _langid_oracle() -> str:
 )
 def _q_text_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    wt = _spread(
+        d.select("lang", texts.tokenize_words(F.col("text")).alias("__wt")))
+    scored = wt.select(
+        "lang",
+        *[s.alias(f"s_{lang}")
+          for lang, s in texts.lang_scores_of(F.col("__wt"))],
+    )
+    pred = texts.argmax_label(
+        [(lang, F.col(f"s_{lang}")) for lang, _ in texts.LANG_PROFILES])
     return (
-        d.select("lang", texts.lang_id(F.col("text")).alias("pred"))
+        scored.select("lang", pred.alias("pred"))
         .groupBy("lang", "pred")
         .agg(F.count("*").alias("n"))
     )
@@ -413,7 +436,7 @@ def _q_text_langid(spark, sf_dir):
     doc="corpus term frequencies: explode tokens → hash agg → global top-k",
 )
 def _q_text_token_topk(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(texts.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -433,7 +456,7 @@ def _q_text_token_topk(spark, sf_dir):
     doc="per-doc deterministic fingerprint of normalized text",
 )
 def _q_text_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     norm = texts.normalize(F.col("text"))
     return d.select(
         "doc_id",
@@ -466,7 +489,7 @@ def _q_text_fingerprint(spark, sf_dir):
         "oracle mirrors with encode(); ascii corpus ⇒ char slice == byte slice",
 )
 def _q_multimodal_meta(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     payload = multimodal.with_binary_payload(d)
     meta = multimodal.extract_binary_meta(payload)
     return multimodal.sniff_modality(meta).select(

@@ -396,6 +396,101 @@ def _q_rollup(spark, sf_dir):
 
 
 @_register(
+    "cube_nation_segment",
+    """
+    SELECT coalesce(CAST(c_nationkey AS INTEGER), -1) AS nationkey,
+           coalesce(c_mktsegment, 'ALL')              AS segment,
+           count(*)                                   AS n,
+           round(sum(c_acctbal), 2)                   AS bal
+    FROM customer
+    GROUP BY CUBE (c_nationkey, c_mktsegment)
+    """,
+    doc="CUBE grouping sets (all 4 grouping combinations in one pass)",
+)
+def _q_cube(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.cube("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .select(
+            F.coalesce(F.col("c_nationkey").cast("int"), F.lit(-1)).alias("nationkey"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n", "bal")
+    )
+
+
+@_register(
+    "quantiles_per_priority",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="exact interpolated percentiles per group (Spark percentile() ≡ "
+        "DuckDB quantile_cont; the 100 TB path swaps in approx_percentile, "
+        "a mergeable KLL-style sketch, at the same call site)",
+)
+def _q_quantiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@_register(
+    "stats_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 2)              AS sd_qty,
+           round(var_samp(l_quantity), 2)                 AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 3)   AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates (stddev/variance/correlation/covariance)",
+)
+def _q_stats_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 3).alias("cov_qty_disc"),
+    )
+
+
+@_register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric,
+           round(CAST(p_size AS DOUBLE), 2) AS val
+    FROM part WHERE p_partkey <= 50
+    UNION ALL
+    SELECT p_partkey, 'retail' AS metric, round(p_retailprice, 2) AS val
+    FROM part WHERE p_partkey <= 50
+    """,
+    doc="unpivot/melt wide→long (df.unpivot; oracle mirrors via UNION ALL)",
+)
+def _q_unpivot(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retail"))
+        .unpivot(["p_partkey"], ["size", "retail"], "metric", "v")
+        .select("p_partkey", "metric", F.round("v", 2).alias("val"))
+    )
+
+
+@_register(
     "pivot_returnflag",
     """
     SELECT l_linestatus,
@@ -606,6 +701,70 @@ def _q_events_asof(spark, sf_dir):
         p, c, on="user_id", left_ts="ts_ms", right_ts="click_ms",
         right_value="click_ms", out_col="last_click_ms")
     return out.select("event_id", "ts_ms", "last_click_ms")
+
+
+@_register(
+    "events_range_join_1h",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, count(c.ts_ms) AS n_clicks_1h
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts_ms >= p.ts_ms - 3600000 AND c.ts_ms < p.ts_ms
+    GROUP BY p.event_id
+    """,
+    doc="range (interval) join: clicks in the hour before each purchase, "
+        "binned into a shuffled equi-join on (user, time-bucket) instead of "
+        "the O(n·m) inequality join Spark would otherwise plan",
+)
+def _q_range_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ms").alias("click_ms"))
+    pairs = relational.binned_range_join(
+        p, c, on="user_id", left_ts="ts_ms", right_ts="click_ms",
+        lower=-3600000, upper=0)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_clicks_1h"))
+    return (
+        p.select("event_id").join(counts, "event_id", "left")
+        .na.fill({"n_clicks_1h": 0})
+    )
+
+
+@_register(
+    "events_rollup_multigrain",
+    """
+    SELECT day_ms, coalesce(hour_ms, -1) AS hour_ms,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) * 86400000 AS day_ms,
+                 (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000   AS hour_ms,
+                 value
+          FROM events)
+    GROUP BY GROUPING SETS ((day_ms), (day_ms, hour_ms))
+    """,
+    doc="hypertable-style multi-granularity rollup: hourly + daily buckets "
+        "in ONE scan via GROUPING SETS (continuous-aggregate pattern)",
+)
+def _q_rollup_multigrain(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("(ts_ms DIV 86400000) * 86400000").alias("day_ms"),
+        F.expr("(ts_ms DIV 3600000) * 3600000").alias("hour_ms"),
+        "value",
+    )
+    return (
+        b.groupingSets([["day_ms"], ["day_ms", "hour_ms"]], "day_ms", "hour_ms")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("day_ms",
+                F.coalesce("hour_ms", F.lit(-1)).alias("hour_ms"),
+                "n", "sum_value")
+    )
 
 
 # ---------------------------------------------------------------------------
