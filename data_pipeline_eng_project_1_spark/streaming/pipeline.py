@@ -158,6 +158,102 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once-ish intake repair: drop replayed events by id within the
+    watermark horizon.
+
+    This is the streaming answer to the reference's crash-window duplicates
+    (load succeeded, move_file didn't — SURVEY.md §2.7): re-delivered events
+    carry the same event_id and are dropped as long as they arrive within
+    the watermark; state is bounded because ids older than the horizon are
+    evicted (plain dropDuplicates on a stream would grow state forever).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def user_activity_stateful(events: DataFrame,
+                           watermark: str = "30 minutes",
+                           idle_timeout_ms: int = 1_800_000) -> DataFrame:
+    """Custom stateful operator: per-user running activity profile via
+    applyInPandasWithState — the escape hatch for stream logic that windowed
+    aggs can't express (cross-batch running state with timeout-driven
+    emission).
+
+    Keeps (n_events, total_value, last_ts_ms) per user across micro-batches;
+    emits a final profile when the user goes idle past `idle_timeout_ms`
+    of EVENT time (event-time timeout: the timer fires when the watermark
+    passes last_event + idle gap) — a "session summary on inactivity"
+    pattern. Event-time timers are deterministic and replay-safe, and —
+    unlike processing-time timers — don't keep an availableNow drain alive
+    waiting on wall-clock timeouts. State is per-key and partitioned by the
+    groupBy, so it scales horizontally; the watermark bounds state size.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("emitted_on", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id, "n_events": n, "total_value": total,
+                "last_ts_ms": last, "emitted_on": "timeout",
+            }])
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts_ms"].max()))
+        state.update((n, total, last))
+        state.setTimeoutTimestamp(last + idle_timeout_ms)
+        yield pd.DataFrame([{
+            "user_id": user_id, "n_events": n, "total_value": total,
+            "last_ts_ms": last, "emitted_on": "update",
+        }])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )
+
+
+def run_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
+                   output_mode: str = "append") -> StreamingQuery:
+    """availableNow drain into a parquet directory. Unlike the memory sink,
+    the file sink supports restarting from its checkpoint, so repeated
+    drains of a growing source resume incrementally (the scheduled-batch
+    cadence of the reference's 8-hour Airflow poll)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str,
                   output_mode: str = "append") -> StreamingQuery:
     """availableNow drain into an in-memory table (test/debug sink)."""

@@ -86,6 +86,61 @@ def test_session_counts(spark, tmp_path):
     assert rows == [(1, 2), (1, 3), (2, 1)]
 
 
+def test_dedup_events_drops_replayed_ids(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    # Same event_id delivered twice (intake replay) + one unique event.
+    _write_events(src / "e1.json", [
+        _event(1, 60_000), _event(1, 60_000), _event(2, 120_000),
+    ])
+    q = sp.run_to_memory(
+        sp.dedup_events(sp.stream_events(spark, str(src))),
+        "dedup_t", str(ckpt))
+    q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.table("dedup_t").collect())
+    assert ids == [1, 2]
+
+
+def test_user_activity_stateful(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    m = 60 * 1000
+    # Timestamps sit well above epoch 0: the stateful operator drops rows at
+    # or below the current watermark, and the initial watermark is 0.
+    b = 100 * 60 * m
+    _write_events(src / "e1.json", [
+        _event(1, b, user=1, value=2.0),
+        _event(2, b + 5 * m, user=1, value=3.0),
+        _event(3, b, user=2, value=7.0),
+    ])
+    out = tmp_path / "out"
+    q = sp.run_to_parquet(
+        sp.user_activity_stateful(sp.stream_events(spark, str(src))),
+        str(out), str(ckpt))
+    q.awaitTermination()
+    rows = {r["user_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[1]["n_events"] == 2
+    assert rows[1]["total_value"] == 5.0
+    assert rows[1]["last_ts_ms"] == b + 5 * m
+    assert rows[2]["n_events"] == 1
+    assert rows[2]["emitted_on"] == "update"
+
+    # Second micro-batch, restarted from the checkpoint: state carries
+    # across batches (running totals) and only the new file is read.
+    _write_events(src / "e2.json", [_event(4, b + 10 * m, user=1, value=1.0)])
+    q2 = sp.run_to_parquet(
+        sp.user_activity_stateful(sp.stream_events(spark, str(src))),
+        str(out), str(ckpt))
+    q2.awaitTermination()
+    latest = {}
+    for r in spark.read.parquet(str(out)).collect():
+        if (r["user_id"] not in latest
+                or r["n_events"] > latest[r["user_id"]]["n_events"]):
+            latest[r["user_id"]] = r
+    assert latest[1]["n_events"] == 3
+    assert latest[1]["total_value"] == 6.0
+
+
 def test_stream_archive_source(spark, tmp_path):
     src, out, ckpt, arch = (tmp_path / "in", tmp_path / "out",
                             tmp_path / "ckpt", tmp_path / "done")
