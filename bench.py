@@ -48,6 +48,10 @@ def main() -> None:
     n = default_parallelism()
     spark = get_spark("bench", cores=n, shuffle_partitions=n)
     specs = Q.specs()
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:  # comma-separated subset, for iterating on one hotspot
+        names = {s.strip() for s in only.split(",")}
+        specs = [s for s in specs if s.name in names]
 
     timings: dict[str, float] = {}
     for s in specs:

@@ -73,11 +73,28 @@ def extract_binary_meta(df: DataFrame, id_col: str = "doc_id",
             payload = pdf["p"]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "byte_len": payload.map(len).astype("int64"),
-                "head_hex": payload.map(lambda b: bytes(b)[:4].hex().upper()),
+                # .str accessors vectorize over the bytes column — no
+                # per-element Python lambdas in the batch body.
+                "byte_len": payload.str.len().astype("int64"),
+                "head_hex": payload.str[:4].map(bytes.hex).str.upper(),
             })
 
     return src.mapInPandas(batches, BINARY_META_SCHEMA)
+
+
+def extract_binary_meta_native(df: DataFrame, id_col: str = "doc_id",
+                               payload_col: str = "content") -> DataFrame:
+    """Metadata extraction as pure column algebra — same output contract as
+    `extract_binary_meta`, but byte length and head bytes need no decoder,
+    so they stay JVM-side in whole-stage codegen (no Python workers, no
+    Arrow transfer of the payload). Use this whenever the per-payload work
+    is expressible with built-ins; reserve the mapInPandas template for
+    steps that genuinely need a Python library."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(payload_col)).cast("long").alias("byte_len"),
+        F.upper(F.hex(F.substring(F.col(payload_col), 1, 4))).alias("head_hex"),
+    )
 
 
 def sniff_modality(meta: DataFrame, head_col: str = "head_hex") -> DataFrame:

@@ -484,13 +484,15 @@ def _q_text_fingerprint(spark, sf_dir):
                 ELSE 'UNKNOWN' END AS modality
     FROM documents
     """,
-    doc="binary-payload metadata via Arrow-batched mapInPandas (byte length "
-        "+ magic-byte sniff); fixture payload = utf-8 encoded text, so the "
-        "oracle mirrors with encode(); ascii corpus ⇒ char slice == byte slice",
+    doc="binary-payload metadata (byte length + magic-byte sniff) as pure "
+        "column algebra — no decoder needed, so no Python workers; the "
+        "mapInPandas decode template lives in operators/multimodal.py. "
+        "Fixture payload = utf-8 encoded text, so the oracle mirrors with "
+        "encode(); ascii corpus ⇒ char slice == byte slice",
 )
 def _q_multimodal_meta(spark, sf_dir):
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
     payload = multimodal.with_binary_payload(d)
-    meta = multimodal.extract_binary_meta(payload)
+    meta = multimodal.extract_binary_meta_native(payload)
     return multimodal.sniff_modality(meta).select(
         "doc_id", "byte_len", "head_hex", "modality")

@@ -37,6 +37,14 @@ def test_text_payload_roundtrip(spark):
     assert out["byte_len"] == len("héllo".encode())  # utf-8 bytes, not chars
 
 
+def test_native_meta_matches_pandas_template(payloads):
+    """The codegen path and the mapInPandas decode template must agree on
+    the shared output contract."""
+    a = sorted(multimodal.extract_binary_meta(payloads).collect())
+    b = sorted(multimodal.extract_binary_meta_native(payloads).collect())
+    assert a == b
+
+
 def test_decode_image_is_stubbed(payloads):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(payloads)
