@@ -124,6 +124,32 @@ def binned_range_join(left: DataFrame, right: DataFrame, on: str,
     )
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                how: str = "inner", salt: int = 16) -> DataFrame:
+    """Skew-resistant equi-join: spread a hot join key over `salt` shuffle
+    partitions.
+
+    Standard hash joins send ALL rows of one key to one task — a key holding
+    1% of 100 TB pins 1 TB on a single executor. Here the big `left` side
+    gets a deterministic per-row salt (xxhash64 of the whole row, so retries
+    recompute identically), the small `right` side is replicated `salt`
+    times, and the join key becomes (key, salt): the hot key's rows now land
+    on `salt` different tasks. The result is EXACTLY the plain join — salt
+    never changes matching, only placement. Cost: `salt`× replication of
+    the right side, so keep right small (dimension-sized) or salt modest.
+
+    AQE's skew-join split (enabled in session.py) handles moderate skew
+    after the fact by splitting oversized partitions; explicit salting is
+    the stronger tool when one key alone exceeds a single task's capacity
+    or the skew is known ahead of time.
+    """
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
 def sessionize(df: DataFrame, key: str, ts: str, gap: int,
                order_tiebreak: str) -> DataFrame:
     """Assign session ids per key: a new session starts when the gap to the

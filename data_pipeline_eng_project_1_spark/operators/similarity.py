@@ -85,6 +85,72 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def ivf_cells(corpus: DataFrame, modulo: int = 97,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Coarse-quantizer cells: every vector whose id ≡ 0 (mod `modulo`)
+    becomes a cell centroid. Deterministic (no RNG, no training step), cell
+    count grows with the corpus, and the rule is a one-line SQL predicate —
+    so the DuckDB oracle reproduces the index exactly. A production IVF
+    would swap in k-means centroids; every plan below is unchanged."""
+    return corpus.filter(F.col(id_col) % modulo == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        vectors.l2_norm(F.col(vec_col)).alias("cn"))
+
+
+def _assign_cells(side: DataFrame, cells: DataFrame, nprobe: int,
+                  id_name: str) -> DataFrame:
+    """Nearest-`nprobe` cells per vector: broadcast the (tiny) centroid set,
+    score every (vector, centroid) pair in codegen, keep the top `nprobe`
+    by cosine (centroid id breaks ties). One window shuffle on the vector
+    id — the index-build cost, amortized over all future probes."""
+    scored = side.crossJoin(F.broadcast(cells)).withColumn(
+        "ccos",
+        vectors.dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")))
+    w = Window.partitionBy(id_name).orderBy(F.col("ccos").desc(), "cid")
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select(id_name, "v", "vn", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
+                    nprobe: int = 2, modulo: int = 97,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: each corpus vector
+    lives in its single nearest cell; a probe searches its `nprobe` nearest
+    cells and exact cosine re-ranks only those cells' members.
+
+    Recall improves with `nprobe` (probe more cells) and falls with
+    `modulo` (more, smaller cells) — the classic IVF dial. At 100 TB the
+    corpus assignment is a one-time narrow pass (centroids broadcast), the
+    probe join shuffles on the cell id only, and cell skew is AQE's
+    problem; candidates per probe ≈ nprobe·N/cells, independent of total N.
+    """
+    cells = ivf_cells(corpus, modulo, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("v"),
+                      vectors.l2_norm(F.col(vec_col)).alias("vn"))
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("v"),
+                      vectors.l2_norm(F.col(vec_col)).alias("vn"))
+    ca = _assign_cells(c, cells, 1, "match_id")
+    pa = _assign_cells(p, cells, nprobe, "probe_id")
+    scored = (
+        F.broadcast(pa.withColumnRenamed("v", "pv").withColumnRenamed("vn", "pn"))
+        .join(ca, "cell")
+        .filter(F.col("probe_id") != F.col("match_id"))
+        .select("probe_id", "match_id",
+                (vectors.dot(F.col("pv"), F.col("v"))
+                 / (F.col("pn") * F.col("vn"))).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
                     num_planes: int = 8, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -300,6 +300,59 @@ def _ann_oracle(num_planes: int = 8, dim: int = 64, k: int = 5,
     """
 
 
+def _ivf_oracle(k: int = 5, nprobe: int = 2, modulo: int = 97,
+                n_probes: int = 20) -> str:
+    cos = ("list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))"
+           " * sqrt(list_dot_product(c.cv, c.cv)))")
+    assign = f"""
+      SELECT vec_id, v, cid, row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS r
+      FROM e CROSS JOIN cells c
+    """
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {modulo} = 0
+    ),
+    ca AS (SELECT vec_id, v, cid FROM ({assign}) WHERE r = 1),
+    pa AS (SELECT vec_id, v, cid FROM ({assign}) WHERE r <= {nprobe}
+           AND vec_id < {n_probes}),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM pa p JOIN ca c ON p.cid = c.cid AND p.vec_id <> c.vec_id
+    )
+    SELECT probe_id, match_id, round(cos, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, match_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@_register(
+    "similarity_ann_ivf",
+    _ivf_oracle(),
+    doc="approximate top-k via IVF cells: deterministic centroids "
+        "(vec_id % 97 = 0), corpus vector lives in its nearest cell, probe "
+        "searches its 2 nearest cells, exact cosine re-rank within — the "
+        "coarse-quantizer scale path next to the LSH one",
+)
+def _q_similarity_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    return (
+        similarity.ivf_topk_cosine(probes, e, k=5, nprobe=2, modulo=97)
+        .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 @_register(
     "similarity_ann_lsh",
     _ann_oracle(),

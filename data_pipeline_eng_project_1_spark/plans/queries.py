@@ -421,6 +421,59 @@ def _q_cube(spark, sf_dir):
 
 
 @_register(
+    "grouping_sets_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                          AS n,
+           round(sum(o_totalprice), 2)       AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (arbitrary grouping combinations — the "
+        "general form ROLLUP/CUBE specialize)",
+)
+def _q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                       "o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total")
+    )
+
+
+@_register(
+    "skew_salted_join",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="salted fact⋈dim join: hot join keys spread over 8 salt partitions "
+        "(operators/relational.py::salted_join); result identical to the "
+        "plain join, so the oracle is the plain join",
+)
+def _q_skew_salted_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    return (
+        relational.salted_join(li, p, "l_partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2).alias("revenue"),
+            F.count("*").alias("n_items"))
+    )
+
+
+@_register(
     "quantiles_per_priority",
     """
     SELECT o_orderpriority,
