@@ -131,12 +131,14 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
 
     Standard hash joins send ALL rows of one key to one task — a key holding
     1% of 100 TB pins 1 TB on a single executor. Here the big `left` side
-    gets a deterministic per-row salt (xxhash64 of the whole row, so retries
-    recompute identically), the small `right` side is replicated `salt`
-    times, and the join key becomes (key, salt): the hot key's rows now land
-    on `salt` different tasks. The result is EXACTLY the plain join — salt
-    never changes matching, only placement. Cost: `salt`× replication of
-    the right side, so keep right small (dimension-sized) or salt modest.
+    gets a uniform per-row salt (seeded rand: reproduced per partition on
+    task retry, and — unlike a hash of the whole row — it adds no column
+    references, so scan pruning is untouched), the small `right` side is
+    replicated `salt` times, and the join key becomes (key, salt): the hot
+    key's rows now land on `salt` different tasks. The result is EXACTLY
+    the plain join — salt never changes matching, only placement. Cost:
+    `salt`× replication of the right side, so keep right small
+    (dimension-sized) or salt modest.
 
     AQE's skew-join split (enabled in session.py) handles moderate skew
     after the fact by splitting oversized partitions; explicit salting is
@@ -144,7 +146,7 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     or the skew is known ahead of time.
     """
     salted_l = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)))
+        "__salt", F.floor(F.rand(42) * salt).cast("int"))
     salted_r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
