@@ -421,6 +421,32 @@ def _q_cube(spark, sf_dir):
 
 
 @_register(
+    "above_avg_orders",
+    """
+    SELECT o.o_custkey, count(*) AS n_above
+    FROM orders o
+    JOIN (SELECT o_custkey, avg(o_totalprice) AS avg_price
+          FROM orders GROUP BY o_custkey) a
+      ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    GROUP BY o.o_custkey
+    """,
+    doc="correlated-subquery pattern (orders above their customer's own "
+        "average) decorrelated into an aggregate+self-join — the plan "
+        "Catalyst produces for the correlated SQL form too",
+)
+def _q_above_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@_register(
     "grouping_sets_status_priority",
     """
     SELECT coalesce(o_orderstatus, 'ALL')   AS status,
