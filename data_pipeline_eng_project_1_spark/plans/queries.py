@@ -335,6 +335,41 @@ def _q_window_running(spark, sf_dir):
 
 
 @_register(
+    "window_range_moving_avg",
+    """
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT) AS day,
+             o_totalprice
+      FROM orders WHERE o_custkey <= 200
+    )
+    SELECT o_orderkey, o_custkey, day,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS avg_30d
+    FROM d
+    """,
+    doc="RANGE-frame window (30-day moving average per customer): the frame "
+        "is defined by the ORDER-BY value, not row position, so same-day "
+        "ties share one deterministic frame — no tiebreaker needed",
+)
+def _q_window_range_moving_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    d = o.select(
+        "o_orderkey", "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast is a
+        # pure reinterpretation and epoch math matches DuckDB's epoch_ms.
+        F.floor(F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                / 86400000).cast("long").alias("day"),
+        "o_totalprice")
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-30, Window.currentRow))
+    return d.select(
+        "o_orderkey", "o_custkey", "day",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_30d"))
+
+
+@_register(
     "sort_limit_topk",
     """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price

@@ -144,6 +144,22 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Sliding-window counts per event type: each event lands in
+    window/slide overlapping windows (2 here), giving a smoothed rate
+    readout that tumbling windows quantize away. State per open window is
+    bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n")
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "30 minutes") -> DataFrame:
     """Native session windows per user (state-store backed; the batch twin

@@ -68,6 +68,22 @@ def test_tumbling_counts_with_watermark(spark, tmp_path):
     assert rows[(60, "purchase")] == 1
 
 
+def test_sliding_counts(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    m = 60 * 1000
+    # One event at minute 45: hour-long windows sliding by 30 min put it in
+    # [0:00,1:00) and [0:30,1:30).
+    _write_events(src / "e1.json", [_event(1, 45 * m)])
+    q = sp.run_to_memory(
+        sp.sliding_counts(sp.stream_events(spark, str(src))),
+        "sliding_t", str(ckpt), output_mode="complete")
+    q.awaitTermination()
+    starts = sorted(r["window_start"].minute + 60 * r["window_start"].hour
+                    for r in spark.table("sliding_t").collect())
+    assert starts == [0, 30]
+
+
 def test_session_counts(spark, tmp_path):
     src, ckpt = tmp_path / "ev", tmp_path / "ck"
     src.mkdir()
