@@ -456,6 +456,22 @@ def _q_cube(spark, sf_dir):
 
 
 @_register(
+    "approx_distinct_custkeys",
+    None,  # HLL sketch values differ from exact counts -> rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the mergeable-sketch form "
+        "of group_distinct_agg for the 100 TB path — partial sketches merge "
+        "map-side, no exact-distinct expansion; error ~2% at default rsd",
+)
+def _q_approx_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey").alias("n_cust_approx"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+@_register(
     "above_avg_orders",
     """
     SELECT o.o_custkey, count(*) AS n_above

@@ -56,6 +56,18 @@ def list_files(src_dir: str, suffix: str = ".json") -> list[str]:
     )
 
 
+def write_partitioned(df, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet layout: one directory level per
+    partition column value. Readers filtering on those columns scan only
+    the matching directories (partition pruning — `PartitionFilters` in the
+    plan, zero I/O for pruned values). At 100 TB this is the first-order
+    data-skipping lever: partition by the dominant filter axis (ingest
+    date, source, language), keep cardinality modest so files stay large,
+    and leave fine-grained skipping to parquet row-group stats."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
 def archive_file(src_path: str, archive_dir: str) -> str:
     """Move one processed file to the archive dir (reference: move_file,
     dags/utils.py:31-52 — copy to used-bucket then delete source).

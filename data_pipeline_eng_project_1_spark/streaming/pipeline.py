@@ -174,6 +174,41 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def click_to_purchase(events: DataFrame, within_minutes: int = 15,
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    click(s) in the preceding `within_minutes`.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's buffered state is evicted once the other
+    side's watermark passes the window — without the time bound a
+    stream-stream join would buffer forever. Output schema:
+    (user_id, click_ts, purchase_ts, purchase_value).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return (
+        clicks.join(purchases, cond)
+        .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Exactly-once-ish intake repair: drop replayed events by id within the
     watermark horizon.

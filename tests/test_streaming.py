@@ -102,6 +102,25 @@ def test_session_counts(spark, tmp_path):
     assert rows == [(1, 2), (1, 3), (2, 1)]
 
 
+def test_click_to_purchase_stream_join(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    m = 60 * 1000
+    b = 100 * 60 * m  # clear of the epoch-0 initial watermark
+    _write_events(src / "e1.json", [
+        _event(1, b, user=1, etype="click"),
+        _event(2, b + 10 * m, user=1, etype="purchase", value=9.0),   # in window
+        _event(3, b + 40 * m, user=1, etype="purchase", value=5.0),   # too late
+        _event(4, b + 5 * m, user=2, etype="purchase", value=3.0),    # no click
+    ])
+    q = sp.run_to_memory(
+        sp.click_to_purchase(sp.stream_events(spark, str(src))),
+        "cp_t", str(ckpt))
+    q.awaitTermination()
+    rows = spark.table("cp_t").collect()
+    assert [(r["user_id"], r["purchase_value"]) for r in rows] == [(1, 9.0)]
+
+
 def test_dedup_events_drops_replayed_ids(spark, tmp_path):
     src, ckpt = tmp_path / "ev", tmp_path / "ck"
     src.mkdir()
