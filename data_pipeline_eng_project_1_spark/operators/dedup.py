@@ -125,6 +125,56 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+    """Same result as `jaccard_pairs`, with prefix filtering (the
+    SSJoin/PPJoin family of set-similarity joins): only each doc's first
+    ``sz - ceil(t·sz) + 1`` shingles — under one global (lexicographic)
+    order — go into the inverted index.
+
+    Why it's lossless: if Jaccard(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so
+    A and B overlap in more elements than either can exclude from its
+    prefix; some shared shingle lands in BOTH prefixes, and the pair
+    surfaces as a candidate. Exact verification (array_intersect on the
+    full sets) then removes false positives.
+
+    At t=0.8 the index holds ~20% of the shingles, so the shingle-key
+    shuffle and the k² hot-shingle blowup shrink ~5× and ~25× — this is
+    the scale form; `jaccard_pairs` stays as the direct small-n form. A
+    length filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before the
+    verify join costs anything.
+    """
+    pfx = sh.select(
+        "id", "sz",
+        F.explode(F.slice(
+            F.array_sort("sh"), 1,
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
+        )).alias("g"),
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.id") < F.col("b.id"))
+               # length filter: impossible-similarity pairs die here
+               & (F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
+               & (F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                   F.col("sz").alias("sz_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                   F.col("sz").alias("sz_b"))
+    verified = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -101,14 +101,15 @@ def _q_dedup_exact(spark, sf_dir):
     FROM pairs
     WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8
     """,
-    doc="n-gram Jaccard near-dup pairs via inverted shingle index "
-        "(explode + equi-join, never O(n²))",
+    doc="n-gram Jaccard near-dup pairs via prefix-filtered inverted index "
+        "(SSJoin/PPJoin-style: only sz-ceil(t*sz)+1 shingles indexed, "
+        "lossless for Jaccard>=t, exact array_intersect verify)",
 )
 def _q_dedup_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sh = dedup.shingled(d)
     return (
-        dedup.jaccard_pairs(sh, 0.8)
+        dedup.jaccard_pairs_prefix(sh, 0.8)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
