@@ -39,6 +39,29 @@ def test_jaccard_pairs_finds_near_dup(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_prefix_filter_equals_direct_jaccard(spark):
+    """Prefix filtering must be lossless: same pairs, same scores as the
+    direct inverted-index join, across thresholds and a corpus with dup
+    clusters, overlaps, and singletons."""
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(30):
+        start = (d * 3) % 25
+        toks = words[start:start + 12]
+        if d % 5 == 0:
+            toks = toks[:-1] + ["alt"]  # near-dup of its cluster
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingled(docs)
+    for t in (0.5, 0.8):
+        direct = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+                  for r in dedup.jaccard_pairs(sh, t).collect()}
+        prefix = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+                  for r in dedup.jaccard_pairs_prefix(sh, t).collect()}
+        assert direct == prefix
+        assert direct  # non-vacuous: the corpus does contain qualifying pairs
+
+
 def test_minhash_matches_exact_jaccard_on_planted_dups(docs):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
