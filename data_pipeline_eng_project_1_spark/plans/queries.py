@@ -923,6 +923,146 @@ def _q_vector_norms(spark, sf_dir):
     )
 
 
+@_register(
+    "window_lead_lag",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_ms(o_orderdate) AS odate_ms,
+               lag(epoch_ms(o_orderdate))  OVER w AS prev_ms,
+               lead(epoch_ms(o_orderdate)) OVER w AS next_ms
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, odate_ms,
+           CAST(coalesce((odate_ms - prev_ms) // 86400000, -1) AS BIGINT) AS gap_days,
+           CAST(coalesce((next_ms - odate_ms) // 86400000, -1) AS BIGINT) AS next_gap_days
+    FROM seq
+    """,
+    doc="lead/lag window: inter-order gap per customer (one shuffle on o_custkey)",
+)
+def _q_window_lead_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    seq = o.select(
+        "o_custkey", "o_orderkey",
+        ms.alias("odate_ms"),
+        F.lag(ms).over(w).alias("prev_ms"),
+        F.lead(ms).over(w).alias("next_ms"),
+    )
+    day = F.lit(86400000)
+    return seq.select(
+        "o_custkey", "o_orderkey", "odate_ms",
+        F.coalesce(
+            F.floor((F.col("odate_ms") - F.col("prev_ms")) / day), F.lit(-1)
+        ).cast("long").alias("gap_days"),
+        F.coalesce(
+            F.floor((F.col("next_ms") - F.col("odate_ms")) / day), F.lit(-1)
+        ).cast("long").alias("next_gap_days"),
+    )
+
+
+@_register(
+    "ntile_spend_quartiles",
+    """
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ), tiled AS (
+        SELECT o_custkey, total_spend,
+               ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+        FROM spend
+    )
+    SELECT CAST(quartile AS INTEGER)   AS quartile,
+           count(*)                    AS n_customers,
+           round(avg(total_spend), 2)  AS avg_spend,
+           round(min(total_spend), 2)  AS min_spend,
+           round(max(total_spend), 2)  AS max_spend
+    FROM tiled GROUP BY quartile
+    """,
+    doc="ntile global quantile bucketing. The unpartitioned window is a "
+        "deliberate single-partition sort over the (already aggregated, "
+        "one-row-per-customer) spend table; the 100 TB path swaps ntile for "
+        "approx_percentile cutoffs + a broadcast range join, same output "
+        "contract.",
+)
+def _q_ntile_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.select("o_custkey", "total_spend",
+                     F.ntile(4).over(w).alias("quartile"))
+        .groupBy(F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("total_spend"), 2).alias("avg_spend"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+        )
+    )
+
+
+@_register(
+    "posexplode_tokens",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ), flat AS (
+        SELECT doc_id,
+               CAST(unnest(range(len(t))) AS INTEGER) AS pos,
+               unnest(t) AS token
+        FROM toks
+    )
+    SELECT doc_id, pos, token
+    FROM flat WHERE pos < 32 AND token <> ''
+    """,
+    doc="posexplode / LATERAL VIEW with ordinality: token position within "
+        "document (generator runs inside codegen; no shuffle at all)",
+)
+def _q_posexplode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id",
+                F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter((F.col("pos") < 32) & (F.col("token") != ""))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+@_register(
+    "stringagg_nations",
+    """
+    SELECT r_name,
+           count(*) AS n_nations,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="ordered string aggregation (LISTAGG): collect_list is not "
+        "order-stable in a distributed agg, so sort inside the group via "
+        "array_sort before joining — deterministic on any partitioning",
+)
+def _q_stringagg_nations(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+             .alias("nations"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------
