@@ -108,6 +108,95 @@ def sniff_modality(meta: DataFrame, head_col: str = "head_hex") -> DataFrame:
     return meta.withColumn("modality", out)
 
 
+#: Output contract of extract_features.
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+#: Output contract of sample_frames (one row per sampled frame).
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "content", dim: int = 8) -> DataFrame:
+    """Feature extraction over binary payloads: payload → fixed-dim float
+    vector, Arrow-batched. The featurizer here is a DETERMINISTIC FAKE
+    (per-dimension byte histograms, normalized) standing in for a real
+    embedding model — the Spark-side contract (batch iteration, vector
+    column output, downstream joinability with the similarity operators) is
+    the real deliverable and is what the tests pin down.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            feats = []
+            for b in pdf["p"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    continue
+                # bucket bytes into `dim` value-range histogram bins
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+                feats.append(hist / arr.size)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "content", n_frames: int = 4,
+                  frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling over "video" payloads: one input row fans out to
+    `n_frames` rows of fixed-size byte slices taken at evenly spaced
+    offsets. A real variant swaps the slicer for an av/ffmpeg keyframe
+    decoder; the fan-out shape (mapInPandas emitting more rows than it
+    reads, frame index column, binary frame column) is identical.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["p"]):
+                n = max(len(b) - frame_bytes, 0)
+                for i in range(n_frames):
+                    off = (n * i) // max(n_frames - 1, 1) if n else 0
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[off:off + frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return src.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_image(df: DataFrame, payload_col: str = "content",
+                 width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize — requires an imaging library not present in this
+    environment. Slot a PIL/opencv body into the `extract_binary_meta`
+    iterator shape; output schema would be (doc_id, resized binary)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env has no PIL
+        raise NotImplementedError(
+            "image resize requires PIL; this environment ships none. "
+            "See extract_features()/sample_frames() for the live "
+            "mapInPandas templates a resize body plugs into."
+        ) from e
+    raise NotImplementedError("decoder body intentionally out of scope")
+
+
 def decode_image(df: DataFrame, payload_col: str = "content") -> DataFrame:
     """Decode an image payload column to (width, height, mode) — requires an
     imaging library not present in this environment."""

@@ -550,3 +550,34 @@ def _q_multimodal_meta(spark, sf_dir):
     meta = multimodal.extract_binary_meta_native(payload)
     return multimodal.sniff_modality(meta).select(
         "doc_id", "byte_len", "head_hex", "modality")
+
+
+@_register(
+    "multimodal_frames",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               upper(hex(encode(text)))                        AS h,
+               greatest(octet_length(encode(text)) - 16, 0)    AS n
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(4)) AS INTEGER) AS frame_idx,
+           substring(h, ((n * unnest(range(4))) // 3) * 2 + 1, 32) AS frame_hex
+    FROM p
+    """,
+    doc="frame sampling over binary payloads: mapInPandas fan-out (1 row → "
+        "4 fixed-size byte slices at even offsets). The slicer is the "
+        "deterministic stand-in for a keyframe decoder; the oracle replays "
+        "the same slicing in the hex domain (DuckDB has no blob substring), "
+        "proving the Python batch body's offset math exactly. Payload bytes "
+        "never shuffle — the fan-out runs in the scan stage.",
+)
+def _q_multimodal_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    payload = multimodal.with_binary_payload(d)
+    frames = multimodal.sample_frames(payload, n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.upper(F.hex("frame")).alias("frame_hex"),
+    )

@@ -48,3 +48,44 @@ def test_native_meta_matches_pandas_template(payloads):
 def test_decode_image_is_stubbed(payloads):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(payloads)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(payloads)
+
+
+def test_extract_features_contract(payloads):
+    out = {r["doc_id"]: r["feature"]
+           for r in multimodal.extract_features(payloads, dim=8).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for vec in out.values():
+        assert len(vec) == 8
+        assert abs(sum(vec) - 1.0) < 1e-5  # normalized histogram
+    # deterministic: same payload → same vector
+    again = {r["doc_id"]: r["feature"]
+             for r in multimodal.extract_features(payloads, dim=8).collect()}
+    assert out == again
+
+
+def test_extract_features_joins_into_similarity(payloads):
+    """The fake featurizer's output must be directly consumable by the
+    vector operators (array<float> column, one row per doc)."""
+    from data_pipeline_eng_project_1_spark.functions import vectors
+    from pyspark.sql import functions as F
+
+    feats = multimodal.extract_features(payloads, dim=8)
+    norms = feats.select("doc_id", vectors.l2_norm(F.col("feature")).alias("l2"))
+    assert all(r["l2"] >= 0 for r in norms.collect())
+
+
+def test_sample_frames_fanout(payloads):
+    frames = multimodal.sample_frames(payloads, n_frames=4,
+                                      frame_bytes=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 1, 2, 3}
+    for rows in by_doc.values():
+        assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+        assert all(len(r["frame"]) <= 8 for r in rows)
+    # first frame starts at offset 0 of the payload
+    first = {r["doc_id"]: r["frame"] for r in frames if r["frame_idx"] == 0}
+    assert first[0] == PNG[:8]
