@@ -924,6 +924,36 @@ def _q_vector_norms(spark, sf_dir):
 
 
 @_register(
+    "array_hof_stats",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> least(greatest(CAST(x AS DOUBLE), -0.25), 0.25))), 4)
+               AS clipped_sum,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_c
+    FROM embeddings
+    """,
+    doc="higher-order array functions (filter/transform/aggregate lambdas) "
+        "— all inside codegen, zero Python. Fold order is left-to-right on "
+        "both engines, so the clipped double sum is bit-identical.",
+)
+def _q_array_hof_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    clip = lambda x: F.least(F.greatest(x.cast("double"), F.lit(-0.25)),  # noqa: E731
+                             F.lit(0.25))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0),
+                        lambda acc, x: acc + clip(x)), 4
+        ).alias("clipped_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_c"),
+    )
+
+
+@_register(
     "window_lead_lag",
     """
     WITH seq AS (
