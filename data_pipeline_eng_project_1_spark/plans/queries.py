@@ -924,6 +924,49 @@ def _q_vector_norms(spark, sf_dir):
 
 
 @_register(
+    "scalar_subquery_share",
+    """
+    WITH per AS (
+        SELECT n_name, sum(o_totalprice) AS rev
+        FROM orders
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           round(rev, 2) AS rev,
+           round(rev / (SELECT sum(rev) FROM per), 6) AS share
+    FROM per
+    WHERE rev / (SELECT sum(rev) FROM per) > 0.04
+    """,
+    doc="TPC-H Q11 shape: HAVING against a global-total scalar subquery. "
+        "Spark form: the one-row total is a broadcast nested-loop join "
+        "(crossJoin of a 1-row aggregate) — no second scan of the fact "
+        "table, no driver collect.",
+)
+def _q_scalar_subquery_share(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total = per.agg(F.sum("rev").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") / F.col("total") > 0.04)
+        .select(
+            "n_name",
+            F.round("rev", 2).alias("rev"),
+            F.round(F.col("rev") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@_register(
     "array_hof_stats",
     """
     SELECT vec_id,
