@@ -924,6 +924,37 @@ def _q_vector_norms(spark, sf_dir):
 
 
 @_register(
+    "topk_per_priority",
+    """
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice, 2) AS total,
+           CAST(rank AS INTEGER)  AS rank
+    FROM r WHERE rank <= 3
+    """,
+    doc="per-key top-k via operators/relational.py::topk_per_key — one "
+        "window shuffle on the key; the rank<=k filter drops rows before "
+        "anything downstream, so per-group state never exceeds k",
+)
+def _q_topk_per_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = relational.topk_per_key(
+        o, ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], k=3,
+    )
+    return top.select(
+        "o_orderpriority", "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@_register(
     "scalar_subquery_share",
     """
     WITH per AS (
