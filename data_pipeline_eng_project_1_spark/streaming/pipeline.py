@@ -133,18 +133,6 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
 
 
 def sliding_counts(events: DataFrame, window: str = "1 hour",
-                   slide: str = "15 minutes",
-                   watermark: str = "30 minutes") -> DataFrame:
-    """Sliding-window variant: each event lands in window/slide buckets."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
-    )
-
-
-def sliding_counts(events: DataFrame, window: str = "1 hour",
                    slide: str = "30 minutes",
                    watermark: str = "30 minutes") -> DataFrame:
     """Sliding-window counts per event type: each event lands in
