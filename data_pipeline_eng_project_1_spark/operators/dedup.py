@@ -474,3 +474,56 @@ def embedding_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
 
     return rep.groupBy("bi", "bj").applyInPandas(block_pairs, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level dedup: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         max_iter: int = 12) -> DataFrame:
+    """Connected components over an undirected pair set by min-label
+    propagation (Pregel-style): every node starts labeled with itself; each
+    round, a node adopts the smallest label among itself and its neighbors;
+    converged when no label changes. Components of near-dup pairs are the
+    dup CLUSTERS — downstream keeps one canonical doc per component.
+
+    Inputs: `nodes` with column ``id`` (all doc ids — singletons keep their
+    own label), `pairs` with ``id_a``/``id_b``.
+    Output: (id, component) where component = min id reachable.
+
+    Scale: each round is one self-contained shuffle join on the current
+    labels (edges are reused cached); rounds needed = component diameter,
+    which for near-dup clusters (near-cliques) is 2-3, never the O(log n)
+    worst case of path graphs. `localCheckpoint` cuts lineage each round so
+    the plan does not grow exponentially with iterations; the convergence
+    probe is a 1-row aggregate, not a collect of the data.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst")))
+    ).persist()
+
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id",
+                    F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
+                     .alias("comp"),
+                    (F.col("nmin") < F.col("comp")).alias("changed"))
+        ).localCheckpoint()
+        changed = new_labels.agg(
+            F.sum(F.col("changed").cast("int")).alias("n")).first()["n"]
+        labels = new_labels.select("id", "comp")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels

@@ -114,6 +114,57 @@ def _q_dedup_jaccard(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    ex AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS component,
+           CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS INTEGER)
+               AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="cluster-level dedup: connected components over near-dup pairs "
+        "(Jaccard>=0.5) by min-label propagation, keep the min-id doc per "
+        "component. The oracle replays the closure as a recursive CTE; the "
+        "Spark side is the distributed Pregel-style loop "
+        "(operators/dedup.py::connected_components).",
+)
+def _q_dedup_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingled(d)
+    pairs = dedup.jaccard_pairs_prefix(sh, 0.5).select("id_a", "id_b")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = dedup.connected_components(nodes, pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+        (F.col("comp") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4,
                     threshold: float = 0.8) -> str:
     rows = num_hashes // bands

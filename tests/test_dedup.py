@@ -62,6 +62,17 @@ def test_prefix_filter_equals_direct_jaccard(spark):
         assert direct  # non-vacuous: the corpus does contain qualifying pairs
 
 
+def test_connected_components_min_label(spark):
+    """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the min id
+    of each component, and propagation crosses the chain (transitivity)."""
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["id"])
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_minhash_matches_exact_jaccard_on_planted_dups(docs):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
