@@ -475,6 +475,60 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+@_register(
+    "corpus_curation",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, lang, text, md5({SQL_NORM}) AS f FROM documents
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    q AS (
+      SELECT doc_id, source, lang,
+             len({SQL_TOKS}) AS n_tokens,
+             len(regexp_extract_all(lower(text), '{texts.BPE_CHUNK_RE}'))
+                 AS bpe_tokens,
+             len(list_filter({SQL_TOKS}, t -> list_contains({_SQL_STOPS}, t)))
+                 * 1.0 / len({SQL_TOKS}) AS stop_r
+      FROM fp
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe
+    FROM q JOIN canon USING (doc_id)
+    WHERE n_tokens BETWEEN 20 AND 1000 AND stop_r BETWEEN 0.01 AND 0.6
+    GROUP BY source, lang
+    """,
+    doc="end-to-end corpus curation: exact-dedup to canonical docs, quality "
+        "gate (length + stopword-ratio), then the token budget per "
+        "(source, lang) — the composition a training-data pipeline runs "
+        "before sharding. Two shuffles total: fingerprint groupBy and the "
+        "final aggregation; the quality math rides the dedup exchange.",
+)
+def _q_corpus_curation(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    kept = dedup.dedup_exact(d)
+    toked = dedup.tokenized(kept, "doc_id", "text",
+                            extra_cols=("text", "source", "lang"))
+    text, toks = F.col("text"), F.col("__toks")
+    pre = toked.select(
+        "source", "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        texts.bpe_ish_count(text).alias("bpe_tokens"),
+        texts.stopword_ratio_of(toks).alias("_stop"),
+    )
+    return (
+        pre.filter(F.col("n_tokens").between(20, 1000)
+                   & F.col("_stop").between(0.01, 0.6))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("bpe_tokens").cast("long").alias("total_bpe"),
+        )
+    )
+
+
 def _langid_oracle() -> str:
     score = {
         lang: (f"len(list_filter({SQL_WTOKS}, t -> list_contains("
