@@ -73,6 +73,41 @@ def test_connected_components_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on random graphs (path/star/clique mixtures included by
+    chance across seeds)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(40)})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        # canonical label = min node id in the component
+        comp_min = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["comp"]
+               for r in dedup.connected_components(nodes, pairs).collect()}
+        assert got == want, f"seed {seed}"
+
+
 def test_minhash_matches_exact_jaccard_on_planted_dups(docs):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
