@@ -924,6 +924,36 @@ def _q_vector_norms(spark, sf_dir):
 
 
 @_register(
+    "try_cast_dirty",
+    """
+    SELECT p_partkey,
+           try_cast(CASE WHEN p_partkey % 3 = 0
+                         THEN CAST(p_size AS VARCHAR)
+                         ELSE p_type END AS INTEGER) AS maybe_size,
+           round(p_retailprice / nullif(CAST(p_size - 25 AS DOUBLE), 0), 4)
+               AS price_per_adj
+    FROM part
+    """,
+    doc="null-on-failure coercion under ANSI mode: try_cast over a "
+        "dirty-numeric string column (≙ pandas errors='coerce', "
+        "dags/utils.py:104-105) and try_divide for zero denominators — "
+        "bad rows become NULL, never a job abort",
+)
+def _q_try_cast_dirty(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    dirty = F.when(F.col("p_partkey") % 3 == 0,
+                   F.col("p_size").cast("string")).otherwise(F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        dirty.try_cast("int").alias("maybe_size"),
+        F.round(
+            F.try_divide("p_retailprice",
+                         (F.col("p_size") - 25).cast("double")), 4
+        ).alias("price_per_adj"),
+    )
+
+
+@_register(
     "topk_per_priority",
     """
     WITH r AS (

@@ -80,3 +80,23 @@ def archive_file(src_path: str, archive_dir: str) -> str:
     dst = os.path.join(archive_dir, os.path.basename(src_path))
     shutil.move(src_path, dst)
     return dst
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    """CSV export for interchange with non-parquet consumers. CSV is a
+    last-resort format at scale (no column pruning, no predicate pushdown,
+    full-file parse) — keep parquet as the working format and treat this
+    as an edge sink."""
+    df.write.option("header", header).mode(mode).csv(path)
+
+
+def read_csv(spark: SparkSession, schema: T.StructType, path: str,
+             header: bool = True) -> DataFrame:
+    """Schema-explicit CSV read: no inference pass over the data (inference
+    costs one full extra scan and guesses types from a sample — the same
+    trap as the reference's pd.read_json inference, dags/utils.py:81)."""
+    return (spark.read.schema(schema)
+            .option("header", header)
+            .option("mode", "PERMISSIVE")
+            .csv(path))

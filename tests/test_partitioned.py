@@ -29,3 +29,15 @@ def test_partitioned_roundtrip_preserves_rows(spark, tmp_path):
     out = str(tmp_path / "ev_rt")
     files.write_partitioned(ev, out, ["event_type"])
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_csv_roundtrip_schema_explicit(spark, tmp_path):
+    o = catalog.load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    out = str(tmp_path / "orders_csv")
+    files.write_csv(o, out)
+    back = files.read_csv(spark, o.schema, out)
+    assert back.schema == o.schema  # explicit schema, no inference drift
+    a = {tuple(r) for r in o.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
