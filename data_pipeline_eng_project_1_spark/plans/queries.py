@@ -924,6 +924,38 @@ def _q_vector_norms(spark, sf_dir):
 
 
 @_register(
+    "late_shipment_priority",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape via the spark.sql string API over temp views — "
+        "same Catalyst plan as the DataFrame form (fact-fact shuffle join "
+        "on the order key, interval arithmetic in the join-side filter, "
+        "conditional counts with map-side partial aggregation)",
+)
+def _q_late_shipment_priority(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        GROUP BY l_returnflag
+    """)
+
+
+@_register(
     "try_cast_dirty",
     """
     SELECT p_partkey,
