@@ -100,3 +100,51 @@ def read_csv(spark: SparkSession, schema: T.StructType, path: str,
             .option("header", header)
             .option("mode", "PERMISSIVE")
             .csv(path))
+
+
+def merge_keyed(spark: SparkSession, table_dir: str, updates: DataFrame,
+                keys: list[str], order_col: str) -> None:
+    """Keyed upsert into a parquet table: union existing rows with updates,
+    keep the row with the greatest `order_col` per key, rewrite. This is
+    the idempotent-reload primitive the reference lacks — its at-least-once
+    intake re-INSERTs rows on retry (SURVEY.md §2.7, dags/utils.py:107);
+    replaying the same batch through merge_keyed is a no-op.
+
+    Plan: one shuffle on the keys (window rank), one write. Scale path:
+    pair with a partitioned layout (write_partitioned) and merge only the
+    partitions the update batch touches — rewrite cost tracks batch size,
+    not table size. (A table format with row-level merge — Delta/Iceberg —
+    replaces the rewrite when available; the dedup semantics stay the same.)
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    existing = spark.read.schema(updates.schema).parquet(table_dir)
+    merged = existing.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    # Parquet cannot be overwritten in place from a plan that still reads
+    # it: localCheckpoint (eager) materializes first, then the write reads
+    # the checkpoint, not the files being replaced.
+    staged = latest.localCheckpoint()
+    staged.write.mode("overwrite").parquet(table_dir)
+
+
+def compact(spark: SparkSession, table_dir: str,
+            target_rows_per_file: int = 1_000_000) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows / target_rows_per_file) files. Streaming sinks and frequent
+    merges accrete small files; at scale the file count — not the byte
+    count — throttles the scan (one task + one open per file, tiny
+    row-groups defeat column-chunk skipping). Returns the file count
+    written. Run where a real deployment would schedule it: off the hot
+    path, per partition directory."""
+    df = spark.read.parquet(table_dir)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    staged = df.repartition(n_files).localCheckpoint()
+    staged.write.mode("overwrite").parquet(table_dir)
+    return n_files

@@ -41,3 +41,34 @@ def test_csv_roundtrip_schema_explicit(spark, tmp_path):
     a = {tuple(r) for r in o.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_merge_keyed_upsert_and_idempotent_replay(spark, tmp_path):
+    out = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["k", "v", "ver"])
+    base.write.parquet(out)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 20), (4, "d", 20)], ["k", "v", "ver"])
+    files.merge_keyed(spark, out, updates, ["k"], "ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+    # replaying the same batch must change nothing (idempotent reload)
+    files.merge_keyed(spark, out, updates, ["k"], "ver")
+    again = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert again == got
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(32).write.parquet(out)
+    import glob
+    assert len(glob.glob(out + "/part-*")) == 32
+
+    n = files.compact(spark, out, target_rows_per_file=500)
+    assert n == 2
+    assert len(glob.glob(out + "/part-*")) == 2
+    assert spark.read.parquet(out).count() == 1000
