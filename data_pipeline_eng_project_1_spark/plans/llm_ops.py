@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_eng_project_1_spark.functions import texts
+from data_pipeline_eng_project_1_spark.functions import hashing, texts
 from data_pipeline_eng_project_1_spark.operators import (
     dedup,
     multimodal,
@@ -526,6 +526,45 @@ def _q_corpus_curation(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.sum("bpe_tokens").cast("long").alias("total_bpe"),
         )
+    )
+
+
+@_register(
+    "stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, source, lang,
+             CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, lang, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 50
+                              WHEN 'fr' THEN 20
+                              ELSE 10 END)
+    GROUP BY source, lang
+    """,
+    doc="deterministic stratified sampling for class rebalancing: per-row "
+        "keep decision = md5 bucket of the id vs a per-stratum rate — no "
+        "RNG state, so the sample is reproducible across runs/retries and "
+        "engine-portable (unlike sample()/TABLESAMPLE, which are "
+        "seed+partition dependent). Pure scan-side filter: no shuffle "
+        "until the audit aggregation.",
+)
+def _q_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = hashing.hex_int(
+        F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    rate = (F.when(F.col("lang") == "en", 50)
+             .when(F.col("lang") == "fr", 20)
+             .otherwise(10))
+    return (
+        d.filter(bucket < rate)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("doc_id").cast("long").alias("min_id"))
     )
 
 
