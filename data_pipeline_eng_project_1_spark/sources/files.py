@@ -148,3 +148,18 @@ def compact(spark: SparkSession, table_dir: str,
     staged = df.repartition(n_files).localCheckpoint()
     staged.write.mode("overwrite").parquet(table_dir)
     return n_files
+
+
+def write_sorted(df: DataFrame, path: str, cols: list[str],
+                 n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-clustered parquet layout: repartitionByRange gives each output
+    file a disjoint value range of `cols`, sortWithinPartitions orders rows
+    inside, so parquet row-group min/max stats become tight, disjoint
+    intervals. Readers filtering on `cols` then skip whole files and
+    row-groups from footer stats alone — the poor man's cluster/Z-order,
+    and the second data-skipping lever after directory partitioning
+    (write_partitioned). Range boundaries come from a sampled sketch of the
+    data (one extra narrow pass), so skew in `cols` spreads evenly."""
+    (df.repartitionByRange(n_files, *cols)
+       .sortWithinPartitions(*cols)
+       .write.mode(mode).parquet(path))

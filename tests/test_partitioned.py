@@ -72,3 +72,28 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert n == 2
     assert len(glob.glob(out + "/part-*")) == 2
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_sorted_yields_disjoint_file_ranges(spark, tmp_path):
+    out = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k") \
+        .withColumn("k", (F.col("k") * 7919) % 10_000)  # scrambled input
+    files.write_sorted(df, out, ["k"], n_files=4)
+
+    import glob
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ki = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == "k")
+        mins = [md.row_group(g).column(ki).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ki).statistics.max
+                for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # files cover disjoint key ranges -> footer stats alone skip files
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+    assert spark.read.parquet(out).count() == 10_000
