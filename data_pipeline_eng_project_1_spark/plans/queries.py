@@ -897,6 +897,40 @@ def _q_rollup_multigrain(spark, sf_dir):
     )
 
 
+@_register(
+    "events_hourly_retention",
+    """
+    WITH hours AS (
+        SELECT DISTINCT user_id,
+               epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h
+        FROM events
+    )
+    SELECT CAST(a.h * 3600000 AS BIGINT) AS hour_ms,
+           count(*)                      AS n_retained
+    FROM hours a JOIN hours b
+      ON a.user_id = b.user_id AND b.h = a.h + 1
+    GROUP BY a.h
+    """,
+    doc="cohort retention: users active in hour H who return in H+1 — "
+        "dedup to (user, hour) grain first (one shuffle), then a "
+        "self-equi-join on (user, next-hour). The join key includes "
+        "user_id, so the shuffle is the same exchange the distinct "
+        "produced — Catalyst reuses the partitioning.",
+)
+def _q_events_hourly_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id",
+        F.expr("ts_ms DIV 3600000").alias("h"),
+    ).distinct()
+    nxt = hours.select("user_id", (F.col("h") - 1).alias("h"))
+    return (
+        hours.join(nxt, ["user_id", "h"])
+        .groupBy((F.col("h") * 3600000).cast("long").alias("hour_ms"))
+        .agg(F.count("*").alias("n_retained"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vectors / similarity search
 # ---------------------------------------------------------------------------
