@@ -496,9 +496,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Scale: each round is one self-contained shuffle join on the current
     labels (edges are reused cached); rounds needed = component diameter,
     which for near-dup clusters (near-cliques) is 2-3, never the O(log n)
-    worst case of path graphs. `localCheckpoint` cuts lineage each round so
-    the plan does not grow exponentially with iterations; the convergence
-    probe is a 1-row aggregate, not a collect of the data.
+    worst case of path graphs. Each round's labels are cached, and the
+    convergence probe (a 1-row aggregate, never a collect of the data) is
+    the action that materializes that cache — exactly ONE Spark job per
+    round. Lineage grows one cached-join layer per round, bounded by
+    max_iter; spent rounds are unpersisted as soon as the next one lands.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -506,7 +508,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                                F.col("id_a").alias("dst")))
     ).persist()
 
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("comp")).persist()
+    spent = [labels]
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(edges, labels["id"] == edges["src"])
@@ -519,11 +522,14 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                     F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
                      .alias("comp"),
                     (F.col("nmin") < F.col("comp")).alias("changed"))
-        ).localCheckpoint()
+        ).persist()
         changed = new_labels.agg(
             F.sum(F.col("changed").cast("int")).alias("n")).first()["n"]
         labels = new_labels.select("id", "comp")
+        spent.append(new_labels)
         if not changed:
             break
+        if len(spent) > 2:  # keep current + its parent hot, drop the rest
+            spent.pop(0).unpersist()
     edges.unpersist()
     return labels
