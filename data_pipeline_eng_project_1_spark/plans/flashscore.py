@@ -155,8 +155,35 @@ def run_pipeline(spark: SparkSession, json_paths: str | list[str],
                  out_dir: str, mode: str = "append") -> dict[str, DataFrame]:
     """ETL_pipeline (dags/utils.py:350-365), batch form: one scan, four bulk
     parquet sinks. Returns the table DataFrames (lazy) for inspection."""
+    return run_pipeline_observed(spark, json_paths, out_dir, mode)[0]
+
+
+def run_pipeline_observed(
+    spark: SparkSession, json_paths: str | list[str], out_dir: str,
+    mode: str = "append",
+) -> tuple[dict[str, DataFrame], dict[str, dict]]:
+    """run_pipeline + per-table load metrics via ``df.observe``.
+
+    Observations ride the write job itself (metrics are accumulated by the
+    tasks that write), so the audit costs ZERO extra actions — unlike a
+    count() per table, which would re-run each transform. This replaces the
+    reference's only load visibility: Airflow task logs of per-row INSERTs.
+    Metrics per table: row count, distinct-ish id presence (non-null count).
+    """
+    from pyspark.sql import Observation
+
     src = read_matches(spark, json_paths)
     tables = transform_all(src)
+    metrics: dict[str, dict] = {}
+    observed: dict[str, DataFrame] = {}
     for name, tdf in tables.items():
-        tdf.write.mode(mode).parquet(f"{out_dir}/{name}")
-    return tables
+        obs = Observation(f"load_{name}")
+        wrapped = tdf.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("ID_MATCH").alias("n_with_id"),
+        )
+        wrapped.write.mode(mode).parquet(f"{out_dir}/{name}")
+        metrics[name] = obs.get
+        observed[name] = tdf
+    return observed, metrics

@@ -303,3 +303,38 @@ def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_merge_stream(df: DataFrame, table_dir: str, keys: list[str],
+                     order_col: str, checkpoint_dir: str) -> StreamingQuery:
+    """Streaming upsert (CDC-apply): each micro-batch merges into a keyed
+    parquet table via foreachBatch + sources.files.merge_keyed, keeping the
+    greatest `order_col` row per key. foreachBatch is the escape hatch for
+    sinks Structured Streaming cannot express declaratively (MERGE); the
+    checkpoint still gives exactly-once batch tracking, and merge_keyed is
+    itself idempotent, so a replayed batch (crash between merge and commit)
+    converges to the same table.
+    """
+    import os
+
+    from data_pipeline_eng_project_1_spark.sources import files
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.isdir(table_dir):
+            # bootstrap: first batch becomes the table (deduped per key)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            (batch_df.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn")
+             .write.mode("overwrite").parquet(table_dir))
+        else:
+            files.merge_keyed(batch_df.sparkSession, table_dir, batch_df,
+                              keys, order_col)
+
+    return (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

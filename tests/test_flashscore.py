@@ -138,3 +138,18 @@ def test_run_pipeline_writes_four_tables(spark, matches_df, tmp_path):
         files = glob.glob(f"{out}/{t}/*.parquet")
         assert files, t
         assert spark.read.parquet(f"{out}/{t}").count() == 1
+
+
+def test_run_pipeline_observed_metrics(spark, tmp_path):
+    from data_pipeline_eng_project_1_spark.plans import flashscore
+
+    p = tmp_path / "dump.json"
+    p.write_text(json.dumps([_record(), _record(home="Nice2")]))
+    out = str(tmp_path / "obs_out")
+    tables, metrics = flashscore.run_pipeline_observed(
+        spark, str(p), out, mode="overwrite")
+    for name in ("MATCH_FINISHED", "HOME_STARTING_LINEUP",
+                 "AWAY_STARTING_LINEUP", "ODDS"):
+        written = spark.read.parquet(f"{out}/{name}").count()
+        assert metrics[name]["n_rows"] == written
+        assert metrics[name]["n_with_id"] == written  # every row carries the id

@@ -191,3 +191,28 @@ def test_stream_archive_source(spark, tmp_path):
     remaining = list(src.glob("*.json"))
     archived = list(arch.rglob("*.json"))
     assert len(remaining) + len(archived) >= 1
+
+
+def test_merge_stream_upserts_latest_per_key(spark, tmp_path):
+    src = tmp_path / "merge_src"
+    src.mkdir()
+    table = str(tmp_path / "merge_table")
+    ckpt = str(tmp_path / "merge_ckpt")
+    schema = "k LONG, v STRING, ver LONG"
+
+    def drain(rows, fname):
+        (src / fname).write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = sp.run_merge_stream(stream, table, ["k"], "ver", ckpt)
+        q.awaitTermination(120)
+
+    drain([{"k": 1, "v": "a", "ver": 10},
+           {"k": 2, "v": "b", "ver": 10},
+           {"k": 2, "v": "b1", "ver": 11}], "b1.json")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", 10), 2: ("b1", 11)}
+
+    drain([{"k": 2, "v": "b2", "ver": 20},
+           {"k": 3, "v": "c", "ver": 5}], "b2.json")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 5)}
