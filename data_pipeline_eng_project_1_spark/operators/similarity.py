@@ -152,27 +152,53 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
 
 
 def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
-                    num_planes: int = 8, dim: int = 64,
+                    num_tables: int = 8, planes_per_table: int = 4,
+                    dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share the probe's LSH bucket, exact
-    cosine re-ranks within the bucket. Probes with an empty bucket simply
-    return fewer (or no) rows — that's the recall trade, surfaced honestly.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH.
+
+    One hash table of b planes only recalls neighbors that agree on all b
+    sign bits: P = (1 - θ/π)^b, which collapses for the moderate-angle
+    neighbors that dominate real top-k sets (θ≈1.2 rad, b=8 ⇒ P≈2%). The
+    standard fix is L independent tables with fewer planes each — candidate
+    if the pair collides in ANY table: recall 1-(1-(1-θ/π)^b)^L ≈ 75% for
+    the same θ at L=8, b=4, at 8× the candidate-generation cost. Exact
+    cosine then re-ranks the deduplicated candidate union.
+
+    Plan shape: signatures are scan-side column algebra (an explode of L
+    (table, sig) structs per row — narrow), the candidate join broadcasts
+    the probe side on (table, sig), dedup + window are two shuffles over
+    candidate pairs only, never the corpus.
     """
-    planes = hyperplanes(num_planes, dim)
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
-                      vectors.l2_norm(F.col(vec_col)).alias("pn"),
-                      signature(F.col(vec_col), planes).alias("sig"))
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism) \
-        .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
-                vectors.l2_norm(F.col(vec_col)).alias("cn"),
-                signature(F.col(vec_col), planes).alias("sig"))
-    scored = (
-        F.broadcast(p).join(c, "sig")
+    all_planes = hyperplanes(num_tables * planes_per_table, dim)
+    tables = [all_planes[t * planes_per_table:(t + 1) * planes_per_table]
+              for t in range(num_tables)]
+
+    def with_sigs(df: DataFrame, ident: str, vec: str, norm: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(ident), F.col(vec_col).alias(vec),
+            vectors.l2_norm(F.col(vec_col)).alias(norm),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         signature(F.col(vec_col), tables[t]).alias("sig"))
+                for t in range(num_tables)
+            ])).alias("ts"),
+        ).select(ident, vec, norm,
+                 F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+    p = with_sigs(probes, "probe_id", "pv", "pn")
+    c = with_sigs(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        "match_id", "cv", "cn")
+    cand = (
+        F.broadcast(p).join(c, ["tbl", "sig"])
         .filter(F.col("probe_id") != F.col("match_id"))
-        .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("cv"))
-                 / (F.col("pn") * F.col("cn"))).alias("cosine"))
+        .dropDuplicates(["probe_id", "match_id"])
     )
+    scored = cand.select(
+        "probe_id", "match_id",
+        (vectors.dot(F.col("pv"), F.col("cv"))
+         / (F.col("pn") * F.col("cn"))).alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -320,26 +320,42 @@ def _q_similarity_topk(spark, sf_dir):
     )
 
 
-def _ann_oracle(num_planes: int = 8, dim: int = 64, k: int = 5,
-                n_probes: int = 20) -> str:
-    planes = similarity.hyperplanes(num_planes, dim)
-    sig_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {[float(x) for x in planes[p]]}::DOUBLE[]) > 0"
-        f" THEN {1 << p} ELSE 0 END)"
-        for p in range(num_planes)
+def _ann_oracle(num_tables: int = 8, planes_per_table: int = 4,
+                dim: int = 64, k: int = 5, n_probes: int = 20) -> str:
+    planes = similarity.hyperplanes(num_tables * planes_per_table, dim)
+
+    def sig_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"{[float(x) for x in planes[t * planes_per_table + j]]}::DOUBLE[])"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_table)
+        )
+
+    sig_union = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, {sig_terms(t)} AS sig FROM e"
+        for t in range(num_tables)
     )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    sigs AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
-    scored AS (
-      SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
-             list_dot_product(p.v, c.v)
-               / (sqrt(list_dot_product(p.v, p.v))
-                  * sqrt(list_dot_product(c.v, c.v))) AS cos
-      FROM sigs p JOIN sigs c ON p.sig = c.sig
+    sigs AS (
+      {sig_union}
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS match_id
+      FROM sigs p JOIN sigs c ON p.tbl = c.tbl AND p.sig = c.sig
       WHERE p.vec_id < {n_probes} AND p.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT probe_id, match_id,
+             list_dot_product(pe.v, ce.v)
+               / (sqrt(list_dot_product(pe.v, pe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+      FROM cand
+      JOIN e pe ON pe.vec_id = cand.probe_id
+      JOIN e ce ON ce.vec_id = cand.match_id
     )
     SELECT probe_id, match_id, round(cos, 4) AS cosine,
            CAST(rank AS INTEGER) AS rank
@@ -408,15 +424,18 @@ def _q_similarity_ivf(spark, sf_dir):
 @_register(
     "similarity_ann_lsh",
     _ann_oracle(),
-    doc="approximate top-k: 8 md5-derived random hyperplanes → bucket "
-        "signature → exact re-rank within bucket; oracle mirrors the same "
-        "algorithm with the same plane constants",
+    doc="approximate top-k via multi-table LSH: 8 tables × 4 md5-derived "
+        "hyperplanes, candidate = any-table bucket collision, exact cosine "
+        "re-rank of the deduplicated union (recall ~0.7 @ k=5 vs ~0.02 for "
+        "one 8-plane table — see test_similarity recall floor); oracle "
+        "mirrors the same algorithm with the same plane constants",
 )
 def _q_similarity_ann(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20)
     return (
-        similarity.lsh_topk_cosine(probes, e, k=5, num_planes=8, dim=64)
+        similarity.lsh_topk_cosine(probes, e, k=5, num_tables=8,
+                                   planes_per_table=4, dim=64)
         .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
                 F.col("rank").cast("int").alias("rank"))
     )

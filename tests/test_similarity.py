@@ -35,10 +35,41 @@ def test_lsh_finds_identical_vector(spark):
     rows.append((100, rows[4][1]))  # clone of vec 4
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     probes = df.filter("vec_id = 100")
-    out = similarity.lsh_topk_cosine(probes, df, k=3, num_planes=8, dim=4)
+    out = similarity.lsh_topk_cosine(probes, df, k=3, num_tables=2,
+                                     planes_per_table=4, dim=4)
     top = sorted(out.collect(), key=lambda r: r["rank"])
     assert top and top[0]["match_id"] == 4
     assert abs(top[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_ann_recall_floor_on_fixture(spark):
+    """Multi-table LSH and IVF must recover a sane fraction of the exact
+    top-10 on the real embeddings fixture — the single-table LSH this
+    replaced scored 0.02 here, which silently made the ANN path useless."""
+    from data_pipeline_eng_project_1_spark.sources import catalog
+    from pyspark.sql import functions as F
+
+    e = catalog.load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    probes = e.filter(F.col("vec_id") < 20)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["match_id"])
+        return out
+
+    truth = topsets(similarity.topk_cosine(probes, e, k=10))
+
+    def mean_recall(df):
+        got = topsets(df)
+        return sum(len(got.get(p, set()) & t) / len(t)
+                   for p, t in truth.items()) / len(truth)
+
+    lsh = mean_recall(similarity.lsh_topk_cosine(probes, e, k=10))
+    ivf = mean_recall(similarity.ivf_topk_cosine(probes, e, k=10,
+                                                 nprobe=2, modulo=97))
+    assert lsh >= 0.5, f"LSH recall@10 regressed: {lsh:.3f}"
+    assert ivf >= 0.4, f"IVF recall@10 regressed: {ivf:.3f}"
 
 
 def test_hyperplanes_deterministic():
