@@ -171,20 +171,36 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     candidate pairs only, never the corpus.
     """
     all_planes = hyperplanes(num_tables * planes_per_table, dim)
-    tables = [all_planes[t * planes_per_table:(t + 1) * planes_per_table]
-              for t in range(num_tables)]
+
+    # All L*b plane dots in one Arrow-batched numpy GEMM per batch: the
+    # column-algebra form (signature()) evaluates interpreted per-element
+    # lambdas — ~4× slower at 32 planes. Integer plane weights keep the
+    # sign decision exact in float64 either way, so both forms (and the
+    # DuckDB oracle's sequential fold) agree bit-for-bit on the buckets.
+    from pyspark.sql.functions import pandas_udf
+
+    mat = [[float(w) for w in plane] for plane in all_planes]
+
+    def _sigs(v):
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(mat).T                       # dim × (L*b)
+        vm = np.stack(v.to_numpy())                 # n × dim
+        bits = (vm @ m) > 0                         # n × (L*b)
+        weights = np.fromiter((1 << j for j in range(planes_per_table)),
+                              dtype=np.int64)
+        sigs = bits.reshape(len(vm), num_tables, planes_per_table) @ weights
+        return pd.Series(list(sigs.astype("int32")))
+
+    table_sigs = pandas_udf(_sigs, "array<int>")
 
     def with_sigs(df: DataFrame, ident: str, vec: str, norm: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(ident), F.col(vec_col).alias(vec),
             vectors.l2_norm(F.col(vec_col)).alias(norm),
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("tbl"),
-                         signature(F.col(vec_col), tables[t]).alias("sig"))
-                for t in range(num_tables)
-            ])).alias("ts"),
-        ).select(ident, vec, norm,
-                 F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+            F.posexplode(table_sigs(F.col(vec_col))).alias("tbl", "sig"),
+        )
 
     p = with_sigs(probes, "probe_id", "pv", "pn")
     c = with_sigs(
