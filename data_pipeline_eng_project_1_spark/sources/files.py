@@ -163,3 +163,41 @@ def write_sorted(df: DataFrame, path: str, cols: list[str],
     (df.repartitionByRange(n_files, *cols)
        .sortWithinPartitions(*cols)
        .write.mode(mode).parquet(path))
+
+
+def merge_keyed_partitioned(spark: SparkSession, table_dir: str,
+                            updates: DataFrame, keys: list[str],
+                            order_col: str, partition_col: str) -> list:
+    """merge_keyed's scale path: the table is Hive-partitioned on
+    `partition_col`, and only the partitions present in the update batch
+    are read, merged, and rewritten — via dynamic partition overwrite, so
+    untouched partition directories are not touched. Rewrite cost tracks
+    the update batch's partition footprint, not the table size. Returns the
+    list of partition values merged.
+
+    Requires the natural constraint that a key never moves between
+    partitions (partition_col is derived from the key or immutable).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = (
+        spark.read.schema(updates.schema).parquet(table_dir)
+        .filter(F.col(partition_col).isin(parts))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        existing.unionByName(updates)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    ).localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (latest.write.mode("overwrite")
+         .partitionBy(partition_col).parquet(table_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts

@@ -97,3 +97,28 @@ def test_write_sorted_yields_disjoint_file_ranges(spark, tmp_path):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_merge_keyed_partitioned_touches_only_update_partitions(spark, tmp_path):
+    out = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "p1"), (2, "b", 10, "p1"), (3, "c", 10, "p2")],
+        ["k", "v", "ver", "part"])
+    base.write.partitionBy("part").parquet(out)
+
+    import glob
+    import os
+    p2_files = {f: os.path.getmtime(f)
+                for f in glob.glob(out + "/part=p2/*.parquet")}
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 20, "p1"), (4, "d", 20, "p1")], ["k", "v", "ver", "part"])
+    merged = files.merge_keyed_partitioned(
+        spark, out, updates, ["k"], "ver", "part")
+    assert merged == ["p1"]
+
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+    # p2's files were not rewritten
+    assert {f: os.path.getmtime(f)
+            for f in glob.glob(out + "/part=p2/*.parquet")} == p2_files
