@@ -451,7 +451,9 @@ def embedding_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
 
     out_schema = "id_a long, id_b long, cosine double"
 
-    def block_pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # no type hints: applyInPandas infers eval type from the call site, and
+    # quoted hints only trigger a spurious inference warning
+    def block_pairs(key, pdf):
         import numpy as np
 
         bi, bj = key

@@ -1264,6 +1264,336 @@ def _q_stringagg_nations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Classic multi-join / decorrelation shapes (TPC-H Q7/Q13/Q18/Q19/Q21/Q22
+# analogues, adapted to the slimmed fixture schemas). The reference has no
+# joins at all (SURVEY.md §2.7) — these are the engine-floor shapes the
+# oracle exercises.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue,
+           count(*)              AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: two broadcast nation dims aliased twice, "
+        "lineitem-orders-customer shuffle joins, date-range pushdown to the "
+        "lineitem scan; nation filters prune before the fact joins",
+)
+def _q_nation_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "customer_order_histogram",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join with a join-side residual "
+        "predicate, then a double aggregation (per-key count, then "
+        "histogram of counts). count(o_orderkey) counts matched rows only",
+)
+def _q_customer_order_histogram(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_register(
+    "large_order_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_ms(o_orderdate)     AS order_ms,
+           round(o_totalprice, 2)    AS total,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: IN-subquery over an aggregate becomes a "
+        "left-semi join against the grouped fact (no decorrelation "
+        "needed — the semi join shuffles on l_orderkey once, AQE can "
+        "broadcast the small filtered side)",
+)
+def _q_large_order_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+               "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@_register(
+    "disjunctive_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 25 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of mixed-table predicate brackets. "
+        "Catalyst pushes the derivable per-table disjunctions "
+        "(brand/size to the part scan, quantity range union to lineitem) "
+        "and keeps the cross-table OR as a post-join filter",
+)
+def _q_disjunctive_bracket_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(10, 30)
+           & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(25, 50)
+           & qty.between(20, 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "sole_blame_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (adapted: l_returnflag='R' stands in for the "
+        "missing receiptdate>commitdate): correlated EXISTS / NOT EXISTS "
+        "self-joins on the fact become one left-semi and one left-anti "
+        "shuffle join on l_orderkey with a non-equi residual "
+        "(l2.l_suppkey <> l1.l_suppkey)",
+)
+def _q_sole_blame_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"),
+                   F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("l3_orderkey"),
+                F.col("l_suppkey").alias("l3_suppkey"))
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(o, blamed.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_register(
+    "rich_quiet_customers",
+    """
+    SELECT n_name AS nation, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q22 shape (adapted: 'no URGENT orders' stands in for 'no "
+        "orders' since every fixture customer has orders): uncorrelated "
+        "scalar subquery broadcast as a one-row cross join, left-anti join "
+        "against the filtered orders side. The scalar avg is rounded to 2 "
+        "decimals on both engines so the > comparison cannot flip on "
+        "last-ulp summation differences",
+)
+def _q_rich_quiet_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("u_custkey"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("u_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "map_priority_counts",
+    """
+    SELECT o_custkey, priority, n,
+           count(*) OVER (PARTITION BY o_custkey) AS n_priorities
+    FROM (
+      SELECT o_custkey, o_orderpriority AS priority, count(*) AS n
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    """,
+    doc="map-typed operator surface: per-customer priority histogram built "
+        "as a map<string,bigint> column (map_from_entries over "
+        "collect_list(struct)), then exploded back to rows with "
+        "map cardinality via size(). Oracle is the flat relational "
+        "equivalent — the map is an engine-internal representation",
+)
+def _q_map_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"))
+    )
+    mapped = (
+        per.groupBy("o_custkey")
+        .agg(F.map_from_entries(F.collect_list(F.struct("priority", "n")))
+              .alias("prio_map"))
+    )
+    return mapped.select(
+        "o_custkey",
+        F.explode("prio_map").alias("priority", "n"),
+        F.size("prio_map").cast("long").alias("n_priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------
 
