@@ -31,6 +31,29 @@ LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
 BPE_CHUNK_RE = "[a-z0-9]{1,4}"
 
 
+def chunk_spans(text: Column, size: int = 512, step: int = 384) -> Column:
+    """Overlapping character-window chunks of ``text`` as
+    ``array<struct<chunk_start:int, chunk:string>>``.
+
+    Native column algebra (sequence → transform → substr): the fan-out runs
+    inside whole-stage codegen in the scan stage, no Python and no shuffle.
+    ``step < size`` gives ``size - step`` characters of overlap between
+    consecutive chunks — the standard context-window chunking for training
+    corpora. Empty/null text yields an empty array (``sequence`` would
+    reject a negative range under ANSI).
+    """
+    starts = F.sequence(F.lit(0), F.length(text) - 1, F.lit(step))
+    spans = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            text.substr(s + 1, F.lit(size)).alias("chunk"),
+        ),
+    )
+    empty = F.array().cast("array<struct<chunk_start:int,chunk:string>>")
+    return F.when(F.length(text) > 0, spans).otherwise(empty)
+
+
 def tokens(text: Column) -> Column:
     """Split on single spaces, dropping empty tokens."""
     return F.filter(F.split(text, " "), lambda t: t != "")

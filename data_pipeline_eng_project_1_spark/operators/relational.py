@@ -166,3 +166,44 @@ def sessionize(df: DataFrame, key: str, ts: str, gap: int,
     return df.withColumn("__new", is_new) \
         .withColumn("session_id", F.sum("__new").over(run)) \
         .drop("__new")
+
+
+def bloom_prune(probe: DataFrame, build: DataFrame, probe_key: str,
+                build_key: str, n_bits: int = 1 << 20, k: int = 2) -> DataFrame:
+    """Runtime-filter (semi-join reduction): drop probe rows whose key
+    cannot possibly match a build-side key, before the real join.
+
+    A Bloom filter built from column algebra: the build side collapses to
+    at most ``min(k * |build|, n_bits)`` distinct bit positions
+    (``xxhash64(key, seed) mod n_bits``, one shared position space for all
+    k seeds — standard Bloom semantics). That position table is
+    broadcastable even at scales where the build keys themselves are not,
+    which is the whole point on a 1000-executor cluster: the probe side is
+    filtered map-side by k broadcast left-semi joins — no probe shuffle, no
+    false negatives, false-positive rate ≈ (1 - e^(-k·n/m))^k.
+
+    Follow with the exact join; this operator only shrinks its shuffle
+    input. Spark's own InjectRuntimeFilter applies the same idea
+    automatically but only when the build side carries a selective filter
+    it can see through the join graph; this operator makes the reduction
+    explicit and tunable.
+    """
+    def pos(col: Column, seed: int) -> Column:
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
+
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[pos(F.col(build_key), i) for i in range(k)])
+            ).alias("_bit")
+        ).distinct()
+    )
+    out = probe
+    for i in range(k):
+        b = bits.alias(f"_bloom_{i}")
+        out = out.join(
+            F.broadcast(b),
+            pos(F.col(probe_key), i) == F.col(f"_bloom_{i}._bit"),
+            "left_semi",
+        )
+    return out

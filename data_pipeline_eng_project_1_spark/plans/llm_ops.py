@@ -683,6 +683,41 @@ def _q_text_fingerprint(spark, sf_dir):
     )
 
 
+@_register(
+    "doc_chunks",
+    """
+    SELECT doc_id,
+           CAST(s AS INTEGER) AS chunk_start,
+           substr(text, CAST(s AS INTEGER) + 1, 512) AS chunk,
+           CAST(length(substr(text, CAST(s AS INTEGER) + 1, 512)) AS BIGINT)
+             AS chunk_len
+    FROM documents,
+         unnest(generate_series(0, length(text) - 1, 384)) AS t(s)
+    WHERE length(text) > 0
+    """,
+    doc="context-window chunking for training corpora: overlapping "
+        "512-char windows every 384 chars (128 overlap), native "
+        "sequence→transform→substr→explode so the fan-out stays in "
+        "whole-stage codegen in the scan stage — no Python, no shuffle. "
+        "functions/udtfs.py carries the UDTF twin for imperative chunkers",
+)
+def _q_doc_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(texts.chunk_spans(F.col("text"), 512, 384)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk").alias("chunk"),
+            F.length("c.chunk").cast("long").alias("chunk_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -1560,6 +1560,48 @@ def _q_rich_quiet_customers(spark, sf_dir):
 
 
 @_register(
+    "bloom_pruned_join",
+    """
+    SELECT s_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY s_name
+    """,
+    doc="explicit runtime filter (operators.relational.bloom_prune): the "
+        "selective build side (suppliers of one nation) collapses to a "
+        "broadcastable bit-position table that pre-filters lineitem "
+        "map-side before the exact join. False positives are removed by "
+        "the exact join, so the result equals the plain join — the bloom "
+        "only shrinks the probe-side shuffle, which is the scale win when "
+        "the build side is too large to broadcast exactly",
+)
+def _q_bloom_pruned_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    build = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey", "s_name")
+    )
+    pruned = relational.bloom_prune(
+        li, build, "l_suppkey", "s_suppkey", n_bits=1 << 16, k=2)
+    return (
+        pruned.join(F.broadcast(build), pruned.l_suppkey == build.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
     "map_priority_counts",
     """
     SELECT o_custkey, priority, n,

@@ -76,6 +76,59 @@ def test_stringagg_broadcasts_region(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_exists_shapes_become_semi_and_anti_joins(spark):
+    df = _builders()["sole_blame_suppliers"](spark, SF_DIR)
+    plan = _plan(df)
+    # EXISTS -> LeftSemi with the non-equi residual; NOT EXISTS -> LeftAnti
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NOT (l_suppkey" in plan
+    # the returnflag filter must reach the fact scans, not sit post-join
+    pushed = plan.split("PushedFilters: [")[1]
+    assert "l_returnflag" in pushed
+
+
+def test_dim_filter_prunes_before_fact_joins(spark):
+    df = _builders()["nation_trade_volume"](spark, SF_DIR)
+    plan = _plan(df)
+    # the nation-pair predicate is pushed into the nation scan itself
+    assert "n_name#" in plan.split("PushedFilters: [", 2)[0] or \
+        any("n_name" in seg.split("]")[0]
+            for seg in plan.split("PushedFilters: [")[1:])
+    # lineitem reads only the 5 referenced columns
+    li_schema = next(seg.split("ReadSchema: ")[1].splitlines()[0]
+                     for seg in plan.split("FileScan parquet")[1:]
+                     if "l_orderkey" in seg)
+    for col in ("l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"):
+        assert col in li_schema
+    assert "l_quantity" not in li_schema and "l_partkey" not in li_schema
+
+
+def test_outer_join_residual_pushes_to_scan(spark):
+    df = _builders()["customer_order_histogram"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftOuter" in plan
+    # the o_orderpriority <> '1-URGENT' residual filters the orders scan,
+    # shrinking the join input rather than the join output
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderpriority" in p for p in pushed)
+
+
+def test_in_subquery_becomes_semi_join(spark):
+    df = _builders()["large_order_customers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_fanout_stays_in_scan_stage(spark):
+    df = _builders()["doc_chunks"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Generate explode" in plan
+    assert "Exchange" not in plan  # chunking shuffles nothing
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_frames_fanout_has_no_payload_shuffle(spark):
     df = _builders()["multimodal_frames"](spark, SF_DIR)
     plan = _plan(df)
