@@ -207,3 +207,29 @@ def bloom_prune(probe: DataFrame, build: DataFrame, probe_key: str,
             "left_semi",
         )
     return out
+
+
+def scd2_history(df: DataFrame, key: str, ts: str, attrs: list[str],
+                 tiebreak: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one row
+    per genuine attribute change, valid over [effective_from,
+    effective_to); the current row has a null effective_to.
+
+    Change detection is null-safe (``eqNullSafe`` against the lagged
+    value; the first row per key always opens a version). Both windows
+    partition on ``key``, and the second runs on the filtered output of
+    the first, so the whole operator costs ONE hash shuffle — the
+    partitioning is reused across the lag, the filter, and the
+    lead/row_number (plan-audited in tests/test_plans.py).
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    change = F.row_number().over(w) == 1
+    for a in attrs:
+        change = change | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    changes = df.withColumn("__chg", change).filter(F.col("__chg"))
+    return changes.select(
+        key, *attrs,
+        F.col(ts).alias("effective_from"),
+        F.lead(ts).over(w).alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )

@@ -1560,6 +1560,45 @@ def _q_rich_quiet_customers(spark, sf_dir):
 
 
 @_register(
+    "events_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+             event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             row_number()    OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_id, ts_ms, event_type FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           ts_ms AS effective_from,
+           lead(ts_ms) OVER (PARTITION BY user_id
+                             ORDER BY ts_ms, event_id) AS effective_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id) AS BIGINT)
+             AS version
+    FROM changes
+    """,
+    doc="type-2 SCD history (operators.relational.scd2_history): collapse "
+        "an event change-log to versioned validity intervals "
+        "[effective_from, effective_to), open row has null end. Null-safe "
+        "change detection; lag + filter + lead/row_number all reuse ONE "
+        "hash shuffle on the key",
+)
+def _q_events_scd2_history(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ms", "event_type")
+    return relational.scd2_history(
+        ev, key="user_id", ts="ts_ms", attrs=["event_type"],
+        tiebreak="event_id")
+
+
+@_register(
     "bloom_pruned_join",
     """
     SELECT s_name,

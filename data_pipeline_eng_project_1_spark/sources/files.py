@@ -201,3 +201,49 @@ def merge_keyed_partitioned(spark: SparkSession, table_dir: str,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return parts
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                max_records_per_file: int = 0,
+                compression: str | None = None) -> None:
+    """Line-delimited JSON corpus export (one object per line) — the
+    interchange format tokenizer/training loaders ingest. Spark's json
+    sink IS JSONL: one document per line, written partition-parallel.
+
+    ``max_records_per_file`` bounds file size WITHOUT a repartition (each
+    task rolls to a new file at the limit) — the knob that prevents both
+    the giant-file and the 10k-tiny-files failure modes when exporting a
+    100 TB corpus. JSONL is an edge sink like CSV: ~3-5x parquet bytes, no
+    pruning, no pushdown — keep parquet as the working format.
+    """
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, schema: T.StructType,
+               path: str) -> DataFrame:
+    """Schema-explicit JSONL read — no inference pass (inference costs a
+    full extra scan; same trap as the reference's pd.read_json,
+    dags/utils.py:81). PERMISSIVE mode nulls malformed lines instead of
+    failing the job."""
+    return (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .json(path))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink: the other first-class columnar format (zstd-compressed by
+    Spark default codec settings, stripe-level stats). Same scale
+    properties as parquet — column pruning + predicate pushdown — for
+    consumers standardized on ORC (Hive-lineage warehouses)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; pruning/pushdown arrive via the native vectorized reader
+    exactly as with parquet (verified in tests/test_sources_formats.py)."""
+    return spark.read.orc(path)

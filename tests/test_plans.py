@@ -129,6 +129,15 @@ def test_chunk_fanout_stays_in_scan_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_scd2_costs_one_shuffle(spark):
+    df = _builders()["events_scd2_history"](spark, SF_DIR)
+    plan = _plan(df)
+    # lag + filter + lead/row_number all reuse one hashpartitioning(user_id)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("user_id")
+
+
 def test_frames_fanout_has_no_payload_shuffle(spark):
     df = _builders()["multimodal_frames"](spark, SF_DIR)
     plan = _plan(df)
