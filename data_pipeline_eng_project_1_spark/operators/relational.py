@@ -233,3 +233,64 @@ def scd2_history(df: DataFrame, key: str, ts: str, attrs: list[str],
         F.lead(ts).over(w).alias("effective_to"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+def dense_index(df: DataFrame, order_cols: list[str], idx_col: str = "idx",
+                partitions: int | None = None) -> DataFrame:
+    """Global 0-based dense row index in the total order of ``order_cols``
+    — without the single-partition bottleneck.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` funnels every row
+    through ONE task (Spark plans an Exchange SinglePartition), which is
+    the canonical 100 TB failure mode. This operator keeps the sort
+    distributed: range-partition on the order columns, sort within
+    partitions, enumerate each partition locally (Arrow-batched
+    mapInPandas — a narrow map, no shuffle), then add per-partition
+    offsets. The offsets come from a count-per-partition aggregate — P
+    integers to the driver, metadata not data — folded back in as a
+    literal map lookup.
+
+    The input is persisted before the two passes so both see the same
+    range boundaries (repartitionByRange samples its splits; without the
+    persist the count pass and the output pass could disagree).
+    """
+    import pandas as pd  # local import: only the driver needs it here
+
+    spark = df.sparkSession
+    n = partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.repartitionByRange(int(n), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    # fresh StructType: StructType.add mutates in place, which would
+    # corrupt the input DataFrame's own schema object
+    from pyspark.sql import types as T
+    schema = T.StructType(
+        list(ranged.schema.fields) + [T.StructField("__local", T.LongType())])
+
+    def enumerate_partition(batches):
+        base = 0
+        for pdf in batches:
+            pdf = pdf.assign(__local=pd.RangeIndex(base, base + len(pdf)))
+            base += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(enumerate_partition, schema).persist()
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        local.withColumn(
+            idx_col,
+            (F.col("__local") + offset_map[F.col("__pid")]).cast("long"))
+        .drop("__pid", "__local")
+    )

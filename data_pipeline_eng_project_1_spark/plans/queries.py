@@ -1560,6 +1560,24 @@ def _q_rich_quiet_customers(spark, sf_dir):
 
 
 @_register(
+    "orders_dense_index",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) - 1 AS idx
+    FROM orders
+    """,
+    doc="global dense row numbering (operators.relational.dense_index): "
+        "range-partition + local sort + Arrow-batched local enumeration + "
+        "per-partition offsets. Equals row_number() OVER (ORDER BY ...) "
+        "but never plans an Exchange SinglePartition — the whole-dataset "
+        "single-task sort the naive window forces (plan-audited)",
+)
+def _q_orders_dense_index(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return relational.dense_index(o, ["o_orderkey"])
+
+
+@_register(
     "events_scd2_history",
     """
     WITH ordered AS (

@@ -162,6 +162,19 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    on: str) -> DataFrame:
+    """Stream-static left join: per-micro-batch broadcast hash join of the
+    stream against a static dimension.
+
+    Stateless — no watermark and no state store, because the static side
+    is re-resolved every trigger; overwrite the dimension snapshot (e.g. a
+    parquet dir maintained by a batch job) and the NEXT micro-batch joins
+    against the fresh rows. ``broadcast`` keeps the stream side
+    shuffle-free, the scale posture for dimension enrichment."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def click_to_purchase(events: DataFrame, within_minutes: int = 15,
                       watermark: str = "30 minutes") -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same user's

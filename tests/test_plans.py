@@ -138,6 +138,15 @@ def test_scd2_costs_one_shuffle(spark):
     assert key.startswith("user_id")
 
 
+def test_dense_index_avoids_single_partition_sort(spark):
+    df = _builders()["orders_dense_index"](spark, SF_DIR)
+    plan = _plan(df)
+    # the scale claim: a global total-order index with NO all-rows-on-one-
+    # task stage (the naive window would plan Exchange SinglePartition)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
 def test_frames_fanout_has_no_payload_shuffle(spark):
     df = _builders()["multimodal_frames"](spark, SF_DIR)
     plan = _plan(df)

@@ -121,6 +121,25 @@ def test_click_to_purchase_stream_join(spark, tmp_path):
     assert [(r["user_id"], r["purchase_value"]) for r in rows] == [(1, 9.0)]
 
 
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    src, ckpt = tmp_path / "ev", tmp_path / "ck"
+    src.mkdir()
+    b = 100 * 60 * 60 * 1000
+    _write_events(src / "e1.json", [
+        _event(1, b, user=1), _event(2, b + 1, user=2),
+        _event(3, b + 2, user=9),                      # no dim row
+    ])
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "trial")], "user_id long, segment string")
+    q = sp.run_to_memory(
+        sp.enrich_with_dim(sp.stream_events(spark, str(src)), dim, "user_id")
+          .select("event_id", "segment"),
+        "enriched_t", str(ckpt))
+    q.awaitTermination()
+    got = {(r.event_id, r.segment) for r in spark.table("enriched_t").collect()}
+    assert got == {(1, "gold"), (2, "trial"), (3, None)}
+
+
 def test_dedup_events_drops_replayed_ids(spark, tmp_path):
     src, ckpt = tmp_path / "ev", tmp_path / "ck"
     src.mkdir()
