@@ -220,3 +220,150 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side ANN scale path. LSH/IVF prune
+# CANDIDATES; PQ compresses the VECTORS — m uint8-ish codes per vector
+# instead of d floats (64-dim float32 -> 8 codes = 32x), so a 100 TB
+# embedding corpus's codes fit in executor memory for asymmetric-distance
+# scoring. Codebooks are KBs of metadata: trained driver-side on a
+# deterministic sample, shipped to executors in the UDF closure.
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, m: int = 8, ksub: int = 16,
+             sample_n: int = 256, iters: int = 10, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train PQ codebooks: split each vector into ``m`` subvectors and run
+    seeded Lloyd k-means (``ksub`` centroids) per subspace on a
+    deterministic sample (smallest ids — reproducible across runs, unlike
+    a random sample over a nondeterministic scan order).
+
+    Returns a numpy array of shape (m, ksub, d/m). Driver-side by design:
+    the training sample is bounded (``sample_n`` rows) and the output is
+    kilobytes — this is metadata extraction, not data processing.
+    """
+    import numpy as np
+
+    sample = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        centers = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(0)
+        books[j] = centers
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Quantize vectors to ``m`` small codes (nearest centroid per
+    subspace) with an Arrow-batched GEMM — ``||x-c||² = ||x||² - 2x·c +
+    ||c||²`` per subspace, argmin over centroids. Output:
+    (match_id, codes array<int>)."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+
+    def _encode(vs):
+        X = np.array(vs.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = (-2.0 * sub @ books[j].T) + (books[j] ** 2).sum(1)[None, :]
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    encode = F.pandas_udf(_encode, "array<int>")
+
+    return df.select(F.col(id_col).alias("match_id"),
+                     encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk_cosine(probes: DataFrame, corpus_codes: DataFrame, codebooks,
+                   k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k over PQ codes: reconstruct each candidate from its
+    codebook entries (a vectorized gather) and score cosine against the
+    probe — asymmetric distance computation, where only the corpus side is
+    quantized. Same join/window shape as ``topk_cosine`` (probes
+    broadcast, corpus streams once, window prunes to k), but the corpus
+    payload is codes, not floats. Returns (probe_id, match_id, cosine_pq,
+    rank)."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+
+    def _adc_cosine(pv, codes):
+        P = np.array(pv.tolist(), dtype=np.float64)
+        C = np.array(codes.tolist(), dtype=np.int64)
+        recon = np.concatenate(
+            [books[j][C[:, j]] for j in range(m)], axis=1)
+        num = (P * recon).sum(1)
+        den = np.sqrt((P ** 2).sum(1)) * np.sqrt((recon ** 2).sum(1))
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    adc_cosine = F.pandas_udf(_adc_cosine, "double")
+
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("pv"))
+    scored = (
+        F.broadcast(p)
+        .join(corpus_codes, F.col("probe_id") != F.col("match_id"))
+        .select("probe_id", "match_id",
+                adc_cosine(F.col("pv"), F.col("codes")).alias("cosine_pq"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_pq").desc(), "match_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def pq_topk_rerank(probes: DataFrame, corpus: DataFrame, codebooks, k: int,
+                   shortlist_mult: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """PQ shortlist + exact re-rank — the production ANN recipe: score the
+    whole corpus cheaply over codes (ADC), keep a ``shortlist_mult * k``
+    shortlist per probe, then fetch ONLY the shortlist's float vectors and
+    re-rank with exact cosine. At 100 TB the exact side touches
+    |probes|·(mult·k) vectors instead of the corpus — the code scan does
+    the heavy lifting in compressed space. Returns (probe_id, match_id,
+    cosine, rank) with exact cosines, same shape as ``topk_cosine``."""
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    shortlist = pq_topk_cosine(
+        probes, codes, codebooks, k * shortlist_mult,
+        id_col=id_col, vec_col=vec_col,
+    ).select("probe_id", "match_id")
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("pv"),
+                      vectors.l2_norm(F.col(vec_col)).alias("pn"))
+    c = corpus.select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("cv"),
+                      vectors.l2_norm(F.col(vec_col)).alias("cn"))
+    exact = (
+        shortlist.join(F.broadcast(p), "probe_id")
+        .join(c, "match_id")
+        .select("probe_id", "match_id",
+                (vectors.dot(F.col("pv"), F.col("cv"))
+                 / (F.col("pn") * F.col("cn"))).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
+                                               "match_id")
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
