@@ -780,3 +780,77 @@ def _q_multimodal_frames(spark, sf_dir):
         "doc_id", "frame_idx",
         F.upper(F.hex("frame")).alias("frame_hex"),
     )
+
+
+@_register(
+    "text_tfidf_topterms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_WTOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: one explode→hash-agg for tf, a "
+        "second agg over (already doc-distinct) tf rows for df, corpus size "
+        "as a broadcast scalar — idf never materializes a per-doc-pair "
+        "anything, so the whole plan is two partial+final aggs, one "
+        "term-keyed join, and one doc-keyed window. Ordering uses the "
+        "ROUNDED score so ulp-level ln() drift between engines cannot flip "
+        "ranks; ties break on the term itself",
+)
+def _q_text_tfidf(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(texts.tokenize_words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@_register(
+    "similarity_ann_pq",
+    None,
+    doc="product-quantization ANN (rows-only: the seeded k-means codebook "
+        "training is not SQL-expressible): pq_train fits per-subspace "
+        "codebooks driver-side on a bounded deterministic sample (kilobytes "
+        "of metadata), the corpus is scanned once in 32x-compressed code "
+        "space (ADC via Arrow-batched gather), and only a mult*k shortlist "
+        "per probe is re-ranked with exact cosine. Deterministic output "
+        "(20 probes x top-5); recall@10 ~0.88 floor pinned in "
+        "test_similarity.py",
+)
+def _q_similarity_pq(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(e)
+    probes = e.filter(F.col("vec_id") < 20)
+    return (
+        similarity.pq_topk_rerank(probes, e, books, k=5)
+        .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )

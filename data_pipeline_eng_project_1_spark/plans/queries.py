@@ -1692,6 +1692,99 @@ def _q_map_priority_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "small_qty_part_revenue",
+    """
+    WITH th AS (
+      SELECT l_partkey, round(0.5 * avg(l_quantity), 6) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           round(sum(l_extendedprice), 2) AS below_avg_revenue,
+           count(*)                       AS n_lines
+    FROM lineitem l
+    JOIN th USING (l_partkey)
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l_quantity < qty_thresh
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 shape (correlated avg subquery, decorrelated): per-part "
+        "avg-quantity threshold computed as ONE partial+final agg over the "
+        "fact, joined back on the fact's own key (no re-shuffle of the "
+        "threshold side beyond the agg's), part dim broadcast. The 100 TB "
+        "plan: fact shuffles once on l_partkey, reused by agg AND join",
+)
+def _q_small_qty_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    thresh = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.avg("l_quantity") * 0.5, 6).alias("qty_thresh"))
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("below_avg_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="distribution window functions (percent_rank / cume_dist / ntile) "
+        "in one single-shuffle window over the segment key; unique "
+        "(acctbal, custkey) ordering makes ranks deterministic",
+)
+def _q_window_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+@_register(
+    "regression_price_qty",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="linear-regression aggregates (slope/intercept/r2/count) per "
+        "return flag — single partial+final hash agg; the moment sums are "
+        "map-side combined so the shuffle carries one row per flag",
+)
+def _q_regression_price_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(price, qty), 4).alias("slope"),
+        F.round(F.regr_intercept(price, qty), 4).alias("intercept"),
+        F.round(F.regr_r2(price, qty), 6).alias("r2"),
+        F.regr_count(price, qty).alias("n_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -3,10 +3,13 @@
 Loads the driver-generated TPC-H-ish parquet tables (TESTDATA.md) with the
 normalizations the rest of the engine relies on:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-  rejects outright. We read it as long nanoseconds
-  (``spark.sql.legacy.parquet.nanosAsLong``) and surface BOTH:
-    * ``ts``      TimestampType (microsecond, truncated from nanos — matches
+- ``events.ts`` arrives in one of two physical layouts depending on the
+  fixture generation: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+  reader rejects — read as long nanos via
+  ``spark.sql.legacy.parquet.nanosAsLong``) or plain TIMESTAMP(MICROS)
+  (isAdjustedToUTC=false → TIMESTAMP_NTZ). The loader detects which it got
+  and surfaces the SAME two columns either way:
+    * ``ts``      TimestampType (microsecond, session-UTC — matches
                   DuckDB's CAST(ts AS TIMESTAMP) semantics), and
     * ``ts_ms``   epoch milliseconds as BIGINT (exact integer column for
                   oracle-parity bucketing — no float, no timezone).
@@ -44,13 +47,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    # nanosAsLong leaves ts as BIGINT nanos; expose truncated-µs timestamp +
-    # exact epoch-millis. Integer DIV (never `/`): ns values exceed 2^53 and
-    # would lose precision through a double.
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) fixture read via nanosAsLong: BIGINT nanos.
+        # Integer DIV (never `/`): ns values exceed 2^53 and would lose
+        # precision through a double.
+        ts = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        ts_ms = F.expr("CAST(ts DIV 1000000 AS LONG)")
+    else:
+        # TIMESTAMP(MICROS) fixture: TIMESTAMP_NTZ (or LTZ). The NTZ→LTZ
+        # cast reinterprets the wall clock in the session zone — UTC per
+        # _RUNTIME_CONFS — so the instant is exact, as is unix_millis.
+        ts = F.col("ts").cast("timestamp")
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
     return df.select(
         "event_id",
-        F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").alias("ts"),
-        F.expr("CAST(ts DIV 1000000 AS LONG)").alias("ts_ms"),
+        ts.alias("ts"),
+        ts_ms.cast("long").alias("ts_ms"),
         "user_id",
         "event_type",
         "value",
