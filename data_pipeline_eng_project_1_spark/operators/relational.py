@@ -294,3 +294,37 @@ def dense_index(df: DataFrame, order_cols: list[str], idx_col: str = "idx",
             (F.col("__local") + offset_map[F.col("__pid")]).cast("long"))
         .drop("__pid", "__local")
     )
+
+
+def grouped_zscore(df: DataFrame, key: str, value: str,
+                   z_col: str = "z") -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` — the grouped-map Arrow path.
+
+    The same math is one line of native window algebra (and the unit test
+    pins both paths equal); this exists as the template for per-group logic
+    that genuinely needs numpy/pandas (model scoring, per-group fits, …):
+    one shuffle on the group key, each group materialized as ONE pandas
+    DataFrame in an executor (so groups must fit in executor memory —
+    at 100 TB that means keying by something bounded, not e.g. a global
+    constant), Arrow both ways, no driver involvement.
+
+    Degenerate groups (n=1 or zero variance) yield null z, matching SQL's
+    ``x / NULL`` and ``stddev_samp`` of a singleton.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(z_col, T.DoubleType())])
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value].astype("float64")
+        sd = x.std(ddof=1)  # sample std == SQL stddev_samp
+        if not np.isfinite(sd) or sd == 0.0:
+            return pdf.assign(**{z_col: pd.Series([None] * len(pdf),
+                                                  dtype="float64")})
+        return pdf.assign(**{z_col: (x - x.mean()) / sd})
+
+    return df.groupBy(key).applyInPandas(zscore, out_schema)

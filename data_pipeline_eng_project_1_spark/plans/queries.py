@@ -1760,6 +1760,31 @@ def _q_window_distribution(spark, sf_dir):
 
 
 @_register(
+    "grouped_zscore_pandas",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - avg(o_totalprice)
+                    OVER (PARTITION BY o_orderpriority))
+                 / stddev_samp(o_totalprice)
+                    OVER (PARTITION BY o_orderpriority), 6) AS z
+    FROM orders
+    """,
+    doc="per-group z-score through the applyInPandas grouped-map Arrow "
+        "path (operators/relational.py::grouped_zscore) — proves the "
+        "Pandas-UDF escape hatch is oracle-exact, not just approximately "
+        "right. The oracle is the native-SQL twin (window avg/stddev_samp); "
+        "the unit test additionally pins the pandas path equal to Spark's "
+        "own window algebra",
+)
+def _q_grouped_zscore(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    z = relational.grouped_zscore(o, "o_orderpriority", "o_totalprice")
+    return z.select(
+        "o_orderkey", "o_orderpriority", F.round("z", 6).alias("z"))
+
+
+@_register(
     "regression_price_qty",
     """
     SELECT l_returnflag,

@@ -24,3 +24,28 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     out = {r["k"]: r["rv"]
            for r in relational.salted_join(left, right, "k", "left", 4).collect()}
     assert out == {1: "r1", 99: None}
+
+
+def test_grouped_zscore_matches_native_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0),
+         ("b", 5.0), ("b", 5.0),          # zero variance -> null z
+         ("c", 42.0)],                    # singleton -> null z
+        ["g", "x"])
+    got = {(r["g"], r["x"]): r["z"]
+           for r in relational.grouped_zscore(df, "g", "x").collect()}
+
+    w = Window.partitionBy("g")
+    native = df.withColumn(
+        "z", F.try_divide(F.col("x") - F.avg("x").over(w),
+                          F.stddev_samp("x").over(w)))
+    want = {(r["g"], r["x"]): r["z"] for r in native.collect()}
+
+    assert set(got) == set(want)
+    for k, v in want.items():
+        if v is None:
+            assert got[k] is None
+        else:
+            assert abs(got[k] - v) < 1e-12
