@@ -779,6 +779,45 @@ def _q_events_tumbling(spark, sf_dir):
 
 
 @_register(
+    "events_sliding_1h_15m",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, value,
+             ((tms // 900000) - k) * 900000 AS bucket_ms
+      FROM e, unnest(generate_series(0, 3)) AS t(k)
+    )
+    SELECT bucket_ms, event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM b GROUP BY 1, 2
+    """,
+    doc="sliding 1h window every 15m (batch form of "
+        "streaming/pipeline.py::sliding_counts): each event lands in "
+        "exactly window/slide = 4 epoch-aligned buckets, so the oracle "
+        "replays Spark's window assignment as an explicit 4-way "
+        "generate_series fan-out. The fan-out multiplies rows BEFORE the "
+        "agg's map-side combine, so the shuffle still carries only "
+        "(bucket, type) partials — overlap factor is a constant, not a "
+        "data-volume multiplier, at any scale",
+)
+def _q_events_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_millis("w.start").alias("bucket_ms"),
+                "event_type", "n", "sum_value")
+    )
+
+
+@_register(
     "events_sessionize",
     """
     WITH g AS (
