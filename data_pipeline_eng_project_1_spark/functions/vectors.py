@@ -3,13 +3,22 @@
 All arithmetic is forced to DOUBLE before multiply/accumulate so results are
 bit-identical to an oracle computing in double (float32 intermediates would
 diverge in the 7th digit). Sums are sequential left-to-right in array order
-on both Spark (F.aggregate) and DuckDB (list_sum), which keeps even the last
-ulp aligned.
+on both Spark and DuckDB (list_sum), which keeps even the last ulp aligned.
 
-These run inside whole-stage codegen — for 64-dim vectors the brute-force
-cosine stays JVM-side and vectorizes fine; the Pandas-UDF escape hatch is
-only worth it for >1k dims (matrix-blocked numpy), which operators/similarity
-documents as the scale path.
+Two physical forms, same math:
+
+- ``dot(a, b)`` — ``F.aggregate`` fold over any-length arrays. Higher-order
+  functions are CodegenFallback in Spark (the lambda is interpreted per
+  element), so this is the flexible-but-slow form.
+- ``dot(a, b, dim=64)`` — the fold unrolled into a literal expression tree
+  of ``dim`` multiply-adds. Left-associated addition in element order is
+  EXACTLY the fold's summation order, so the result is bit-identical — but
+  the whole expression stays inside whole-stage codegen (~10-30× faster on
+  the all-pairs hot paths). Uses 0-based ``F.get``, which yields NULL (not
+  an ANSI error) past the array end.
+
+The Pandas-UDF escape hatch (matrix-blocked numpy GEMM) remains the scale
+path for >1k dims — see operators/similarity and operators/dedup.
 """
 
 from __future__ import annotations
@@ -22,8 +31,15 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential dot product in double."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential dot product in double; unrolled into codegen if ``dim``
+    (the fixed array length) is known."""
+    if dim is not None:
+        acc = None
+        for i in range(dim):
+            term = F.get(a, i).cast("double") * F.get(b, i).cast("double")
+            acc = term if acc is None else acc + term
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,13 +47,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def sq_norm(a: Column) -> Column:
-    return dot(a, a)
+def sq_norm(a: Column, dim: int | None = None) -> Column:
+    return dot(a, a, dim)
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(sq_norm(a))
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(sq_norm(a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))

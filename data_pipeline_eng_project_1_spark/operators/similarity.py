@@ -55,7 +55,8 @@ def signature(vec: Column, planes: list[list[int]]) -> Column:
 
 
 def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
     """Exact top-k: for each probe, the k nearest corpus vectors by cosine
     (self-matches excluded). Returns (probe_id, match_id, cosine, rank).
 
@@ -68,14 +69,14 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     # this is the hot-path constant). dot/(na*nb) is the exact oracle
     # expression — identical doubles, no parity risk.
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
-                      vectors.l2_norm(F.col(vec_col)).alias("pn"))
+                      vectors.l2_norm(F.col(vec_col), dim).alias("pn"))
     c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism) \
         .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
-                vectors.l2_norm(F.col(vec_col)).alias("cn"))
+                vectors.l2_norm(F.col(vec_col), dim).alias("cn"))
     scored = (
         F.broadcast(p).join(c, F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("cv"))
+                (vectors.dot(F.col("pv"), F.col("cv"), dim)
                  / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
@@ -86,7 +87,8 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
 
 
 def ivf_cells(corpus: DataFrame, modulo: int = 97,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None) -> DataFrame:
     """Coarse-quantizer cells: every vector whose id ≡ 0 (mod `modulo`)
     becomes a cell centroid. Deterministic (no RNG, no training step), cell
     count grows with the corpus, and the rule is a one-line SQL predicate —
@@ -94,18 +96,19 @@ def ivf_cells(corpus: DataFrame, modulo: int = 97,
     would swap in k-means centroids; every plan below is unchanged."""
     return corpus.filter(F.col(id_col) % modulo == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-        vectors.l2_norm(F.col(vec_col)).alias("cn"))
+        vectors.l2_norm(F.col(vec_col), dim).alias("cn"))
 
 
 def _assign_cells(side: DataFrame, cells: DataFrame, nprobe: int,
-                  id_name: str) -> DataFrame:
+                  id_name: str, dim: int | None = None) -> DataFrame:
     """Nearest-`nprobe` cells per vector: broadcast the (tiny) centroid set,
     score every (vector, centroid) pair in codegen, keep the top `nprobe`
     by cosine (centroid id breaks ties). One window shuffle on the vector
     id — the index-build cost, amortized over all future probes."""
     scored = side.crossJoin(F.broadcast(cells)).withColumn(
         "ccos",
-        vectors.dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")))
+        vectors.dot(F.col("v"), F.col("cv"), dim)
+        / (F.col("vn") * F.col("cn")))
     w = Window.partitionBy(id_name).orderBy(F.col("ccos").desc(), "cid")
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -116,7 +119,8 @@ def _assign_cells(side: DataFrame, cells: DataFrame, nprobe: int,
 
 def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
                     nprobe: int = 2, modulo: int = 97,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells: each corpus vector
     lives in its single nearest cell; a probe searches its `nprobe` nearest
     cells and exact cosine re-ranks only those cells' members.
@@ -127,21 +131,21 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     probe join shuffles on the cell id only, and cell skew is AQE's
     problem; candidates per probe ≈ nprobe·N/cells, independent of total N.
     """
-    cells = ivf_cells(corpus, modulo, id_col, vec_col)
+    cells = ivf_cells(corpus, modulo, id_col, vec_col, dim)
     c = corpus.select(F.col(id_col).alias("match_id"),
                       F.col(vec_col).alias("v"),
-                      vectors.l2_norm(F.col(vec_col)).alias("vn"))
+                      vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("v"),
-                      vectors.l2_norm(F.col(vec_col)).alias("vn"))
-    ca = _assign_cells(c, cells, 1, "match_id")
-    pa = _assign_cells(p, cells, nprobe, "probe_id")
+                      vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
+    ca = _assign_cells(c, cells, 1, "match_id", dim)
+    pa = _assign_cells(p, cells, nprobe, "probe_id", dim)
     scored = (
         F.broadcast(pa.withColumnRenamed("v", "pv").withColumnRenamed("vn", "pn"))
         .join(ca, "cell")
         .filter(F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("v"))
+                (vectors.dot(F.col("pv"), F.col("v"), dim)
                  / (F.col("pn") * F.col("vn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
@@ -198,7 +202,7 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     def with_sigs(df: DataFrame, ident: str, vec: str, norm: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(ident), F.col(vec_col).alias(vec),
-            vectors.l2_norm(F.col(vec_col)).alias(norm),
+            vectors.l2_norm(F.col(vec_col), dim).alias(norm),
             F.posexplode(table_sigs(F.col(vec_col))).alias("tbl", "sig"),
         )
 
@@ -213,7 +217,7 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     )
     scored = cand.select(
         "probe_id", "match_id",
-        (vectors.dot(F.col("pv"), F.col("cv"))
+        (vectors.dot(F.col("pv"), F.col("cv"), dim)
          / (F.col("pn") * F.col("cn"))).alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
     return (
@@ -345,6 +349,8 @@ def pq_topk_rerank(probes: DataFrame, corpus: DataFrame, codebooks, k: int,
     |probes|·(mult·k) vectors instead of the corpus — the code scan does
     the heavy lifting in compressed space. Returns (probe_id, match_id,
     cosine, rank) with exact cosines, same shape as ``topk_cosine``."""
+    m, ksub, dsub = codebooks.shape
+    dim = m * dsub  # full vector length, known from the codebooks
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     shortlist = pq_topk_cosine(
         probes, codes, codebooks, k * shortlist_mult,
@@ -352,15 +358,15 @@ def pq_topk_rerank(probes: DataFrame, corpus: DataFrame, codebooks, k: int,
     ).select("probe_id", "match_id")
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("pv"),
-                      vectors.l2_norm(F.col(vec_col)).alias("pn"))
+                      vectors.l2_norm(F.col(vec_col), dim).alias("pn"))
     c = corpus.select(F.col(id_col).alias("match_id"),
                       F.col(vec_col).alias("cv"),
-                      vectors.l2_norm(F.col(vec_col)).alias("cn"))
+                      vectors.l2_norm(F.col(vec_col), dim).alias("cn"))
     exact = (
         shortlist.join(F.broadcast(p), "probe_id")
         .join(c, "match_id")
         .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("cv"))
+                (vectors.dot(F.col("pv"), F.col("cv"), dim)
                  / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),

@@ -314,7 +314,7 @@ def _q_similarity_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
     return (
-        similarity.topk_cosine(probes, e, k=10)
+        similarity.topk_cosine(probes, e, k=10, dim=64)
         .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
                 F.col("rank").cast("int").alias("rank"))
     )
@@ -416,7 +416,8 @@ def _q_similarity_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20)
     return (
-        similarity.ivf_topk_cosine(probes, e, k=5, nprobe=3, modulo=97)
+        similarity.ivf_topk_cosine(probes, e, k=5, nprobe=3, modulo=97,
+                                   dim=64)
         .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
                 F.col("rank").cast("int").alias("rank"))
     )
