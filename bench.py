@@ -59,14 +59,24 @@ def main() -> None:
         timings[s.name] = round(
             min(run_query(spark, s.builder, SF_DIR) for _ in range(2)), 3)
 
-    out = {
+    # Compact headline FIRST so the driver's output buffer can never
+    # truncate it mid-JSON (the 77-entry per-query map is ~2.5 KB); the
+    # full map goes to a sidecar file and a second line for humans.
+    headline = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
     }
-    print(json.dumps(out), flush=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+        json.dump({**headline, "queries": timings}, f, indent=1, sort_keys=True)
+    # Emit the compact line both first and last: whichever end of the
+    # output the driver's buffer keeps, an intact headline is there.
+    print(json.dumps(headline), flush=True)
+    print(json.dumps({**headline, "queries": timings}), flush=True)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

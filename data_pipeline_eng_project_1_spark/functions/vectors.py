@@ -33,7 +33,15 @@ def as_double(vec: Column) -> Column:
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential dot product in double; unrolled into codegen if ``dim``
-    (the fixed array length) is known."""
+    (the fixed array length) is known.
+
+    Failure mode when ``dim`` is wrong: the unrolled form uses 0-based
+    ``F.get``, which returns NULL past the array end — so dim > len(vec)
+    makes the whole dot (and any cosine built on it) silently NULL, and
+    rows vanish from top-k/threshold results instead of erroring. If a
+    fixture's vector length changes, validate once with
+    ``assert_dim(df, vec_col, dim)`` below rather than trusting the call
+    sites."""
     if dim is not None:
         acc = None
         for i in range(dim):
@@ -45,6 +53,27 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot_expr(a: str, b: str, dim: int) -> Column:
+    """``dot(col(a), col(b), dim)`` built as ONE SQL string → one
+    ``F.expr`` call. The Column-API form costs a py4j round-trip per node
+    (~0.5 s at dim=64, per call site); the parser builds the identical
+    left-associated tree server-side in milliseconds. Use whenever both
+    operands are plain column names."""
+    return F.expr(" + ".join(
+        f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
+        for i in range(dim)))
+
+
+def assert_dim(df, vec_col: str, dim: int) -> None:
+    """Cheap loud guard for a dim/fixture mismatch (see dot() docstring):
+    checks ONE row's array length — a driver-side metadata probe, not a
+    scan of the data."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and row["n"] != dim:
+        raise ValueError(
+            f"vector column {vec_col!r} has length {row['n']}, expected {dim}")
 
 
 def sq_norm(a: Column, dim: int | None = None) -> Column:

@@ -86,39 +86,43 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-def ivf_cells(corpus: DataFrame, modulo: int = 97,
-              id_col: str = "vec_id", vec_col: str = "embedding",
-              dim: int | None = None) -> DataFrame:
-    """Coarse-quantizer cells: every vector whose id ≡ 0 (mod `modulo`)
-    becomes a cell centroid. Deterministic (no RNG, no training step), cell
-    count grows with the corpus, and the rule is a one-line SQL predicate —
-    so the DuckDB oracle reproduces the index exactly. A production IVF
-    would swap in k-means centroids; every plan below is unchanged."""
-    return corpus.filter(F.col(id_col) % modulo == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-        vectors.l2_norm(F.col(vec_col), dim).alias("cn"))
+def ivf_centroids(corpus: DataFrame, num_cells: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Fixed-COUNT coarse-quantizer centroids: the ``num_cells`` smallest-id
+    vectors, fetched driver-side (bounded metadata, like ``pq_train``'s
+    sample — kilobytes, never the corpus). Ids are uncorrelated with the
+    embedding values, so this is a uniform deterministic sample; it is also
+    one line of SQL (``ORDER BY id LIMIT C``), so the DuckDB oracle
+    reproduces the index exactly. A production IVF would train k-means
+    centroids here — every plan downstream is unchanged.
+
+    The constant cell count is the scale property: corpus→cell assignment
+    costs O(N·C) regardless of N. (An id-modulo rule would grow the cell
+    set with the corpus and make assignment O(N²/modulo) — quadratic.)"""
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col).limit(num_cells)
+            .collect())
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
-def _assign_cells(side: DataFrame, cells: DataFrame, nprobe: int,
-                  id_name: str, dim: int | None = None) -> DataFrame:
-    """Nearest-`nprobe` cells per vector: broadcast the (tiny) centroid set,
-    score every (vector, centroid) pair in codegen, keep the top `nprobe`
-    by cosine (centroid id breaks ties). One window shuffle on the vector
-    id — the index-build cost, amortized over all future probes."""
-    scored = side.crossJoin(F.broadcast(cells)).withColumn(
-        "ccos",
-        vectors.dot(F.col("v"), F.col("cv"), dim)
-        / (F.col("vn") * F.col("cn")))
-    w = Window.partitionBy(id_name).orderBy(F.col("ccos").desc(), "cid")
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= nprobe)
-        .select(id_name, "v", "vn", F.col("cid").alias("cell"))
-    )
+def _cells_df(spark, centroids: list[tuple[int, list[float]]]):
+    """Centroid list → tiny broadcastable DataFrame (cid, cv, cn). The
+    norm is precomputed in Python: CPython floats are IEEE-754 binary64
+    and the loop sums left-to-right, so ``sqrt(Σ x·x)`` is bit-identical
+    to the oracle's ``sqrt(list_dot_product(cv, cv))`` sequential fold."""
+    import math
+
+    rows = []
+    for cid, cv in centroids:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        rows.append((cid, cv, math.sqrt(acc)))
+    return spark.createDataFrame(rows, "cid int, cv array<double>, cn double")
 
 
 def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
-                    nprobe: int = 2, modulo: int = 97,
+                    nprobe: int = 3, num_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int | None = None) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells: each corpus vector
@@ -126,27 +130,54 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     cells and exact cosine re-ranks only those cells' members.
 
     Recall improves with `nprobe` (probe more cells) and falls with
-    `modulo` (more, smaller cells) — the classic IVF dial. At 100 TB the
-    corpus assignment is a one-time narrow pass (centroids broadcast), the
-    probe join shuffles on the cell id only, and cell skew is AQE's
-    problem; candidates per probe ≈ nprobe·N/cells, independent of total N.
+    `num_cells` (more, smaller cells) — the classic IVF dial. At 100 TB:
+    the centroid set is constant-size driver metadata (broadcast), so
+    corpus→cell assignment is O(N·C): a broadcast nested-loop join fans
+    each vector out to C scored rows map-side, and ``min(struct(-cos,
+    cid))`` — the exact (cos DESC, cid) tiebreak of the oracle's
+    row_number — collapses them with a partial-aggregating shuffle of N
+    rows. No window over the corpus, no sort. The probe join then
+    shuffles candidate rows on the cell id only; cell skew is AQE's
+    problem; candidates per probe ≈ nprobe·N/num_cells.
     """
-    cells = ivf_cells(corpus, modulo, id_col, vec_col, dim)
-    c = corpus.select(F.col(id_col).alias("match_id"),
-                      F.col(vec_col).alias("v"),
-                      vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
-    p = probes.select(F.col(id_col).alias("probe_id"),
-                      F.col(vec_col).alias("v"),
-                      vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
-    ca = _assign_cells(c, cells, 1, "match_id", dim)
-    pa = _assign_cells(p, cells, nprobe, "probe_id", dim)
+    cents = ivf_centroids(corpus, num_cells, id_col, vec_col)
+    if dim is None:
+        dim = len(cents[0][1])  # fixed-length fixture vectors
+    cells = F.broadcast(_cells_df(corpus.sparkSession, cents))
+    ccos = vectors.dot_expr("v", "cv", dim) / (F.col("vn") * F.col("cn"))
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("v"),
+        vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
+    # Assignment: grouping carries (v, vn) — functionally dependent on the
+    # id — so no join-back is needed to recover the vector for scoring.
+    ca = (
+        c.crossJoin(cells)
+        .groupBy("match_id", "v", "vn")
+        .agg(F.min(F.struct((-ccos).alias("negcos"), F.col("cid").alias("cid")))
+              .alias("mc"))
+        .select("match_id", F.col("v").alias("cv"), F.col("vn").alias("cn"),
+                F.col("mc")["cid"].alias("cell"))
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("v"),
+        vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
+    pw = Window.partitionBy("probe_id").orderBy(
+        (-ccos).asc(), F.col("cid").asc())
+    pa = (
+        p.crossJoin(cells)  # probe side is small by contract
+        .withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", F.col("v").alias("pv"), F.col("vn").alias("pn"),
+                F.col("cid").alias("cell"))
+    )
     scored = (
-        F.broadcast(pa.withColumnRenamed("v", "pv").withColumnRenamed("vn", "pn"))
+        F.broadcast(pa)
         .join(ca, "cell")
         .filter(F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("v"), dim)
-                 / (F.col("pn") * F.col("vn"))).alias("cosine"))
+                (vectors.dot_expr("pv", "cv", dim)
+                 / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
     return (

@@ -368,7 +368,7 @@ def _ann_oracle(num_tables: int = 8, planes_per_table: int = 4,
     """
 
 
-def _ivf_oracle(k: int = 5, nprobe: int = 3, modulo: int = 97,
+def _ivf_oracle(k: int = 5, nprobe: int = 3, num_cells: int = 16,
                 n_probes: int = 20) -> str:
     cos = ("list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))"
            " * sqrt(list_dot_product(c.cv, c.cv)))")
@@ -380,7 +380,7 @@ def _ivf_oracle(k: int = 5, nprobe: int = 3, modulo: int = 97,
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cells AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {modulo} = 0
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {num_cells}
     ),
     ca AS (SELECT vec_id, v, cid FROM ({assign}) WHERE r = 1),
     pa AS (SELECT vec_id, v, cid FROM ({assign}) WHERE r <= {nprobe}
@@ -406,17 +406,18 @@ def _ivf_oracle(k: int = 5, nprobe: int = 3, modulo: int = 97,
 @_register(
     "similarity_ann_ivf",
     _ivf_oracle(),
-    doc="approximate top-k via IVF cells: deterministic centroids "
-        "(vec_id % 97 = 0), corpus vector lives in its nearest cell, probe "
-        "searches its 3 nearest cells (recall@10 ~0.7, tested floor), exact "
-        "cosine re-rank within — the "
+    doc="approximate top-k via IVF cells: fixed-COUNT deterministic "
+        "centroids (16 smallest-id vectors — driver-side metadata, "
+        "O(N·C) scan-side assignment at any corpus size), corpus vector "
+        "lives in its nearest cell, probe searches its 3 nearest cells "
+        "(recall@10 floor tested), exact cosine re-rank within — the "
         "coarse-quantizer scale path next to the LSH one",
 )
 def _q_similarity_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20)
     return (
-        similarity.ivf_topk_cosine(probes, e, k=5, nprobe=3, modulo=97,
+        similarity.ivf_topk_cosine(probes, e, k=5, nprobe=3, num_cells=16,
                                    dim=64)
         .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
                 F.col("rank").cast("int").alias("rank"))

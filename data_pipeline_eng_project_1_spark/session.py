@@ -59,6 +59,13 @@ def get_spark(app_name: str = "data_pipeline_eng_project_1_spark",
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        # Task-retry budget — the engine-level analogue of the reference's
+        # Airflow retry policy (retries: 5, dag_pipeline.py:19-23). Retries
+        # are safe because every sink here is idempotent (checkpointed
+        # streaming + merge_keyed batch restarts, sources/files.py). Static
+        # conf: must be set at session build, not per-query.
+        .config("spark.task.maxFailures",
+                os.environ.get("SPARK_GRAFT_TASK_RETRIES", "4"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

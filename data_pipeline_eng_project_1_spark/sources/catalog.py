@@ -52,9 +52,14 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     if isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) fixture read via nanosAsLong: BIGINT nanos.
         # Integer DIV (never `/`): ns values exceed 2^53 and would lose
-        # precision through a double.
-        ts = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        ts_ms = F.expr("CAST(ts DIV 1000000 AS LONG)")
+        # precision through a double. DIV truncates toward zero while the
+        # micros branch's unix_millis floors — they'd diverge for pre-epoch
+        # timestamps, so subtract the sign correction to make this branch
+        # floor-consistent (a no-op for the post-1970 fixtures).
+        ts = F.expr("timestamp_micros(CAST(ts DIV 1000"
+                    " - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END) AS LONG))")
+        ts_ms = F.expr("CAST(ts DIV 1000000"
+                       " - (CASE WHEN ts % 1000000 < 0 THEN 1 ELSE 0 END) AS LONG)")
     else:
         # TIMESTAMP(MICROS) fixture: TIMESTAMP_NTZ (or LTZ). The NTZ→LTZ
         # cast reinterprets the wall clock in the session zone — UTC per

@@ -25,7 +25,10 @@ def fact_dir(spark, tmp_path_factory):
 
 
 def test_dpp_subquery_prunes_fact_partitions(spark, fact_dir):
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    # DPP is on by default in Spark 3+/4; assert rather than set, so the
+    # shared session conf is never mutated (no leak into later tests).
+    assert spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled") == "true"
     fact = spark.read.parquet(fact_dir)
     # dim filtered on a NON-join column: the surviving etype set is only
     # known at runtime, so static constant-propagation can't prune — this
@@ -62,5 +65,6 @@ def test_static_partition_filter_still_prunes(spark, fact_dir):
     fact = spark.read.parquet(fact_dir)
     one = fact.filter(F.col("event_type") == "click")
     plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan  # clean assert, not IndexError
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_type" in part_filters

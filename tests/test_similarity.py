@@ -67,7 +67,7 @@ def test_ann_recall_floor_on_fixture(spark):
 
     lsh = mean_recall(similarity.lsh_topk_cosine(probes, e, k=10))
     ivf = mean_recall(similarity.ivf_topk_cosine(probes, e, k=10,
-                                                 nprobe=3, modulo=97))
+                                                 nprobe=3, num_cells=16))
     assert lsh >= 0.5, f"LSH recall@10 regressed: {lsh:.3f}"
     assert ivf >= 0.55, f"IVF recall@10 regressed: {ivf:.3f}"
 
