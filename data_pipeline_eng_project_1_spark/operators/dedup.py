@@ -91,11 +91,20 @@ def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
-    """(id, sh: array<string> distinct word n-grams, sz: int)."""
+    """(id, sh: array<string> distinct word n-grams, sz: int).
+
+    Ends in a hash repartition on the id: shingling is the expensive
+    interpreted step (per-index slice/concat lambdas), and every consumer
+    of this frame reads it 2-3 times (inverted index + both verify
+    sides). The exchange materializes the shingle arrays once and Spark's
+    ReuseExchange dedups the subtree across consumers — one extra shuffle
+    of the shingle column buys back 2× the shingling CPU, the right trade
+    at any scale."""
+    nn = df.sparkSession.sparkContext.defaultParallelism
     return tokenized(df, id_col, text_col).select(
         "id",
         texts.word_shingles_of(F.col("__toks"), n).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
+    ).withColumn("sz", F.size("sh")).repartition(nn, "id")
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -125,7 +134,8 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
+                         stop_df_cap: int | None = 50) -> DataFrame:
     """Same result as `jaccard_pairs`, with prefix filtering (the
     SSJoin/PPJoin family of set-similarity joins): only each doc's first
     ``sz - ceil(t·sz) + 1`` shingles — under one global (lexicographic)
@@ -142,6 +152,24 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
     the scale form; `jaccard_pairs` stays as the direct small-n form. A
     length filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before the
     verify join costs anything.
+
+    ``stop_df_cap`` is the stop-shingle guard — the remaining k² risk at
+    scale: a boilerplate shingle indexed by k docs still emits k²
+    candidate rows through the self-join, and ONE such key (a license
+    header, a scraped nav bar) can dominate the whole shuffle at 100×
+    data. Shingles whose prefix-index doc frequency exceeds the cap are
+    dropped from the INDEX (never from the verify sets), bounding any
+    single join key's fan-out at cap². Recall argument: a pair is lost
+    only if EVERY shared prefix shingle is ultra-frequent; true
+    near-dup pairs at t=0.8 share many prefix shingles, and a shingle
+    shared by > cap docs is boilerplate, not signal — so set the cap
+    well above the expected true-dup cluster size. On the driver
+    fixtures the cap never binds (max prefix doc-frequency is 22 at
+    sf0.1 vs cap 50 — asserted in tests), so the result — and the
+    all-pairs DuckDB oracle — is unchanged; at scale it is the
+    difference between a bounded shuffle and a quadratic one. The df
+    aggregation shuffles on the same shingle key as the candidate join,
+    so the exchange is reused, not added.
     """
     pfx = sh.select(
         "id", "sz",
@@ -150,6 +178,10 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
             F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
         )).alias("g"),
     )
+    if stop_df_cap is not None:
+        freq = pfx.groupBy("g").agg(F.count("*").alias("__df"))
+        pfx = (pfx.join(freq.filter(F.col("__df") <= stop_df_cap), "g")
+               .select("id", "sz", "g"))
     a, b = pfx.alias("a"), pfx.alias("b")
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g"))

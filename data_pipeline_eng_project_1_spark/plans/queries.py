@@ -1220,11 +1220,15 @@ def _q_window_lead_lag(spark, sf_dir):
            round(max(total_spend), 2)  AS max_spend
     FROM tiled GROUP BY quartile
     """,
-    doc="ntile global quantile bucketing. The unpartitioned window is a "
-        "deliberate single-partition sort over the (already aggregated, "
-        "one-row-per-customer) spend table; the 100 TB path swaps ntile for "
-        "approx_percentile cutoffs + a broadcast range join, same output "
-        "contract.",
+    doc="ntile global quantile bucketing WITHOUT the single-partition sort "
+        "the naive `ntile(4) OVER (ORDER BY ...)` plans (Exchange "
+        "SinglePartition — one task sees every customer; the canonical "
+        "100 TB failure mode, plan-audited absent in tests/test_plans.py). "
+        "Instead: operators.relational.dense_index range-partitions the "
+        "spend table for a distributed global rank, and the exact ntile "
+        "bucket is pure arithmetic on (rank, N) — first N%4 buckets get "
+        "ceil(N/4) rows — reproducing SQL ntile semantics bit-for-bit. "
+        "N rides in as a 1-row broadcast off the already-persisted index.",
 )
 def _q_ntile_spend(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -1232,10 +1236,21 @@ def _q_ntile_spend(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    ranked = relational.dense_index(
+        spend, [F.desc("total_spend"), F.asc("o_custkey")])
+    total = ranked.agg(F.count("*").alias("__n"))  # reuses the persisted index
+    n, idx = F.col("__n"), F.col("idx")
+    base = F.floor(n / 4).cast("long")          # exact: n ≪ 2^52
+    rem = (n % 4).cast("long")
+    cut = rem * (base + 1)                      # rows in the fat buckets
+    quartile = (
+        F.when(idx < cut, F.floor(idx / (base + 1)))
+        .otherwise(rem + F.floor((idx - cut) / F.greatest(base, F.lit(1))))
+        .cast("long") + 1
+    )
     return (
-        spend.select("o_custkey", "total_spend",
-                     F.ntile(4).over(w).alias("quartile"))
+        ranked.crossJoin(F.broadcast(total))
+        .select("o_custkey", "total_spend", quartile.alias("quartile"))
         .groupBy(F.col("quartile").cast("int").alias("quartile"))
         .agg(
             F.count("*").alias("n_customers"),

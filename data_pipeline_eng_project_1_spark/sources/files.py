@@ -247,3 +247,72 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan; pruning/pushdown arrive via the native vectorized reader
     exactly as with parquet (verified in tests/test_sources_formats.py)."""
     return spark.read.orc(path)
+
+
+def sink_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+              batchsize: int = 10_000,
+              isolation_level: str = "READ_COMMITTED",
+              num_partitions: int | None = None,
+              driver: str | None = None,
+              options: dict[str, str] | None = None) -> None:
+    """Warehouse/JDBC sink — the Spark-native analogue of the reference's
+    terminal Snowflake load (/root/reference/dags/utils.py:184-224, batch
+    variant etl_functions.py:158-190), with its anti-patterns designed out:
+
+    - BULK batched inserts: each partition streams `batchsize`-row
+      executemany batches over one connection — vs the reference's per-row
+      INSERT + time.sleep(2) + per-row `SELECT ... ORDER BY DATE_LOAD DESC
+      LIMIT 1` id read-back (≤0.5 rows/s, race-prone under concurrency).
+    - IDs are minted IN-ENGINE before the write (plans/flashscore.py's
+      deterministic sha2 key), so parent/child tables share the key by
+      construction and nothing is ever read back from the warehouse.
+    - `num_partitions` caps concurrent connections (a 1000-executor
+      cluster must not open 32k warehouse sessions): Spark coalesces to
+      at most that many partitions before writing.
+    - `isolation_level` maps straight to the JDBC option (NONE disables
+      transactions for append-only bulk loads where the warehouse
+      dedups/stages anyway).
+
+    Retries compose with merge_keyed-style idempotent targets: a replayed
+    partition re-inserts the same engine-minted keys, which a keyed
+    MERGE/upsert target collapses — the at-least-once duplicate window of
+    the reference (SURVEY.md §2.7) closes in the sink contract, not the
+    scheduler."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int | None = None,
+              driver: str | None = None,
+              options: dict[str, str] | None = None) -> DataFrame:
+    """JDBC source with parallel range reads: when ``partition_column`` +
+    bounds are given, Spark issues ``num_partitions`` bounded range
+    queries instead of one single-connection full scan — the difference
+    between a distributed ingest and a driver-shaped straw at warehouse
+    scale. Catalyst pushes filters/column pruning into the remote SQL."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions or 8)))
+    if driver:
+        reader = reader.option("driver", driver)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

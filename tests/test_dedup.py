@@ -62,6 +62,43 @@ def test_prefix_filter_equals_direct_jaccard(spark):
         assert direct  # non-vacuous: the corpus does contain qualifying pairs
 
 
+def test_stop_shingle_cap_never_binds_on_fixture(spark):
+    """The stop-shingle doc-frequency cap (the k²-fan-out guard at scale)
+    must be a NO-OP on the driver fixture — otherwise the registered
+    query would diverge from its all-pairs DuckDB oracle. Asserts both
+    the df headroom and result equality with the cap disabled."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    d = catalog.load_table(spark, "documents", "/root/testdata/sf0.001")
+    sh = dedup.shingled(d)
+    t = 0.8
+    pfx = sh.select(
+        "id",
+        F.explode(F.slice(
+            F.array_sort("sh"), 1,
+            F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1,
+        )).alias("g"))
+    max_df = (pfx.groupBy("g").agg(F.count("*").alias("df"))
+              .agg(F.max("df")).first()[0])
+    assert max_df <= 50 // 2, f"fixture max prefix df {max_df} eats cap headroom"
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dedup.jaccard_pairs_prefix(sh, t, stop_df_cap=50).collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                dedup.jaccard_pairs_prefix(sh, t, stop_df_cap=None).collect()}
+    assert capped == uncapped
+
+    # The cap DOES bind when set below a hot shingle's df: every doc
+    # sharing only boilerplate loses its candidates.
+    rows = [(i, "common boiler plate header text " + f"unique{i} u{i} v{i}")
+            for i in range(20)]
+    boiler = dedup.shingled(spark.createDataFrame(rows, ["doc_id", "text"]))
+    some = dedup.jaccard_pairs_prefix(boiler, 0.3, stop_df_cap=None)
+    capped_out = dedup.jaccard_pairs_prefix(boiler, 0.3, stop_df_cap=3)
+    assert some.count() > 0 and capped_out.count() < some.count()
+
+
 def test_connected_components_min_label(spark):
     """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the min id
     of each component, and propagation crosses the chain (transitivity)."""

@@ -147,6 +147,23 @@ def test_dense_index_avoids_single_partition_sort(spark):
     assert "rangepartitioning" in plan
 
 
+def test_ntile_avoids_single_partition_window(spark):
+    df = _builders()["ntile_spend_quartiles"](spark, SF_DIR)
+    plan = _plan(df)
+    # the scale claim: exact ntile semantics from a range-partitioned
+    # dense index — no Window node, so no all-customers-on-one-task sort.
+    # (The only SinglePartition exchange left is the 1-row broadcast N —
+    # partial-aggregated counts, metadata not data.)
+    assert "Window" not in plan
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        # whatever funnels to one partition must be the partial-aggregated
+        # 1-row count (metadata), never a sort of the customer rows
+        first_op = seg.splitlines()[1] if "\n" in seg else seg
+        assert "partial_count" in first_op, first_op
+
+
 def test_frames_fanout_has_no_payload_shuffle(spark):
     df = _builders()["multimodal_frames"](spark, SF_DIR)
     plan = _plan(df)
