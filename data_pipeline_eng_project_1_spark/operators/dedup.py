@@ -355,29 +355,43 @@ def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, sh) simhash per document via exploded tokens + codegen hash agg.
+    """(id, sh) simhash per document via exploded (token, bit) rows + two
+    narrow codegen aggregates.
 
     Same values as simhash(), different physical shape: tokens explode to
     rows, the md5-derived hash is a regular codegen expression evaluated
-    once per token, and the per-bit sign sums are `bits` plain sum()
-    aggregates — one shuffle on the doc id, no interpreted array lambdas.
-    ~10× faster than the array fold on wide corpora; use the fold form only
-    inside row-level expressions.
+    once per token, then each token row fans out to `bits` (id, bit, ±1)
+    rows whose per-(id, bit) sign sums and final per-id packing are TWO
+    tiny fixed-size aggregates. The fan-out is map-side and partially
+    aggregated before either shuffle, so shuffle volume is ~bits rows per
+    doc, then 1 — while the generated code stays small. (The previous
+    shape — `bits` separate sum() columns in one agg plus a `bits`-term
+    packing expression — produced a codegen unit whose JIT compile cost
+    ~5 s per cold run, dwarfing the data at any fixture size; this shape
+    compiles in milliseconds and scales identically.)
     """
     hex_digits = bits // 4
     ex = tokenized(df, id_col, text_col).select(
         "id", F.explode("__toks").alias("t"),
     ).select("id", hashing.hex_int(F.col("t"), hex_digits).alias("h"))
-    sums = ex.groupBy("id").agg(*[
-        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
-        for i in range(bits)
-    ])
-    packed = sum(
-        (F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-         for i in range(bits)),
-        start=F.lit(0),
+    per_bit = (
+        ex.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h")
+        .select("id", "bit",
+                F.expr("CAST((h >> bit) & 1 AS INT) * 2 - 1").alias("d"))
+        .groupBy("id", "bit")
+        .agg(F.sum("d").alias("s"))
     )
-    return sums.select("id", packed.cast("long").alias("sh"))
+    return (
+        per_bit.select(
+            "id",
+            F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit "
+                   "ELSE CAST(0 AS BIGINT) END").alias("contrib"))
+        .groupBy("id")
+        .agg(F.sum("contrib").cast("long").alias("sh"))
+    )
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -288,12 +288,27 @@ def dense_index(df: DataFrame, order_cols: list[str], idx_col: str = "idx",
         acc += cnt
     offset_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv])
-    return (
+    out = (
         local.withColumn(
             idx_col,
             (F.col("__local") + offset_map[F.col("__pid")]).cast("long"))
         .drop("__pid", "__local")
     )
+    # Total row count falls out of the offsets pass for free — callers that
+    # need N (quantile arithmetic) read it from here instead of paying a
+    # second count job + broadcast (see dense_index_n).
+    out._dense_index_total = acc  # type: ignore[attr-defined]
+    return out
+
+
+def dense_index_n(df: DataFrame, order_cols: list,
+                  idx_col: str = "idx",
+                  partitions: int | None = None) -> tuple[DataFrame, int]:
+    """`dense_index` plus the exact total row count N as a Python int —
+    already computed by the per-partition offsets pass (driver metadata),
+    so exposing it costs nothing and saves callers a count job."""
+    out = dense_index(df, order_cols, idx_col, partitions)
+    return out, out._dense_index_total  # type: ignore[attr-defined]
 
 
 def grouped_zscore(df: DataFrame, key: str, value: str,

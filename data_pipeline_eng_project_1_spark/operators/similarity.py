@@ -54,6 +54,17 @@ def signature(vec: Column, planes: list[list[int]]) -> Column:
     return out.cast("int")
 
 
+def _l2(col: str, dim: int | None) -> Column:
+    """Norm of a named column: one-F.expr unrolled form when dim is known
+    (see vectors.l2_expr — ~300× fewer py4j calls), generic fold otherwise."""
+    return vectors.l2_expr(col, dim) if dim else vectors.l2_norm(F.col(col))
+
+
+def _dot(a: str, b: str, dim: int | None) -> Column:
+    return (vectors.dot_expr(a, b, dim) if dim
+            else vectors.dot(F.col(a), F.col(b)))
+
+
 def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 dim: int | None = None) -> DataFrame:
@@ -69,14 +80,14 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     # this is the hot-path constant). dot/(na*nb) is the exact oracle
     # expression — identical doubles, no parity risk.
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
-                      vectors.l2_norm(F.col(vec_col), dim).alias("pn"))
+                      _l2(vec_col, dim).alias("pn"))
     c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism) \
         .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
-                vectors.l2_norm(F.col(vec_col), dim).alias("cn"))
+                _l2(vec_col, dim).alias("cn"))
     scored = (
         F.broadcast(p).join(c, F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("cv"), dim)
+                (_dot("pv", "cv", dim)
                  / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
@@ -148,7 +159,7 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
 
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("v"),
-        vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
+        _l2(vec_col, dim).alias("vn"))
     # Assignment: grouping carries (v, vn) — functionally dependent on the
     # id — so no join-back is needed to recover the vector for scoring.
     ca = (
@@ -161,7 +172,7 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("v"),
-        vectors.l2_norm(F.col(vec_col), dim).alias("vn"))
+        _l2(vec_col, dim).alias("vn"))
     pw = Window.partitionBy("probe_id").orderBy(
         (-ccos).asc(), F.col("cid").asc())
     pa = (
@@ -233,7 +244,7 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     def with_sigs(df: DataFrame, ident: str, vec: str, norm: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(ident), F.col(vec_col).alias(vec),
-            vectors.l2_norm(F.col(vec_col), dim).alias(norm),
+            _l2(vec_col, dim).alias(norm),
             F.posexplode(table_sigs(F.col(vec_col))).alias("tbl", "sig"),
         )
 
@@ -248,7 +259,7 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     )
     scored = cand.select(
         "probe_id", "match_id",
-        (vectors.dot(F.col("pv"), F.col("cv"), dim)
+        (_dot("pv", "cv", dim)
          / (F.col("pn") * F.col("cn"))).alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "match_id")
     return (
@@ -389,15 +400,15 @@ def pq_topk_rerank(probes: DataFrame, corpus: DataFrame, codebooks, k: int,
     ).select("probe_id", "match_id")
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("pv"),
-                      vectors.l2_norm(F.col(vec_col), dim).alias("pn"))
+                      _l2(vec_col, dim).alias("pn"))
     c = corpus.select(F.col(id_col).alias("match_id"),
                       F.col(vec_col).alias("cv"),
-                      vectors.l2_norm(F.col(vec_col), dim).alias("cn"))
+                      _l2(vec_col, dim).alias("cn"))
     exact = (
         shortlist.join(F.broadcast(p), "probe_id")
         .join(c, "match_id")
         .select("probe_id", "match_id",
-                (vectors.dot(F.col("pv"), F.col("cv"), dim)
+                (_dot("pv", "cv", dim)
                  / (F.col("pn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),

@@ -1228,7 +1228,8 @@ def _q_window_lead_lag(spark, sf_dir):
         "spend table for a distributed global rank, and the exact ntile "
         "bucket is pure arithmetic on (rank, N) — first N%4 buckets get "
         "ceil(N/4) rows — reproducing SQL ntile semantics bit-for-bit. "
-        "N rides in as a 1-row broadcast off the already-persisted index.",
+        "N is driver metadata the index's offsets pass already computed, "
+        "folded in as a literal (dense_index_n).",
 )
 def _q_ntile_spend(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -1236,20 +1237,18 @@ def _q_ntile_spend(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
-    ranked = relational.dense_index(
+    ranked, n = relational.dense_index_n(
         spend, [F.desc("total_spend"), F.asc("o_custkey")])
-    total = ranked.agg(F.count("*").alias("__n"))  # reuses the persisted index
-    n, idx = F.col("__n"), F.col("idx")
-    base = F.floor(n / 4).cast("long")          # exact: n ≪ 2^52
-    rem = (n % 4).cast("long")
+    idx = F.col("idx")
+    base, rem = n // 4, n % 4
     cut = rem * (base + 1)                      # rows in the fat buckets
     quartile = (
-        F.when(idx < cut, F.floor(idx / (base + 1)))
-        .otherwise(rem + F.floor((idx - cut) / F.greatest(base, F.lit(1))))
+        F.when(idx < F.lit(cut), F.floor(idx / (base + 1)))
+        .otherwise(F.lit(rem) + F.floor((idx - cut) / max(base, 1)))
         .cast("long") + 1
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
+        ranked
         .select("o_custkey", "total_spend", quartile.alias("quartile"))
         .groupBy(F.col("quartile").cast("int").alias("quartile"))
         .agg(

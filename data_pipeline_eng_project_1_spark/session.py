@@ -39,9 +39,19 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
     Safe to call on a session we did not build (the driver's); every key
     here is a runtime SQLConf, not a static one.
+
+    Shuffle width is sized to the session's actual parallelism rather
+    than Spark's default 200: on a local[N] test/verify session a
+    200-partition shuffle is pure task-scheduling overhead with zero
+    parallelism gain (AQE coalesces the excess anyway, but only after
+    paying the map-side split). On a real cluster the same rule gives
+    ~1× executor cores — the get_spark docstring notes production would
+    use 2-3× and let AQE coalesce.
     """
     for k, v in _RUNTIME_CONFS.items():
         spark.conf.set(k, v)
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(spark.sparkContext.defaultParallelism))
     return spark
 
 
