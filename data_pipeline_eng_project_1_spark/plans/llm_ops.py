@@ -836,6 +836,132 @@ def _q_text_tfidf(spark, sf_dir):
 
 
 @_register(
+    "doc_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({SQL_TOKS}) AS n_tokens FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+      FROM runs
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+    doc="sequence packing for pre-training batches: greedy in-order "
+        "assignment of docs to fixed token-budget packs (budget 2048) — a "
+        "doc starts a new pack when the running total crosses the budget "
+        "(start-offset rule: pack = floor(tokens-before-doc / budget), so "
+        "assignment is exact integer math, deterministic, and identical "
+        "in both engines). One window + one agg, both reusing a single "
+        "hash shuffle on `source`; at 100 TB the pack key is "
+        "(shard, source) so every partition packs independently — the "
+        "same recipe production tokenizers use for sharded corpora",
+)
+def _q_doc_packing(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "source",
+                 F.size(texts.tokens(F.col("text"))).alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = t.select(
+        "source", "doc_id", "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("long").alias("pack_id"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("pack_tokens"),
+             F.min("doc_id").cast("long").alias("first_doc"),
+             F.max("doc_id").cast("long").alias("last_doc"))
+    )
+
+
+@_register(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t, len({SQL_TOKS}) AS n FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n,
+             greatest(n - 2, 0) AS total3,
+             CASE WHEN n >= 3 THEN len(list_distinct(list_transform(
+                    generate_series(1, n - 2),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+                  ELSE 0 END AS distinct3
+      FROM toks
+    ),
+    uni AS (
+      SELECT doc_id, max(c) AS top_uni FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           round(CASE WHEN total3 > 0
+                      THEN 1.0 - distinct3 * 1.0 / total3 ELSE 0 END, 4)
+               AS dup_3gram_ratio,
+           round(top_uni * 1.0 / n, 4) AS top_unigram_frac,
+           (CASE WHEN total3 > 0
+                 THEN 1.0 - distinct3 * 1.0 / total3 ELSE 0 END) <= 0.3
+             AND top_uni * 1.0 / n <= 0.2 AS keep
+    FROM grams g JOIN uni USING (doc_id)
+    WHERE n > 0
+    """,
+    doc="repetition quality signals (the Gopher-rules family): duplicate "
+        "3-gram ratio (1 - distinct/total, WITH multiplicity) and top "
+        "unigram fraction, plus the keep gate. The n-gram side is pure "
+        "scan-side array algebra over the materialized token array; the "
+        "unigram mode is one explode + two hash aggs on the doc id — no "
+        "pairwise anything, shuffle rows ≈ distinct (doc, token)",
+)
+def _q_text_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toked = dedup.tokenized(d, "doc_id", "text")
+    t, n = F.col("__toks"), F.size(F.col("__toks"))
+    idx = F.sequence(F.lit(1), n - 2)
+    grams3 = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(t, i, 3)))
+    base = toked.select(
+        F.col("id").alias("doc_id"), t.alias("t"), n.alias("n"),
+        F.greatest(n - 2, F.lit(0)).alias("total3"),
+        F.when(n >= 3, F.size(F.array_distinct(grams3)))
+         .otherwise(F.lit(0)).alias("distinct3"),
+    ).filter(F.col("n") > 0)
+    uni = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_uni"))
+    )
+    dup = F.when(F.col("total3") > 0,
+                 1.0 - F.col("distinct3") / F.col("total3")).otherwise(0.0)
+    frac = F.col("top_uni") / F.col("n")
+    return (
+        base.join(uni, "doc_id")
+        .select(
+            "doc_id",
+            F.round(dup, 4).alias("dup_3gram_ratio"),
+            F.round(frac, 4).alias("top_unigram_frac"),
+            ((dup <= 0.3) & (frac <= 0.2)).alias("keep"),
+        )
+    )
+
+
+@_register(
     "similarity_ann_pq",
     None,
     doc="product-quantization ANN (rows-only: the seeded k-means codebook "

@@ -1,0 +1,64 @@
+"""Unit tests for the training-data text operators added beyond the
+fixture-driven oracle checks: sequence packing and repetition signals,
+against hand-computed expectations."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.plans import llm_ops  # noqa: F401  (registers)
+from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+
+def _builder(name):
+    return next(s for s in Q.specs() if s.name == name).builder
+
+
+def test_doc_packing_start_offset_rule(spark, tmp_path):
+    # budget 2048; doc sizes chosen so the third doc starts exactly at the
+    # boundary: pack = floor(tokens_before_doc / 2048)
+    rows = [
+        (1, "s", 1000), (2, "s", 1048),  # cum-before: 0, 1000   -> pack 0
+        (3, "s", 10),                    # cum-before: 2048      -> pack 1
+        (4, "s", 3000),                  # cum-before: 2058      -> pack 1
+        (5, "s", 5),                     # cum-before: 5058      -> pack 2
+        (6, "t", 100),                   # other source: packs restart
+    ]
+    docs = spark.createDataFrame(
+        [(i, src, " ".join(["w"] * n)) for i, src, n in rows],
+        ["doc_id", "source", "text"])
+    out_dir = str(tmp_path / "docs.parquet")
+    docs.write.parquet(out_dir)
+    # builder reads {sf_dir}/documents.parquet — point it at tmp
+    import os
+    os.rename(out_dir, str(tmp_path / "documents.parquet"))
+    out = _builder("doc_packing")(spark, str(tmp_path)).collect()
+    got = {(r["source"], r["pack_id"]): (r["n_docs"], r["pack_tokens"],
+                                         r["first_doc"], r["last_doc"])
+           for r in out}
+    assert got[("s", 0)] == (2, 2048, 1, 2)
+    assert got[("s", 1)] == (2, 3010, 3, 4)
+    assert got[("s", 2)] == (1, 5, 5, 5)
+    assert got[("t", 0)] == (1, 100, 6, 6)
+
+
+def test_text_repetition_signals(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "a b c a b c a b c"),     # 7 trigrams, 3 distinct
+            (2, "x", "u v w x y z"),           # no repeats
+            (3, "x", "q q q q"),               # all same unigram
+        ],
+        ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           _builder("text_repetition")(spark, str(tmp_path)).collect()}
+    # doc 1: 1 - 3/7 = 0.5714...; top unigram 3/9
+    assert abs(out[1]["dup_3gram_ratio"] - round(1 - 3 / 7, 4)) < 1e-9
+    assert abs(out[1]["top_unigram_frac"] - round(3 / 9, 4)) < 1e-9
+    assert not out[1]["keep"]  # dup ratio 0.57 > 0.3
+    # doc 2: all distinct
+    assert out[2]["dup_3gram_ratio"] == 0.0
+    assert out[2]["keep"]
+    # doc 3: trigrams all "q q q": 1 - 1/2 = 0.5; top unigram 1.0
+    assert abs(out[3]["dup_3gram_ratio"] - 0.5) < 1e-9
+    assert out[3]["top_unigram_frac"] == 1.0
+    assert not out[3]["keep"]
