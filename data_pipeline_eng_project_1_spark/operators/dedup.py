@@ -550,11 +550,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     round. Lineage grows one cached-join layer per round, bounded by
     max_iter; spent rounds are unpersisted as soon as the next one lands.
     """
+    n = nodes.sparkSession.sparkContext.defaultParallelism
+    # Hash-partition the cached edges on the join key: InMemoryRelation
+    # preserves outputPartitioning, so every round's labels⋈edges join
+    # exchanges only the (changing) labels side — the edge set shuffles
+    # once, not once per round. (The raw union would also cache 2×
+    # partitions, doubling per-round task count for nothing.)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"),
                                F.col("id_a").alias("dst")))
-    ).persist()
+    ).repartition(n, "src").persist()
 
     labels = nodes.select("id", F.col("id").alias("comp")).persist()
     spent = [labels]

@@ -25,6 +25,7 @@ import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -247,6 +248,53 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan; pruning/pushdown arrive via the native vectorized reader
     exactly as with parquet (verified in tests/test_sources_formats.py)."""
     return spark.read.orc(path)
+
+
+def write_zorder(df: DataFrame, path: str, cols: list[str],
+                 bits: int = 8, partitions: int | None = None) -> None:
+    """Z-order (Morton-curve) clustered parquet write: rows are sorted by
+    the bit-interleaving of their per-column bucket codes, so rows close
+    in ANY of ``cols`` land in the same row groups and parquet min/max
+    stats prune scans filtered on ANY of them — where a plain sort only
+    prunes its leading column. This is the lakehouse multi-dimensional
+    clustering trick (Delta OPTIMIZE ZORDER BY), built from primitives:
+
+    - per-column [min, max] comes from ONE aggregate (driver metadata);
+    - each value maps to a ``bits``-bit equal-width bucket in codegen
+      (``width_bucket``; a production variant would use approxQuantile
+      cuts for heavy skew — same plan, different boundaries);
+    - the z-value interleaves bucket bits with shift/mask column algebra
+      (no UDF), and ``repartitionByRange(z) + sortWithinPartitions(z)``
+      is an ordinary distributed sort — at 100 TB this is exactly one
+      extra shuffle at write time, bought back on every filtered read.
+
+    Verified in tests/test_zorder.py: per-row-group min/max spans on BOTH
+    dimensions shrink vs an unclustered write, and the data round-trips
+    bit-identically."""
+    stats = df.agg(*[f(c).alias(f"{tag}_{c}")
+                     for c in cols for tag, f in (("min", F.min), ("max", F.max))]
+                   ).first()
+    nb = 1 << bits
+    codes = []
+    for c in cols:
+        lo, hi = float(stats[f"min_{c}"]), float(stats[f"max_{c}"])
+        hi = hi if hi > lo else lo + 1.0
+        # width_bucket: 1..nb inside the range -> 0-based, clamped
+        codes.append(
+            F.least(F.lit(nb - 1), F.greatest(F.lit(0),
+                    F.width_bucket(F.col(c).cast("double"),
+                                   F.lit(lo), F.lit(hi), F.lit(nb)) - 1)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, code in enumerate(codes):
+            z = z + ((F.shiftright(code.cast("long"), i).bitwiseAND(F.lit(1)))
+                     .cast("long") * F.lit(1 << (i * len(codes) + d)))
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (df.withColumn("__z", z)
+       .repartitionByRange(n, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(path))
 
 
 def sink_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",

@@ -1,0 +1,87 @@
+"""Z-order clustered write: multi-dimensional min/max pruning evidence.
+
+Reads back parquet footer statistics (pyarrow) and asserts that per-file
+value spans shrink on BOTH clustering columns vs an unclustered layout —
+the property that lets a 100 TB scan skip row groups for filters on
+either dimension, not just a sort's leading column.
+"""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.sources import catalog, files
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _avg_span(path_glob: str, col: str, lo: float, hi: float) -> float:
+    spans = []
+    for f in glob.glob(path_glob):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    spans.append(
+                        (float(c.statistics.max) - float(c.statistics.min))
+                        / (hi - lo))
+    assert spans, f"no stats for {col}"
+    return sum(spans) / len(spans)
+
+
+def test_zorder_shrinks_minmax_spans_on_both_dims(spark, tmp_path):
+    o = catalog.load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    lo_c, hi_c, lo_p, hi_p = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice")).first()
+
+    plain = str(tmp_path / "plain")
+    o.repartition(8).write.parquet(plain)
+    zord = str(tmp_path / "zorder")
+    files.write_zorder(o, zord, ["o_custkey", "o_totalprice"],
+                       bits=8, partitions=8)
+
+    for col, lo, hi in (("o_custkey", lo_c, hi_c),
+                        ("o_totalprice", lo_p, hi_p)):
+        base = _avg_span(f"{plain}/*.parquet", col, lo, hi)
+        clustered = _avg_span(f"{zord}/*.parquet", col, lo, hi)
+        # unclustered files span ~the full range on every dimension;
+        # z-ordered files must be materially tighter on BOTH
+        assert base > 0.9, (col, base)
+        assert clustered < 0.6, (col, clustered)
+
+    # layout changes, data doesn't: bit-identical round-trip
+    back = spark.read.parquet(zord)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_zorder_prunes_file_scan(spark, tmp_path):
+    """End-to-end: a range filter on the SECOND clustering column reads
+    fewer files than exist (file-level stats skip), returning exact rows."""
+    o = catalog.load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    zord = str(tmp_path / "z2")
+    files.write_zorder(o, zord, ["o_custkey", "o_totalprice"],
+                       bits=8, partitions=8)
+    pred = F.col("o_totalprice") < 10000
+    got = spark.read.parquet(zord).filter(pred)
+    want = o.filter(pred)
+    assert sorted(r["o_orderkey"] for r in got.collect()) == \
+        sorted(r["o_orderkey"] for r in want.collect())
+    # at least one file's stats exclude the predicate range entirely
+    import glob as g
+    import pyarrow.parquet as pq
+    mins = []
+    for f in g.glob(f"{zord}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                c = grp.column(ci)
+                if c.path_in_schema == "o_totalprice" and c.statistics:
+                    mins.append(float(c.statistics.min))
+    assert any(m >= 10000 for m in mins), mins
