@@ -962,6 +962,69 @@ def _q_text_repetition(spark, sf_dir):
 
 
 @_register(
+    "corpus_decontamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, {SQL_SHINGLES} AS s FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0
+    ),
+    train AS (
+      SELECT doc_id, source, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0
+    ),
+    hits AS (
+      SELECT doc_id, source, count(*) AS n_hits
+      FROM train JOIN bench USING (g)
+      GROUP BY doc_id, source
+    )
+    SELECT t.source,
+           count(DISTINCT t.doc_id) AS n_train_docs,
+           count(DISTINCT h.doc_id) AS n_contaminated,
+           CAST(coalesce(sum(one_hits), 0) AS BIGINT) AS total_hits
+    FROM (SELECT DISTINCT doc_id, source FROM train) t
+    LEFT JOIN (SELECT doc_id, n_hits AS one_hits FROM hits) h USING (doc_id)
+    GROUP BY t.source
+    """,
+    doc="benchmark decontamination: flag training docs sharing any word "
+        "3-gram with a held-out benchmark set (stand-in: doc_id % 50 = 0), "
+        "the overlap check every pre-training pipeline runs before "
+        "shipping data. Plan: one shingle pass feeds both sides "
+        "(ReuseExchange), the benchmark n-gram set is DISTINCT + "
+        "broadcastable (eval suites are tiny next to the corpus), and the "
+        "probe is a broadcast hash join in the train scan — at 100 TB the "
+        "corpus streams once, shuffling only per-doc hit counts. The "
+        "exact-match n-gram criterion is the standard (GPT-3/PaLM-style) "
+        "13-gram rule scaled to the fixture's 3-grams",
+)
+def _q_corpus_decontamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    sh = dedup.shingled(d).join(src, "id")
+    bench = (sh.filter(F.col("id") % 50 == 0)
+             .select(F.explode("sh").alias("g")).distinct())
+    train = (sh.filter(F.col("id") % 50 != 0)
+             .select("id", "source", F.explode("sh").alias("g")))
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("id", "source")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    t = sh.filter(F.col("id") % 50 != 0).select("id", "source").distinct()
+    return (
+        t.join(hits.select("id", "n_hits"), "id", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_train_docs"),
+            F.countDistinct(F.when(F.col("n_hits").isNotNull(),
+                                   F.col("id"))).alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long")
+             .alias("total_hits"),
+        )
+    )
+
+
+@_register(
     "similarity_ann_pq",
     None,
     doc="product-quantization ANN (rows-only: the seeded k-means codebook "

@@ -109,6 +109,9 @@ _MEASURED_COST_S = {
     "similarity_ann_pq": 1.31,
     "text_tfidf_topterms": 1.39,
     "pricing_summary_agg": 1.43,
+    "doc_packing": 1.23,
+    "text_repetition": 1.47,
+    "corpus_decontamination": 2.18,
     "dedup_ngram_jaccard": 1.7,
     "similarity_ann_lsh": 1.87,
     "dedup_minhash_lsh": 2.02,
