@@ -351,3 +351,34 @@ def run_merge_stream(df: DataFrame, table_dir: str, keys: list[str],
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_jdbc_stream(df: DataFrame, url: str, table: str, checkpoint_dir: str,
+                    batch_id_col: str = "batch_id",
+                    driver: str | None = None,
+                    batchsize: int = 10_000) -> StreamingQuery:
+    """Streaming → warehouse: each micro-batch bulk-appends to a JDBC
+    table via foreachBatch + sources.files.sink_jdbc, stamped with its
+    batch id. This is the streaming form of the reference's terminal
+    Snowflake load (dags/utils.py:184-224) with the same contract as the
+    batch sink: engine-minted keys, bulk batches, no read-backs.
+
+    Delivery is at-least-once INTO the warehouse (a crash between the
+    JDBC commit and the checkpoint commit replays one batch); the stamped
+    batch id makes replays observable and idempotent to consume —
+    downstream dedups on (key) or (key, batch_id), exactly the
+    merge-on-read convention warehouse loaders use. The checkpoint still
+    guarantees each source file is processed once per successful run."""
+    from data_pipeline_eng_project_1_spark.sources import files
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files.sink_jdbc(
+            batch_df.withColumn(batch_id_col, F.lit(batch_id)),
+            url, table, mode="append", batchsize=batchsize, driver=driver)
+
+    return (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

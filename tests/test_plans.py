@@ -164,6 +164,28 @@ def test_ntile_avoids_single_partition_window(spark):
         assert "partial_count" in first_op, first_op
 
 
+def test_doc_packing_single_hash_shuffle(spark):
+    df = _builders()["doc_packing"](spark, SF_DIR)
+    plan = _plan(df)
+    # window cumsum and the pack aggregation both key on `source`: the agg
+    # must ride the window's hashpartitioning, not add its own exchange
+    # (the round-robin _spread repartition before the CPU-dense tokenize
+    # is the only other exchange)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("source")
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    df = _builders()["corpus_decontamination"](spark, SF_DIR)
+    plan = _plan(df)
+    # the eval-set n-gram probe must be a broadcast hash join on the
+    # training scan — a shuffle join here would reshuffle the whole
+    # corpus's exploded n-grams at 100 TB
+    assert "BroadcastHashJoin [g#" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 def test_frames_fanout_has_no_payload_shuffle(spark):
     df = _builders()["multimodal_frames"](spark, SF_DIR)
     plan = _plan(df)

@@ -235,3 +235,37 @@ def test_merge_stream_upserts_latest_per_key(spark, tmp_path):
            {"k": 3, "v": "c", "ver": 5}], "b2.json")
     got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 5)}
+
+
+def test_jdbc_stream_bulk_appends_per_batch(spark, tmp_path):
+    """Streaming → warehouse: micro-batches bulk-append into a JDBC table
+    (embedded Derby), stamped with their batch id; a restart with no new
+    files appends nothing (checkpoint), a new file appends only itself."""
+    src = tmp_path / "jdbc_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "jdbc_ckpt")
+    url = f"jdbc:derby:{tmp_path / 'wh'};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    schema = "k LONG, v STRING"
+
+    def drain(rows, fname):
+        if rows:
+            (src / fname).write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = sp.run_jdbc_stream(stream, url, "EVENTS_WH", ckpt, driver=driver)
+        q.awaitTermination(120)
+
+    drain([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}], "f1.json")
+    from data_pipeline_eng_project_1_spark.sources import files
+
+    got = files.read_jdbc(spark, url, "EVENTS_WH", driver=driver)
+    assert got.count() == 2
+    assert got.select("batch_id").distinct().count() == 1
+
+    drain([], "noop")  # restart, nothing new: checkpoint prevents re-append
+    assert files.read_jdbc(spark, url, "EVENTS_WH", driver=driver).count() == 2
+
+    drain([{"k": 3, "v": "c"}], "f2.json")
+    got = files.read_jdbc(spark, url, "EVENTS_WH", driver=driver)
+    assert got.count() == 3
+    assert {r["k"] for r in got.collect()} == {1, 2, 3}
