@@ -40,86 +40,86 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.18,
-    "multimodal_meta": 0.18,
-    "unpivot_part_metrics": 0.2,
-    "text_fingerprint": 0.21,
-    "posexplode_tokens": 0.22,
-    "string_funcs_part": 0.23,
-    "try_cast_dirty": 0.24,
-    "stratified_sample": 0.24,
-    "array_hof_stats": 0.25,
-    "doc_chunks": 0.25,
-    "date_parts_orders": 0.28,
-    "null_conditional_agg": 0.28,
-    "vector_norms": 0.29,
+    "vector_norms": 0.28,
+    "sort_limit_topk": 0.3,
     "filter_project_cast": 0.3,
-    "grouping_sets_status_priority": 0.3,
-    "cube_nation_segment": 0.31,
-    "multimodal_frames": 0.31,
-    "regression_price_qty": 0.33,
-    "approx_distinct_custkeys": 0.34,
-    "topk_per_priority": 0.34,
-    "window_distribution": 0.35,
-    "events_rollup_multigrain": 0.36,
-    "stats_agg_lineitem": 0.37,
-    "window_running_rank": 0.38,
-    "pivot_returnflag": 0.39,
-    "rollup_status_priority": 0.41,
-    "stringagg_nations": 0.41,
-    "window_range_moving_avg": 0.42,
-    "events_json_extract": 0.42,
-    "events_sessionize": 0.43,
-    "quantiles_per_priority": 0.44,
-    "events_tumbling_1h": 0.44,
-    "disjunctive_bracket_revenue": 0.45,
-    "events_scd2_history": 0.45,
-    "conditional_promo_ratio": 0.47,
-    "above_avg_orders": 0.47,
-    "events_asof_click": 0.49,
-    "text_quality": 0.5,
-    "customer_order_histogram": 0.51,
-    "rich_quiet_customers": 0.52,
-    "window_lead_lag": 0.53,
-    "map_priority_counts": 0.53,
-    "small_qty_part_revenue": 0.53,
-    "window_latest_per_key": 0.54,
-    "events_hourly_retention": 0.56,
-    "grouped_zscore_pandas": 0.56,
-    "skew_salted_join": 0.59,
-    "sole_blame_suppliers": 0.59,
-    "scalar_subquery_share": 0.63,
-    "events_range_join_1h": 0.65,
-    "bloom_pruned_join": 0.67,
-    "late_shipment_priority": 0.68,
-    "large_order_customers": 0.68,
-    "text_langid": 0.7,
-    "set_ops_custkeys": 0.73,
-    "semi_anti_customers": 0.74,
-    "text_token_topk": 0.75,
-    "group_distinct_agg": 0.76,
-    "dedup_exact": 0.78,
-    "nation_trade_volume": 0.88,
-    "events_sliding_1h_15m": 0.96,
-    "orders_dense_index": 0.97,
-    "join_topk_revenue": 1.13,
-    "star_join_region_revenue": 1.14,
-    "dedup_embedding_cosine": 1.16,
-    "corpus_curation": 1.27,
-    "similarity_ann_pq": 1.31,
-    "text_tfidf_topterms": 1.39,
-    "pricing_summary_agg": 1.43,
-    "doc_packing": 1.23,
-    "text_repetition": 1.47,
-    "corpus_decontamination": 2.18,
-    "dedup_ngram_jaccard": 1.7,
-    "similarity_ann_lsh": 1.87,
-    "dedup_minhash_lsh": 2.02,
-    "dedup_simhash": 2.37,
-    "ntile_spend_quartiles": 3.11,
-    "dedup_components": 3.72,
-    "similarity_topk": 3.76,
-    "similarity_ann_ivf": 5.98,
+    "rollup_status_priority": 0.31,
+    "string_funcs_part": 0.33,
+    "try_cast_dirty": 0.36,
+    "pricing_summary_agg": 0.36,
+    "approx_distinct_custkeys": 0.37,
+    "posexplode_tokens": 0.38,
+    "window_distribution": 0.4,
+    "unpivot_part_metrics": 0.41,
+    "quantiles_per_priority": 0.42,
+    "cube_nation_segment": 0.43,
+    "array_hof_stats": 0.44,
+    "date_parts_orders": 0.45,
+    "grouping_sets_status_priority": 0.45,
+    "stats_agg_lineitem": 0.45,
+    "pivot_returnflag": 0.45,
+    "events_tumbling_1h": 0.46,
+    "events_sliding_1h_15m": 0.46,
+    "events_json_extract": 0.47,
+    "null_conditional_agg": 0.48,
+    "group_distinct_agg": 0.49,
+    "regression_price_qty": 0.5,
+    "window_running_rank": 0.5,
+    "semi_anti_customers": 0.5,
+    "window_latest_per_key": 0.51,
+    "events_rollup_multigrain": 0.53,
+    "doc_chunks": 0.54,
+    "topk_per_priority": 0.54,
+    "stringagg_nations": 0.54,
+    "disjunctive_bracket_revenue": 0.54,
+    "doc_packing": 0.54,
+    "set_ops_custkeys": 0.57,
+    "join_topk_revenue": 0.57,
+    "events_sessionize": 0.59,
+    "events_range_join_1h": 0.6,
+    "late_shipment_priority": 0.61,
+    "large_order_customers": 0.65,
+    "skew_salted_join": 0.66,
+    "dedup_embedding_cosine": 0.66,
+    "grouped_zscore_pandas": 0.68,
+    "scalar_subquery_share": 0.68,
+    "star_join_region_revenue": 0.71,
+    "text_repetition": 0.71,
+    "text_token_topk": 0.72,
+    "bloom_pruned_join": 0.76,
+    "window_range_moving_avg": 0.77,
+    "events_hourly_retention": 0.77,
+    "sole_blame_suppliers": 0.81,
+    "stratified_sample": 0.83,
+    "small_qty_part_revenue": 0.84,
+    "text_langid": 0.84,
+    "conditional_promo_ratio": 0.85,
+    "nation_trade_volume": 0.86,
+    "text_fingerprint": 0.89,
+    "text_quality": 0.93,
+    "map_priority_counts": 0.96,
+    "events_asof_click": 0.99,
+    "dedup_exact": 1.0,
+    "similarity_topk": 1.03,
+    "events_scd2_history": 1.06,
+    "above_avg_orders": 1.08,
+    "ntile_spend_quartiles": 1.19,
+    "corpus_curation": 1.25,
+    "window_lead_lag": 1.3,
+    "corpus_decontamination": 1.32,
+    "similarity_ann_pq": 1.4,
+    "dedup_simhash": 1.41,
+    "text_tfidf_topterms": 1.44,
+    "dedup_minhash_lsh": 1.48,
+    "dedup_ngram_jaccard": 1.66,
+    "customer_order_histogram": 1.67,
+    "orders_dense_index": 1.71,
+    "similarity_ann_lsh": 1.88,
+    "multimodal_frames": 1.9,
+    "multimodal_meta": 1.95,
+    "rich_quiet_customers": 2.92,
+    "dedup_components": 3.41,
+    "similarity_ann_ivf": 4.21,
 }
 
 _MEDIAN_COST = 0.5
