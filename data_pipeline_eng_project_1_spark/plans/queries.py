@@ -970,6 +970,57 @@ def _q_events_hourly_retention(spark, sf_dir):
     )
 
 
+@_register(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h,
+             sum(value) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+             FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM span),
+    j AS (SELECT g.user_id, g.h, hourly.v
+          FROM grid g LEFT JOIN hourly USING (user_id, h))
+    SELECT user_id, CAST(h * 3600000 AS BIGINT) AS hour_ms,
+           round(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS value_filled,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+    doc="time-series resample + gap fill (LOCF): per-user hourly sums on a "
+        "dense hour grid spanning each user's observed range, missing "
+        "hours carry the last observation forward via "
+        "last(ignorenulls) over an unbounded-preceding frame. The grid "
+        "fan-out is sequence+explode in the span row (no driver loop), "
+        "the fill is ONE window on the user key reusing the join's "
+        "partitioning; at 100 TB the partition key becomes "
+        "(user, day-bucket) so frames stay bounded",
+)
+def _q_events_gap_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (
+        ev.groupBy("user_id", F.expr("ts_ms DIV 3600000").alias("h"))
+        .agg(F.sum("value").alias("v"))
+    )
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("lo"),
+                                         F.max("h").alias("hi"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "user_id",
+        (F.col("h") * 3600000).cast("long").alias("hour_ms"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vectors / similarity search
 # ---------------------------------------------------------------------------

@@ -99,6 +99,7 @@ _MEASURED_COST_S = {
     "text_quality": 0.93,
     "map_priority_counts": 0.96,
     "events_asof_click": 0.99,
+    "events_gap_fill": 1.4,
     "dedup_exact": 1.0,
     "similarity_topk": 1.03,
     "events_scd2_history": 1.06,
