@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the pure arithmetic the engine
+re-implements distributively — the pieces where an off-by-one silently
+mis-buckets rows at scale. Pure-Python properties run hundreds of cases;
+Spark-backed checks stay in the example-based suites (per-example Spark
+jobs are too slow for hypothesis)."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ntile_reference(n: int, k: int) -> list[int]:
+    """SQL ntile semantics, straight from the definition: first n%k
+    buckets get ceil(n/k) rows, the rest floor(n/k)."""
+    base, rem = divmod(n, k)
+    out = []
+    for bucket in range(1, k + 1):
+        out.extend([bucket] * (base + 1 if bucket <= rem else base))
+    return out
+
+
+def _ntile_arithmetic(idx: int, n: int, k: int) -> int:
+    """The closed form used by plans/queries.py::_q_ntile_spend (0-based
+    global rank -> 1-based bucket), mirrored here in pure Python."""
+    base, rem = divmod(n, k)
+    cut = rem * (base + 1)
+    if idx < cut:
+        return idx // (base + 1) + 1
+    return rem + (idx - cut) // max(base, 1) + 1
+
+
+@given(st.integers(min_value=1, max_value=10_000),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=300)
+def test_ntile_closed_form_matches_definition(n, k):
+    ref = _ntile_reference(n, k)
+    got = [_ntile_arithmetic(i, n, k) for i in range(n)]
+    assert got == ref
+
+
+@given(st.integers(min_value=0, max_value=255),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=200)
+def test_morton_interleave_orders_quadrants(x, y):
+    """The z-value bit interleaving used by files.write_zorder: both
+    coordinates' high bits dominate, so quadrant order is preserved —
+    any point in the low/low quadrant sorts before any in high/high."""
+    def z(a, b, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    half = 128
+    if x < half and y < half:
+        assert z(x, y) < z(half, half)
+    if x >= half and y >= half:
+        assert z(x, y) >= z(half, half)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=500),
+                min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=4096))
+@settings(max_examples=200)
+def test_packing_start_offset_rule_invariants(sizes, budget):
+    """doc_packing's pack id = floor(tokens_before_doc / budget):
+    pack ids are non-decreasing, start at 0, never skip more than the
+    oversized-doc fan-over allows, and every pack except possibly the
+    last holds >= 1 doc and crosses the budget boundary."""
+    cum = 0
+    packs = []
+    for s in sizes:
+        packs.append(cum // budget)
+        cum += s
+    assert packs[0] == 0
+    assert all(b >= a for a, b in zip(packs, packs[1:]))
+    # a pack id advances at most ceil(size/budget): only the preceding
+    # doc's tokens can push the boundary forward
+    for (p_prev, p_next), s in zip(zip(packs, packs[1:]), sizes):
+        assert p_next - p_prev <= (s + budget - 1) // budget
+    # total conservation: last pack id bounded by total/budget
+    assert packs[-1] <= (cum - sizes[-1]) // budget
+
+
+def _simhash_bands(h: int, bands: int = 4, bits: int = 60):
+    width = bits // bands
+    mask = (1 << width) - 1
+    return [(b, (h >> (b * width)) & mask) for b in range(bands)]
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1),
+       st.sets(st.integers(min_value=0, max_value=59),
+               min_size=0, max_size=3))
+@settings(max_examples=300)
+def test_simhash_banding_recall_complete_for_hamming_le_bands_minus_1(h, flips):
+    """Pigeonhole: flipping <= bands-1 bits leaves at least one of the 4
+    15-bit bands untouched, so banded candidate generation has FULL
+    recall for hamming <= 3 (the guarantee dedup.simhash_pairs relies on)."""
+    h2 = h
+    for bit in flips:
+        h2 ^= 1 << bit
+    a, b = _simhash_bands(h), _simhash_bands(h2)
+    assert any(x == y for x, y in zip(a, b))
