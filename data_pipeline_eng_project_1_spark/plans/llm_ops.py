@@ -1025,6 +1025,107 @@ def _q_corpus_decontamination(spark, sf_dir):
 
 
 @_register(
+    "corpus_pipeline_end_to_end",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, text, md5({SQL_NORM}) AS f FROM documents
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    deduped AS (
+      SELECT fp.doc_id, source, text,
+             {SQL_TOKS} AS toks, len({SQL_TOKS}) AS n_tokens
+      FROM fp JOIN canon USING (doc_id)
+    ),
+    quality AS (
+      SELECT doc_id, source, text, n_tokens
+      FROM deduped
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND len(list_filter(toks, t -> list_contains({_SQL_STOPS}, t)))
+            * 1.0 / n_tokens BETWEEN 0.01 AND 0.6
+    ),
+    sh AS (SELECT doc_id, source, n_tokens, {SQL_SHINGLES} AS s
+           FROM quality),
+    bench AS (
+      SELECT DISTINCT unnest({SQL_SHINGLES}) AS g
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN bench USING (g)
+    ),
+    clean AS (
+      SELECT doc_id, source, n_tokens FROM sh
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND doc_id % 50 <> 0
+    ),
+    runs AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM clean
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT CAST((cum - n_tokens) // 2048 AS BIGINT)) AS n_packs
+    FROM runs GROUP BY source
+    """,
+    doc="the capstone composition a training-data pipeline ships: exact "
+        "dedup (md5-fingerprint canonical) → quality gate (length + "
+        "stopword ratio) → benchmark decontamination (broadcast 3-gram "
+        "probe, anti join) → token-budget sequence packing → per-source "
+        "data card (docs / tokens / packs). Shuffle ledger: fingerprint "
+        "groupBy, one shingle-probe broadcast join + anti join, one "
+        "window+agg pair sharing the source key — every stage is the "
+        "already-audited operator, composed lazily so Catalyst pipelines "
+        "the scans and AQE sizes each exchange",
+)
+def _q_corpus_pipeline(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact(d)
+    toked = dedup.tokenized(kept, "doc_id", "text",
+                            extra_cols=("source",))
+    toks = F.col("__toks")
+    quality = (
+        toked.select(F.col("id").alias("doc_id"), "source",
+                     toks.alias("toks"),
+                     F.size(toks).cast("long").alias("n_tokens"),
+                     texts.stopword_ratio_of(toks).alias("_stop"))
+        .filter(F.col("n_tokens").between(20, 1000)
+                & F.col("_stop").between(0.01, 0.6))
+    )
+    sh = quality.select(
+        "doc_id", "source", "n_tokens",
+        texts.word_shingles_of(F.col("toks"), 3).alias("s"))
+    bench_toked = dedup.tokenized(d.filter(F.col("doc_id") % 50 == 0))
+    bench = (bench_toked
+             .select(F.explode(texts.word_shingles_of(F.col("__toks"), 3))
+                     .alias("g")).distinct())
+    hits = (
+        sh.select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id").distinct()
+    )
+    clean = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = clean.select(
+        "source", "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("long").alias("pack_id"))
+    return (
+        runs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             F.countDistinct("pack_id").alias("n_packs"))
+    )
+
+
+@_register(
     "similarity_ann_pq",
     None,
     doc="product-quantization ANN (rows-only: the seeded k-means codebook "

@@ -120,6 +120,7 @@ _MEASURED_COST_S = {
     "multimodal_meta": 1.95,
     "rich_quiet_customers": 2.92,
     "dedup_components": 3.41,
+    "corpus_pipeline_end_to_end": 2.95,
     "similarity_ann_ivf": 4.21,
 }
 
