@@ -126,9 +126,153 @@ _MEASURED_COST_S = {
 
 _MEDIAN_COST = 0.5
 
+#: Operator-family tag per query. The grading driver walks the registry in
+#: dict order under a time/count budget; round 2 showed pure cheapest-first
+#: lets cheap DUPLICATE relational queries crowd the budget while entire
+#: mandated families (dedup/ANN/text-quality/multimodal) never receive a
+#: correctness row. Coverage-first ordering fixes that: the prefix of
+#: ``all_specs()`` contains exactly one (cheapest) representative of every
+#: family, so even a pessimistic budget touches every SURVEY.md §2 surface.
+#: Queries not listed here form a singleton family of their own name.
+_FAMILY = {
+    # -- §2.2/2.3 filter / project / cast coercion
+    "filter_project_cast": "filter_project",
+    "try_cast_dirty": "filter_project",
+    # -- §2.7 aggregations
+    "pricing_summary_agg": "agg_basic",
+    "stats_agg_lineitem": "agg_basic",
+    "null_conditional_agg": "agg_basic",
+    "conditional_promo_ratio": "agg_basic",
+    "stringagg_nations": "agg_basic",
+    "regression_price_qty": "agg_basic",
+    "group_distinct_agg": "agg_distinct",
+    "approx_distinct_custkeys": "agg_distinct",
+    "quantiles_per_priority": "agg_distinct",
+    # -- §2.7 joins (inner/star/semi-anti/skew/bloom/outer variants)
+    "join_topk_revenue": "join",
+    "star_join_region_revenue": "join",
+    "semi_anti_customers": "join",
+    "skew_salted_join": "join",
+    "bloom_pruned_join": "join",
+    "large_order_customers": "join",
+    "sole_blame_suppliers": "join",
+    "disjunctive_bracket_revenue": "join",
+    "late_shipment_priority": "join",
+    "nation_trade_volume": "join",
+    "customer_order_histogram": "join",
+    "small_qty_part_revenue": "join",
+    # -- §2.7 subqueries (scalar / correlated)
+    "above_avg_orders": "subquery",
+    "scalar_subquery_share": "subquery",
+    "rich_quiet_customers": "subquery",
+    # -- §2.7 window functions
+    "window_latest_per_key": "window",
+    "window_running_rank": "window",
+    "window_range_moving_avg": "window",
+    "window_lead_lag": "window",
+    "ntile_spend_quartiles": "window",
+    "window_distribution": "window",
+    "orders_dense_index": "window",
+    "topk_per_priority": "window",
+    # -- §2.7 sort/limit, set ops, grouping sets, pivot
+    "sort_limit_topk": "sort_limit",
+    "set_ops_custkeys": "setops",
+    "rollup_status_priority": "groupingsets",
+    "cube_nation_segment": "groupingsets",
+    "grouping_sets_status_priority": "groupingsets",
+    "pivot_returnflag": "pivot",
+    "unpivot_part_metrics": "pivot",
+    # -- §2.7 scalar function library
+    "string_funcs_part": "func_string_date",
+    "date_parts_orders": "func_string_date",
+    "events_json_extract": "func_json",
+    "array_hof_stats": "func_array",
+    "posexplode_tokens": "func_array",
+    "vector_norms": "func_array",
+    "map_priority_counts": "func_map",
+    # -- §2.7 streaming twins (windowed/sessionized event processing)
+    "events_tumbling_1h": "stream_window",
+    "events_sliding_1h_15m": "stream_window",
+    "events_rollup_multigrain": "stream_window",
+    "events_hourly_retention": "stream_window",
+    "events_sessionize": "stream_session",
+    "events_asof_click": "asof_join",
+    "events_range_join_1h": "range_join",
+    "events_gap_fill": "gap_fill",
+    "events_scd2_history": "scd2",
+    # -- §2.7 UDF surface
+    "grouped_zscore_pandas": "udf_pandas",
+    # -- §2.8 LLM-ops: every flagship is its own family so each lands in
+    #    the coverage prefix (these were the never-graded ops in r1/r2).
+}
+
+#: Queries with a correctness row in CORRECTNESS_r01/r02 (any verdict).
+#: Families with NO prior row are emitted first so a budget-tripped walk
+#: still produces NEW evidence; refresh after each round from the union of
+#: CORRECTNESS_r*.json keys.
+_GRADED_PRIOR = {
+    "above_avg_orders", "approx_distinct_custkeys", "array_hof_stats",
+    "bloom_pruned_join", "conditional_promo_ratio", "cube_nation_segment",
+    "customer_order_histogram", "date_parts_orders", "dedup_embedding_cosine",
+    "disjunctive_bracket_revenue", "doc_chunks", "doc_packing",
+    "events_asof_click", "events_hourly_retention", "events_json_extract",
+    "events_range_join_1h", "events_rollup_multigrain", "events_sessionize",
+    "events_sliding_1h_15m", "events_tumbling_1h", "filter_project_cast",
+    "group_distinct_agg", "grouped_zscore_pandas",
+    "grouping_sets_status_priority", "join_topk_revenue",
+    "large_order_customers", "late_shipment_priority", "nation_trade_volume",
+    "ntile_spend_quartiles", "null_conditional_agg", "orders_dense_index",
+    "pivot_returnflag", "posexplode_tokens", "pricing_summary_agg",
+    "quantiles_per_priority", "regression_price_qty", "rich_quiet_customers",
+    "rollup_status_priority", "scalar_subquery_share", "semi_anti_customers",
+    "set_ops_custkeys", "skew_salted_join", "sole_blame_suppliers",
+    "sort_limit_topk", "star_join_region_revenue", "stats_agg_lineitem",
+    "string_funcs_part", "stringagg_nations", "text_repetition",
+    "text_token_topk", "topk_per_priority", "try_cast_dirty",
+    "unpivot_part_metrics", "vector_norms", "window_distribution",
+    "window_latest_per_key", "window_lead_lag", "window_range_moving_avg",
+    "window_running_rank",
+}
+
+
+def _cost(name: str) -> float:
+    return _MEASURED_COST_S.get(name, _MEDIAN_COST)
+
+
+def _family(name: str) -> str:
+    return _FAMILY.get(name, name)
+
 
 def all_specs() -> list[QuerySpec]:
-    """Registered specs in grading order: cheapest measured cost first
-    (stable on registration order for ties/unmeasured)."""
-    return sorted(
-        _SPECS, key=lambda s: _MEASURED_COST_S.get(s.name, _MEDIAN_COST))
+    """Registered specs in grading order: coverage-first.
+
+    1. One cheapest representative per operator family, families with no
+       prior correctness row first, then by representative cost — so any
+       budget cutoff maximizes per-OPERATOR coverage and new evidence.
+    2. Remaining specs: never-graded first, then cheapest-first.
+    """
+    by_family: dict[str, list[QuerySpec]] = {}
+    for s in _SPECS:
+        by_family.setdefault(_family(s.name), []).append(s)
+
+    reps: list[QuerySpec] = []
+    rest: list[QuerySpec] = []
+    for members in by_family.values():
+        members = sorted(members, key=lambda s: _cost(s.name))
+        # Prefer a never-graded member as the representative when the
+        # family has no green row yet; otherwise cheapest.
+        ungraded = [s for s in members if s.name not in _GRADED_PRIOR]
+        if ungraded and all(m.name not in _GRADED_PRIOR for m in members):
+            rep = ungraded[0]
+        else:
+            rep = members[0]
+        reps.append(rep)
+        rest.extend(s for s in members if s is not rep)
+
+    def _family_graded(spec: QuerySpec) -> bool:
+        return any(
+            m.name in _GRADED_PRIOR for m in by_family[_family(spec.name)])
+
+    reps.sort(key=lambda s: (_family_graded(s), _cost(s.name)))
+    rest.sort(key=lambda s: (s.name in _GRADED_PRIOR, _cost(s.name)))
+    return reps + rest
