@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -76,16 +77,29 @@ def main():
     names = [a for a in args if "/" not in a] or [s.name for s in Q.specs()]
     spark = get_spark("oracle-harness", cores=16, shuffle_partitions=16)
     con = duck_connection(sf_dir)
-    failed = []
+    failed, costs = [], {}
     for n in names:
+        t0 = time.perf_counter()
         try:
             ok, msg = compare_query(spark, con, n, sf_dir)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
-        print(f"{'PASS' if ok else 'FAIL'} {n}: {msg}", flush=True)
+        costs[n] = time.perf_counter() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {n} [{costs[n]:.2f}s]: {msg}",
+              flush=True)
         if not ok:
             failed.append(n)
-    print(f"\n{len(names) - len(failed)}/{len(names)} pass")
+    print(f"\n{len(names) - len(failed)}/{len(names)} pass "
+          f"in {sum(costs.values()):.1f}s")
+    # Paste-ready refresh for registry._MEASURED_COST_S (sorted cheapest
+    # first); written only on a full-registry run.
+    if len(names) == len(Q.specs()):
+        with open("/tmp/measured_costs.py", "w") as f:
+            f.write("_MEASURED_COST_S = {\n")
+            for n, c in sorted(costs.items(), key=lambda kv: kv[1]):
+                f.write(f'    "{n}": {c:.2f},\n')
+            f.write("}\n")
+        print("cost table -> /tmp/measured_costs.py")
     if failed:
         print("failed:", " ".join(failed))
         sys.exit(1)
