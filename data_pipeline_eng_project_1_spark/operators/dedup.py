@@ -135,7 +135,7 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 
 def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
-                         stop_df_cap: int | None = 50) -> DataFrame:
+                         stop_df_cap: int | None = None) -> DataFrame:
     """Same result as `jaccard_pairs`, with prefix filtering (the
     SSJoin/PPJoin family of set-similarity joins): only each doc's first
     ``sz - ceil(t·sz) + 1`` shingles — under one global (lexicographic)
@@ -163,13 +163,14 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     only if EVERY shared prefix shingle is ultra-frequent; true
     near-dup pairs at t=0.8 share many prefix shingles, and a shingle
     shared by > cap docs is boilerplate, not signal — so set the cap
-    well above the expected true-dup cluster size. On the driver
-    fixtures the cap never binds (max prefix doc-frequency is 22 at
-    sf0.1 vs cap 50 — asserted in tests), so the result — and the
-    all-pairs DuckDB oracle — is unchanged; at scale it is the
-    difference between a bounded shuffle and a quadratic one. The df
-    aggregation shuffles on the same shingle key as the candidate join,
-    so the exchange is reused, not added.
+    well above the expected true-dup cluster size. The cap defaults to
+    OFF (None) so the library function is exact by default — the
+    inverted-index result always equals ``jaccard_pairs``; callers
+    opt into the cap at scale (the registered dedup query passes it
+    explicitly, and its fixtures' max prefix doc-frequency of 22 at
+    sf0.1 vs cap 50 keeps the oracle comparison exact — asserted in
+    tests). The df aggregation shuffles on the same shingle key as the
+    candidate join, so the exchange is reused, not added.
     """
     pfx = sh.select(
         "id", "sz",

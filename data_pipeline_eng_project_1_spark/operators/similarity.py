@@ -170,38 +170,24 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
         .select("match_id", F.col("v").alias("cv"), F.col("vn").alias("cn"),
                 F.col("mc")["cid"].alias("cell"))
     )
-    # Probe assignment runs DRIVER-SIDE: probes are small by contract
-    # (they broadcast below anyway), so this is |probes|·dim doubles of
-    # transfer and |probes|·C sequential-fold cosines in Python — which
-    # is bit-identical to both the SQL fold and DuckDB's
-    # list_dot_product (IEEE binary64, left-to-right), with the same
-    # (cos DESC, cid) tiebreak via tuple sort. Saves a crossJoin +
-    # window stage (and its codegen) per query.
-    import math
-
-    cn_by_cid = {}
-    for cid, cv in cents:
-        acc = 0.0
-        for x in cv:
-            acc += x * x
-        cn_by_cid[cid] = math.sqrt(acc)
-    pa_rows = []
-    for r in probes.select(id_col, vec_col).collect():
-        pid, pv = int(r[0]), [float(x) for x in r[1]]
-        acc = 0.0
-        for x in pv:
-            acc += x * x
-        pn = math.sqrt(acc)
-        scored = []
-        for cid, cv in cents:
-            dot = 0.0
-            for a, b in zip(pv, cv):
-                dot += a * b
-            scored.append((-(dot / (pn * cn_by_cid[cid])), cid))
-        scored.sort()
-        pa_rows.extend((pid, pv, pn, cid) for _, cid in scored[:nprobe])
-    pa = probes.sparkSession.createDataFrame(
-        pa_rows, "probe_id long, pv array<double>, pn double, cell int")
+    # Probe assignment stays IN-ENGINE (the centroid table is broadcast,
+    # so this adds no shuffle of the probes themselves — just a per-probe
+    # window over C scored rows): same SQL fold as the corpus side, so
+    # the cosine math and the (cos DESC, cid) tiebreak are identical in
+    # both assignment paths and in the DuckDB oracle. Works for any
+    # probe-set size — nothing is collected to the driver.
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        _l2(vec_col, dim).alias("pn"))
+    pcos = vectors.dot_expr("pv", "cv", dim) / (F.col("pn") * F.col("cn"))
+    wp = Window.partitionBy("probe_id").orderBy(
+        (-pcos).asc(), F.col("cid").asc())
+    pa = (
+        p.crossJoin(cells)
+        .withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= nprobe)
+        .select("probe_id", "pv", "pn", F.col("cid").alias("cell"))
+    )
     scored = (
         F.broadcast(pa)
         .join(ca, "cell")

@@ -109,7 +109,10 @@ def _q_dedup_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sh = dedup.shingled(d)
     return (
-        dedup.jaccard_pairs_prefix(sh, 0.8)
+        # stop_df_cap engaged explicitly (the at-scale form); exact on
+        # these fixtures — max prefix doc-frequency 22 < 50, so the
+        # all-pairs oracle comparison is unaffected (asserted in tests).
+        dedup.jaccard_pairs_prefix(sh, 0.8, stop_df_cap=50)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 

@@ -968,10 +968,11 @@ def _q_rollup_multigrain(spark, sf_dir):
     GROUP BY a.h
     """,
     doc="cohort retention: users active in hour H who return in H+1 — "
-        "dedup to (user, hour) grain first (one shuffle), then a "
-        "self-equi-join on (user, next-hour). The join key includes "
-        "user_id, so the shuffle is the same exchange the distinct "
-        "produced — Catalyst reuses the partitioning.",
+        "dedup to (user, hour) grain (one shuffle), then lead(h) over "
+        "each user's hour sequence marks consecutive-hour returns: one "
+        "scan, no self-join, no second evaluation of the distinct "
+        "subtree. The window shuffles on user_id only; at 100 TB both "
+        "exchanges carry the deduped grain, not raw events.",
 )
 def _q_events_hourly_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -979,9 +980,10 @@ def _q_events_hourly_retention(spark, sf_dir):
         "user_id",
         F.expr("ts_ms DIV 3600000").alias("h"),
     ).distinct()
-    nxt = hours.select("user_id", (F.col("h") - 1).alias("h"))
+    w = Window.partitionBy("user_id").orderBy("h")
     return (
-        hours.join(nxt, ["user_id", "h"])
+        hours.withColumn("__next", F.lead("h").over(w))
+        .filter(F.col("__next") == F.col("h") + 1)
         .groupBy((F.col("h") * 3600000).cast("long").alias("hour_ms"))
         .agg(F.count("*").alias("n_retained"))
     )

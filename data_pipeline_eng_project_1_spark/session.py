@@ -34,7 +34,8 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+def apply_runtime_confs(spark: SparkSession,
+                        shuffle_partitions: int | None = None) -> SparkSession:
     """Apply session-level confs this engine depends on to any session.
 
     Safe to call on a session we did not build (the driver's); every key
@@ -46,12 +47,19 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     parallelism gain (AQE coalesces the excess anyway, but only after
     paying the map-side split). On a real cluster the same rule gives
     ~1× executor cores — the get_spark docstring notes production would
-    use 2-3× and let AQE coalesce.
+    use 2-3× and let AQE coalesce. The parallelism-sized default is only
+    applied when the shuffle width is still Spark's out-of-the-box 200 —
+    an explicitly tuned value (ours via ``shuffle_partitions``, or one
+    already set on an externally built session) is left alone.
     """
     for k, v in _RUNTIME_CONFS.items():
         spark.conf.set(k, v)
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(spark.sparkContext.defaultParallelism))
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+    elif spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
     return spark
 
 
@@ -84,6 +92,6 @@ def get_spark(app_name: str = "data_pipeline_eng_project_1_spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     spark = builder.getOrCreate()
-    apply_runtime_confs(spark)
+    apply_runtime_confs(spark, shuffle_partitions=shuffle_partitions or n)
     spark.sparkContext.setLogLevel("WARN")
     return spark

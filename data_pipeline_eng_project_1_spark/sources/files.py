@@ -271,9 +271,21 @@ def write_zorder(df: DataFrame, path: str, cols: list[str],
     Verified in tests/test_zorder.py: per-row-group min/max spans on BOTH
     dimensions shrink vs an unclustered write, and the data round-trips
     bit-identically."""
-    stats = df.agg(*[f(c).alias(f"{tag}_{c}")
+    for field in df.select(*cols).schema.fields:
+        if not isinstance(field.dataType, T.NumericType):
+            raise ValueError(
+                f"write_zorder clustering column {field.name!r} has type "
+                f"{field.dataType.simpleString()}; only numeric columns can "
+                "be range-bucketed (cast dates/timestamps to epoch numbers "
+                "first)")
+    stats = df.agg(*[f(F.col(c).cast("double")).alias(f"{tag}_{c}")
                      for c in cols for tag, f in (("min", F.min), ("max", F.max))]
                    ).first()
+    if any(stats[f"min_{c}"] is None for c in cols):
+        # Empty input or an all-NULL clustering column: no range to bucket,
+        # so fall back to a plain write (still correct, just unclustered).
+        df.write.mode("overwrite").parquet(path)
+        return
     nb = 1 << bits
     codes = []
     for c in cols:

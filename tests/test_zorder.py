@@ -85,3 +85,29 @@ def test_zorder_prunes_file_scan(spark, tmp_path):
                 if c.path_in_schema == "o_totalprice" and c.statistics:
                     mins.append(float(c.statistics.min))
     assert any(m >= 10000 for m in mins), mins
+
+
+def test_zorder_empty_and_allnull_fall_back_to_plain_write(spark, tmp_path):
+    """No range to bucket -> plain (unclustered) write, not a crash."""
+    o = catalog.load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    empty = str(tmp_path / "empty")
+    files.write_zorder(o.filter(F.lit(False)), empty,
+                       ["o_custkey", "o_totalprice"])
+    assert spark.read.parquet(empty).count() == 0
+
+    nulls = str(tmp_path / "nulls")
+    files.write_zorder(
+        o.limit(10).withColumn("o_custkey",
+                               F.lit(None).cast("bigint")),
+        nulls, ["o_custkey", "o_totalprice"])
+    assert spark.read.parquet(nulls).count() == 10
+
+
+def test_zorder_rejects_non_numeric_clustering_column(spark, tmp_path):
+    o = catalog.load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_orderpriority")
+    import pytest
+    with pytest.raises(ValueError, match="only numeric"):
+        files.write_zorder(o, str(tmp_path / "bad"),
+                           ["o_orderpriority"])
