@@ -554,6 +554,140 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+_PII_IP = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+
+#: The synthesis rule (fixtures carry no PII, so each doc deterministically
+#: embeds some, in column algebra shared — as a RULE, not code — with the
+#: oracle). Replacement order matters only for overlap; these three
+#: patterns are disjoint by construction.
+_PII_SQL_AUG = (
+    "text"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
+    " || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-4567' ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) ELSE '' END)"
+)
+
+
+@_register(
+    "pii_scrub",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_SQL_AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS scrub_md5
+    FROM aug
+    WHERE doc_id % 3 = 0 OR doc_id % 4 = 0 OR doc_id % 5 = 0
+    """,
+    doc="PII detection + redaction (email/phone/IPv4) — the scrub gate "
+        "every training-data pipeline runs before tokenization. Counts via "
+        "regexp_count, redaction as a chained regexp_replace, all "
+        "scan-side codegen (zero shuffles before the driver's compare); "
+        "the md5 of the scrubbed text proves byte-exact redaction across "
+        "engines, not just matching counts. Fixtures carry no PII, so "
+        "each doc embeds synthetic PII first via a deterministic column-"
+        "algebra rule the oracle replays (it shares the rule, not the "
+        "regex engine).",
+)
+def _q_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" call 555-123-4567")).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 10.0.0."),
+                        (F.col("doc_id") % 256).cast("string"))).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return (
+        d.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 4 == 0)
+                 | (F.col("doc_id") % 5 == 0))
+        .select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            F.regexp_count("t", F.lit(_PII_EMAIL)).cast("int")
+             .alias("n_emails"),
+            F.regexp_count("t", F.lit(_PII_PHONE)).cast("int")
+             .alias("n_phones"),
+            F.regexp_count("t", F.lit(_PII_IP)).cast("int").alias("n_ips"),
+            F.md5(F.encode(scrubbed, "UTF-8")).alias("scrub_md5"),
+        )
+    )
+
+
+@_register(
+    "corpus_mixture_sample",
+    """
+    WITH tot AS (SELECT source, count(*) AS n_total
+                 FROM documents GROUP BY source),
+    s AS (SELECT count(*) AS n_src FROM tot),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN tot USING (source) CROSS JOIN s
+      WHERE (CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 1000000)
+            * s.n_src * tot.n_total < 1000000 * 200
+    )
+    SELECT t.source, t.n_total,
+           count(k.doc_id)              AS n_kept,
+           CAST(min(k.doc_id) AS BIGINT) AS min_kept_id
+    FROM tot t LEFT JOIN kept k ON t.source = k.source
+    GROUP BY t.source, t.n_total
+    """,
+    doc="source-balanced mixture sampling (the data-mixing step of LLM "
+        "pre-training): each source gets an equal share of a 200-doc "
+        "budget, i.e. per-source keep rate min(1, (T/S)/n_s). The keep "
+        "decision is a deterministic md5 bucket compared in PURE INTEGER "
+        "arithmetic (bucket·S·n_s < 1e6·T) — no float thresholds, so the "
+        "sample is bit-portable across engines and re-runs (general-alpha "
+        "temperature mixing would put sqrt/pow on the threshold; the "
+        "integer form trades that generality for exactness). Plan: one "
+        "tiny per-source agg broadcast back over the scan, filter rides "
+        "the scan, one final agg.",
+)
+def _q_corpus_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    tot = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    nsrc = tot.select(F.count("*").alias("n_src"))
+    bucket6 = hashing.hex_int(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000
+    kept = (
+        d.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(nsrc))
+        .filter(bucket6 * F.col("n_src") * F.col("n_total")
+                < F.lit(1000000) * F.lit(200))
+        .select("source", "doc_id")
+    )
+    return (
+        tot.join(kept.groupBy("source")
+                     .agg(F.count("*").alias("__k"),
+                          F.min("doc_id").cast("long").alias("min_kept_id")),
+                 "source", "left")
+        .select("source", "n_total",
+                F.coalesce(F.col("__k"), F.lit(0)).alias("n_kept"),
+                "min_kept_id")
+    )
+
+
 @_register(
     "stratified_sample",
     """

@@ -96,6 +96,9 @@ _MEASURED_COST_S = {
     "sole_blame_suppliers": 0.62,
     "dedup_embedding_cosine": 0.62,
     "multimodal_meta": 0.64,
+    "multimodal_decode": 0.65,
+    "pii_scrub": 0.60,
+    "corpus_mixture_sample": 0.55,
     "events_hourly_retention": 0.64,
     "large_order_customers": 0.65,
     "nation_trade_volume": 0.67,
