@@ -226,6 +226,31 @@ def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_documents_stream(docs: DataFrame, ts_col: str = "ts",
+                           text_col: str = "text",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Content-based dedup-on-arrival for a document stream: fingerprint
+    the normalized text (operators/dedup.py::add_fingerprint — the same
+    digest the batch dedup_exact groups on) and keep the first arrival of
+    each fingerprint within the watermark horizon.
+
+    This is the streaming rung of the §2.8 dedup ladder: exact-dup pages
+    re-scraped within the horizon are dropped at intake, before they cost
+    tokenization or near-dup candidate generation downstream. State is one
+    16-byte digest per unique doc inside the horizon — bounded by the
+    watermark, unlike a plain dropDuplicates which grows forever. Near-dup
+    (MinHash/SimHash) stays a batch/compaction concern: its candidate join
+    needs a corpus-wide index, not per-arrival state.
+    """
+    from data_pipeline_eng_project_1_spark.operators import dedup as _dedup
+
+    return (
+        _dedup.add_fingerprint(docs, text_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def user_activity_stateful(events: DataFrame,
                            watermark: str = "30 minutes",
                            idle_timeout_ms: int = 1_800_000) -> DataFrame:

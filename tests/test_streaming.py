@@ -155,6 +155,34 @@ def test_dedup_events_drops_replayed_ids(spark, tmp_path):
     assert ids == [1, 2]
 
 
+def test_dedup_documents_stream_content_based(spark, tmp_path):
+    """Same TEXT under different ids/timestamps is dropped on arrival;
+    distinct text passes. (Content fingerprint, not id equality.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "docs", tmp_path / "ck"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "ts_ms": 60_000, "text": "Alpha,  beta GAMMA."},
+        {"doc_id": 2, "ts_ms": 65_000, "text": "alpha beta gamma"},  # dup
+        {"doc_id": 3, "ts_ms": 70_000, "text": "entirely different"},
+    ]
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    q = sp.run_to_memory(
+        sp.dedup_documents_stream(stream), "docdedup_t", str(ckpt))
+    q.awaitTermination()
+    kept = sorted(r["doc_id"] for r in spark.table("docdedup_t").collect())
+    assert kept == [1, 3]  # doc 2 is a normalized-content replay of doc 1
+
+
 def test_user_activity_stateful(spark, tmp_path):
     src, ckpt = tmp_path / "ev", tmp_path / "ck"
     src.mkdir()
