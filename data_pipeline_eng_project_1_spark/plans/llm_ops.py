@@ -600,7 +600,7 @@ _PII_SQL_AUG = (
         "regex engine).",
 )
 def _q_pii_scrub(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     aug = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0,
