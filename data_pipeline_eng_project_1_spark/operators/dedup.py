@@ -90,8 +90,8 @@ def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3) -> DataFrame:
-    """(id, sh: array<string> distinct word n-grams, sz: int).
+             n: int = 3, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, sh: array<string> distinct word n-grams, sz: int, *extra).
 
     Ends in a hash repartition on the id: shingling is the expensive
     interpreted step (per-index slice/concat lambdas), and every consumer
@@ -101,9 +101,10 @@ def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     of the shingle column buys back 2× the shingling CPU, the right trade
     at any scale."""
     nn = df.sparkSession.sparkContext.defaultParallelism
-    return tokenized(df, id_col, text_col).select(
+    return tokenized(df, id_col, text_col, extra_cols=extra_cols).select(
         "id",
         texts.word_shingles_of(F.col("__toks"), n).alias("sh"),
+        *extra_cols,
     ).withColumn("sz", F.size("sh")).repartition(nn, "id")
 
 

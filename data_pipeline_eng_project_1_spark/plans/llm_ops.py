@@ -1170,25 +1170,31 @@ def _q_text_repetition(spark, sf_dir):
 )
 def _q_corpus_decontamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    src = d.select(F.col("doc_id").alias("id"), "source")
-    sh = dedup.shingled(d).join(src, "id")
+    # source rides the shingle frame (extra_cols) — no self-join to
+    # re-attach it; the doc roster `t` comes straight from the raw table,
+    # so shingling is evaluated for exactly the two sides that need
+    # n-grams (bench + train), not three.
+    sh = dedup.shingled(d, extra_cols=("source",))
     bench = (sh.filter(F.col("id") % 50 == 0)
              .select(F.explode("sh").alias("g")).distinct())
     train = (sh.filter(F.col("id") % 50 != 0)
-             .select("id", "source", F.explode("sh").alias("g")))
+             .select("id", F.explode("sh").alias("g")))
     hits = (
         train.join(F.broadcast(bench), "g")
-        .groupBy("id", "source")
+        .groupBy("id")
         .agg(F.count("*").alias("n_hits"))
     )
-    t = sh.filter(F.col("id") % 50 != 0).select("id", "source").distinct()
+    t = (d.filter(F.col("doc_id") % 50 != 0)
+         .select(F.col("doc_id").alias("id"), "source"))
+    # t is one row per doc and hits is <=1 row per doc, so plain counts
+    # suffice — no countDistinct, no Expand in the final agg.
     return (
-        t.join(hits.select("id", "n_hits"), "id", "left")
+        t.join(hits, "id", "left")
         .groupBy("source")
         .agg(
-            F.countDistinct("id").alias("n_train_docs"),
-            F.countDistinct(F.when(F.col("n_hits").isNotNull(),
-                                   F.col("id"))).alias("n_contaminated"),
+            F.count("*").alias("n_train_docs"),
+            F.count(F.when(F.col("n_hits").isNotNull(), F.lit(1)))
+             .alias("n_contaminated"),
             F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long")
              .alias("total_hits"),
         )
