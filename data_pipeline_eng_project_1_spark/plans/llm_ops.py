@@ -1283,8 +1283,11 @@ def _q_corpus_pipeline(spark, sf_dir):
         .join(F.broadcast(bench), "g")
         .select("doc_id").distinct()
     )
+    # Branch off `quality`, not `sh`: the anti-join side needs only
+    # (doc_id, source, n_tokens), so re-evaluating the shingle lambda —
+    # the expensive interpreted step — for it would be pure waste.
     clean = (
-        sh.filter(F.col("doc_id") % 50 != 0)
+        quality.filter(F.col("doc_id") % 50 != 0)
         .join(hits, "doc_id", "left_anti")
         .select("doc_id", "source", "n_tokens")
     )
