@@ -78,8 +78,20 @@ def main() -> None:
         "n_queries": len(timings),
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = {
+        **headline,
+        "queries": timings,
+        "notes": (
+            "steady-state: full warm-up sweep (all queries once) before "
+            "any timing, then min-of-2 per query; JVM code cache 512m "
+            "(85 generated plan classes overflow the 240m default and "
+            "disable C2 late-session). Round-over-round totals also move "
+            "with host load — compare per-query medians, not totals, "
+            "and note n_queries grows as operators are added."
+        ),
+    }
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
-        json.dump({**headline, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(sidecar, f, indent=1, sort_keys=True)
     # Emit the compact line both first and last: whichever end of the
     # output the driver's buffer keeps, an intact headline is there.
     print(json.dumps(headline), flush=True)

@@ -47,5 +47,6 @@ def test_never_graded_queries_lead_the_walk():
     ungraded_positions = [
         i for i, s in enumerate(specs) if s.name not in _GRADED_PRIOR
     ]
-    assert ungraded_positions, "refresh _GRADED_PRIOR after each round"
-    assert max(ungraded_positions) < BUDGET
+    # Empty is fine (every query has a prior row); any ungraded query
+    # must sit inside the budgeted prefix or it stays ungraded forever.
+    assert all(i < BUDGET for i in ungraded_positions)
