@@ -160,15 +160,18 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("v"),
         _l2(vec_col, dim).alias("vn"))
-    # Assignment: grouping carries (v, vn) — functionally dependent on the
-    # id — so no join-back is needed to recover the vector for scoring.
+    # Assignment: the vector rides along as first() aggregates (constant
+    # within each id's group, so first() is deterministic) rather than as
+    # part of the GROUP KEY — the shuffle then hashes/compares an 8-byte
+    # id instead of an id + dim doubles, and no join-back is needed to
+    # recover the vector for scoring.
     ca = (
         c.crossJoin(cells)
-        .groupBy("match_id", "v", "vn")
+        .groupBy("match_id")
         .agg(F.min(F.struct((-ccos).alias("negcos"), F.col("cid").alias("cid")))
-              .alias("mc"))
-        .select("match_id", F.col("v").alias("cv"), F.col("vn").alias("cn"),
-                F.col("mc")["cid"].alias("cell"))
+              .alias("mc"),
+             F.first("v").alias("cv"), F.first("vn").alias("cn"))
+        .select("match_id", "cv", "cn", F.col("mc")["cid"].alias("cell"))
     )
     # Probe assignment stays IN-ENGINE (the centroid table is broadcast,
     # so this adds no shuffle of the probes themselves — just a per-probe
