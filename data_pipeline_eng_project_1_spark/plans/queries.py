@@ -1171,6 +1171,54 @@ def _q_topk_per_priority(spark, sf_dir):
 
 
 @_register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1995-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev_cents / 100.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue — "
+        "a max-over-derived-aggregate scalar subquery, decorrelated into "
+        "agg -> 1-row max -> broadcast filter (ties all surface, per spec). "
+        "Revenue accumulates in integer CENTS (per-row round, BIGINT sum) "
+        "so the max-equality filter is exact — a double sum would make "
+        "'equals the max' depend on engine summation order at the last "
+        "ulp. One lineitem scan with the date filter pushed down, one "
+        "suppkey shuffle; rev feeds both the max and the join from the "
+        "same exchange (ReuseExchange).",
+)
+def _q_top_revenue_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1995-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    mx = rev.agg(F.max("rev_cents").alias("__mx"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("__mx"))
+        .select("s_suppkey", "s_name",
+                (F.col("rev_cents") / 100.0).alias("total_revenue"))
+    )
+
+
+@_register(
     "scalar_subquery_share",
     """
     WITH per AS (

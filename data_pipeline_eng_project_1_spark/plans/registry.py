@@ -94,6 +94,7 @@ _MEASURED_COST_S = {
     "stratified_sample": 0.47,
     "scalar_subquery_share": 0.47,
     "late_shipment_priority": 0.49,
+    "top_revenue_supplier": 0.50,
     "join_topk_revenue": 0.49,
     "pii_scrub": 0.51,
     "sole_blame_suppliers": 0.51,
@@ -168,6 +169,7 @@ _FAMILY = {
     "above_avg_orders": "subquery",
     "scalar_subquery_share": "subquery",
     "rich_quiet_customers": "subquery",
+    "top_revenue_supplier": "subquery",
     # -- §2.7 window functions
     "window_latest_per_key": "window",
     "window_running_rank": "window",
