@@ -41,35 +41,35 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
     "posexplode_tokens": 0.15,
-    "sort_limit_topk": 0.16,
     "vector_norms": 0.16,
     "unpivot_part_metrics": 0.16,
+    "sort_limit_topk": 0.16,
     "array_hof_stats": 0.18,
-    "filter_project_cast": 0.19,
     "string_funcs_part": 0.19,
+    "filter_project_cast": 0.19,
     "try_cast_dirty": 0.20,
     "null_conditional_agg": 0.21,
+    "rollup_status_priority": 0.22,
     "date_parts_orders": 0.22,
     "cube_nation_segment": 0.23,
     "topk_per_priority": 0.23,
     "grouping_sets_status_priority": 0.24,
-    "doc_chunks": 0.25,
     "window_distribution": 0.25,
+    "doc_chunks": 0.25,
     "events_rollup_multigrain": 0.25,
-    "rollup_status_priority": 0.25,
-    "window_latest_per_key": 0.26,
     "window_running_rank": 0.26,
+    "window_latest_per_key": 0.26,
     "text_fingerprint": 0.26,
     "window_range_moving_avg": 0.27,
-    "pivot_returnflag": 0.28,
-    "stats_agg_lineitem": 0.28,
-    "approx_distinct_custkeys": 0.28,
     "stringagg_nations": 0.28,
+    "pivot_returnflag": 0.28,
+    "approx_distinct_custkeys": 0.28,
+    "stats_agg_lineitem": 0.28,
     "multimodal_meta": 0.29,
-    "events_json_extract": 0.30,
     "pricing_summary_agg": 0.30,
+    "regression_price_qty": 0.30,
+    "events_json_extract": 0.30,
     "text_token_topk": 0.30,
-    "regression_price_qty": 0.31,
     "events_tumbling_1h": 0.31,
     "conditional_promo_ratio": 0.31,
     "group_distinct_agg": 0.32,
@@ -78,30 +78,30 @@ _MEASURED_COST_S = {
     "events_asof_click": 0.33,
     "above_avg_orders": 0.34,
     "quantiles_per_priority": 0.35,
-    "multimodal_frames": 0.37,
     "customer_order_histogram": 0.37,
+    "multimodal_frames": 0.37,
     "disjunctive_bracket_revenue": 0.38,
     "events_range_join_1h": 0.38,
     "events_hourly_retention": 0.39,
     "semi_anti_customers": 0.39,
     "skew_salted_join": 0.40,
     "set_ops_custkeys": 0.41,
-    "window_lead_lag": 0.44,
+    "top_revenue_supplier": 0.41,
+    "window_lead_lag": 0.43,
+    "rich_quiet_customers": 0.46,
     "events_sliding_1h_15m": 0.46,
     "multimodal_decode": 0.46,
     "small_qty_part_revenue": 0.46,
-    "rich_quiet_customers": 0.46,
-    "stratified_sample": 0.47,
     "scalar_subquery_share": 0.47,
+    "stratified_sample": 0.47,
+    "text_repetition": 0.47,
     "late_shipment_priority": 0.49,
-    "top_revenue_supplier": 0.50,
     "join_topk_revenue": 0.49,
     "pii_scrub": 0.51,
     "sole_blame_suppliers": 0.51,
     "grouped_zscore_pandas": 0.52,
     "large_order_customers": 0.54,
     "corpus_mixture_sample": 0.55,
-    "text_repetition": 0.56,
     "bloom_pruned_join": 0.59,
     "text_quality": 0.59,
     "dedup_embedding_cosine": 0.62,
@@ -111,21 +111,21 @@ _MEASURED_COST_S = {
     "events_scd2_history": 0.72,
     "dedup_exact": 0.72,
     "orders_dense_index": 0.74,
+    "text_langid": 0.76,
     "events_gap_fill": 0.83,
-    "text_langid": 0.84,
-    "ntile_spend_quartiles": 0.86,
-    "corpus_curation": 0.87,
+    "ntile_spend_quartiles": 0.83,
+    "corpus_curation": 0.85,
     "similarity_topk": 1.03,
-    "corpus_decontamination": 1.32,
+    "corpus_decontamination": 1.16,
+    "dedup_ngram_jaccard": 1.18,
     "similarity_ann_pq": 1.40,
     "dedup_simhash": 1.41,
     "text_tfidf_topterms": 1.42,
     "dedup_minhash_lsh": 1.48,
     "corpus_pipeline_end_to_end": 1.63,
-    "dedup_ngram_jaccard": 1.66,
     "similarity_ann_lsh": 1.88,
-    "dedup_components": 3.41,
-    "similarity_ann_ivf": 3.89,
+    "dedup_components": 2.67,
+    "similarity_ann_ivf": 2.88,
 }
 
 _MEDIAN_COST = 0.5
