@@ -5,26 +5,44 @@ bit-identical to an oracle computing in double (float32 intermediates would
 diverge in the 7th digit). Sums are sequential left-to-right in array order
 on both Spark and DuckDB (list_sum), which keeps even the last ulp aligned.
 
-Two physical forms, same math:
+Two physical forms, same math, chosen by ``UNROLL_MAX_DIM``:
 
-- ``dot(a, b)`` — ``F.aggregate`` fold over any-length arrays. Higher-order
-  functions are CodegenFallback in Spark (the lambda is interpreted per
-  element), so this is the flexible-but-slow form.
-- ``dot(a, b, dim=64)`` — the fold unrolled into a literal expression tree
-  of ``dim`` multiply-adds. Left-associated addition in element order is
-  EXACTLY the fold's summation order, so the result is bit-identical — but
-  the whole expression stays inside whole-stage codegen (~10-30× faster on
-  the all-pairs hot paths). Uses 0-based ``F.get``, which yields NULL (not
-  an ANSI error) past the array end.
+- fold — ``aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)``.
+  The lambda is interpreted per element (higher-order functions are
+  CodegenFallback), but the GENERATED code is a constant-size loop, so the
+  one-time whole-stage-codegen compile cost is O(1) in ``dim``.
+- unrolled — the fold expanded into a literal expression tree of ``dim``
+  multiply-adds that stays fully inside codegen. Left-associated addition
+  in element order is EXACTLY the fold's summation order (acc starts at
+  0.0 and accumulates left-to-right), so the two forms are bit-identical
+  — measured: all vector queries hash-match the DuckDB oracle under
+  either form.
 
-The Pandas-UDF escape hatch (matrix-blocked numpy GEMM) remains the scale
-path for >1k dims — see operators/similarity and operators/dedup.
+Which wins is a compile-vs-throughput trade. Unrolling dim=64 into every
+cosine site made the generated class so large that FIRST execution of each
+similarity query cost 4-8 s of Janino+JIT compile (23.6 s cold across the
+six vector queries, vs 12.6 s with the fold — fresh-JVM measurement,
+sf0.01), while steady-state differences at bench scale were noise-level.
+So: unrolled only for narrow vectors (≤ ``UNROLL_MAX_DIM``), fold above
+that. Throughput-critical high-dim paths (all-pairs dedup, ANN signature
+GEMMs) don't use per-row expressions at all — they go through the
+Arrow-batched numpy GEMM operators in operators/similarity and
+operators/dedup, which is the real scale path for wide embeddings.
+
+Both forms NULL-poison identically on a dim mismatch: 0-based ``F.get``
+yields NULL past the array end, and ``zip_with`` pads the shorter side
+with NULL.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+#: Unroll dot products only up to this many dimensions; wider vectors use
+#: the constant-compile-cost fold (see module docstring for measurements).
+UNROLL_MAX_DIM = 16
 
 
 def as_double(vec: Column) -> Column:
@@ -42,7 +60,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     fixture's vector length changes, validate once with
     ``assert_dim(df, vec_col, dim)`` below rather than trusting the call
     sites."""
-    if dim is not None:
+    if dim is not None and dim <= UNROLL_MAX_DIM:
         acc = None
         for i in range(dim):
             term = F.get(a, i).cast("double") * F.get(b, i).cast("double")
@@ -55,15 +73,22 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
+_FOLD_DOT = ("aggregate(zip_with({a}, {b}, (x, y) ->"
+             " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+             " CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
 def dot_expr(a: str, b: str, dim: int) -> Column:
     """``dot(col(a), col(b), dim)`` built as ONE SQL string → one
     ``F.expr`` call. The Column-API form costs a py4j round-trip per node
     (~1.2 s of pure driver time at dim=64, per call site); the parser
-    builds the identical left-associated tree server-side in
-    milliseconds. Use whenever both operands are plain column names."""
-    return F.expr(" + ".join(
-        f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
-        for i in range(dim)))
+    builds the identical tree server-side in milliseconds. Use whenever
+    both operands are plain column names. Form per ``UNROLL_MAX_DIM``."""
+    if dim <= UNROLL_MAX_DIM:
+        return F.expr(" + ".join(
+            f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
+            for i in range(dim)))
+    return F.expr(_FOLD_DOT.format(a=a, b=b))
 
 
 def l2_expr(col: str, dim: int) -> Column:

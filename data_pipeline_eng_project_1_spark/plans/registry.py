@@ -32,100 +32,106 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-#: Measured per-query cost (seconds, Spark run + DuckDB oracle, sf0.01 on
-#: local[32], warm session — tests/oracle_harness.py). The grading driver
+#: Measured per-query cost (seconds, Spark run + DuckDB oracle, sf0.01,
+#: one fresh session walking the registry in grading order — each query's
+#: FIRST execution, i.e. the driver's pattern, where one-time plan-compile
+#: cost dominates at this scale; tests/oracle_harness.py prints cumulative
+#: time so a budget-tripped driver walk can be located exactly. The
+#: first-slot query's number is replaced by its warm-session marginal cost
+#: (the constant ~5 s session warm-up belongs to the session, not the
+#: query). The grading driver
 #: walks the registry in dict order under a time budget; iterating
 #: CHEAPEST-FIRST maximizes the number of operators that get a
 #: correctness row if the budget trips mid-walk, and costs nothing when
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "posexplode_tokens": 0.15,
-    "vector_norms": 0.16,
-    "unpivot_part_metrics": 0.16,
-    "sort_limit_topk": 0.16,
-    "array_hof_stats": 0.18,
-    "string_funcs_part": 0.19,
-    "filter_project_cast": 0.19,
-    "try_cast_dirty": 0.20,
-    "null_conditional_agg": 0.21,
-    "rollup_status_priority": 0.22,
-    "date_parts_orders": 0.22,
-    "cube_nation_segment": 0.23,
-    "topk_per_priority": 0.23,
-    "grouping_sets_status_priority": 0.24,
-    "window_distribution": 0.25,
-    "doc_chunks": 0.25,
-    "events_rollup_multigrain": 0.25,
-    "window_running_rank": 0.26,
-    "window_latest_per_key": 0.26,
-    "text_fingerprint": 0.26,
-    "window_range_moving_avg": 0.27,
-    "stringagg_nations": 0.28,
-    "pivot_returnflag": 0.28,
-    "approx_distinct_custkeys": 0.28,
-    "stats_agg_lineitem": 0.28,
-    "multimodal_meta": 0.29,
-    "pricing_summary_agg": 0.30,
-    "regression_price_qty": 0.30,
-    "events_json_extract": 0.30,
-    "text_token_topk": 0.30,
-    "events_tumbling_1h": 0.31,
-    "conditional_promo_ratio": 0.31,
-    "group_distinct_agg": 0.32,
-    "doc_packing": 0.32,
-    "events_sessionize": 0.32,
-    "events_asof_click": 0.33,
-    "above_avg_orders": 0.34,
-    "quantiles_per_priority": 0.35,
-    "customer_order_histogram": 0.37,
-    "multimodal_frames": 0.37,
-    "disjunctive_bracket_revenue": 0.38,
-    "events_range_join_1h": 0.38,
-    "events_hourly_retention": 0.39,
-    "semi_anti_customers": 0.39,
-    "skew_salted_join": 0.40,
-    "set_ops_custkeys": 0.41,
-    "top_revenue_supplier": 0.41,
-    "window_lead_lag": 0.43,
-    "rich_quiet_customers": 0.46,
-    "events_sliding_1h_15m": 0.46,
-    "multimodal_decode": 0.46,
-    "small_qty_part_revenue": 0.46,
-    "scalar_subquery_share": 0.47,
-    "stratified_sample": 0.47,
-    "text_repetition": 0.47,
-    "late_shipment_priority": 0.49,
+    "vector_norms": 0.17,
+    "posexplode_tokens": 0.19,
+    "array_hof_stats": 0.19,
+    "sort_limit_topk": 0.20,
+    "unpivot_part_metrics": 0.20,
+    "string_funcs_part": 0.20,
+    "try_cast_dirty": 0.21,
+    "filter_project_cast": 0.22,
+    "grouping_sets_status_priority": 0.23,
+    "null_conditional_agg": 0.26,
+    "date_parts_orders": 0.26,
+    "topk_per_priority": 0.28,
+    "doc_chunks": 0.29,
+    "window_latest_per_key": 0.30,
+    "rollup_status_priority": 0.30,
+    "window_distribution": 0.32,
+    "cube_nation_segment": 0.33,
+    "events_json_extract": 0.34,
+    "events_rollup_multigrain": 0.34,
+    "events_sessionize": 0.37,
+    "window_range_moving_avg": 0.37,
+    "conditional_promo_ratio": 0.37,
+    "window_running_rank": 0.38,
+    "pivot_returnflag": 0.39,
+    "disjunctive_bracket_revenue": 0.39,
+    "text_token_topk": 0.39,
+    "quantiles_per_priority": 0.40,
+    "regression_price_qty": 0.41,
+    "above_avg_orders": 0.42,
+    "skew_salted_join": 0.42,
+    "events_hourly_retention": 0.43,
+    "stats_agg_lineitem": 0.43,
+    "events_asof_click": 0.44,
+    "window_lead_lag": 0.44,
+    "doc_packing": 0.44,
+    "stringagg_nations": 0.45,
+    "customer_order_histogram": 0.45,
+    "group_distinct_agg": 0.46,
+    "semi_anti_customers": 0.46,
+    "events_tumbling_1h": 0.47,
+    "rich_quiet_customers": 0.49,
+    "small_qty_part_revenue": 0.49,
     "join_topk_revenue": 0.49,
-    "pii_scrub": 0.51,
-    "sole_blame_suppliers": 0.51,
-    "grouped_zscore_pandas": 0.52,
-    "large_order_customers": 0.54,
-    "corpus_mixture_sample": 0.55,
-    "bloom_pruned_join": 0.59,
-    "text_quality": 0.59,
-    "dedup_embedding_cosine": 0.62,
-    "nation_trade_volume": 0.63,
-    "star_join_region_revenue": 0.63,
-    "map_priority_counts": 0.66,
-    "events_scd2_history": 0.72,
-    "dedup_exact": 0.72,
-    "orders_dense_index": 0.74,
-    "text_langid": 0.76,
-    "events_gap_fill": 0.83,
-    "ntile_spend_quartiles": 0.83,
-    "corpus_curation": 0.85,
-    "similarity_topk": 1.03,
-    "corpus_decontamination": 1.16,
-    "dedup_ngram_jaccard": 1.18,
-    "similarity_ann_pq": 1.40,
-    "dedup_simhash": 1.41,
-    "text_tfidf_topterms": 1.42,
-    "dedup_minhash_lsh": 1.48,
-    "corpus_pipeline_end_to_end": 1.63,
-    "similarity_ann_lsh": 1.88,
-    "dedup_components": 2.67,
-    "similarity_ann_ivf": 2.88,
+    "late_shipment_priority": 0.52,
+    "scalar_subquery_share": 0.52,
+    "events_range_join_1h": 0.52,
+    "set_ops_custkeys": 0.52,
+    "pricing_summary_agg": 0.60,
+    "events_sliding_1h_15m": 0.60,
+    "pii_scrub": 0.61,
+    "sole_blame_suppliers": 0.61,
+    "grouped_zscore_pandas": 0.64,
+    "text_repetition": 0.65,
+    "top_revenue_supplier": 0.67,
+    "nation_trade_volume": 0.68,
+    "star_join_region_revenue": 0.68,
+    "dedup_embedding_cosine": 0.69,
+    "multimodal_meta": 0.71,
+    "bloom_pruned_join": 0.77,
+    "similarity_topk": 0.85,
+    "ntile_spend_quartiles": 0.91,
+    "dedup_exact": 0.95,
+    "map_priority_counts": 0.96,
+    "events_gap_fill": 0.98,
+    "text_quality": 0.99,
+    "text_tfidf_topterms": 1.01,
+    "text_langid": 1.07,
+    "events_scd2_history": 1.07,
+    "multimodal_decode": 1.07,
+    "stratified_sample": 1.08,
+    "approx_distinct_custkeys": 1.10,
+    "text_fingerprint": 1.12,
+    "large_order_customers": 1.13,
+    "corpus_curation": 1.19,
+    "corpus_decontamination": 1.26,
+    "similarity_ann_pq": 1.45,
+    "corpus_mixture_sample": 1.56,
+    "orders_dense_index": 1.67,
+    "dedup_ngram_jaccard": 1.70,
+    "dedup_simhash": 1.75,
+    "multimodal_frames": 2.35,
+    "dedup_minhash_lsh": 3.09,
+    "similarity_ann_ivf": 3.20,
+    "similarity_ann_lsh": 3.28,
+    "dedup_components": 3.74,
+    "corpus_pipeline_end_to_end": 4.76,
 }
 
 _MEDIAN_COST = 0.5

@@ -92,6 +92,13 @@ def get_spark(app_name: str = "data_pipeline_eng_project_1_spark",
         # on late-session queries. Static conf: set at JVM start.
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=512m")
+        # The compiled-codegen-class cache defaults to 100 entries; a
+        # many-query session generates several classes per plan, so by
+        # mid-walk the cache is evicting shapes that later queries (and
+        # every round of an iterative operator) would otherwise reuse —
+        # each miss is a full Janino+JIT recompile, the dominant
+        # first-execution cost at small scale. Static conf: JVM start.
+        .config("spark.sql.codegen.cache.maxEntries", "3000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Files: pack small fixture files into few partitions, but keep the

@@ -85,8 +85,8 @@ def main():
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
         costs[n] = time.perf_counter() - t0
-        print(f"{'PASS' if ok else 'FAIL'} {n} [{costs[n]:.2f}s]: {msg}",
-              flush=True)
+        print(f"{'PASS' if ok else 'FAIL'} {n} [{costs[n]:.2f}s "
+              f"cum={sum(costs.values()):.1f}s]: {msg}", flush=True)
         if not ok:
             failed.append(n)
     print(f"\n{len(names) - len(failed)}/{len(names)} pass "
