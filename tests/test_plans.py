@@ -192,3 +192,28 @@ def test_frames_fanout_has_no_payload_shuffle(spark):
     # mapInPandas fan-out runs in the scan stage; payload bytes never cross
     # an exchange
     assert "Exchange" not in plan
+
+
+def test_no_query_plans_cartesian_or_row_python(spark):
+    """Registry-wide lint: no registered query may compile to a cartesian
+    product or a row-at-a-time Python UDF (BatchEvalPython). Exceptions
+    are named, bounded fan-outs, not data×data blowups:
+
+    - BroadcastNestedLoopJoin against a CONSTANT-size broadcast side
+      (IVF/LSH centroid tables, 1-row scalar aggregates) is O(N·C) by
+      design and stays;
+    - ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas are the
+      sanctioned vectorized Python paths.
+
+    Catching a plan-shape regression here costs one explain() per query
+    (~no execution), and it guards EVERY query, including future ones,
+    not just the handful with bespoke audits above.
+    """
+    failures = []
+    for name, b in _builders().items():
+        plan = _plan(b(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+    assert not failures, failures
