@@ -170,6 +170,37 @@ def _cells_df(spark, centroids: list[tuple[int, list[float]]]):
     return spark.createDataFrame(rows, "cid int, cv array<double>, cn double")
 
 
+def assign_cells(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
+                 dim: int | None = None, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Assign every corpus vector to its single nearest centroid cell —
+    the shared O(N·C) scan-side step under IVF search and semantic dedup.
+
+    The constant-size centroid table broadcasts; a broadcast nested-loop
+    join fans each vector out to C scored rows map-side, and ``min(struct
+    (-cos, cid))`` — the exact (cos DESC, cid) tiebreak of the oracle's
+    row_number — collapses them with a partial-aggregating shuffle of N
+    rows. No window over the corpus, no sort. The vector rides along via
+    first() (constant within each id's group, so first() is
+    deterministic) rather than in the GROUP KEY, keeping the shuffle key
+    an 8-byte id. Returns (match_id, cv, cn, cell)."""
+    if dim is None:
+        dim = len(centroids[0][1])
+    cells = F.broadcast(_cells_df(corpus.sparkSession, centroids))
+    ccos = vectors.dot_expr("v", "cv", dim) / (F.col("vn") * F.col("cn"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("v"),
+        _l2(vec_col, dim).alias("vn"))
+    return (
+        c.crossJoin(cells)
+        .groupBy("match_id")
+        .agg(F.min(F.struct((-ccos).alias("negcos"), F.col("cid").alias("cid")))
+              .alias("mc"),
+             F.first("v").alias("cv"), F.first("vn").alias("cn"))
+        .select("match_id", "cv", "cn", F.col("mc")["cid"].alias("cell"))
+    )
+
+
 def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
                     nprobe: int = 3, num_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -200,24 +231,7 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     if dim is None:
         dim = len(cents[0][1])  # fixed-length fixture vectors
     cells = F.broadcast(_cells_df(corpus.sparkSession, cents))
-    ccos = vectors.dot_expr("v", "cv", dim) / (F.col("vn") * F.col("cn"))
-
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("v"),
-        _l2(vec_col, dim).alias("vn"))
-    # Assignment: the vector rides along as first() aggregates (constant
-    # within each id's group, so first() is deterministic) rather than as
-    # part of the GROUP KEY — the shuffle then hashes/compares an 8-byte
-    # id instead of an id + dim doubles, and no join-back is needed to
-    # recover the vector for scoring.
-    ca = (
-        c.crossJoin(cells)
-        .groupBy("match_id")
-        .agg(F.min(F.struct((-ccos).alias("negcos"), F.col("cid").alias("cid")))
-              .alias("mc"),
-             F.first("v").alias("cv"), F.first("vn").alias("cn"))
-        .select("match_id", "cv", "cn", F.col("mc")["cid"].alias("cell"))
-    )
+    ca = assign_cells(corpus, cents, dim=dim, id_col=id_col, vec_col=vec_col)
     # Probe assignment stays IN-ENGINE (the centroid table is broadcast,
     # so this adds no shuffle of the probes themselves — just a per-probe
     # window over C scored rows): same SQL fold as the corpus side, so

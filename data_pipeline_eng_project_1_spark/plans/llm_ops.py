@@ -286,6 +286,48 @@ def _q_dedup_embedding(spark, sf_dir):
     )
 
 
+_SEMDEDUP_COS = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v,"
+                 " a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+_SEMDEDUP_CCOS = ("list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v,"
+                  " e.v)) * sqrt(list_dot_product(c.cv, c.cv)))")
+
+
+@_register(
+    "dedup_semantic",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16
+    ),
+    ca AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SEMDEDUP_CCOS} DESC, c.cid) AS r
+        FROM e CROSS JOIN cells c
+      ) WHERE r = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_SEMDEDUP_COS} >= 0.4
+    )
+    SELECT vec_id AS id, CAST(cid AS INTEGER) AS cell,
+           vec_id IN (SELECT vec_id FROM dups) AS is_dup
+    FROM ca
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the "
+        "embedding space (head-sample cells for the oracle; "
+        "ivf_train_kmeans in production), mark any vector with a lower-id "
+        "within-cell neighbor at cosine >= 0.4 as a duplicate — the "
+        "within-cell self-join bounds the quadratic term at "
+        "N²/num_cells, the accepted recall loss being cross-cell pairs",
+)
+def _q_dedup_semantic(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(e, threshold=0.4, num_cells=16, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -192,3 +192,25 @@ def test_embedding_dup_pairs_exact_cosine(spark):
              for r in dedup.embedding_dup_pairs(df, threshold=0.9).collect()}
     assert set(pairs) == {(0, 1)}
     assert abs(pairs[(0, 1)] - 1.0) < 1e-12
+
+
+def test_semantic_dedup_within_cell_lower_id_wins(spark):
+    # 2 centroids (head-sample: ids 0 and 1). ids 0,2,3 share a direction
+    # (cosine 1 within one cell -> 2 and 3 are dups of 0); id 1 is alone
+    # in its cell; id 4 is NEAR id 1's cell but below threshold.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [3.0, 0.0, 0.0]),
+        (3, [5.0, 0.0, 0.0]),
+        (4, [0.3, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: (r["cell"], r["is_dup"])
+           for r in dedup.semantic_dedup(df, threshold=0.99,
+                                         num_cells=2).collect()}
+    assert len(out) == 5
+    assert not out[0][1] and not out[1][1] and not out[4][1]
+    assert out[2][1] and out[3][1]
+    assert out[2][0] == out[0][0] == out[3][0]
+    assert out[4][0] == out[1][0]  # same cell as 1, but cosine < 0.99
