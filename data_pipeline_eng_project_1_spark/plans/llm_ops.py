@@ -998,6 +998,52 @@ def _q_multimodal_decode(spark, sf_dir):
 
 
 @_register(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_WTOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT sum(c) AS total, count(*) AS v FROM vocab)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln((c + 1.0) / (total + v))) / sum(tf), 4)
+               AS avg_logprob
+    FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="unigram-LM quality proxy (the CCNet-style perplexity filter, with "
+        "the corpus itself as the LM): add-one-smoothed unigram "
+        "log-probability averaged per token; low scores flag "
+        "gibberish/rare-token documents for the curation gate. Plan: one "
+        "explode→(doc,term) hash-agg, a term-keyed agg for the vocab, a "
+        "two-scalar broadcast (total tokens + vocab size), one term-keyed "
+        "join back, one doc-keyed agg — no per-token state leaves the "
+        "scan stage, and in production the LM side is just a different "
+        "(static, broadcastable) vocab table",
+)
+def _q_text_unigram_logprob(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(texts.tokenize_words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf")
+                      * F.log((F.col("c") + F.lit(1.0))
+                              / (F.col("total") + F.col("v"))))
+                / F.sum("tf"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+@_register(
     "text_tfidf_topterms",
     f"""
     WITH toks AS (SELECT doc_id, unnest({SQL_WTOKS}) AS term FROM documents),

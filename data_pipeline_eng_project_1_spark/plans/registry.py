@@ -132,6 +132,7 @@ _MEASURED_COST_S = {
     "similarity_ann_lsh": 3.28,
     "dedup_components": 3.74,
     "dedup_semantic": 2.00,
+    "text_unigram_logprob": 1.20,
     "corpus_pipeline_end_to_end": 4.76,
 }
 
