@@ -217,3 +217,19 @@ def test_no_query_plans_cartesian_or_row_python(spark):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
     assert not failures, failures
+
+
+def test_shared_subplans_reuse_exchanges_at_runtime(spark):
+    """dedup_semantic and text_unigram_logprob reference their expensive
+    shared frame (cell assignment / term frequencies) from 2-3 places; the
+    static plan prints duplicated subtrees, but AQE's exchange reuse must
+    collapse them at runtime so the corpus is scanned and aggregated ONCE
+    per query. A restructuring that breaks plan canonicalization (e.g.
+    non-deterministic expression ids in one branch) silently turns these
+    into 3-scan queries at 100 TB — pin the reuse."""
+    for name in ("dedup_semantic", "text_unigram_logprob"):
+        df = _builders()[name](spark, SF_DIR)
+        df.collect()
+        final = _plan(df)
+        assert final.count("ReusedExchange") >= 2, (
+            f"{name}: expected >=2 reused exchanges\n{final[:1500]}")
