@@ -221,11 +221,13 @@ _FAMILY = {
     #    the coverage prefix (these were the never-graded ops in r1/r2).
 }
 
-#: Queries with a correctness row in CORRECTNESS_r01/r02 (any verdict).
+#: Queries with a correctness row in a prior grading round (any verdict).
 #: Families with NO prior row are emitted first so a budget-tripped walk
-#: still produces NEW evidence; refresh after each round from the union of
-#: CORRECTNESS_r*.json keys.
-_GRADED_PRIOR = {
+#: still produces NEW evidence. The static base set is CORRECTNESS_r01/r02;
+#: _graded_prior() unions in any CORRECTNESS_r*.json found next to the repo
+#: root at import time, so the walk order self-refreshes every round
+#: without hand-editing this set.
+_GRADED_PRIOR_BASE = {
     "above_avg_orders", "approx_distinct_custkeys", "array_hof_stats",
     "bloom_pruned_join", "conditional_promo_ratio", "cube_nation_segment",
     "customer_order_histogram", "date_parts_orders", "dedup_embedding_cosine",
@@ -248,6 +250,28 @@ _GRADED_PRIOR = {
     "window_latest_per_key", "window_lead_lag", "window_range_moving_avg",
     "window_running_rank",
 }
+
+
+def _graded_prior() -> set[str]:
+    import glob
+    import json
+    import os
+
+    out = set(_GRADED_PRIOR_BASE)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+            if isinstance(rows, dict):
+                out |= set(rows.keys())
+        except (OSError, ValueError):
+            continue  # malformed artifact: keep the static base set
+    return out
+
+
+_GRADED_PRIOR = _graded_prior()
 
 
 def _cost(name: str) -> float:
