@@ -251,6 +251,67 @@ def dedup_documents_stream(docs: DataFrame, ts_col: str = "ts",
     )
 
 
+def semantic_hits_stream(vectors_stream: DataFrame, reference: DataFrame,
+                         threshold: float = 0.4, num_cells: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int | None = None,
+                         centroids: list[tuple[int, list[float]]] | None = None
+                         ) -> DataFrame:
+    """Streaming rung of semantic dedup: screen each ARRIVING embedding
+    against a static reference corpus and emit its near-duplicate hits
+    (arrival_id, ref_id, cosine) — a sink/filter drops arrivals with hits.
+
+    Entirely STATELESS stream ops, so it runs at any arrival rate with
+    zero state store: per-row cell assignment is a constant fan-out
+    ``array_max`` over the C broadcast-able centroid scores (windows and
+    groupBy aggs — the batch operator's shapes — aren't available on
+    streams; an expression over driver-side centroid metadata is), then a
+    stream-static equi-join on the cell id against the reference corpus
+    pre-assigned by the SAME centroids (operators/similarity.assign_cells),
+    with the exact-cosine filter on the joined pairs. The static side is
+    re-plannable per micro-batch, so a nightly-rebuilt reference index is
+    picked up without restarting the stream. Tiebreak (cos DESC, cid ASC)
+    matches the batch operator bit-for-bit: struct comparison on
+    (cos, -cid) maximizes cos first, then the smallest cid.
+    """
+    from data_pipeline_eng_project_1_spark.operators import similarity as _sim
+
+    cents = (centroids if centroids is not None
+             else _sim.ivf_centroids(reference, num_cells, id_col, vec_col))
+    if dim is None:
+        dim = len(cents[0][1])
+    from data_pipeline_eng_project_1_spark.functions import vectors as _vec
+
+    v = F.col(vec_col)
+    vn = F.sqrt(_vec.dot(v, v, dim))
+
+    def _cell_score(cid: int, cv: list[float]):
+        import math
+        cn = math.sqrt(sum(x * x for x in cv))
+        cos = _vec.dot(v, F.array(*[F.lit(float(x)) for x in cv]), dim) \
+            / (vn * F.lit(cn))
+        return F.struct(cos.alias("cos"), F.lit(-cid).alias("negcid"))
+
+    best = F.array_max(F.array(*[_cell_score(cid, cv) for cid, cv in cents]))
+    arrivals = vectors_stream.select(
+        F.col(id_col).alias("arrival_id"), v.alias("av"), vn.alias("an"),
+        (-best["negcid"]).alias("cell"))
+
+    ref = _sim.assign_cells(reference, cents, dim=dim, id_col=id_col,
+                            vec_col=vec_col).select(
+        F.col("match_id").alias("ref_id"), F.col("cv").alias("rv"),
+        F.col("cn").alias("rn"), "cell")
+    cos = _vec.dot(F.col("av"), F.col("rv"), dim) / (F.col("an") * F.col("rn"))
+    return (
+        arrivals.join(ref, "cell")
+        .filter(F.col("arrival_id") != F.col("ref_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("arrival_id", "ref_id", "cell", "cosine")
+    )
+
+
 def user_activity_stateful(events: DataFrame,
                            watermark: str = "30 minutes",
                            idle_timeout_ms: int = 1_800_000) -> DataFrame:

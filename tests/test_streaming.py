@@ -297,3 +297,35 @@ def test_jdbc_stream_bulk_appends_per_batch(spark, tmp_path):
     got = files.read_jdbc(spark, url, "EVENTS_WH", driver=driver)
     assert got.count() == 3
     assert {r["k"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_semantic_hits_stream_flags_near_dup_arrivals(spark, tmp_path):
+    """Arriving embeddings are screened against a static reference: an
+    arrival near a same-cell reference vector emits a hit pair; a novel
+    direction emits nothing. Stateless — no watermark, no state store."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "vecs", tmp_path / "ck_sem"
+    src.mkdir()
+    ref = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0])],
+        ["vec_id", "embedding"])
+    arrivals = [
+        {"vec_id": 10, "embedding": [3.0, 0.0]},   # dup of refs 0 and 2
+        {"vec_id": 11, "embedding": [-1.0, -1.0]}, # novel direction
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in arrivals))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    hits = sp.semantic_hits_stream(stream, ref, threshold=0.99, num_cells=2,
+                                   dim=2)
+    q = sp.run_to_memory(hits, "semhits_t", str(ckpt))
+    q.awaitTermination()
+    got = {(r["arrival_id"], r["ref_id"]): r["cosine"]
+           for r in spark.table("semhits_t").collect()}
+    assert set(got) == {(10, 0), (10, 2)}
+    assert all(abs(c - 1.0) < 1e-12 for c in got.values())
