@@ -48,94 +48,94 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.16,
+    "sort_limit_topk": 0.17,
     "vector_norms": 0.17,
-    "unpivot_part_metrics": 0.19,
+    "posexplode_tokens": 0.18,
     "string_funcs_part": 0.19,
-    "try_cast_dirty": 0.22,
-    "rollup_status_priority": 0.23,
-    "cube_nation_segment": 0.23,
-    "text_fingerprint": 0.23,
-    "null_conditional_agg": 0.25,
-    "window_latest_per_key": 0.25,
-    "doc_chunks": 0.26,
-    "window_distribution": 0.26,
-    "topk_per_priority": 0.26,
+    "unpivot_part_metrics": 0.20,
+    "filter_project_cast": 0.21,
+    "multimodal_meta": 0.22,
+    "grouping_sets_status_priority": 0.22,
+    "array_hof_stats": 0.22,
+    "try_cast_dirty": 0.23,
+    "null_conditional_agg": 0.23,
+    "doc_chunks": 0.25,
+    "date_parts_orders": 0.26,
+    "window_latest_per_key": 0.27,
+    "window_distribution": 0.27,
     "window_range_moving_avg": 0.28,
-    "stats_agg_lineitem": 0.29,
-    "grouping_sets_status_priority": 0.30,
+    "topk_per_priority": 0.29,
+    "cube_nation_segment": 0.29,
+    "rollup_status_priority": 0.30,
+    "events_rollup_multigrain": 0.31,
     "window_running_rank": 0.31,
-    "pricing_summary_agg": 0.32,
-    "stringagg_nations": 0.32,
-    "regression_price_qty": 0.32,
+    "stringagg_nations": 0.31,
     "conditional_promo_ratio": 0.32,
-    "stratified_sample": 0.33,
-    "events_rollup_multigrain": 0.33,
-    "doc_packing": 0.34,
+    "stats_agg_lineitem": 0.32,
+    "above_avg_orders": 0.33,
+    "events_tumbling_1h": 0.33,
+    "pricing_summary_agg": 0.34,
     "pivot_returnflag": 0.34,
-    "events_tumbling_1h": 0.35,
+    "events_sessionize": 0.35,
+    "regression_price_qty": 0.35,
+    "multimodal_decode": 0.36,
     "text_token_topk": 0.36,
-    "events_json_extract": 0.36,
-    "events_asof_click": 0.36,
-    "above_avg_orders": 0.37,
     "group_distinct_agg": 0.37,
-    "quantiles_per_priority": 0.38,
-    "events_sessionize": 0.39,
-    "customer_order_histogram": 0.40,
-    "skew_salted_join": 0.42,
-    "window_lead_lag": 0.42,
-    "disjunctive_bracket_revenue": 0.45,
-    "posexplode_tokens": 0.45,
-    "semi_anti_customers": 0.45,
-    "set_ops_custkeys": 0.47,
-    "events_range_join_1h": 0.47,
-    "multimodal_frames": 0.48,
-    "events_sliding_1h_15m": 0.49,
-    "late_shipment_priority": 0.50,
-    "array_hof_stats": 0.51,
-    "events_scd2_history": 0.51,
-    "filter_project_cast": 0.53,
-    "events_hourly_retention": 0.53,
-    "scalar_subquery_share": 0.54,
-    "join_topk_revenue": 0.54,
-    "sole_blame_suppliers": 0.55,
-    "large_order_customers": 0.55,
-    "date_parts_orders": 0.56,
-    "rich_quiet_customers": 0.56,
-    "text_quality": 0.57,
-    "grouped_zscore_pandas": 0.57,
-    "bloom_pruned_join": 0.59,
+    "events_asof_click": 0.39,
+    "quantiles_per_priority": 0.40,
+    "customer_order_histogram": 0.42,
+    "doc_packing": 0.43,
+    "disjunctive_bracket_revenue": 0.44,
+    "events_json_extract": 0.45,
+    "events_hourly_retention": 0.47,
+    "skew_salted_join": 0.47,
+    "events_range_join_1h": 0.50,
+    "top_revenue_supplier": 0.50,
+    "set_ops_custkeys": 0.51,
+    "similarity_topk": 0.52,
+    "late_shipment_priority": 0.52,
+    "join_topk_revenue": 0.52,
+    "window_lead_lag": 0.53,
+    "rich_quiet_customers": 0.54,
+    "sole_blame_suppliers": 0.54,
+    "small_qty_part_revenue": 0.55,
+    "events_sliding_1h_15m": 0.57,
+    "dedup_exact": 0.59,
     "pii_scrub": 0.61,
-    "star_join_region_revenue": 0.64,
-    "corpus_mixture_sample": 0.66,
-    "nation_trade_volume": 0.70,
-    "text_repetition": 0.72,
-    "map_priority_counts": 0.77,
-    "text_unigram_logprob": 0.78,
-    "text_langid": 0.79,
-    "dedup_embedding_cosine": 0.79,
-    "corpus_curation": 0.86,
-    "events_gap_fill": 0.95,
-    "text_tfidf_topterms": 1.00,
-    "corpus_decontamination": 1.08,
-    "approx_distinct_custkeys": 1.10,
-    "dedup_exact": 1.22,
-    "small_qty_part_revenue": 1.37,
-    "dedup_ngram_jaccard": 1.38,
-    "top_revenue_supplier": 1.40,
-    "similarity_ann_pq": 1.46,
-    "corpus_pipeline_end_to_end": 1.47,
-    "multimodal_meta": 1.61,
-    "similarity_topk": 1.62,
-    "orders_dense_index": 1.66,
-    "dedup_simhash": 1.67,
-    "multimodal_decode": 1.74,
-    "similarity_ann_ivf": 1.88,
-    "ntile_spend_quartiles": 1.93,
-    "dedup_semantic": 3.29,
-    "dedup_minhash_lsh": 3.00,
-    "similarity_ann_lsh": 3.80,
-    "dedup_components": 4.50,
+    "scalar_subquery_share": 0.62,
+    "grouped_zscore_pandas": 0.63,
+    "dedup_embedding_cosine": 0.64,
+    "large_order_customers": 0.64,
+    "bloom_pruned_join": 0.66,
+    "semi_anti_customers": 0.71,
+    "map_priority_counts": 0.74,
+    "text_langid": 0.77,
+    "events_gap_fill": 0.78,
+    "text_repetition": 0.81,
+    "star_join_region_revenue": 0.82,
+    "ntile_spend_quartiles": 0.91,
+    "text_quality": 0.93,
+    "text_tfidf_topterms": 0.93,
+    "orders_dense_index": 0.96,
+    "approx_distinct_custkeys": 1.01,
+    "nation_trade_volume": 1.01,
+    "events_scd2_history": 1.06,
+    "corpus_curation": 1.07,
+    "text_unigram_logprob": 1.10,
+    "text_fingerprint": 1.12,
+    "corpus_decontamination": 1.14,
+    "stratified_sample": 1.22,
+    "corpus_mixture_sample": 1.23,
+    "dedup_semantic": 1.23,
+    "dedup_minhash_lsh": 1.29,
+    "similarity_ann_lsh": 1.34,
+    "dedup_simhash": 1.53,
+    "dedup_ngram_jaccard": 1.54,
+    "similarity_ann_pq": 1.69,
+    "corpus_pipeline_end_to_end": 1.85,
+    "multimodal_frames": 1.92,
+    "similarity_ann_ivf": 2.24,
+    "dedup_components": 2.82,
 }
 
 _MEDIAN_COST = 0.5
