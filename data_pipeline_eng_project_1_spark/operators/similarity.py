@@ -140,6 +140,10 @@ def ivf_train_kmeans(corpus: DataFrame, num_cells: int = 16,
 
     rows = (corpus.select(vec_col).orderBy(id_col).limit(sample_n).collect())
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if len(X) < num_cells:
+        raise ValueError(
+            f"k-means needs at least num_cells={num_cells} sample vectors, "
+            f"got {len(X)} — shrink num_cells or raise sample_n")
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     centers = Xn[rng.choice(len(Xn), size=num_cells, replace=False)].copy()
