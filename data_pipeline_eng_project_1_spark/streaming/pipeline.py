@@ -376,6 +376,72 @@ def user_activity_stateful(events: DataFrame,
     )
 
 
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (StatefulProcessor + typed state handles)
+    that succeeds applyInPandasWithState. Same per-key/partitioned scaling
+    story as ``user_activity_stateful`` above; the API differences that
+    matter: named, TYPED state slots (ValueState/ListState/MapState)
+    instead of one tuple blob — so state evolves by adding slots, not by
+    migrating a packed schema — and RocksDB-backed state (required by
+    this API; the provider conf is set here because the operator cannot
+    run under the default HDFS-backed provider) with changelog
+    checkpointing for state larger than executor memory.
+
+    Emits the updated (user_id, n_events, total_value) row for every user
+    seen in each micro-batch (Update output mode).
+
+    Runtime dependency: the API's Python↔state-server protocol uses
+    google.protobuf; environments without it fail at stream start (the
+    test gates on it), while ``user_activity_stateful`` has no such
+    dependency and remains the portable form.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total = (self._totals.get() if self._totals.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame([{
+                "user_id": user_id, "n_events": n, "total_value": total,
+            }])
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(), out_schema, "Update", "None")
+    )
+
+
 def run_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
                    output_mode: str = "append") -> StreamingQuery:
     """availableNow drain into a parquet directory. Unlike the memory sink,

@@ -329,3 +329,42 @@ def test_semantic_hits_stream_flags_near_dup_arrivals(spark, tmp_path):
            for r in spark.table("semhits_t").collect()}
     assert set(got) == {(10, 0), (10, 2)}
     assert all(abs(c - 1.0) < 1e-12 for c in got.values())
+
+
+def test_user_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas accumulates per-user state ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file): the
+    second batch's emission includes the first batch's totals.
+
+    The API's state-server protocol needs google.protobuf at stream
+    runtime; sandboxes without it skip here (the operator itself is
+    plain PySpark — nothing else to gate)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "ev", tmp_path / "ck_tws"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in [
+        {"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+        {"user_id": 2, "value": 1.0},
+    ]))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in [
+        {"user_id": 1, "value": 2.0},
+    ]))
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = sp.run_to_memory(sp.user_totals_tws(stream), "tws_t", str(ckpt),
+                         output_mode="update")
+    q.awaitTermination()
+    rows = spark.table("tws_t").collect()
+    # final state per user: max n_events row
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 17.0)   # state crossed the batch boundary
+    assert final[2] == (1, 1.0)
