@@ -214,3 +214,36 @@ def test_semantic_dedup_within_cell_lower_id_wins(spark):
     assert out[2][1] and out[3][1]
     assert out[2][0] == out[0][0] == out[3][0]
     assert out[4][0] == out[1][0]  # same cell as 1, but cosine < 0.99
+
+
+def test_semantic_dedup_matches_numpy_reference_on_random_vectors(spark):
+    """Seeded random corpus vs an independent numpy implementation of the
+    same spec (nearest head-sample centroid with (cos DESC, cid ASC)
+    tiebreak; dup = lower-id within-cell neighbor at cosine >= tau)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, cells, tau = 40, 8, 4, 0.92
+    X = rng.normal(size=(n, dim))
+    X[7] = X[3] * 2.0          # planted dups (same direction)
+    X[25] = X[12] * 0.5 + rng.normal(size=dim) * 1e-3
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        ["vec_id", "embedding"])
+    got = {r["id"]: (r["cell"], r["is_dup"])
+           for r in dedup.semantic_dedup(df, threshold=tau,
+                                         num_cells=cells).collect()}
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:cells]             # head-sample centroids (ids 0..cells-1)
+    cos_c = Xn @ C.T
+    # argmax with (cos DESC, cid ASC) tiebreak == plain argmax (first max)
+    cell = cos_c.argmax(1)
+    expect = {}
+    for i in range(n):
+        dup = any(cell[j] == cell[i] and (Xn[j] @ Xn[i]) >= tau
+                  for j in range(i))
+        expect[i] = (int(cell[i]), dup)
+    assert got == expect
+    assert expect[7][1] and got[7][0] == got[3][0]  # planted dup caught
