@@ -221,57 +221,60 @@ _FAMILY = {
     #    the coverage prefix (these were the never-graded ops in r1/r2).
 }
 
-#: Queries with a correctness row in a prior grading round (any verdict).
-#: Families with NO prior row are emitted first so a budget-tripped walk
-#: still produces NEW evidence. The static base set is CORRECTNESS_r01/r02;
-#: _graded_prior() unions in any CORRECTNESS_r*.json found next to the repo
-#: root at import time, so the walk order self-refreshes every round
-#: without hand-editing this set.
-_GRADED_PRIOR_BASE = {
-    "above_avg_orders", "approx_distinct_custkeys", "array_hof_stats",
-    "bloom_pruned_join", "conditional_promo_ratio", "cube_nation_segment",
-    "customer_order_histogram", "date_parts_orders", "dedup_embedding_cosine",
-    "disjunctive_bracket_revenue", "doc_chunks", "doc_packing",
-    "events_asof_click", "events_hourly_retention", "events_json_extract",
-    "events_range_join_1h", "events_rollup_multigrain", "events_sessionize",
-    "events_sliding_1h_15m", "events_tumbling_1h", "filter_project_cast",
-    "group_distinct_agg", "grouped_zscore_pandas",
-    "grouping_sets_status_priority", "join_topk_revenue",
-    "large_order_customers", "late_shipment_priority", "nation_trade_volume",
-    "ntile_spend_quartiles", "null_conditional_agg", "orders_dense_index",
-    "pivot_returnflag", "posexplode_tokens", "pricing_summary_agg",
-    "quantiles_per_priority", "regression_price_qty", "rich_quiet_customers",
-    "rollup_status_priority", "scalar_subquery_share", "semi_anti_customers",
-    "set_ops_custkeys", "skew_salted_join", "sole_blame_suppliers",
-    "sort_limit_topk", "star_join_region_revenue", "stats_agg_lineitem",
-    "string_funcs_part", "stringagg_nations", "text_repetition",
-    "text_token_topk", "topk_per_priority", "try_cast_dirty",
-    "unpivot_part_metrics", "vector_norms", "window_distribution",
-    "window_latest_per_key", "window_lead_lag", "window_range_moving_avg",
-    "window_running_rank",
+#: Queries whose DEFINITION changed after their latest green correctness
+#: row (the artifacts can't see code edits, only re-runs). Listing a name
+#: here forces it back into the needs-evidence prefix until a new green
+#: row lands, after which the entry is dead weight and can be dropped.
+_CHANGED_SINCE_GREEN: set[str] = {
+    "dedup_components",  # r4: restored to full corpus (r3 row graded a
+                         # doc_id%2 slice; see plans/llm_ops.py)
 }
 
 
-def _graded_prior() -> set[str]:
+def _grading_state() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a correctness row, latest row green?).
+
+    Parsed from every CORRECTNESS_r*.json next to the repo root at import
+    time, so the walk order self-refreshes each round. Green means the
+    driver's strongest verdict — ``hash_match: true``. A rows-only row
+    (``err: no_oracle``) is NOT green: it keeps the query in the
+    needs-evidence prefix, which is exactly right once the query grows a
+    real oracle (r3 lesson: ``approx_distinct_custkeys``'s oracle-green
+    rewrite never got re-graded because any-row-any-verdict counted as
+    "graded").
+    """
     import glob
     import json
     import os
+    import re
 
-    out = set(_GRADED_PRIOR_BASE)
+    state: dict[str, tuple[int, bool]] = {}
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 rows = json.load(f)
-            if isinstance(rows, dict):
-                out |= set(rows.keys())
         except (OSError, ValueError):
-            continue  # malformed artifact: keep the static base set
-    return out
+            continue  # malformed artifact: skip it
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = isinstance(row, dict) and row.get("hash_match") is True
+            prev = state.get(name)
+            if prev is None or rnd >= prev[0]:
+                state[name] = (rnd, green)
+    for name in _CHANGED_SINCE_GREEN:
+        if name in state:
+            state[name] = (state[name][0], False)
+    return state
 
 
-_GRADED_PRIOR = _graded_prior()
+_GRADING_STATE = _grading_state()
 
 
 def _cost(name: str) -> float:
@@ -282,13 +285,32 @@ def _family(name: str) -> str:
     return _FAMILY.get(name, name)
 
 
-def all_specs() -> list[QuerySpec]:
-    """Registered specs in grading order: coverage-first.
+def _needs_evidence(name: str) -> bool:
+    """True when the query has no green row in its latest-seen state:
+    never graded, latest row non-green (fixed-after-grading, new oracle,
+    rows-only), or definition changed since its green row."""
+    st = _GRADING_STATE.get(name)
+    return st is None or not st[1]
 
-    1. One cheapest representative per operator family, families with no
-       prior correctness row first, then by representative cost — so any
-       budget cutoff maximizes per-OPERATOR coverage and new evidence.
-    2. Remaining specs: never-graded first, then cheapest-first.
+
+def _green_round(name: str) -> int:
+    """Round of the latest green row (large sentinel when needs-evidence,
+    so such queries never look 'fresh')."""
+    st = _GRADING_STATE.get(name)
+    return st[0] if st is not None and st[1] else 10**9
+
+
+def all_specs() -> list[QuerySpec]:
+    """Registered specs in grading order: coverage-first, evidence-first.
+
+    1. One representative per operator family — the cheapest
+       needs-evidence member when one exists (never graded, latest row
+       non-green, or changed since its green row), else the STALEST-green
+       member — so a budget cutoff maximizes per-operator coverage, new
+       evidence, and freshness, in that order.
+    2. Remaining specs: needs-evidence first (cheapest-first), then green
+       ones stalest-round-first — every family's green row converges to
+       ≤1 round old as budget allows.
     """
     by_family: dict[str, list[QuerySpec]] = {}
     for s in _SPECS:
@@ -298,20 +320,21 @@ def all_specs() -> list[QuerySpec]:
     rest: list[QuerySpec] = []
     for members in by_family.values():
         members = sorted(members, key=lambda s: _cost(s.name))
-        # The representative is the cheapest NEVER-GRADED member when one
-        # exists: a family with prior green rows keeps that evidence
-        # regardless of which member runs this round, so spending the
-        # family's slot on an ungraded member maximizes new information;
-        # all-graded families just send their cheapest member.
-        ungraded = [s for s in members if s.name not in _GRADED_PRIOR]
-        rep = ungraded[0] if ungraded else members[0]
+        needy = [s for s in members if _needs_evidence(s.name)]
+        if needy:
+            rep = needy[0]
+        else:
+            rep = min(members,
+                      key=lambda s: (_green_round(s.name), _cost(s.name)))
         reps.append(rep)
         rest.extend(s for s in members if s is not rep)
 
-    def _family_graded(spec: QuerySpec) -> bool:
-        return any(
-            m.name in _GRADED_PRIOR for m in by_family[_family(spec.name)])
+    def _key(s: QuerySpec):
+        # Needs-evidence first by cost; then green, stalest-round-first.
+        if _needs_evidence(s.name):
+            return (0, _cost(s.name), 0)
+        return (1, _green_round(s.name), _cost(s.name))
 
-    reps.sort(key=lambda s: (_family_graded(s), _cost(s.name)))
-    rest.sort(key=lambda s: (s.name in _GRADED_PRIOR, _cost(s.name)))
+    reps.sort(key=_key)
+    rest.sort(key=_key)
     return reps + rest
