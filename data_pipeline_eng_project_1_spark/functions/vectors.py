@@ -50,22 +50,30 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential dot product in double; unrolled into codegen if ``dim``
-    (the fixed array length) is known.
+    """Sequential dot product in double over the first ``dim`` elements
+    (the whole array when ``dim`` is None); unrolled into codegen if
+    ``dim`` is small enough.
 
-    Failure mode when ``dim`` is wrong: the unrolled form uses 0-based
-    ``F.get``, which returns NULL past the array end — so dim > len(vec)
-    makes the whole dot (and any cosine built on it) silently NULL, and
-    rows vanish from top-k/threshold results instead of erroring. If a
-    fixture's vector length changes, validate once with
-    ``assert_dim(df, vec_col, dim)`` below rather than trusting the call
-    sites."""
+    Both physical forms honor ``dim`` identically: the unrolled form sums
+    exactly ``dim`` terms, and the fold form slices both operands to
+    ``dim`` first — so a truncating caller (dim < len) gets the same
+    first-``dim`` sum either side of ``UNROLL_MAX_DIM``, not a silent
+    switch to the full-array sum.
+
+    Failure mode when ``dim`` is too LARGE: 0-based ``F.get`` returns NULL
+    past the array end — so dim > len(vec) makes the whole dot (and any
+    cosine built on it) silently NULL, and rows vanish from
+    top-k/threshold results instead of erroring. If a fixture's vector
+    length changes, validate once with ``assert_dim(df, vec_col, dim)``
+    below rather than trusting the call sites."""
     if dim is not None and dim <= UNROLL_MAX_DIM:
         acc = None
         for i in range(dim):
             term = F.get(a, i).cast("double") * F.get(b, i).cast("double")
             acc = term if acc is None else acc + term
         return acc
+    if dim is not None:
+        a, b = F.slice(a, 1, dim), F.slice(b, 1, dim)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -83,12 +91,16 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
     ``F.expr`` call. The Column-API form costs a py4j round-trip per node
     (~1.2 s of pure driver time at dim=64, per call site); the parser
     builds the identical tree server-side in milliseconds. Use whenever
-    both operands are plain column names. Form per ``UNROLL_MAX_DIM``."""
+    both operands are plain column names. Form per ``UNROLL_MAX_DIM``;
+    like ``dot``, the fold form slices to ``dim`` so truncating callers
+    agree across both forms (slice(arr, 1, len) of a full-length array is
+    the identity, so the usual dim == len call sites are unchanged)."""
     if dim <= UNROLL_MAX_DIM:
         return F.expr(" + ".join(
             f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
             for i in range(dim)))
-    return F.expr(_FOLD_DOT.format(a=a, b=b))
+    return F.expr(_FOLD_DOT.format(a=f"slice({a}, 1, {dim})",
+                                   b=f"slice({b}, 1, {dim})"))
 
 
 def l2_expr(col: str, dim: int) -> Column:

@@ -68,7 +68,7 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, __toks, *extra) with the token array MATERIALIZED behind a hash
-    repartition on the id.
+    repartition on the id when the input is under-split.
 
     The exchange does two jobs at once:
     - a hard materialization barrier: everything downstream reads the token
@@ -80,13 +80,23 @@ def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
       on a handful of cores no matter the cluster size. Hash-partitioning
       by id also lets the downstream groupBy("id") reuse the partitioning
       instead of shuffling again.
+
+    GATED on the scan's split count: a real 100 TB corpus already yields
+    thousands of splits, and re-shuffling all of its raw text just to
+    spread CPU would be a gratuitous full exchange — the scan parallelism
+    is already there, and CollapseProject won't inline a non-cheap alias
+    referenced more than once, so the tokenizer still runs once per row
+    without the barrier.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("id"),
         texts.tokens(F.col(text_col)).alias("__toks"),
         *extra_cols,
-    ).repartition(n, "id")
+    )
+    if df.rdd.getNumPartitions() >= n:
+        return out
+    return out.repartition(n, "id")
 
 
 def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -596,11 +606,22 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Scale: each round is one self-contained shuffle join on the current
     labels (edges are reused cached); rounds needed = component diameter,
     which for near-dup clusters (near-cliques) is 2-3, never the O(log n)
-    worst case of path graphs. Each round's labels are cached, and the
-    convergence probe (a 1-row aggregate, never a collect of the data) is
-    the action that materializes that cache — exactly ONE Spark job per
-    round. Lineage grows one cached-join layer per round, bounded by
-    max_iter; spent rounds are unpersisted as soon as the next one lands.
+    worst case of path graphs. Each round's labels are localCheckpoint'ed
+    (lazy — the convergence probe, a 1-row aggregate, is the action that
+    materializes it: exactly ONE Spark job per round), which TRUNCATES the
+    lineage to the materialized RDD. Truncation is load-bearing, not an
+    optimization: the labels frame is referenced twice per round (neighbor
+    aggregation + the label join), so an un-truncated logical plan doubles
+    every round and the analyzer hangs near round ~12 — caching alone
+    bounds re-execution but not plan size. On a multi-tenant cluster where
+    executor loss matters, swap localCheckpoint for reliable
+    ``checkpoint`` + a checkpoint dir; the loop is otherwise unchanged.
+
+    Raises RuntimeError if labels are still changing when ``max_iter``
+    trips: partial labels look exactly like converged ones (a path-shaped
+    edge set would silently get WRONG components), so non-convergence must
+    be loud — raise ``max_iter`` to at least the expected component
+    diameter.
     """
     n = nodes.sparkSession.sparkContext.defaultParallelism
     # Hash-partition the cached edges on the join key: InMemoryRelation
@@ -614,8 +635,9 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                                F.col("id_a").alias("dst")))
     ).repartition(n, "src").persist()
 
-    labels = nodes.select("id", F.col("id").alias("comp")).persist()
-    spent = [labels]
+    labels = nodes.select("id", F.col("id").alias("comp")) \
+        .localCheckpoint(eager=False)
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(edges, labels["id"] == edges["src"])
@@ -628,14 +650,16 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                     F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
                      .alias("comp"),
                     (F.col("nmin") < F.col("comp")).alias("changed"))
-        ).persist()
+        ).localCheckpoint(eager=False)
         changed = new_labels.agg(
             F.sum(F.col("changed").cast("int")).alias("n")).first()["n"]
         labels = new_labels.select("id", "comp")
-        spent.append(new_labels)
         if not changed:
             break
-        if len(spent) > 2:  # keep current + its parent hot, drop the rest
-            spent.pop(0).unpersist()
     edges.unpersist()
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — the edge set has "
+            f"components with diameter > max_iter; raise max_iter")
     return labels

@@ -168,6 +168,60 @@ def sessionize(df: DataFrame, key: str, ts: str, gap: int,
         .drop("__new")
 
 
+def locf_fill(df: DataFrame, key: str, order: str, value: str,
+              filled_col: str = "value_filled",
+              bucket_size: int = 24) -> DataFrame:
+    """Last-observation-carried-forward over a dense integer grid, with
+    BOUNDED window frames — the 100 TB form of gap filling.
+
+    The naive LOCF is one window per key over the key's entire history
+    (``last(v, ignorenulls) OVER (PARTITION BY key ORDER BY t ROWS
+    UNBOUNDED PRECEDING)``): a multi-year key becomes one giant sorted
+    window partition on one task. This operator is the standard two-level
+    segmented-scan rewrite, algebraically identical output:
+
+    1. local:  LOCF within (key, bucket = t DIV bucket_size) — frames are
+       capped at ``bucket_size`` rows;
+    2. carry:  per-bucket last non-null value (an aggregate, one row per
+       bucket), LOCF'd across buckets per key — a window over the compact
+       bucket grain, ``bucket_size``× smaller than the data;
+    3. filled = coalesce(local, carry-in from strictly earlier buckets).
+
+    Identity: if the latest non-null observation at or before t is in the
+    same bucket, (1) finds it; otherwise (1) is null and (3) takes (2),
+    the latest non-null of all earlier buckets. No arithmetic touches the
+    values, so results are bit-identical to the unbounded form.
+
+    Input must have one row per (key, order) grid point (densify first —
+    sequence+explode over each key's span). Adds ``filled_col``; keeps
+    every input column.
+    """
+    df = df.withColumn(
+        "__bkt", F.floor(F.col(order) / bucket_size).cast("long"))
+    w_local = (Window.partitionBy(key, "__bkt").orderBy(order)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = F.last(value, ignorenulls=True).over(w_local)
+    # Last non-null per bucket: max_by skips rows whose ordering expr is
+    # null, so gaps don't shadow real observations; an all-null bucket
+    # yields null and the carry passes through it.
+    bucket_last = (
+        df.groupBy(key, "__bkt")
+        .agg(F.max_by(value, F.when(F.col(value).isNotNull(),
+                                    F.col(order))).alias("__last"))
+    )
+    w_carry = (Window.partitionBy(key).orderBy("__bkt")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carry = bucket_last.select(
+        key, "__bkt",
+        F.last("__last", ignorenulls=True).over(w_carry).alias("__carry"))
+    return (
+        df.withColumn("__local", local)
+        .join(carry, [key, "__bkt"], "left")
+        .withColumn(filled_col, F.coalesce("__local", "__carry"))
+        .drop("__bkt", "__local", "__carry")
+    )
+
+
 def bloom_prune(probe: DataFrame, build: DataFrame, probe_key: str,
                 build_key: str, n_bits: int = 1 << 20, k: int = 2) -> DataFrame:
     """Runtime-filter (semi-join reduction): drop probe rows whose key

@@ -140,21 +140,41 @@ def ivf_train_kmeans(corpus: DataFrame, num_cells: int = 16,
 
     rows = (corpus.select(vec_col).orderBy(id_col).limit(sample_n).collect())
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    # Zero-norm sample vectors cannot be L2-normalized: one all-zero
+    # embedding would put a NaN row in Xn, NaN cosine scores then poison
+    # every assignment, and NaN propagates into centroid means. Such
+    # vectors carry no direction to cluster on — drop them from the
+    # TRAINING sample (assignment of zero vectors at query time is the
+    # caller's tiebreak, unchanged here).
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0.0]
     if len(X) < num_cells:
         raise ValueError(
-            f"k-means needs at least num_cells={num_cells} sample vectors, "
-            f"got {len(X)} — shrink num_cells or raise sample_n")
+            f"k-means needs at least num_cells={num_cells} nonzero sample "
+            f"vectors, got {len(X)} — shrink num_cells or raise sample_n")
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     centers = Xn[rng.choice(len(Xn), size=num_cells, replace=False)].copy()
     for _ in range(iters):
         # cosine argmax == squared-L2 argmin on the unit sphere
-        assign = (Xn @ centers.T).argmax(1)
+        sims = Xn @ centers.T
+        assign = sims.argmax(1)
+        # Re-seed empty clusters from the worst-served point (smallest max
+        # similarity to any center) instead of keeping a stale center:
+        # stale centers can sit on duplicate coordinates and permanently
+        # waste cells.
+        for c in range(num_cells):
+            if not (assign == c).any():
+                far = sims.max(1).argmin()
+                centers[c] = Xn[far]
+                assign[far] = c
         for c in range(num_cells):
             pts = Xn[assign == c]
             if len(pts):
                 m = pts.mean(0)
-                centers[c] = m / np.linalg.norm(m)
+                n = np.linalg.norm(m)
+                if n > 0.0:  # antipodal-mean degenerate cell: keep center
+                    centers[c] = m / n
     return [(c, [float(x) for x in centers[c]]) for c in range(num_cells)]
 
 

@@ -40,8 +40,14 @@ def _spread(df):
     """Round-robin repartition to full parallelism before CPU-dense row
     work: text corpora land as few fat parquet files (1 row-group = 1
     split), which would pin regex/hash-heavy scans to a handful of cores
-    regardless of cluster size."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    regardless of cluster size. Gated on the scan's split count so a real
+    many-file corpus (thousands of splits at 100 TB) is NOT re-shuffled —
+    the parallelism is already there and the exchange would move every
+    raw text byte for nothing."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 # --- shared SQL fragments (DuckDB) -----------------------------------------

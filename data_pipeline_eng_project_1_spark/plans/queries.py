@@ -1023,12 +1023,13 @@ def _q_events_hourly_retention(spark, sf_dir):
     """,
     doc="time-series resample + gap fill (LOCF): per-user hourly sums on a "
         "dense hour grid spanning each user's observed range, missing "
-        "hours carry the last observation forward via "
-        "last(ignorenulls) over an unbounded-preceding frame. The grid "
-        "fan-out is sequence+explode in the span row (no driver loop), "
-        "the fill is ONE window on the user key reusing the join's "
-        "partitioning; at 100 TB the partition key becomes "
-        "(user, day-bucket) so frames stay bounded",
+        "hours carry the last observation forward. The grid fan-out is "
+        "sequence+explode in the span row (no driver loop); the fill is "
+        "operators/relational.py::locf_fill — the two-level segmented-scan "
+        "form whose window frames are BOUNDED at bucket_size rows "
+        "(LOCF within (user, day-bucket) + per-bucket-last carry-in), "
+        "bit-identical to the oracle's single unbounded-frame window but "
+        "safe for multi-year keys at 100 TB",
 )
 def _q_events_gap_fill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
@@ -1041,12 +1042,11 @@ def _q_events_gap_fill(spark, sf_dir):
     grid = span.select(
         "user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
     j = grid.join(hourly, ["user_id", "h"], "left")
-    w = (Window.partitionBy("user_id").orderBy("h")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return j.select(
+    filled = relational.locf_fill(j, "user_id", "h", "v", bucket_size=24)
+    return filled.select(
         "user_id",
         (F.col("h") * 3600000).cast("long").alias("hour_ms"),
-        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value_filled"),
+        F.round("value_filled", 2).alias("value_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
 

@@ -228,6 +228,8 @@ _FAMILY = {
 _CHANGED_SINCE_GREEN: set[str] = {
     "dedup_components",  # r4: restored to full corpus (r3 row graded a
                          # doc_id%2 slice; see plans/llm_ops.py)
+    "events_gap_fill",   # r4: fill rewritten onto the bounded-frame
+                         # locf_fill operator (same output, new plan)
 }
 
 

@@ -256,8 +256,8 @@ def semantic_hits_stream(vectors_stream: DataFrame, reference: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          dim: int | None = None,
-                         centroids: list[tuple[int, list[float]]] | None = None
-                         ) -> DataFrame:
+                         centroids: list[tuple[int, list[float]]] | None = None,
+                         same_id_space: bool = True) -> DataFrame:
     """Streaming rung of semantic dedup: screen each ARRIVING embedding
     against a static reference corpus and emit its near-duplicate hits
     (arrival_id, ref_id, cosine) — a sink/filter drops arrivals with hits.
@@ -274,6 +274,14 @@ def semantic_hits_stream(vectors_stream: DataFrame, reference: DataFrame,
     picked up without restarting the stream. Tiebreak (cos DESC, cid ASC)
     matches the batch operator bit-for-bit: struct comparison on
     (cos, -cid) maximizes cos first, then the smallest cid.
+
+    ``same_id_space`` (default True) excludes ``arrival_id == ref_id``
+    pairs — correct when the stream replays the reference corpus itself
+    (a vector must not flag as its own duplicate). Pass False when
+    arrivals and the reference assign ids INDEPENDENTLY: an arrival that
+    happens to reuse a reference id is a coincidence there, and dropping
+    the pair would silently skip screening it against that reference
+    vector.
     """
     from data_pipeline_eng_project_1_spark.operators import similarity as _sim
 
@@ -303,10 +311,11 @@ def semantic_hits_stream(vectors_stream: DataFrame, reference: DataFrame,
         F.col("match_id").alias("ref_id"), F.col("cv").alias("rv"),
         F.col("cn").alias("rn"), "cell")
     cos = _vec.dot(F.col("av"), F.col("rv"), dim) / (F.col("an") * F.col("rn"))
+    joined = arrivals.join(ref, "cell")
+    if same_id_space:
+        joined = joined.filter(F.col("arrival_id") != F.col("ref_id"))
     return (
-        arrivals.join(ref, "cell")
-        .filter(F.col("arrival_id") != F.col("ref_id"))
-        .withColumn("cosine", cos)
+        joined.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("arrival_id", "ref_id", "cell", "cosine")
     )
@@ -384,9 +393,9 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
     matter: named, TYPED state slots (ValueState/ListState/MapState)
     instead of one tuple blob — so state evolves by adding slots, not by
     migrating a packed schema — and RocksDB-backed state (required by
-    this API; the provider conf is set here because the operator cannot
-    run under the default HDFS-backed provider) with changelog
-    checkpointing for state larger than executor memory.
+    this API; the caller must configure the provider session-wide — this
+    operator refuses to overwrite the session conf, see below) with
+    changelog checkpointing for state larger than executor memory.
 
     Emits the updated (user_id, n_events, total_value) row for every user
     seen in each micro-batch (Update output mode).
@@ -431,10 +440,24 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
+    # transformWithStateInPandas REQUIRES the RocksDB provider, but the
+    # provider class is session-global: silently overwriting it here would
+    # leak RocksDB into every OTHER streaming query started later in the
+    # session (a query restarting from a checkpoint created under the
+    # default HDFS-backed provider fails or corrupts on the mismatch). So:
+    # require the caller/session factory to have configured it, and fail
+    # loudly at plan-build time if not.
+    rocksdb = ("org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider")
+    current = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+    if rocksdb not in (current or ""):
+        raise ValueError(
+            "user_totals_tws needs the RocksDB state-store provider, which "
+            "must be configured session-wide (it affects every streaming "
+            "query's checkpoints): set spark.sql.streaming.stateStore."
+            f"providerClass={rocksdb} on the session before building this "
+            "operator")
     return (
         events.groupBy("user_id")
         .transformWithStateInPandas(

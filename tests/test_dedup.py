@@ -247,3 +247,47 @@ def test_semantic_dedup_matches_numpy_reference_on_random_vectors(spark):
         expect[i] = (int(cell[i]), dup)
     assert got == expect
     assert expect[7][1] and got[7][0] == got[3][0]  # planted dup caught
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A 15-node path at max_iter=3 CANNOT converge (min-label propagation
+    moves one hop per round, the path's diameter is 14): partial labels
+    must raise, not return silently-wrong components."""
+    import pytest
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, pairs, max_iter=3)
+    # And with enough rounds the same path converges to component 0.
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(nodes, pairs,
+                                               max_iter=20).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_tokenized_spread_gated_on_input_splits(spark, tmp_path):
+    """The CPU-spread exchange exists for few-fat-file corpora only: a
+    scan that already yields >= defaultParallelism splits must NOT grow a
+    repartition (at 100 TB that exchange would move every raw text byte
+    for nothing), while a single-file scan still gets spread."""
+    n = spark.sparkContext.defaultParallelism
+    rows = [(i, f"alpha beta gamma {i}") for i in range(64)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.coalesce(1).write.parquet(str(tmp_path / "fat"))
+    # Enough files that the scan's bin-packing (openCostInBytes) still
+    # yields >= defaultParallelism splits.
+    df.repartition(8 * n).write.parquet(str(tmp_path / "wide"))
+    fat = spark.read.parquet(str(tmp_path / "fat"))
+    wide = spark.read.parquet(str(tmp_path / "wide"))
+    assert fat.rdd.getNumPartitions() < n <= wide.rdd.getNumPartitions()
+    assert "Exchange" in dedup.tokenized(fat)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in dedup.tokenized(wide)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # Same result either way.
+    a = sorted(r["id"] for r in dedup.tokenized(fat).collect())
+    b = sorted(r["id"] for r in dedup.tokenized(wide).collect())
+    assert a == b == list(range(64))

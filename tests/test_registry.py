@@ -6,7 +6,7 @@ dedup/ANN/text families of correctness rows)."""
 from data_pipeline_eng_project_1_spark.plans import queries as Q
 from data_pipeline_eng_project_1_spark.plans.registry import (
     _FAMILY,
-    _GRADED_PRIOR,
+    _needs_evidence,
 )
 
 BUDGET = 50  # observed driver cap (exactly 50 graded rows in r1 AND r2)
@@ -40,13 +40,27 @@ def test_every_family_inside_driver_budget():
     assert covered == families
 
 
-def test_never_graded_queries_lead_the_walk():
-    """Queries without a prior correctness row must all sit inside the
-    budgeted prefix, else they stay ungraded forever."""
+def test_needs_evidence_queries_lead_the_walk():
+    """Queries without a green row in their latest state (never graded,
+    fixed after grading, or changed since their green row) must all sit
+    inside the budgeted prefix, else they stay evidence-free forever."""
     specs = Q.specs()
-    ungraded_positions = [
-        i for i, s in enumerate(specs) if s.name not in _GRADED_PRIOR
+    needy_positions = [
+        i for i, s in enumerate(specs) if _needs_evidence(s.name)
     ]
-    # Empty is fine (every query has a prior row); any ungraded query
-    # must sit inside the budgeted prefix or it stays ungraded forever.
-    assert all(i < BUDGET for i in ungraded_positions)
+    # Empty is fine (every query is green in its latest state); any
+    # needs-evidence query must sit inside the budgeted prefix.
+    assert all(i < BUDGET for i in needy_positions)
+
+
+def test_green_families_refresh_stalest_first():
+    """Among all-green specs, the walk emits older green rounds before
+    newer ones, so every family's evidence converges to <=1 round old."""
+    from data_pipeline_eng_project_1_spark.plans.registry import _green_round
+
+    specs = Q.specs()
+    nfam = len({_family(s.name) for s in specs})
+    for seg in (specs[:nfam], specs[nfam:]):  # reps, then the rest
+        green_rounds = [_green_round(s.name) for s in seg
+                        if not _needs_evidence(s.name)]
+        assert green_rounds == sorted(green_rounds)

@@ -49,3 +49,61 @@ def test_grouped_zscore_matches_native_window(spark):
             assert got[k] is None
         else:
             assert abs(got[k] - v) < 1e-12
+
+
+def test_locf_fill_matches_unbounded_window(spark):
+    """The bounded two-level fill (LOCF within bucket + per-bucket-last
+    carry-in) must equal the single unbounded-frame window on every shape
+    that exercises its seams: leading nulls, all-null buckets (carry must
+    pass through), values exactly on bucket boundaries, and a value-free
+    key."""
+    from pyspark.sql import Window
+
+    rows = []
+    # key 1: observation at t=0 then a 60-wide gap spanning whole buckets
+    for t in range(70):
+        rows.append((1, t, float(t) if t in (0, 3, 65) else None))
+    # key 2: leading nulls (nothing to carry), then sparse values
+    for t in range(30):
+        rows.append((2, t, float(t * 10) if t in (7, 29) else None))
+    # key 3: all null
+    for t in range(10):
+        rows.append((3, t, None))
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+
+    got = relational.locf_fill(df, "k", "t", "v", bucket_size=8)
+    w = (Window.partitionBy("k").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = df.withColumn("value_filled", F.last("v", ignorenulls=True).over(w))
+    a = sorted(map(tuple, got.select("k", "t", "value_filled").collect()))
+    b = sorted(map(tuple, want.select("k", "t", "value_filled").collect()))
+    assert a == b
+
+    # Bounded-frame claim: no window partition is wider than one bucket on
+    # the row grain — the only unbounded-preceding frame over raw rows is
+    # keyed by (k, __bkt).
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bkt" in plan
+
+
+def test_dot_dim_truncation_consistent_across_forms(spark):
+    """dot/dot_expr with dim < len(array) must sum exactly the first dim
+    elements in BOTH physical forms (unrolled and fold) — the fold used to
+    silently ignore dim and sum the whole array."""
+    from data_pipeline_eng_project_1_spark.functions import vectors
+
+    a = [float(i + 1) for i in range(20)]   # 1..20
+    b = [2.0] * 20
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    want_4 = 2.0 * sum(a[:4])     # unrolled form (dim <= 16)
+    want_18 = 2.0 * sum(a[:18])   # fold form (dim > 16)
+    row = df.select(
+        vectors.dot(F.col("a"), F.col("b"), 4).alias("u"),
+        vectors.dot(F.col("a"), F.col("b"), 18).alias("f"),
+        vectors.dot_expr("a", "b", 4).alias("ue"),
+        vectors.dot_expr("a", "b", 18).alias("fe"),
+        vectors.dot(F.col("a"), F.col("b")).alias("full"),
+    ).first()
+    assert row["u"] == row["ue"] == want_4
+    assert row["f"] == row["fe"] == want_18
+    assert row["full"] == 2.0 * sum(a)

@@ -140,3 +140,21 @@ def test_pq_rerank_recall_floor_on_fixture(spark):
     adc = mean_recall(similarity.pq_topk_cosine(
         probes, similarity.pq_encode(e, books), books, k=10))
     assert adc >= 0.2, f"raw ADC recall@10 collapsed: {adc:.3f}"
+
+
+def test_ivf_train_kmeans_survives_zero_vectors(spark):
+    """An all-zero embedding in the head sample must not NaN-poison the
+    codebook (it is dropped from training), and every returned centroid
+    is finite and unit-norm."""
+    import math
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+        for i in range(1, 40)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train_kmeans(e, num_cells=4, sample_n=40)
+    assert len(cents) == 4
+    for _, cv in cents:
+        assert all(math.isfinite(x) for x in cv)
+        assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9

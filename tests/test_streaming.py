@@ -368,3 +368,50 @@ def test_user_totals_transform_with_state(spark, tmp_path):
             final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final[1] == (3, 17.0)   # state crossed the batch boundary
     assert final[2] == (1, 1.0)
+
+
+def test_user_totals_tws_requires_explicit_rocksdb_provider(spark):
+    """user_totals_tws must not silently flip the session-global state
+    store provider (later queries restarting from HDFS-provider
+    checkpoints would inherit RocksDB and corrupt): without the conf it
+    raises at plan-build time, with it the plan builds."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    df = spark.createDataFrame([], schema)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        with pytest.raises(ValueError, match="RocksDB"):
+            sp.user_totals_tws(df)
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                            "state.RocksDBStateStoreProvider")
+        assert sp.user_totals_tws(df) is not None  # plan builds
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_semantic_hits_same_id_space_flag(spark):
+    """With independent id spaces an arrival reusing a reference id must
+    still be screened (same_id_space=False); the default keeps
+    self-exclusion for corpus-vs-itself streams. Stream ops here are all
+    stateless projections/joins, so the batch plan is the same code
+    path."""
+    ref = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"])
+    # arrival id 0 collides with reference id 0 and IS its near-dup
+    arrivals = spark.createDataFrame([(0, [2.0, 0.0])],
+                                     ["vec_id", "embedding"])
+    dflt = sp.semantic_hits_stream(arrivals, ref, threshold=0.99,
+                                   num_cells=2, dim=2)
+    indep = sp.semantic_hits_stream(arrivals, ref, threshold=0.99,
+                                    num_cells=2, dim=2, same_id_space=False)
+    assert dflt.filter("ref_id = 0").count() == 0   # self-excluded
+    assert indep.filter("ref_id = 0").count() == 1  # screened
