@@ -65,6 +65,23 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def scan_width(df: DataFrame) -> int:
+    """Planning-time estimate of a frame's scan parallelism WITHOUT
+    touching ``df.rdd`` (which forces a full Python→JVM plan conversion
+    per call): the count of scan input files, a lower bound on the split
+    count (files beyond ``spark.sql.files.maxPartitionBytes`` only split
+    further, never merge). Used to gate spread-repartitions — a corpus
+    already split at least ``defaultParallelism`` ways must not be
+    re-shuffled just to spread CPU. In-memory frames (tests,
+    ``createDataFrame``) report 0 files and so always take the spread
+    path, which is right for them too (they parallelize as one local
+    collection)."""
+    try:
+        return len(df.inputFiles())
+    except Exception:  # non-file-backed plans (streams, some views)
+        return 0
+
+
 def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, __toks, *extra) with the token array MATERIALIZED behind a hash
@@ -94,7 +111,7 @@ def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         texts.tokens(F.col(text_col)).alias("__toks"),
         *extra_cols,
     )
-    if df.rdd.getNumPartitions() >= n:
+    if scan_width(df) >= n:
         return out
     return out.repartition(n, "id")
 
@@ -183,12 +200,18 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     tests). The df aggregation shuffles on the same shingle key as the
     candidate join, so the exchange is reused, not added.
     """
+    # The index key is xxhash64(shingle), not the shingle string: the
+    # candidate join's shuffle moves 8-byte longs instead of ~30-byte
+    # text, and long equi-join probes beat string compares. Losslessness
+    # is unconditional — a hash collision can only MERGE two index keys,
+    # which ADDS candidate pairs; the string-level verify below decides
+    # membership, so the output is identical to the string-keyed index.
     pfx = sh.select(
         "id", "sz",
-        F.explode(F.slice(
+        F.explode(F.transform(F.slice(
             F.array_sort("sh"), 1,
             F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
-        )).alias("g"),
+        ), lambda s: F.xxhash64(s))).alias("g"),
     )
     if stop_df_cap is not None:
         freq = pfx.groupBy("g").agg(F.count("*").alias("__df"))
@@ -606,16 +629,36 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Scale: each round is one self-contained shuffle join on the current
     labels (edges are reused cached); rounds needed = component diameter,
     which for near-dup clusters (near-cliques) is 2-3, never the O(log n)
-    worst case of path graphs. Each round's labels are localCheckpoint'ed
-    (lazy — the convergence probe, a 1-row aggregate, is the action that
-    materializes it: exactly ONE Spark job per round), which TRUNCATES the
-    lineage to the materialized RDD. Truncation is load-bearing, not an
-    optimization: the labels frame is referenced twice per round (neighbor
-    aggregation + the label join), so an un-truncated logical plan doubles
-    every round and the analyzer hangs near round ~12 — caching alone
-    bounds re-execution but not plan size. On a multi-tenant cluster where
-    executor loss matters, swap localCheckpoint for reliable
-    ``checkpoint`` + a checkpoint dir; the loop is otherwise unchanged.
+    worst case of path graphs.
+
+    Round bookkeeping is persist()-based, NOT per-round localCheckpoint
+    (the r4 form): lazy caches defer every map stage to the convergence
+    probe, so AQE plans the whole prefix in ONE job. Under AQE, building
+    a localCheckpoint (even ``eager=False``) calls ``execute()`` on the
+    adaptive plan, which eagerly runs all its shuffle map stages — so the
+    r4 loop paid one eager execution PLUS block-manager checkpoint writes
+    per round (measured 2.6 s steady / 10-16 s GC-spiked at sf0.1, vs
+    ~0.8 s stable for this form). Round 1 also skips the probe entirely:
+    any nonempty edge set changes at least one label in round 1, so its
+    count can only say "keep going" — the round-2 probe is the first that
+    can detect convergence, and it materializes both rounds' caches in
+    one job.
+
+    Plan growth: the labels frame is referenced twice per round (neighbor
+    aggregation + the label join), so the un-truncated logical plan
+    doubles per round and the analyzer would hang near round ~12 —
+    caching bounds re-execution but not plan size. A lazy localCheckpoint
+    every ``ckpt_every`` rounds truncates the lineage, bounding the plan
+    at ~2^ckpt_every nodes; near-clique dedup graphs converge before the
+    first one ever fires. On a multi-tenant cluster where executor loss
+    matters, swap it for reliable ``checkpoint`` + a checkpoint dir.
+
+    Exit protocol: the converged labels are materialized into ONE eager
+    localCheckpoint (a tiny (id, comp) RDD — the result handoff, freed by
+    the ContextCleaner once the caller drops the frame), then every
+    intermediate cache is unpersisted, so a long-lived session leaks
+    nothing per call (cache-manager entries, unlike checkpoint RDDs, are
+    never GC-reclaimed).
 
     Raises RuntimeError if labels are still changing when ``max_iter``
     trips: partial labels look exactly like converged ones (a path-shaped
@@ -623,22 +666,29 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     be loud — raise ``max_iter`` to at least the expected component
     diameter.
     """
-    n = nodes.sparkSession.sparkContext.defaultParallelism
     # Hash-partition the cached edges on the join key: InMemoryRelation
     # preserves outputPartitioning, so every round's labels⋈edges join
     # exchanges only the (changing) labels side — the edge set shuffles
     # once, not once per round. (The raw union would also cache 2×
-    # partitions, doubling per-round task count for nothing.)
+    # partitions, doubling per-round task count for nothing.) The
+    # partition COUNT is deliberately not pinned: repartition(col) uses
+    # spark.sql.shuffle.partitions as the ceiling and, unlike a
+    # user-numbered repartition(n, col), leaves AQE free to coalesce —
+    # a small edge set collapses to a few partitions (per-round task
+    # overhead shrinks with it) while a 100 TB edge set keeps the full
+    # configured width.
+    ckpt_every = 4
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"),
                                F.col("id_a").alias("dst")))
-    ).repartition(n, "src").persist()
+    ).repartition("src").persist()
 
-    labels = nodes.select("id", F.col("id").alias("comp")) \
-        .localCheckpoint(eager=False)
-    changed = 0
-    for _ in range(max_iter):
+    cached: list[DataFrame] = []
+    labels = nodes.select("id", F.col("id").alias("comp")).persist()
+    cached.append(labels)
+    changed: int | None = None  # None = no probe has run yet
+    for rnd in range(1, max_iter + 1):
         neighbor_min = (
             labels.join(edges, labels["id"] == edges["src"])
             .groupBy(F.col("dst").alias("id"))
@@ -650,16 +700,27 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                     F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
                      .alias("comp"),
                     (F.col("nmin") < F.col("comp")).alias("changed"))
-        ).localCheckpoint(eager=False)
-        changed = new_labels.agg(
-            F.sum(F.col("changed").cast("int")).alias("n")).first()["n"]
+        ).persist()
+        cached.append(new_labels)
         labels = new_labels.select("id", "comp")
-        if not changed:
-            break
+        if rnd % ckpt_every == 0:  # truncate lineage on deep graphs only
+            labels = labels.localCheckpoint(eager=False)
+        if rnd >= min(2, max_iter):  # round 1's count can't prove anything
+            # coalesce: sum() over an all-NULL/empty `changed` column is
+            # NULL, and None must mean "no probe ran", never "converged"
+            changed = new_labels.agg(
+                F.coalesce(F.sum(F.col("changed").cast("int")), F.lit(0))
+                .alias("n")).first()["n"]
+            if not changed:
+                break
+    converged = changed is not None and not changed
+    out = (labels.localCheckpoint(eager=True) if converged else None)
+    for c in cached:
+        c.unpersist()
     edges.unpersist()
-    if changed:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
             f"rounds ({changed} labels still changing) — the edge set has "
             f"components with diameter > max_iter; raise max_iter")
-    return labels
+    return out

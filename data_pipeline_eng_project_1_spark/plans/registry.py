@@ -222,14 +222,20 @@ _FAMILY = {
 }
 
 #: Queries whose DEFINITION changed after their latest green correctness
-#: row (the artifacts can't see code edits, only re-runs). Listing a name
-#: here forces it back into the needs-evidence prefix until a new green
-#: row lands, after which the entry is dead weight and can be dropped.
-_CHANGED_SINCE_GREEN: set[str] = {
-    "dedup_components",  # r4: restored to full corpus (r3 row graded a
-                         # doc_id%2 slice; see plans/llm_ops.py)
-    "events_gap_fill",   # r4: fill rewritten onto the bounded-frame
-                         # locf_fill operator (same output, new plan)
+#: row (the artifacts can't see code edits, only re-runs). Maps name ->
+#: the round in which the definition changed: a green row from a round
+#: <= that value was graded against the OLD definition and doesn't count;
+#: a green row from a LATER round self-retires the entry (r4 lesson: a
+#: bare set kept forcing dedup_components/events_gap_fill non-green after
+#: their new-definition green rows landed, burning two prefix slots).
+#: r4's two entries retired by CORRECTNESS_r04 green rows.
+_CHANGED_SINCE_GREEN: dict[str, int] = {
+    "similarity_ann_pq": 4,   # r5: shortlist_mult 40 -> 160 puts margin
+                              # under the recall boolean (same output)
+    "dedup_ngram_jaccard": 4,  # r5: prefix index keyed on xxhash64 of the
+                               # shingle (lossless; same output)
+    "dedup_components": 4,    # r5: persist-based label loop + hashed
+                              # prefix keys (same output)
 }
 
 
@@ -270,9 +276,10 @@ def _grading_state() -> dict[str, tuple[int, bool]]:
             prev = state.get(name)
             if prev is None or rnd >= prev[0]:
                 state[name] = (rnd, green)
-    for name in _CHANGED_SINCE_GREEN:
-        if name in state:
-            state[name] = (state[name][0], False)
+    for name, changed_rnd in _CHANGED_SINCE_GREEN.items():
+        st = state.get(name)
+        if st is not None and st[0] <= changed_rnd:
+            state[name] = (st[0], False)
     return state
 
 

@@ -291,3 +291,29 @@ def test_tokenized_spread_gated_on_input_splits(spark, tmp_path):
     a = sorted(r["id"] for r in dedup.tokenized(fat).collect())
     b = sorted(r["id"] for r in dedup.tokenized(wide).collect())
     assert a == b == list(range(64))
+
+
+def test_connected_components_no_edges_all_singletons(spark):
+    """An edgeless graph must converge to all-singleton components, not
+    raise: sum() over the all-NULL `changed` column is NULL, and the
+    probe must read that as 0 changes (converged), never as "no probe
+    ran" (regression guard for the r5 persist-based loop rewrite)."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["id"]: r["comp"]
+           for r in dedup.connected_components(nodes, pairs).collect()}
+    assert out == {i: i for i in range(5)}
+
+
+def test_connected_components_leaves_no_cached_frames(spark):
+    """The loop persists per-round label frames; all of them (and the
+    edge cache) must be unpersisted before return — cache-manager entries
+    are never GC-reclaimed, so a leak here grows without bound in a
+    long-lived session (one call per corpus x many corpora)."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "id_a long, id_b long")
+    spark.catalog.clearCache()  # isolate from other tests' leftovers
+    dedup.connected_components(nodes, pairs).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "connected_components left entries in the cache manager")

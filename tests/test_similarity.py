@@ -158,3 +158,72 @@ def test_ivf_train_kmeans_survives_zero_vectors(spark):
     for _, cv in cents:
         assert all(math.isfinite(x) for x in cv)
         assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
+
+
+def test_train_sample_table_method_trains_usable_quantizers(spark):
+    """The 100 TB sampling path (seeded Bernoulli scan sample, no global
+    sort) must train quantizers as usable as the head sample's: IVF
+    centroids finite/unit-norm with informative recall, PQ codebooks the
+    right shape with bounded codes. Also pins train_sample's contract:
+    bounded size, self-reproducible for a fixed seed, loud on a bad
+    method name."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    e = catalog.load_table(spark, "embeddings", "/root/testdata/sf0.001")
+
+    a = similarity.train_sample(e, ["embedding"], 64, "table", seed=7)
+    b = similarity.train_sample(e, ["embedding"], 64, "table", seed=7)
+    assert 0 < len(a) <= 64
+    assert [r[0] for r in a] == [r[0] for r in b]  # seeded => reproducible
+    with pytest.raises(ValueError, match="sample_method"):
+        similarity.train_sample(e, ["embedding"], 64, "block")
+
+    cents = similarity.ivf_train_kmeans(e, num_cells=8, sample_n=256,
+                                        sample_method="table")
+    assert len(cents) == 8
+    for _, cv in cents:
+        assert all(math.isfinite(x) for x in cv)
+        assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
+
+    books = similarity.pq_train(e, m=8, ksub=16, sample_method="table")
+    assert books.shape == (8, 16, 8)
+    codes = similarity.pq_encode(e, books)
+    first = codes.first()["codes"]
+    assert len(first) == 8 and all(0 <= c < 16 for c in first)
+
+    # Both trained indexes actually retrieve: recall comfortably above
+    # the random-scan baseline on the fixture probes.
+    probes = e.filter(F.col("vec_id") < 20)
+    truth = {}
+    for r in similarity.topk_cosine(probes, e, k=10).collect():
+        truth.setdefault(r["probe_id"], set()).add(r["match_id"])
+    got = {}
+    for r in similarity.ivf_topk_cosine(probes, e, k=10, nprobe=3,
+                                        num_cells=8,
+                                        centroids=cents).collect():
+        got.setdefault(r["probe_id"], set()).add(r["match_id"])
+    rec = sum(len(got.get(p, set()) & t) / len(t)
+              for p, t in truth.items()) / len(truth)
+    assert rec >= 1.2 * (3 / 8), f"table-sampled IVF uninformative: {rec:.3f}"
+
+
+def test_kmeans_reseed_multiple_empty_clusters_distinct(spark):
+    """Two clusters going empty in the same Lloyd iteration must reseed
+    from DIFFERENT points: with duplicate coordinates dominating the
+    sample, the pre-fix code let every empty cluster pick the same argmin
+    point (each stealing it from the previous), leaving duplicate centers.
+    num_cells == n_distinct_points forces the collision path."""
+    rows = []
+    for i in range(32):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, base))
+    rows.append((100, [0.0, 0.0, 1.0, 0.0]))
+    rows.append((101, [0.0, 0.0, 0.0, 1.0]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train_kmeans(e, num_cells=4, sample_n=40, iters=3)
+    uniq = {tuple(round(x, 9) for x in cv) for _, cv in cents}
+    assert len(uniq) == 4, f"duplicate centers after reseed: {cents}"
