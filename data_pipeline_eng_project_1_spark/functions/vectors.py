@@ -29,9 +29,14 @@ GEMMs) don't use per-row expressions at all — they go through the
 Arrow-batched numpy GEMM operators in operators/similarity and
 operators/dedup, which is the real scale path for wide embeddings.
 
-Both forms NULL-poison identically on a dim mismatch: 0-based ``F.get``
-yields NULL past the array end, and ``zip_with`` pads the shorter side
-with NULL.
+A-vs-b LENGTH mismatches NULL-poison in both forms: 0-based ``F.get``
+yields NULL past the shorter array's end, and ``zip_with`` pads the
+shorter side with NULL. A too-large ``dim`` does NOT fail uniformly,
+though: the unrolled form goes NULL (``F.get`` past the end) while the
+fold form silently TRUNCATES (``F.slice`` caps at the array end and
+returns the full-array sum) — so the two forms diverge exactly on that
+misuse. ``assert_dim`` is the only guard; validate fixtures with it
+instead of relying on either failure mode.
 """
 
 from __future__ import annotations
@@ -60,12 +65,14 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     first-``dim`` sum either side of ``UNROLL_MAX_DIM``, not a silent
     switch to the full-array sum.
 
-    Failure mode when ``dim`` is too LARGE: 0-based ``F.get`` returns NULL
-    past the array end — so dim > len(vec) makes the whole dot (and any
-    cosine built on it) silently NULL, and rows vanish from
-    top-k/threshold results instead of erroring. If a fixture's vector
-    length changes, validate once with ``assert_dim(df, vec_col, dim)``
-    below rather than trusting the call sites."""
+    Failure mode when ``dim`` is too LARGE — form-dependent, both silent:
+    the unrolled form's 0-based ``F.get`` returns NULL past the array end,
+    so the whole dot (and any cosine built on it) goes NULL and rows
+    vanish from top-k/threshold results; the fold form's ``F.slice`` caps
+    at the array end, so it returns the full-array sum — a plausible but
+    wrong number. If a fixture's vector length changes, validate once
+    with ``assert_dim(df, vec_col, dim)`` below rather than trusting
+    either failure mode at the call sites."""
     if dim is not None and dim <= UNROLL_MAX_DIM:
         acc = None
         for i in range(dim):

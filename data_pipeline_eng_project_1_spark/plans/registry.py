@@ -48,94 +48,94 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.17,
-    "vector_norms": 0.17,
-    "posexplode_tokens": 0.18,
-    "string_funcs_part": 0.19,
-    "unpivot_part_metrics": 0.20,
-    "filter_project_cast": 0.21,
-    "multimodal_meta": 0.22,
-    "grouping_sets_status_priority": 0.22,
-    "array_hof_stats": 0.22,
-    "try_cast_dirty": 0.23,
-    "null_conditional_agg": 0.23,
-    "doc_chunks": 0.25,
-    "date_parts_orders": 0.26,
-    "window_latest_per_key": 0.27,
-    "window_distribution": 0.27,
-    "window_range_moving_avg": 0.28,
-    "topk_per_priority": 0.29,
-    "cube_nation_segment": 0.29,
-    "rollup_status_priority": 0.30,
-    "events_rollup_multigrain": 0.31,
-    "window_running_rank": 0.31,
-    "stringagg_nations": 0.31,
-    "conditional_promo_ratio": 0.32,
-    "stats_agg_lineitem": 0.32,
-    "above_avg_orders": 0.33,
-    "events_tumbling_1h": 0.33,
-    "pricing_summary_agg": 0.34,
-    "pivot_returnflag": 0.34,
-    "events_sessionize": 0.35,
-    "regression_price_qty": 0.35,
+    "unpivot_part_metrics": 0.18,
+    "sort_limit_topk": 0.18,
+    "array_hof_stats": 0.20,
+    "multimodal_meta": 0.20,
+    "posexplode_tokens": 0.21,
+    "text_fingerprint": 0.21,
+    "vector_norms": 0.21,
+    "filter_project_cast": 0.22,
+    "try_cast_dirty": 0.26,
+    "stratified_sample": 0.26,
+    "null_conditional_agg": 0.28,
+    "doc_chunks": 0.30,
+    "topk_per_priority": 0.30,
+    "grouping_sets_status_priority": 0.30,
+    "pii_scrub": 0.30,
+    "date_parts_orders": 0.31,
+    "cube_nation_segment": 0.33,
+    "rollup_status_priority": 0.34,
+    "window_running_rank": 0.35,
+    "events_tumbling_1h": 0.35,
     "multimodal_decode": 0.36,
-    "text_token_topk": 0.36,
-    "group_distinct_agg": 0.37,
-    "events_asof_click": 0.39,
-    "quantiles_per_priority": 0.40,
-    "customer_order_histogram": 0.42,
-    "doc_packing": 0.43,
-    "disjunctive_bracket_revenue": 0.44,
-    "events_json_extract": 0.45,
-    "events_hourly_retention": 0.47,
-    "skew_salted_join": 0.47,
-    "events_range_join_1h": 0.50,
-    "top_revenue_supplier": 0.50,
+    "events_scd2_history": 0.36,
+    "window_range_moving_avg": 0.36,
+    "text_token_topk": 0.37,
+    "window_latest_per_key": 0.37,
+    "events_json_extract": 0.37,
+    "similarity_topk": 0.39,
+    "events_rollup_multigrain": 0.39,
+    "stats_agg_lineitem": 0.39,
+    "events_sessionize": 0.39,
+    "pricing_summary_agg": 0.39,
+    "window_distribution": 0.39,
+    "pivot_returnflag": 0.39,
+    "doc_packing": 0.40,
+    "above_avg_orders": 0.40,
+    "stringagg_nations": 0.40,
+    "conditional_promo_ratio": 0.40,
+    "events_asof_click": 0.40,
+    "text_quality": 0.41,
+    "multimodal_frames": 0.42,
+    "map_priority_counts": 0.42,
+    "regression_price_qty": 0.42,
+    "group_distinct_agg": 0.46,
+    "quantiles_per_priority": 0.48,
+    "customer_order_histogram": 0.48,
     "set_ops_custkeys": 0.51,
-    "similarity_topk": 0.52,
-    "late_shipment_priority": 0.52,
-    "join_topk_revenue": 0.52,
-    "window_lead_lag": 0.53,
-    "rich_quiet_customers": 0.54,
-    "sole_blame_suppliers": 0.54,
-    "small_qty_part_revenue": 0.55,
-    "events_sliding_1h_15m": 0.57,
-    "dedup_exact": 0.59,
-    "pii_scrub": 0.61,
-    "scalar_subquery_share": 0.62,
-    "grouped_zscore_pandas": 0.63,
-    "dedup_embedding_cosine": 0.64,
-    "large_order_customers": 0.64,
-    "bloom_pruned_join": 0.66,
-    "semi_anti_customers": 0.71,
-    "map_priority_counts": 0.74,
-    "text_langid": 0.77,
-    "events_gap_fill": 0.78,
-    "text_repetition": 0.81,
-    "star_join_region_revenue": 0.82,
-    "ntile_spend_quartiles": 0.91,
-    "text_quality": 0.93,
-    "text_tfidf_topterms": 0.93,
+    "corpus_mixture_sample": 0.51,
+    "grouped_zscore_pandas": 0.53,
+    "semi_anti_customers": 0.54,
+    "events_hourly_retention": 0.54,
+    "window_lead_lag": 0.55,
+    "events_range_join_1h": 0.56,
+    "events_sliding_1h_15m": 0.58,
+    "disjunctive_bracket_revenue": 0.59,
+    "top_revenue_supplier": 0.59,
+    "skew_salted_join": 0.59,
+    "small_qty_part_revenue": 0.60,
+    "dedup_embedding_cosine": 0.60,
+    "dedup_exact": 0.62,
+    "text_repetition": 0.63,
+    "late_shipment_priority": 0.63,
+    "join_topk_revenue": 0.65,
+    "rich_quiet_customers": 0.66,
+    "text_unigram_logprob": 0.67,
+    "text_langid": 0.68,
+    "sole_blame_suppliers": 0.71,
+    "text_tfidf_topterms": 0.75,
+    "large_order_customers": 0.76,
+    "star_join_region_revenue": 0.80,
+    "events_gap_fill": 0.81,
+    "corpus_curation": 0.81,
+    "corpus_decontamination": 0.82,
+    "bloom_pruned_join": 0.85,
+    "scalar_subquery_share": 0.86,
     "orders_dense_index": 0.96,
-    "approx_distinct_custkeys": 1.01,
-    "nation_trade_volume": 1.01,
-    "events_scd2_history": 1.06,
-    "corpus_curation": 1.07,
-    "text_unigram_logprob": 1.10,
-    "text_fingerprint": 1.12,
-    "corpus_decontamination": 1.14,
-    "stratified_sample": 1.22,
-    "corpus_mixture_sample": 1.23,
-    "dedup_semantic": 1.23,
-    "dedup_minhash_lsh": 1.29,
-    "similarity_ann_lsh": 1.34,
-    "dedup_simhash": 1.53,
-    "dedup_ngram_jaccard": 1.54,
-    "similarity_ann_pq": 1.69,
-    "corpus_pipeline_end_to_end": 1.85,
-    "multimodal_frames": 1.92,
-    "similarity_ann_ivf": 2.24,
-    "dedup_components": 2.82,
+    "nation_trade_volume": 0.97,
+    "approx_distinct_custkeys": 1.28,
+    "string_funcs_part": 1.30,
+    "similarity_ann_lsh": 1.38,
+    "ntile_spend_quartiles": 1.52,
+    "dedup_ngram_jaccard": 1.67,
+    "similarity_ann_ivf": 1.74,
+    "dedup_simhash": 1.84,
+    "dedup_semantic": 2.20,
+    "dedup_minhash_lsh": 2.37,
+    "dedup_components": 2.94,
+    "corpus_pipeline_end_to_end": 3.00,
+    "similarity_ann_pq": 3.66,
 }
 
 _MEDIAN_COST = 0.5

@@ -271,14 +271,26 @@ def write_zorder(df: DataFrame, path: str, cols: list[str],
     Verified in tests/test_zorder.py: per-row-group min/max spans on BOTH
     dimensions shrink vs an unclustered write, and the data round-trips
     bit-identically."""
-    for field in df.select(*cols).schema.fields:
-        if not isinstance(field.dataType, T.NumericType):
-            raise ValueError(
-                f"write_zorder clustering column {field.name!r} has type "
-                f"{field.dataType.simpleString()}; only numeric columns can "
-                "be range-bucketed (cast dates/timestamps to epoch numbers "
-                "first)")
-    stats = df.agg(*[f(F.col(c).cast("double")).alias(f"{tag}_{c}")
+    def _numeric(field):
+        """Clustering expression for one column: numerics as-is, temporals
+        epoch-cast in-engine (days for dates, seconds for timestamps) —
+        time is the single most common clustering dimension, so making
+        callers pre-cast it by hand was pure friction. Bucketing only
+        needs a monotone map to doubles; the stored column is untouched."""
+        dt, c = field.dataType, F.col(field.name)
+        if isinstance(dt, T.NumericType):
+            return c.cast("double")
+        if isinstance(dt, T.DateType):
+            return F.unix_date(c).cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return (F.unix_micros(c.cast("timestamp")) / 1e6).cast("double")
+        raise ValueError(
+            f"write_zorder clustering column {field.name!r} has type "
+            f"{dt.simpleString()}; only numeric, date, and timestamp "
+            "columns can be range-bucketed")
+
+    zcols = {f.name: _numeric(f) for f in df.select(*cols).schema.fields}
+    stats = df.agg(*[f(zcols[c]).alias(f"{tag}_{c}")
                      for c in cols for tag, f in (("min", F.min), ("max", F.max))]
                    ).first()
     if any(stats[f"min_{c}"] is None for c in cols):
@@ -294,7 +306,7 @@ def write_zorder(df: DataFrame, path: str, cols: list[str],
         # width_bucket: 1..nb inside the range -> 0-based, clamped
         codes.append(
             F.least(F.lit(nb - 1), F.greatest(F.lit(0),
-                    F.width_bucket(F.col(c).cast("double"),
+                    F.width_bucket(zcols[c],
                                    F.lit(lo), F.lit(hi), F.lit(nb)) - 1)))
     z = F.lit(0).cast("long")
     for i in range(bits):

@@ -357,10 +357,24 @@ def test_user_totals_transform_with_state(spark, tmp_path):
     ])
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).json(str(src)))
-    q = sp.run_to_memory(sp.user_totals_tws(stream), "tws_t", str(ckpt),
-                         output_mode="update")
-    q.awaitTermination()
-    rows = spark.table("tws_t").collect()
+    # user_totals_tws refuses to run on the default HDFS-backed provider
+    # (transformWithStateInPandas requires RocksDB) and deliberately does
+    # NOT set it session-globally itself — so this test must, and must
+    # restore the previous value for the other streaming tests.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        q = sp.run_to_memory(sp.user_totals_tws(stream), "tws_t", str(ckpt),
+                             output_mode="update")
+        q.awaitTermination()
+        rows = spark.table("tws_t").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     # final state per user: max n_events row
     final = {}
     for r in rows:

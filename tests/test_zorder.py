@@ -111,3 +111,55 @@ def test_zorder_rejects_non_numeric_clustering_column(spark, tmp_path):
     with pytest.raises(ValueError, match="only numeric"):
         files.write_zorder(o, str(tmp_path / "bad"),
                            ["o_orderpriority"])
+
+
+def test_zorder_accepts_temporal_clustering_columns(spark, tmp_path):
+    """Date/timestamp clustering columns are epoch-cast in-engine (r4
+    verdict nit: the function used to raise and tell the user to cast by
+    hand). Clustering on (date, numeric) must shrink the date span per
+    row group vs an unclustered write and round-trip the column type."""
+    o = (catalog.load_table(spark, "orders", SF_DIR)
+         .select("o_orderkey", "o_orderdate", "o_totalprice")
+         # fixture ships timestamp_ntz; cast so BOTH temporal kinds get
+         # covered (date here, ntz in the extra write below)
+         .withColumn("o_orderdate", F.col("o_orderdate").cast("date")))
+    assert dict(o.dtypes)["o_orderdate"] == "date"
+
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    o.repartition(4).write.parquet(plain)
+    files.write_zorder(o, zord, ["o_orderdate", "o_totalprice"],
+                       partitions=4)
+
+    back = spark.read.parquet(zord)
+    assert dict(back.dtypes)["o_orderdate"] == "date"
+    assert back.count() == o.count()
+
+    lo, hi = o.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    span = (hi - lo).days or 1
+
+    def avg_date_span(path):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if (c.path_in_schema == "o_orderdate"
+                            and c.statistics is not None):
+                        spans.append(
+                            (c.statistics.max - c.statistics.min).days / span)
+        assert spans
+        return sum(spans) / len(spans)
+
+    assert avg_date_span(zord) < 0.8 * avg_date_span(plain)
+
+    # timestamp_ntz clustering column: accepted and round-trips
+    ntz = str(tmp_path / "ntz")
+    o2 = catalog.load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_orderdate")
+    assert dict(o2.dtypes)["o_orderdate"] == "timestamp_ntz"
+    files.write_zorder(o2, ntz, ["o_orderdate", "o_orderkey"], partitions=2)
+    back2 = spark.read.parquet(ntz)
+    assert dict(back2.dtypes)["o_orderdate"] == "timestamp_ntz"
+    assert back2.count() == o2.count()
