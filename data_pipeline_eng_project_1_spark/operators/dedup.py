@@ -724,3 +724,77 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             f"rounds ({changed} labels still changing) — the edge set has "
             f"components with diameter > max_iter; raise max_iter")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup — the sub-document rung of the ladder
+# ---------------------------------------------------------------------------
+
+
+def span_stats(df: DataFrame, k: int = 16, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document exact-substring duplication stats over non-overlapping
+    ``k``-token spans — the sub-document rung of the dedup ladder
+    (doc-level dedup misses boilerplate repeated INSIDE otherwise-unique
+    documents: license headers, nav bars, quoted chain mails). This is
+    the span-granularity variant of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"); the suffix-array 50-token-window form is a driver-hostile
+    sequential build, while stride-``k`` spans express the same signal as
+    three ordinary shuffles.
+
+    A span OCCURRENCE is (doc, position); its text is the space-joined
+    tokens [i*k, i*k+k). An occurrence is a duplicate when its span text
+    appears more than once corpus-wide, and it is REMOVED (scrub
+    semantics) unless it is the canonical first occurrence — smallest
+    (doc id, position) pair, the same min-wins tiebreak the rest of the
+    dedup family uses. Documents shorter than ``k`` tokens have no spans
+    and no row.
+
+    Returns (id, n_spans, n_dup_spans, n_removed_spans, dup_ratio).
+
+    Scale shape: span extraction is scan-side column algebra (one slice
+    per span, guarded so short docs yield an empty array, since
+    ``sequence(0, -1)`` would count DOWN); the frequency + first-
+    occurrence aggregation shuffles once on the span text (uniform key —
+    a hot boilerplate span lands on one reducer but aggregates, never
+    joins against itself); the occurrence⋈span-stats join reuses that
+    exchange; the per-doc rollup shuffles the occurrence rows once on the
+    id. Nothing is pairwise. At 100 TB the groupBy key would be
+    ``xxhash64(span)`` (8-byte shuffle key; a collision could merge two
+    span groups, which only over-counts duplication) — the string key
+    here keeps the result exactly mirrorable by the SQL oracle.
+    """
+    toks = tokenized(df, id_col, text_col)
+    spans = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0),
+                               (F.size("__toks") / k).cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__toks"), i * k + 1, k), " "),
+                )).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "span"),
+    )
+    stats = spans.groupBy("span").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct(F.col("id").alias("fid"),
+                       F.col("pos").alias("fpos"))).alias("first"),
+    )
+    occ = spans.join(stats, "span").select(
+        "id",
+        (F.col("c") > 1).cast("int").alias("is_dup"),
+        ((F.col("c") > 1)
+         & ~((F.col("id") == F.col("first.fid"))
+             & (F.col("pos") == F.col("first.fpos"))))
+        .cast("int").alias("removed"),
+    )
+    return occ.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("is_dup").alias("n_dup_spans"),
+        F.sum("removed").alias("n_removed_spans"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+    )

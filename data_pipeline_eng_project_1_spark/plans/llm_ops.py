@@ -178,6 +178,50 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_exact_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    sp AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(
+               list_slice(toks, (i-1)*16 + 1, (i-1)*16 + 16), ' ') AS span
+      FROM t, unnest(generate_series(1, len(toks) // 16)) AS u(i)
+    ),
+    st AS (
+      SELECT span, count(*) AS c,
+             min(doc_id * 1000000 + pos) AS first_key
+      FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(sum(CASE WHEN c > 1
+                          AND sp.doc_id * 1000000 + sp.pos <> first_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_spans,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_ratio
+    FROM sp JOIN st USING (span)
+    GROUP BY sp.doc_id
+    """,
+    doc="exact-substring (span-level) dedup stats — the sub-document rung "
+        "of the ladder (Lee et al. 2022 granularity): non-overlapping "
+        "16-token spans, corpus-wide frequency + canonical-first-occurrence "
+        "scrub accounting per doc (operators/dedup.py::span_stats). The "
+        "oracle replays spans/frequency/first-occurrence in SQL; the "
+        "lexicographic (doc_id, pos) first-occurrence tiebreak is encoded "
+        "as min(doc_id*1e6 + pos), identical while pos < 1e6 (spans per "
+        "doc = tokens/16, orders of magnitude below). Docs shorter than "
+        "one span have no row in either engine.",
+)
+def _q_dedup_exact_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.span_stats(d, k=16).select(
+        F.col("id").alias("doc_id"),
+        "n_spans", "n_dup_spans", "n_removed_spans", "dup_ratio")
+
+
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4,
                     threshold: float = 0.8) -> str:
     rows = num_hashes // bands

@@ -131,6 +131,7 @@ _MEASURED_COST_S = {
     "dedup_ngram_jaccard": 1.67,
     "similarity_ann_ivf": 1.74,
     "dedup_simhash": 1.84,
+    "dedup_exact_spans": 1.94,
     "dedup_semantic": 2.20,
     "dedup_minhash_lsh": 2.37,
     "dedup_components": 2.94,
@@ -217,6 +218,11 @@ _FAMILY = {
     "events_scd2_history": "scd2",
     # -- §2.7 UDF surface
     "grouped_zscore_pandas": "udf_pandas",
+    # -- §2.8 exact-hash dedup rungs (doc-level + span-level) share one
+    #    family to stay under the 50-query grading cap; the stalest-first
+    #    rest-of-walk still grades both most rounds.
+    "dedup_exact": "dedup_exact_hash",
+    "dedup_exact_spans": "dedup_exact_hash",
     # -- §2.8 LLM-ops: every flagship is its own family so each lands in
     #    the coverage prefix (these were the never-graded ops in r1/r2).
 }

@@ -317,3 +317,36 @@ def test_connected_components_leaves_no_cached_frames(spark):
     dedup.connected_components(nodes, pairs).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "connected_components left entries in the cache manager")
+
+
+def test_span_stats_counts_and_first_occurrence(spark):
+    """Planted geometry for span-level exact-substring dedup (k=4):
+    doc 0 and doc 1 share one exact 4-token span; doc 2 repeats a span
+    WITHIN itself; doc 3 is all-unique; doc 4 is shorter than one span
+    (no row). First occurrence = smallest (doc_id, pos) keeps its span;
+    every other occurrence of a duplicated span counts as removed."""
+    rows = [
+        (0, "a b c d e f g h"),          # spans: [a b c d], [e f g h]
+        (1, "a b c d x y z w"),          # shares [a b c d] with doc 0
+        (2, "p q r s p q r s"),          # internal repeat of [p q r s]
+        (3, "m n o t u v w1 x1"),        # unique spans
+        (4, "too short"),                # < 4 tokens: no spans, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.span_stats(df, k=4).collect()}
+
+    assert set(out) == {0, 1, 2, 3}
+    # doc 0: 2 spans, [a b c d] duplicated but doc 0 pos 0 is canonical
+    assert (out[0]["n_spans"], out[0]["n_dup_spans"],
+            out[0]["n_removed_spans"]) == (2, 1, 0)
+    assert out[0]["dup_ratio"] == 0.5
+    # doc 1: its copy of [a b c d] is a non-first occurrence -> removed
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"],
+            out[1]["n_removed_spans"]) == (2, 1, 1)
+    # doc 2: both spans are the same text; pos 0 canonical, pos 1 removed
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"],
+            out[2]["n_removed_spans"]) == (2, 2, 1)
+    assert out[2]["dup_ratio"] == 1.0
+    # doc 3: nothing duplicated
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"],
+            out[3]["n_removed_spans"]) == (2, 0, 0)
