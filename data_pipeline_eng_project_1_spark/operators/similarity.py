@@ -556,3 +556,40 @@ def pq_topk_rerank(probes: DataFrame, corpus: DataFrame, codebooks, k: int,
                                                "match_id")
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def cluster_balanced_sample(corpus: DataFrame, quota: int,
+                            num_cells: int = 8,
+                            centroids: list[tuple[int, list[float]]] | None = None,
+                            dim: int | None = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Diversity-balanced selection over an embedding corpus: assign every
+    vector to its nearest centroid cell, then keep up to ``quota`` vectors
+    per cell — the embedding-space counterpart of source-balanced mixture
+    sampling (a raw uniform sample mirrors the corpus's topic skew; equal
+    per-cell quotas flatten it, the cluster-balancing step of
+    SemDeDup/DSIR-style data curation).
+
+    The within-cell pick is a seeded-uniform DETERMINISTIC rule, not an
+    RNG: rank by md5 of the id (cross-engine identical, so the SQL oracle
+    reproduces the exact pick) and keep the ``quota`` smallest. Returns
+    (id, cell, pick_rank).
+
+    Scale shape: assignment is the shared O(N·C) broadcast-centroid scan
+    (``assign_cells``); the quota is one window shuffle keyed on the cell
+    id. Cell skew makes single reducers hot — at 100 TB with a tiny
+    ``num_cells``, swap the window for a per-cell approximate threshold
+    on the md5 key (quota/cell_count quantile), which needs no sort; the
+    exact window form is kept here for oracle reproducibility.
+    """
+    cents = (centroids if centroids is not None
+             else ivf_centroids(corpus, num_cells, id_col, vec_col))
+    ca = assign_cells(corpus, cents, dim=dim, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("id").cast("string")), "id")
+    return (
+        ca.select(F.col("match_id").alias("id"), "cell")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= quota)
+    )

@@ -543,6 +543,56 @@ def _q_similarity_ann(spark, sf_dir):
     )
 
 
+@_register(
+    "corpus_cluster_balance",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ),
+    ca AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid) AS r
+        FROM e CROSS JOIN cells c
+      ) WHERE r = 1
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM (
+      SELECT vec_id, cid AS cell, row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+      FROM ca
+    )
+    WHERE pick_rank <= 32
+    """,
+    doc="cluster-balanced (diversity) sampling: assign every embedding to "
+        "its nearest of 8 deterministic head-sample centroids (the shared "
+        "O(N*C) broadcast-assignment scan), then keep up to 32 vectors per "
+        "cell by a seeded-uniform md5-of-id rule — the embedding-space "
+        "counterpart of corpus_mixture_sample's source balancing (a raw "
+        "uniform sample mirrors the corpus's topic skew; per-cell quotas "
+        "flatten it — the cluster-balancing step of SemDeDup/DSIR-style "
+        "curation). Every step is deterministic (head centroids, exact "
+        "cosine argmax with the (cos DESC, cid) tiebreak, md5 pick), so "
+        "the oracle replays the full selection and the result hash-checks; "
+        "operators/similarity.py::cluster_balanced_sample",
+)
+def _q_corpus_cluster_balance(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        similarity.cluster_balanced_sample(e, quota=32, num_cells=8, dim=64)
+        .select(F.col("id").alias("vec_id"),
+                F.col("cell").cast("long").alias("cell"),
+                F.col("pick_rank").cast("int").alias("pick_rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

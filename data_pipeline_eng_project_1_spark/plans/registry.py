@@ -124,6 +124,7 @@ _MEASURED_COST_S = {
     "scalar_subquery_share": 0.86,
     "orders_dense_index": 0.96,
     "nation_trade_volume": 0.97,
+    "corpus_cluster_balance": 1.14,
     "approx_distinct_custkeys": 1.28,
     "string_funcs_part": 1.30,
     "similarity_ann_lsh": 1.38,
@@ -223,6 +224,12 @@ _FAMILY = {
     #    rest-of-walk still grades both most rounds.
     "dedup_exact": "dedup_exact_hash",
     "dedup_exact_spans": "dedup_exact_hash",
+    # -- §2.8 deterministic balanced-sampling rungs (class-stratified /
+    #    source-mixture / embedding-cluster) share a family for the same
+    #    budget-cap reason.
+    "stratified_sample": "balanced_sampling",
+    "corpus_mixture_sample": "balanced_sampling",
+    "corpus_cluster_balance": "balanced_sampling",
     # -- §2.8 LLM-ops: every flagship is its own family so each lands in
     #    the coverage prefix (these were the never-graded ops in r1/r2).
 }

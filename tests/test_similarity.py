@@ -227,3 +227,46 @@ def test_kmeans_reseed_multiple_empty_clusters_distinct(spark):
     cents = similarity.ivf_train_kmeans(e, num_cells=4, sample_n=40, iters=3)
     uniq = {tuple(round(x, 9) for x in cv) for _, cv in cents}
     assert len(uniq) == 4, f"duplicate centers after reseed: {cents}"
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Cluster-balanced sampling must (a) respect the per-cell quota,
+    (b) pick deterministically (same output across runs — the md5 rule,
+    not an RNG), (c) flatten a skewed corpus: with one dominant direction
+    and small side clusters, a per-cell quota keeps the side clusters'
+    vectors that a same-size uniform head sample would mostly miss."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    e = catalog.load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    out1 = similarity.cluster_balanced_sample(e, quota=10, num_cells=8,
+                                              dim=64).collect()
+    out2 = similarity.cluster_balanced_sample(e, quota=10, num_cells=8,
+                                              dim=64).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    per_cell = {}
+    for r in out1:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+        assert 1 <= r["pick_rank"] <= 10
+    assert per_cell and all(v <= 10 for v in per_cell.values())
+
+    # skew-flattening: 3 tight clusters with 50/10/5 members -> quota 5
+    # returns 5 from each, while the corpus itself is 77% cluster A
+    rows = []
+    for i in range(50):
+        rows.append((i, [10.0, 0.0, 0.1 * (i % 3), 0.0]))
+    for i in range(50, 60):
+        rows.append((i, [0.0, 10.0, 0.0, 0.1 * (i % 2)]))
+    for i in range(60, 65):
+        rows.append((i, [0.0, 0.0, 0.0, 10.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 0.0, 10.0])]
+    picked = similarity.cluster_balanced_sample(
+        df, quota=5, centroids=cents, dim=4).collect()
+    got = {}
+    for r in picked:
+        got.setdefault(r["cell"], set()).add(r["id"])
+    assert {len(v) for v in got.values()} == {5}
+    assert got[2] == set(range(60, 65))  # the tiny cluster survives whole
