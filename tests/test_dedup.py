@@ -350,3 +350,41 @@ def test_span_stats_counts_and_first_occurrence(spark):
     # doc 3: nothing duplicated
     assert (out[3]["n_spans"], out[3]["n_dup_spans"],
             out[3]["n_removed_spans"]) == (2, 0, 0)
+
+
+def test_span_stats_matches_python_reference_on_random_corpora(spark):
+    """span_stats must agree with a sequential reference implementation
+    on random small-vocab corpora (duplicate spans arise by chance at
+    vocab 4, k=3 — asserted non-vacuous)."""
+    import random
+    from collections import Counter
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(2, 20))))
+                for i in range(40)]
+        k = 3
+
+        spans = {}  # (doc, pos) -> text
+        for doc, text in rows:
+            toks = text.split()
+            for p in range(len(toks) // k):
+                spans[(doc, p)] = " ".join(toks[p * k:(p + 1) * k])
+        freq = Counter(spans.values())
+        first = {}
+        for (doc, p), s in sorted(spans.items()):
+            first.setdefault(s, (doc, p))
+        want = {}
+        for (doc, p), s in spans.items():
+            n, d_, r = want.get(doc, (0, 0, 0))
+            dup = freq[s] > 1
+            rem = dup and first[s] != (doc, p)
+            want[doc] = (n + 1, d_ + dup, r + rem)
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: (r["n_spans"], r["n_dup_spans"], r["n_removed_spans"])
+               for r in dedup.span_stats(df, k=k).collect()}
+        assert got == want, f"seed {seed}"
+        assert any(v > 1 for v in freq.values()), "vacuous: no dup spans"
