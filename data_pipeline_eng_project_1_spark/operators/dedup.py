@@ -188,7 +188,9 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     data. Shingles whose prefix-index doc frequency exceeds the cap are
     dropped from the INDEX (never from the verify sets), bounding any
     single join key's fan-out at cap². Recall argument: a pair is lost
-    only if EVERY shared prefix shingle is ultra-frequent; true
+    only if EVERY shared prefix shingle is ultra-frequent (the
+    positional filter below is slackened by the per-doc capped-entry
+    count precisely so it cannot narrow this condition); true
     near-dup pairs at t=0.8 share many prefix shingles, and a shingle
     shared by > cap docs is boilerplate, not signal — so set the cap
     well above the expected true-dup cluster size. The cap defaults to
@@ -216,9 +218,25 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
         ), lambda s: F.xxhash64(s))).alias("p", "g"),
     )
     if stop_df_cap is not None:
+        # Attach each key's index doc-frequency WITHOUT filtering first:
+        # the per-doc count of capped-out prefix entries (`ncap`) feeds
+        # the positional-filter slack below. The window's id partition is
+        # one doc's prefix entries — never a funnel — and the df
+        # aggregation still shuffles on the same shingle key as the
+        # candidate join, so its exchange is reused, not added.
+        from pyspark.sql import Window
+
         freq = pfx.groupBy("g").agg(F.count("*").alias("__df"))
-        pfx = (pfx.join(freq.filter(F.col("__df") <= stop_df_cap), "g")
-               .select("id", "sz", "p", "g"))
+        pfx = (
+            pfx.join(freq, "g")
+            .withColumn("ncap",
+                        F.sum((F.col("__df") > stop_df_cap).cast("int"))
+                        .over(Window.partitionBy("id")))
+            .filter(F.col("__df") <= stop_df_cap)
+            .select("id", "sz", "p", "g", "ncap")
+        )
+    else:
+        pfx = pfx.withColumn("ncap", F.lit(0))
     a, b = pfx.alias("a"), pfx.alias("b")
     # PPJoin positional filter: for a collision at sorted-array positions
     # (pa, pb), every further common element lies at LARGER positions, so
@@ -231,7 +249,22 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     # sf0.1 corpus: candidates 429k → 209k for the same 256 verified
     # pairs, and the verify join (the array_intersect hot path) shrinks
     # with them (pairs build 1.6 s → 1.2 s).
-    ub = F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
+    #
+    # Under stop_df_cap the bound is slackened by min(ncap_a, ncap_b):
+    # positions refer to the FULL sorted array, but a capped-out common
+    # element before the first surviving collision carries real overlap
+    # the raw bound would miss. Any common element ordered before the
+    # first surviving both-prefix collision e* sits at positions < pa*
+    # and < pb* — i.e. inside BOTH prefixes — so it must itself be
+    # capped (an uncapped one would have collided earlier), and there
+    # are at most min(ncap_a, ncap_b) of them. Hence
+    # |A∩B| ≤ min(sz_a-pa*, sz_b-pb*) + min(ncap_a, ncap_b) holds at
+    # e*, and the capped path surfaces exactly the pairs the cap-only
+    # (no positional filter) path would — the filter never narrows the
+    # cap's documented recall. With the cap off, ncap ≡ 0 and the bound
+    # is the tight lossless one.
+    ub = (F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
+          + F.least(F.col("a.ncap"), F.col("b.ncap")))
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g"))
                & (F.col("a.id") < F.col("b.id"))

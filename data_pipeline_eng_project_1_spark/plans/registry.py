@@ -236,18 +236,24 @@ _FAMILY = {
 
 #: Queries whose DEFINITION changed after their latest green correctness
 #: row (the artifacts can't see code edits, only re-runs). Maps name ->
-#: the round in which the definition changed: a green row from a round
-#: <= that value was graded against the OLD definition and doesn't count;
-#: a green row from a LATER round self-retires the entry (r4 lesson: a
-#: bare set kept forcing dedup_components/events_gap_fill non-green after
-#: their new-definition green rows landed, burning two prefix slots).
-#: r4's two entries retired by CORRECTNESS_r04 green rows.
+#: the LAST round whose green rows were graded against the OLD
+#: definition (i.e. change round - 1, since rounds grade the tree as it
+#: stands when they start): a green row from a round <= that value is
+#: stale evidence and doesn't count; a green row from a LATER round was
+#: graded against the new definition and self-retires the entry (r4
+#: lesson: a bare set kept forcing dedup_components/events_gap_fill
+#: non-green after their new-definition green rows landed, burning two
+#: prefix slots). So a definition changed while building round N is
+#: recorded as N-1. r4's two entries retired by CORRECTNESS_r04 green
+#: rows; the three r5 entries (value 4) retired by CORRECTNESS_r05.
 _CHANGED_SINCE_GREEN: dict[str, int] = {
-    "similarity_ann_pq": 4,   # r5: shortlist_mult 40 -> 160 puts margin
+    # changed in r5 (r4-and-earlier green rows stale) — all three were
+    # re-graded green in CORRECTNESS_r05, so these entries are retired:
+    "similarity_ann_pq": 4,   # shortlist_mult 40 -> 160 puts margin
                               # under the recall boolean (same output)
-    "dedup_ngram_jaccard": 4,  # r5: prefix index keyed on xxhash64 of the
+    "dedup_ngram_jaccard": 4,  # prefix index keyed on xxhash64 of the
                                # shingle (lossless; same output)
-    "dedup_components": 4,    # r5: persist-based label loop + hashed
+    "dedup_components": 4,    # persist-based label loop + hashed
                               # prefix keys (same output)
 }
 

@@ -99,6 +99,83 @@ def test_stop_shingle_cap_never_binds_on_fixture(spark):
     assert some.count() > 0 and capped_out.count() < some.count()
 
 
+def test_capped_positional_filter_keeps_boilerplate_heavy_pair(spark):
+    """Regression (r5 advice): with stop_df_cap binding, positions refer
+    to the full sorted array, so a qualifying pair whose shared prefix is
+    mostly capped boilerplate plus ONE rare late-prefix shingle must
+    still surface — the positional filter is slackened by the per-doc
+    capped-entry count, never narrowing the cap's documented recall.
+
+    Construction (t=0.5): A and B share 4 boilerplate shingles a0..a3
+    (prefix df 6 > cap 3, via filler docs), the rare shingle m4 at sorted
+    position 4 (the last prefix slot), and x7 beyond the prefix —
+    J = 6/10 = 0.6. The unslackened bound min(sz-p) = 4 gives
+    4·1.5 = 6 < 8 = t·(sz_a+sz_b) and would drop the pair; the slack
+    min(ncap_a, ncap_b) = 4 admits it."""
+    rows = [
+        (0, ["a0", "a1", "a2", "a3", "m4", "p5", "p6", "x7"]),
+        (1, ["a0", "a1", "a2", "a3", "m4", "q5", "q6", "x7"]),
+    ] + [
+        (10 + i, ["a0", "a1", "a2", "a3",
+                  f"f{i}4", f"f{i}5", f"f{i}6", f"f{i}7"])
+        for i in range(4)
+    ]
+    sh = spark.createDataFrame(
+        [(i, s, len(s)) for i, s in rows],
+        "id long, sh array<string>, sz int")
+    capped = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+              for r in dedup.jaccard_pairs_prefix(
+                  sh, 0.5, stop_df_cap=3).collect()}
+    assert (0, 1) in capped and capped[(0, 1)] == 0.6
+    # fillers share only capped boilerplate with everything: no other pairs
+    assert set(capped) == {(0, 1)}
+
+
+def test_capped_prefix_recall_matches_cap_only_semantics(spark):
+    """Property: the capped prefix path returns EXACTLY the pairs the
+    cap-only semantics admit — J >= t AND some uncapped shingle lies in
+    both prefixes — on random corpora. Pins that the positional filter's
+    slack restores full cap-only recall (and that verification keeps
+    precision exact)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"s{i:02d}" for i in range(30)]
+    t, cap = 0.5, 3
+    for trial in range(3):
+        docs = {}
+        for d in range(14):
+            base = rng.randrange(0, 18)
+            n = rng.randrange(6, 12)
+            docs[d] = sorted(set(vocab[(base + j) % 30] for j in range(n)))
+        sh = spark.createDataFrame(
+            [(d, s, len(s)) for d, s in docs.items()],
+            "id long, sh array<string>, sz int")
+        # python reference for cap-only semantics
+        pfx = {d: set(s[: len(s) - math.ceil(t * len(s)) + 1])
+               for d, s in docs.items()}
+        df_count: dict[str, int] = {}
+        for p in pfx.values():
+            for g in p:
+                df_count[g] = df_count.get(g, 0) + 1
+        surviving = {d: {g for g in p if df_count[g] <= cap}
+                     for d, p in pfx.items()}
+        expected = {}
+        for a in docs:
+            for b in docs:
+                if a >= b or not (surviving[a] & surviving[b]):
+                    continue
+                inter = len(set(docs[a]) & set(docs[b]))
+                j = inter / (len(docs[a]) + len(docs[b]) - inter)
+                if j >= t:
+                    expected[(a, b)] = round(j, 6)
+        got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+               for r in dedup.jaccard_pairs_prefix(
+                   sh, t, stop_df_cap=cap).collect()}
+        assert got == expected, f"trial {trial}"
+
+
 def test_connected_components_min_label(spark):
     """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the min id
     of each component, and propagation crosses the chain (transitivity)."""

@@ -249,6 +249,12 @@ def test_no_rdd_access_in_package_source():
     hits = []
     for p in pkg.rglob("*.py"):
         for i, line in enumerate(p.read_text().splitlines(), 1):
-            if re.search(r"\.rdd\.", line):
+            # \b, not a trailing dot: bare uses like `x = df.rdd` or
+            # `foo(df.rdd)` must trip the guard too (r5 advice). Doc
+            # mentions are written ``df.rdd`` (backtick-quoted) and
+            # comment lines are skipped, so prose stays allowed.
+            if line.lstrip().startswith("#"):
+                continue
+            if re.search(r"\.rdd\b(?!``)", line):
                 hits.append(f"{p.name}:{i}: {line.strip()}")
     assert not hits, hits
