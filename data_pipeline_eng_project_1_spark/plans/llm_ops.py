@@ -580,13 +580,22 @@ def _q_similarity_ann(spark, sf_dir):
         "flatten it — the cluster-balancing step of SemDeDup/DSIR-style "
         "curation). Every step is deterministic (head centroids, exact "
         "cosine argmax with the (cos DESC, cid) tiebreak, md5 pick), so "
-        "the oracle replays the full selection and the result hash-checks; "
-        "operators/similarity.py::cluster_balanced_sample",
+        "the oracle replays the full selection and the result hash-checks. "
+        "GRADED ON THE SCALE FORM: the Spark side runs method='threshold' "
+        "— salted two-level exact selection of each cell's quota-th-"
+        "smallest (md5, id) key + broadcast threshold filter, so the "
+        "corpus never funnels through num_cells window reducers — while "
+        "the oracle replays the identical selection via its window "
+        "formulation (same rows by the k-th-order-statistic/sort-prefix "
+        "equivalence, pinned by "
+        "tests/test_similarity.py::test_cluster_balanced_sample_threshold_"
+        "matches_window); operators/similarity.py::cluster_balanced_sample",
 )
 def _q_corpus_cluster_balance(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return (
-        similarity.cluster_balanced_sample(e, quota=32, num_cells=8, dim=64)
+        similarity.cluster_balanced_sample(e, quota=32, num_cells=8, dim=64,
+                                           method="threshold")
         .select(F.col("id").alias("vec_id"),
                 F.col("cell").cast("long").alias("cell"),
                 F.col("pick_rank").cast("int").alias("pick_rank"))

@@ -255,6 +255,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                # shingle (lossless; same output)
     "dedup_components": 4,    # persist-based label loop + hashed
                               # prefix keys (same output)
+    # changed in r6 (r5-and-earlier green rows stale):
+    "corpus_cluster_balance": 5,  # graded form switched to the sort-free
+                                  # threshold selection (same output)
 }
 
 

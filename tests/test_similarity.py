@@ -270,3 +270,40 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
         got.setdefault(r["cell"], set()).add(r["id"])
     assert {len(v) for v in got.values()} == {5}
     assert got[2] == set(range(60, 65))  # the tiny cluster survives whole
+
+
+def test_cluster_balanced_sample_threshold_matches_window(spark):
+    """The sort-free threshold method (the 100 TB production form: salted
+    two-level exact selection + broadcast threshold filter, no per-cell
+    window over the corpus) must return EXACTLY the window form's rows —
+    ids, cells, and pick_rank — on the fixture and on a skewed corpus
+    where one cell holds most rows and another has fewer than quota.
+    salt_buckets=4 keeps multiple level-1 groups per cell non-vacuous."""
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    e = catalog.load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    win = sorted(map(tuple, similarity.cluster_balanced_sample(
+        e, quota=10, num_cells=8, dim=64, method="window").collect()))
+    thr = sorted(map(tuple, similarity.cluster_balanced_sample(
+        e, quota=10, num_cells=8, dim=64, method="threshold",
+        salt_buckets=4).collect()))
+    assert win == thr and len(win) > 0
+
+    # skewed synthetic: cell 0 has 70 rows (> quota), cell 1 has 3 (< quota)
+    rows = [(i, [10.0, 0.1 * (i % 7)]) for i in range(70)]
+    rows += [(100 + i, [0.0, 10.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    win = sorted(map(tuple, similarity.cluster_balanced_sample(
+        df, quota=5, centroids=cents, dim=2, method="window").collect()))
+    thr = sorted(map(tuple, similarity.cluster_balanced_sample(
+        df, quota=5, centroids=cents, dim=2, method="threshold",
+        salt_buckets=4).collect()))
+    assert win == thr
+    # the under-quota cell keeps all 3 rows in both forms
+    assert sum(1 for r in win if r[1] == 1) == 3
+
+    import pytest
+    with pytest.raises(ValueError):
+        similarity.cluster_balanced_sample(df, quota=5, centroids=cents,
+                                           dim=2, method="bogus")
