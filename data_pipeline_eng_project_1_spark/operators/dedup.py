@@ -781,7 +781,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
 
 def span_stats(df: DataFrame, k: int = 16, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               offsets: tuple[int, ...] = (0,)) -> DataFrame:
     """Per-document exact-substring duplication stats over non-overlapping
     ``k``-token spans — the sub-document rung of the dedup ladder
     (doc-level dedup misses boilerplate repeated INSIDE otherwise-unique
@@ -792,13 +793,25 @@ def span_stats(df: DataFrame, k: int = 16, id_col: str = "doc_id",
     sequential build, while stride-``k`` spans express the same signal as
     three ordinary shuffles.
 
-    A span OCCURRENCE is (doc, position); its text is the space-joined
-    tokens [i*k, i*k+k). An occurrence is a duplicate when its span text
-    appears more than once corpus-wide, and it is REMOVED (scrub
-    semantics) unless it is the canonical first occurrence — smallest
-    (doc id, position) pair, the same min-wins tiebreak the rest of the
-    dedup family uses. Documents shorter than ``k`` tokens have no spans
-    and no row.
+    A span OCCURRENCE is (doc, token start position); for offset ``o``
+    its text is the space-joined tokens [o+i·k, o+i·k+k). An occurrence
+    is a duplicate when its span text appears more than once corpus-wide
+    (across ALL offsets), and it is REMOVED (scrub semantics) unless it
+    is the canonical first occurrence — smallest (doc id, position)
+    pair, the same min-wins tiebreak the rest of the dedup family uses.
+    Documents too short for a full span at an offset contribute no
+    occurrences there; docs with no spans at any offset have no row.
+
+    ``offsets`` is the stride-k blind-spot dial: a duplicate substring
+    straddling a span boundary is invisible to the single offset-0 grid
+    (inherent to stride-k vs Lee et al.'s suffix-array 50-token windows).
+    A staggered second pass at offset k/2 covers every boundary of the
+    first grid — any duplicated run of >= 1.5k tokens now contains a
+    full span of SOME offset — halving the miss rate for the same
+    three-shuffle shape at 2x the span rows (still linear, never
+    pairwise). Offsets must be distinct and in [0, k); occurrences from
+    all offsets share one frequency/first-occurrence universe, and
+    n_spans counts them all (so dup_ratio stays a per-occurrence rate).
 
     Returns (id, n_spans, n_dup_spans, n_removed_spans, dup_ratio).
 
@@ -814,20 +827,34 @@ def span_stats(df: DataFrame, k: int = 16, id_col: str = "doc_id",
     span groups, which only over-counts duplication) — the string key
     here keeps the result exactly mirrorable by the SQL oracle.
     """
+    if len(set(offsets)) != len(offsets) or any(
+            not 0 <= o < k for o in offsets):
+        raise ValueError(f"offsets must be distinct and in [0, {k}): "
+                         f"{offsets}")
     toks = tokenized(df, id_col, text_col)
+
+    def _grid(o: int):
+        # spans of offset o: starts o, o+k, ...; needs size >= o+k for one.
+        # The guard also keeps sequence() from counting DOWN on short docs.
+        return F.when(
+            F.size("__toks") >= o + k,
+            F.transform(
+                F.sequence(F.lit(0),
+                           ((F.size("__toks") - o) / k).cast("int") - 1),
+                lambda i: F.struct(
+                    (F.lit(o) + i * k).cast("int").alias("pos"),
+                    F.array_join(
+                        F.slice(F.col("__toks"), F.lit(o + 1) + i * k, k),
+                        " ").alias("span")),
+            )).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+
+    # all offsets' grids in ONE scan-side expression (no per-offset union
+    # branches to re-read the corpus), then one explode to occurrence rows
     spans = toks.select(
         "id",
-        F.posexplode(
-            F.when(
-                F.size("__toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(0),
-                               (F.size("__toks") / k).cast("int") - 1),
-                    lambda i: F.array_join(
-                        F.slice(F.col("__toks"), i * k + 1, k), " "),
-                )).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "span"),
-    )
+        F.explode(F.flatten(F.array(*[_grid(o) for o in offsets])))
+         .alias("ps"),
+    ).select("id", F.col("ps.pos").alias("pos"), F.col("ps.span").alias("span"))
     stats = spans.groupBy("span").agg(
         F.count("*").alias("c"),
         F.min(F.struct(F.col("id").alias("fid"),

@@ -222,6 +222,56 @@ def _q_dedup_exact_spans(spark, sf_dir):
         "n_spans", "n_dup_spans", "n_removed_spans", "dup_ratio")
 
 
+@_register(
+    "dedup_exact_spans_staggered",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    sp AS (
+      SELECT doc_id, (i-1)*16 AS pos,
+             array_to_string(
+               list_slice(toks, (i-1)*16 + 1, (i-1)*16 + 16), ' ') AS span
+      FROM t, unnest(generate_series(1, len(toks) // 16)) AS u(i)
+      UNION ALL
+      SELECT doc_id, 8 + (i-1)*16 AS pos,
+             array_to_string(
+               list_slice(toks, 8 + (i-1)*16 + 1, 8 + (i-1)*16 + 16),
+               ' ') AS span
+      FROM t, unnest(generate_series(1, (len(toks) - 8) // 16)) AS u(i)
+    ),
+    st AS (
+      SELECT span, count(*) AS c,
+             min(doc_id * 1000000 + pos) AS first_key
+      FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(sum(CASE WHEN c > 1
+                          AND sp.doc_id * 1000000 + sp.pos <> first_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_spans,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_ratio
+    FROM sp JOIN st USING (span)
+    GROUP BY sp.doc_id
+    """,
+    doc="staggered span-level exact-substring dedup stats: two interleaved "
+        "stride-16 grids (offsets 0 and 8) share one corpus-wide "
+        "frequency/first-occurrence universe, so any duplicated run of "
+        ">= 24 tokens contains a full span of SOME offset — halving the "
+        "stride-k boundary blind spot for the same three-shuffle shape "
+        "(operators/dedup.py::span_stats offsets=(0,8); the single-grid "
+        "form is dedup_exact_spans). pos is the token START (unique "
+        "across grids), and the oracle's min(doc_id*1e6 + pos) tiebreak "
+        "replays the (doc, pos) canonical pick exactly.",
+)
+def _q_dedup_exact_spans_staggered(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.span_stats(d, k=16, offsets=(0, 8)).select(
+        F.col("id").alias("doc_id"),
+        "n_spans", "n_dup_spans", "n_removed_spans", "dup_ratio")
+
+
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4,
                     threshold: float = 0.8) -> str:
     rows = num_hashes // bands

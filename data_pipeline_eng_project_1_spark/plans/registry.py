@@ -224,6 +224,7 @@ _FAMILY = {
     #    rest-of-walk still grades both most rounds.
     "dedup_exact": "dedup_exact_hash",
     "dedup_exact_spans": "dedup_exact_hash",
+    "dedup_exact_spans_staggered": "dedup_exact_hash",
     # -- §2.8 deterministic balanced-sampling rungs (class-stratified /
     #    source-mixture / embedding-cluster) share a family for the same
     #    budget-cap reason.
@@ -258,6 +259,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     # changed in r6 (r5-and-earlier green rows stale):
     "corpus_cluster_balance": 5,  # graded form switched to the sort-free
                                   # threshold selection (same output)
+    "dedup_exact_spans": 5,   # span pos is now the token start, not the
+                              # span index (order-equivalent tiebreak —
+                              # same output; offsets param added)
 }
 
 

@@ -465,3 +465,74 @@ def test_span_stats_matches_python_reference_on_random_corpora(spark):
                for r in dedup.span_stats(df, k=k).collect()}
         assert got == want, f"seed {seed}"
         assert any(v > 1 for v in freq.values()), "vacuous: no dup spans"
+
+
+def test_span_stats_staggered_catches_boundary_straddling_dup(spark):
+    """The offset-k/2 grid covers the offset-0 grid's boundaries: a
+    duplicated run straddling an offset-0 span boundary is invisible to
+    the single grid but contains a full offset-k/2 span. Planted (k=4):
+    docs 0 and 1 share the run 'c d e f' at token positions 2..5 of both
+    — split 2+2 across offset-0 spans, wholly spans [2,6) of the offset-2
+    grid."""
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "p q c d e f r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {r["id"]: r for r in dedup.span_stats(df, k=4).collect()}
+    assert all(single[i]["n_dup_spans"] == 0 for i in (0, 1))  # blind spot
+    stag = {r["id"]: r for r in
+            dedup.span_stats(df, k=4, offsets=(0, 2)).collect()}
+    # 3 spans/doc now (two offset-0 + one offset-2); the offset-2 span
+    # 'c d e f' is duplicated; doc 0 pos 2 < doc 1 pos 2 -> doc 1 removed
+    assert (stag[0]["n_spans"], stag[0]["n_dup_spans"],
+            stag[0]["n_removed_spans"]) == (3, 1, 0)
+    assert (stag[1]["n_spans"], stag[1]["n_dup_spans"],
+            stag[1]["n_removed_spans"]) == (3, 1, 1)
+
+    import pytest
+    with pytest.raises(ValueError):
+        dedup.span_stats(df, k=4, offsets=(0, 4))
+    with pytest.raises(ValueError):
+        dedup.span_stats(df, k=4, offsets=(0, 0))
+
+
+def test_span_stats_staggered_matches_python_reference(spark):
+    """Staggered span_stats must agree with a sequential reference over
+    BOTH offsets on random small-vocab corpora (shared frequency /
+    first-occurrence universe keyed by (doc, token-start))."""
+    import random
+    from collections import Counter
+
+    k = 4
+    offsets = (0, 2)
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(2, 24))))
+                for i in range(40)]
+
+        spans = {}  # (doc, token_start) -> text
+        for doc, text in rows:
+            toks = text.split()
+            for o in offsets:
+                for i in range((len(toks) - o) // k):
+                    p = o + i * k
+                    spans[(doc, p)] = " ".join(toks[p:p + k])
+        freq = Counter(spans.values())
+        first = {}
+        for (doc, p), s in sorted(spans.items()):
+            first.setdefault(s, (doc, p))
+        want = {}
+        for (doc, p), s in spans.items():
+            n, d_, r = want.get(doc, (0, 0, 0))
+            dup = freq[s] > 1
+            rem = dup and first[s] != (doc, p)
+            want[doc] = (n + 1, d_ + dup, r + rem)
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: (r["n_spans"], r["n_dup_spans"], r["n_removed_spans"])
+               for r in dedup.span_stats(df, k=k, offsets=offsets).collect()}
+        assert got == want, f"seed {seed}"
+        assert any(v > 1 for v in freq.values()), "vacuous: no dup spans"
