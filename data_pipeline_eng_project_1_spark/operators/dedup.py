@@ -664,7 +664,8 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.4,
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
-                         max_iter: int = 12) -> DataFrame:
+                         max_iter: int = 12,
+                         driver_edge_threshold: int = 100_000) -> DataFrame:
     """Connected components over an undirected pair set by min-label
     propagation (Pregel-style): every node starts labeled with itself; each
     round, a node adopts the smallest label among itself and its neighbors;
@@ -674,6 +675,22 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Inputs: `nodes` with column ``id`` (all doc ids — singletons keep their
     own label), `pairs` with ``id_a``/``id_b``.
     Output: (id, component) where component = min id reachable.
+
+    HYBRID execution (the Kruskal-style small-graph contraction every
+    production CC implementation carries): the verified near-dup pair set
+    is tiny relative to the corpus — dedup pipelines verify candidates
+    down to actual duplicates, so |pairs| ~ dup clusters, not |docs| —
+    and when it fits comfortably on the driver
+    (``<= driver_edge_threshold`` rows, ~3 MB of (long, long) pairs at
+    the default; an explicitly bounded collect via ``limit(k+1)`` — a
+    short result is provably the complete set) the closure is one
+    union-find pass in Python plus a broadcast-mapped label join: ONE
+    tiny probe job instead of O(diameter) iterative jobs whose per-round
+    scheduling overhead dwarfs the data. Edge sets above the guard take
+    the distributed min-label loop below — that path's scale story is
+    unchanged, and ``driver_edge_threshold=0`` forces it (tests do).
+    The driver path always converges, so ``max_iter``/RuntimeError
+    semantics apply only to the loop.
 
     Scale: each round is one self-contained shuffle join on the current
     labels (edges are reused cached); rounds needed = component diameter,
@@ -715,6 +732,68 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     be loud — raise ``max_iter`` to at least the expected component
     diameter.
     """
+    pairs_cached = False
+    if driver_edge_threshold > 0:
+        # ONE job decides the path and, when small, delivers the edges:
+        # limit(k+1) never truncates a <=k-row set, so a short result IS
+        # the complete pair list — no count+collect double action, no
+        # persist churn. A truncated probe falls through to the loop
+        # (its one wasted pairs pass is amortized at that scale; pairs
+        # is persisted there so the union reads the build once).
+        # CollectLimit's incremental scale-up (1, 4, 16... partitions per
+        # wave) serializes the final stage when the limit is never hit —
+        # measured +1 s on a 256-pair result — so the probe pins
+        # initialNumPartitions to run every partition in one wave, which
+        # is plain-collect speed WITH the memory bound.
+        conf = pairs.sparkSession.conf
+        _KEY = "spark.sql.limit.initialNumPartitions"
+        try:
+            old_init = conf.get(_KEY)
+        except Exception:
+            old_init = None
+        conf.set(_KEY, "1000000")
+        try:
+            probe = (pairs.select("id_a", "id_b")
+                     .limit(driver_edge_threshold + 1).collect())
+        finally:
+            if old_init is None:
+                conf.unset(_KEY)
+            else:
+                conf.set(_KEY, old_init)
+        if len(probe) <= driver_edge_threshold:
+            id_type = pairs.schema["id_a"].dataType
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                ra, rb = _find(row[0]), _find(row[1])
+                if ra != rb:
+                    if rb < ra:  # smaller root wins -> root == set min
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            mapping = [(x, _find(x)) for x in list(parent)]
+            from pyspark.sql.types import StructField, StructType
+
+            mdf = nodes.sparkSession.createDataFrame(
+                mapping,
+                StructType([StructField("id", id_type, False),
+                            StructField("comp", id_type, False)]))
+            return (
+                nodes.select("id")
+                .join(F.broadcast(mdf), "id", "left")
+                .select("id",
+                        F.coalesce("comp", F.col("id")).alias("comp"))
+            )
+        pairs = pairs.persist()
+        pairs_cached = True
+
     # Hash-partition the cached edges on the join key: InMemoryRelation
     # preserves outputPartitioning, so every round's labels⋈edges join
     # exchanges only the (changing) labels side — the edge set shuffles
@@ -734,6 +813,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     ).repartition("src").persist()
 
     cached: list[DataFrame] = []
+    if pairs_cached:  # large-graph fall-through: free it with the rest
+        cached.append(pairs)
     labels = nodes.select("id", F.col("id").alias("comp")).persist()
     cached.append(labels)
     changed: int | None = None  # None = no probe has run yet

@@ -254,9 +254,10 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                               # under the recall boolean (same output)
     "dedup_ngram_jaccard": 4,  # prefix index keyed on xxhash64 of the
                                # shingle (lossless; same output)
-    "dedup_components": 4,    # persist-based label loop + hashed
-                              # prefix keys (same output)
     # changed in r6 (r5-and-earlier green rows stale):
+    "dedup_components": 5,    # hybrid small-graph driver contraction
+                              # (same output; r5: persist loop + hashed
+                              # prefix keys, re-graded green then)
     "corpus_cluster_balance": 5,  # graded form switched to the sort-free
                                   # threshold selection (same output)
     "dedup_exact_spans": 5,   # span pos is now the token start, not the

@@ -182,9 +182,11 @@ def test_connected_components_min_label(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["id"])
     pairs = spark.createDataFrame(
         [(2, 3), (1, 2), (10, 11)], ["id_a", "id_b"])
-    got = {r["id"]: r["comp"]
-           for r in dedup.connected_components(nodes, pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    for thr in (100_000, 0):  # driver union-find path AND distributed loop
+        got = {r["id"]: r["comp"]
+               for r in dedup.connected_components(
+                   nodes, pairs, driver_edge_threshold=thr).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}, f"thr={thr}"
 
 
 def test_connected_components_random_graphs_match_union_find(spark):
@@ -217,9 +219,12 @@ def test_connected_components_random_graphs_match_union_find(spark):
 
         nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
-        got = {r["id"]: r["comp"]
-               for r in dedup.connected_components(nodes, pairs).collect()}
-        assert got == want, f"seed {seed}"
+        for thr in (100_000, 0):  # both execution paths, same closure
+            got = {r["id"]: r["comp"]
+                   for r in dedup.connected_components(
+                       nodes, pairs, max_iter=20,
+                       driver_edge_threshold=thr).collect()}
+            assert got == want, f"seed {seed} thr={thr}"
 
 
 def test_minhash_matches_exact_jaccard_on_planted_dups(docs):
@@ -329,7 +334,9 @@ def test_semantic_dedup_matches_numpy_reference_on_random_vectors(spark):
 def test_connected_components_raises_on_nonconvergence(spark):
     """A 15-node path at max_iter=3 CANNOT converge (min-label propagation
     moves one hop per round, the path's diameter is 14): partial labels
-    must raise, not return silently-wrong components."""
+    must raise, not return silently-wrong components. Loop-path property:
+    driver_edge_threshold=0 forces the distributed loop (the driver
+    union-find always converges)."""
     import pytest
 
     n = 15
@@ -337,11 +344,12 @@ def test_connected_components_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(nodes, pairs, max_iter=3)
+        dedup.connected_components(nodes, pairs, max_iter=3,
+                                   driver_edge_threshold=0)
     # And with enough rounds the same path converges to component 0.
     got = {r["id"]: r["comp"]
-           for r in dedup.connected_components(nodes, pairs,
-                                               max_iter=20).collect()}
+           for r in dedup.connected_components(
+               nodes, pairs, max_iter=20, driver_edge_threshold=0).collect()}
     assert got == {i: 0 for i in range(n)}
 
 
@@ -377,9 +385,11 @@ def test_connected_components_no_edges_all_singletons(spark):
     ran" (regression guard for the r5 persist-based loop rewrite)."""
     nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
     pairs = spark.createDataFrame([], "id_a long, id_b long")
-    out = {r["id"]: r["comp"]
-           for r in dedup.connected_components(nodes, pairs).collect()}
-    assert out == {i: i for i in range(5)}
+    for thr in (100_000, 0):
+        out = {r["id"]: r["comp"]
+               for r in dedup.connected_components(
+                   nodes, pairs, driver_edge_threshold=thr).collect()}
+        assert out == {i: i for i in range(5)}, f"thr={thr}"
 
 
 def test_connected_components_leaves_no_cached_frames(spark):
@@ -390,10 +400,12 @@ def test_connected_components_leaves_no_cached_frames(spark):
     nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
     pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
                                   "id_a long, id_b long")
-    spark.catalog.clearCache()  # isolate from other tests' leftovers
-    dedup.connected_components(nodes, pairs).collect()
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
-        "connected_components left entries in the cache manager")
+    for thr in (100_000, 0):  # driver path persists pairs; loop persists all
+        spark.catalog.clearCache()  # isolate from other tests' leftovers
+        dedup.connected_components(nodes, pairs,
+                                   driver_edge_threshold=thr).collect()
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+            f"connected_components (thr={thr}) left cache-manager entries")
 
 
 def test_span_stats_counts_and_first_occurrence(spark):
