@@ -150,7 +150,18 @@ def main() -> None:
             "both medians and whether the re-measure was kept; JVM code "
             "cache 512m (85 generated plan classes overflow the 240m "
             "default and disable C2 late-session). n_queries grows as "
-            "operators are added."
+            "operators are added. r6 note on the similarity_ann_ivf "
+            "drift flagged in r5 (0.94->1.26 s over three rounds): it "
+            "reproduced ISOLATED (1.50 s), ruling out registry codegen-"
+            "cache pressure; a builder/exec split showed ~2.5 s of pure "
+            "driver time was py4j round-trips building the per-centroid "
+            "cosine expressions plus broadcast machinery on a 2000-row "
+            "corpus, i.e. fixed overhead that crept with expression "
+            "count, not an engine regression. Fixed in r6 by inlining "
+            "the centroid scores as one SQL expr (similarity.py::"
+            "_cell_scores_sql): assignment is now a scan-side projection "
+            "(no broadcast/join/groupBy), dropping similarity_ann_ivf to "
+            "~1.2 s and dedup_semantic 1.9->1.4 s."
         ),
     }
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:

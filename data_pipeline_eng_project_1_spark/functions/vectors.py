@@ -88,7 +88,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-_FOLD_DOT = ("aggregate(zip_with({a}, {b}, (x, y) ->"
+FOLD_DOT_SQL = ("aggregate(zip_with({a}, {b}, (x, y) ->"
              " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
              " CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
@@ -106,7 +106,7 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
         return F.expr(" + ".join(
             f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
             for i in range(dim)))
-    return F.expr(_FOLD_DOT.format(a=f"slice({a}, 1, {dim})",
+    return F.expr(FOLD_DOT_SQL.format(a=f"slice({a}, 1, {dim})",
                                    b=f"slice({b}, 1, {dim})"))
 
 

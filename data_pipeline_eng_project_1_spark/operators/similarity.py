@@ -223,20 +223,34 @@ def ivf_train_kmeans(corpus: DataFrame, num_cells: int = 16,
     return [(c, [float(x) for x in centers[c]]) for c in range(num_cells)]
 
 
-def _cells_df(spark, centroids: list[tuple[int, list[float]]]):
-    """Centroid list → tiny broadcastable DataFrame (cid, cv, cn). The
-    norm is precomputed in Python: CPython floats are IEEE-754 binary64
-    and the loop sums left-to-right, so ``sqrt(Σ x·x)`` is bit-identical
-    to the oracle's ``sqrt(list_dot_product(cv, cv))`` sequential fold."""
+def _cell_scores_sql(vec: str, norm: str,
+                     centroids: list[tuple[int, list[float]]],
+                     dim: int) -> str:
+    """SQL text for ``array(named_struct('negcos', -cos_c, 'cid', c))``
+    over all centroids, with each centroid vector and its norm inlined
+    as LITERALS — the whole scoring becomes scan-side expression algebra
+    (no broadcast/join/shuffle), built in ONE ``F.expr`` py4j call (the
+    Column-API form costs a round-trip per node: measured ~2.5 s of pure
+    driver time per plan build at C=16, dim=64 — see vectors.dot_expr).
+    The norm is computed in Python (CPython floats are IEEE-754 binary64
+    and the loop sums left-to-right) and the dot is the same sequential
+    fold as ``vectors.dot``, so the cosines are bit-identical to the
+    oracle's ``list_dot_product / sqrt(list_dot_product(cv, cv))`` math;
+    ``repr(float)`` is the shortest round-tripping decimal, so the
+    parsed literals are the exact binary64 values."""
     import math
 
-    rows = []
+    parts = []
     for cid, cv in centroids:
         acc = 0.0
         for x in cv:
-            acc += x * x
-        rows.append((cid, cv, math.sqrt(acc)))
-    return spark.createDataFrame(rows, "cid int, cv array<double>, cn double")
+            acc += float(x) * float(x)
+        cn = math.sqrt(acc)
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+        d = vectors.FOLD_DOT_SQL.format(a=f"slice({vec}, 1, {dim})", b=arr)
+        parts.append(f"named_struct('negcos', -({d} / ({norm} * {cn!r}D)),"
+                     f" 'cid', {int(cid)})")
+    return "array(" + ",".join(parts) + ")"
 
 
 def assign_cells(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -245,29 +259,33 @@ def assign_cells(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     """Assign every corpus vector to its single nearest centroid cell —
     the shared O(N·C) scan-side step under IVF search and semantic dedup.
 
-    The constant-size centroid table broadcasts; a broadcast nested-loop
-    join fans each vector out to C scored rows map-side, and ``min(struct
-    (-cos, cid))`` — the exact (cos DESC, cid) tiebreak of the oracle's
-    row_number — collapses them with a partial-aggregating shuffle of N
-    rows. No window over the corpus, no sort. The vector rides along via
-    first() (constant within each id's group, so first() is
-    deterministic) rather than in the GROUP KEY, keeping the shuffle key
-    an 8-byte id. Returns (match_id, cv, cn, cell)."""
+    The centroid set is constant-size driver metadata, so it is inlined
+    as literal expressions and the argmin cell is ONE projection:
+    ``array_min`` over C struct((-cos), cid) values — the exact
+    (cos DESC, cid) tiebreak of the oracle's row_number, as struct
+    ordering compares fields left to right. No broadcast, no join, no
+    groupBy: the former broadcast-nested-loop + min-aggregate shape paid
+    ~0.4 s of broadcast/shuffle machinery per run at ANY data size and
+    shuffled N fanned-out rows; this form reads the scan once and scales
+    with pure map work. The norm sub-expression is referenced C times
+    but materialized once (CollapseProject keeps non-cheap multi-use
+    aliases in their own projection). Returns (match_id, cv, cn, cell).
+
+    CPU-spread, gated exactly like dedup.tokenized: a small embeddings
+    table arrives as one parquet split and the interpreted fold would
+    run on one core; a real at-scale corpus already has enough splits
+    and is never re-shuffled."""
     if dim is None:
         dim = len(centroids[0][1])
-    cells = F.broadcast(_cells_df(corpus.sparkSession, centroids))
-    ccos = vectors.dot_expr("v", "cv", dim) / (F.col("vn") * F.col("cn"))
     c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("v"),
-        _l2(vec_col, dim).alias("vn"))
-    return (
-        c.crossJoin(cells)
-        .groupBy("match_id")
-        .agg(F.min(F.struct((-ccos).alias("negcos"), F.col("cid").alias("cid")))
-              .alias("mc"),
-             F.first("v").alias("cv"), F.first("vn").alias("cn"))
-        .select("match_id", "cv", "cn", F.col("mc")["cid"].alias("cell"))
-    )
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+        _l2(vec_col, dim).alias("cn"))
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    from data_pipeline_eng_project_1_spark.operators.dedup import scan_width
+    if scan_width(corpus) < n:
+        c = c.repartition(n, "match_id")
+    best = F.array_min(F.expr(_cell_scores_sql("cv", "cn", centroids, dim)))
+    return c.select("match_id", "cv", "cn", best["cid"].alias("cell"))
 
 
 def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
@@ -299,25 +317,23 @@ def ivf_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
              else ivf_centroids(corpus, num_cells, id_col, vec_col))
     if dim is None:
         dim = len(cents[0][1])  # fixed-length fixture vectors
-    cells = F.broadcast(_cells_df(corpus.sparkSession, cents))
     ca = assign_cells(corpus, cents, dim=dim, id_col=id_col, vec_col=vec_col)
-    # Probe assignment stays IN-ENGINE (the centroid table is broadcast,
-    # so this adds no shuffle of the probes themselves — just a per-probe
-    # window over C scored rows): same SQL fold as the corpus side, so
-    # the cosine math and the (cos DESC, cid) tiebreak are identical in
-    # both assignment paths and in the DuckDB oracle. Works for any
-    # probe-set size — nothing is collected to the driver.
+    # Probe assignment stays IN-ENGINE and scan-side like the corpus
+    # side: the literal centroid scores are array_sort-ed (struct order =
+    # (negcos, cid), the oracle's exact row_number tiebreak) and the
+    # first `nprobe` explode into one row per probed cell — no broadcast
+    # table, no window, no shuffle of the probes. Works for any
+    # probe-set size; nothing is collected to the driver.
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
         _l2(vec_col, dim).alias("pn"))
-    pcos = vectors.dot_expr("pv", "cv", dim) / (F.col("pn") * F.col("cn"))
-    wp = Window.partitionBy("probe_id").orderBy(
-        (-pcos).asc(), F.col("cid").asc())
     pa = (
-        p.crossJoin(cells)
-        .withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= nprobe)
-        .select("probe_id", "pv", "pn", F.col("cid").alias("cell"))
+        p.select(
+            "probe_id", "pv", "pn",
+            F.explode(F.slice(
+                F.array_sort(F.expr(_cell_scores_sql("pv", "pn", cents, dim))),
+                1, nprobe)).alias("pc"))
+        .select("probe_id", "pv", "pn", F.col("pc.cid").alias("cell"))
     )
     scored = (
         F.broadcast(pa)

@@ -263,6 +263,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "dedup_exact_spans": 5,   # span pos is now the token start, not the
                               # span index (order-equivalent tiebreak —
                               # same output; offsets param added)
+    "similarity_ann_ivf": 5,  # cell scoring inlined as literal SQL expr
+                              # (bit-identical fold math, same output)
+    "dedup_semantic": 5,      # same assign_cells rewrite (same output)
 }
 
 

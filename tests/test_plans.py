@@ -227,12 +227,32 @@ def test_shared_subplans_reuse_exchanges_at_runtime(spark):
     per query. A restructuring that breaks plan canonicalization (e.g.
     non-deterministic expression ids in one branch) silently turns these
     into 3-scan queries at 100 TB — pin the reuse."""
-    for name in ("dedup_semantic", "text_unigram_logprob"):
-        df = _builders()[name](spark, SF_DIR)
-        df.collect()
-        final = _plan(df)
-        assert final.count("ReusedExchange") >= 2, (
-            f"{name}: expected >=2 reused exchanges\n{final[:1500]}")
+    df = _builders()["text_unigram_logprob"](spark, SF_DIR)
+    df.collect()
+    final = _plan(df)
+    assert final.count("ReusedExchange") >= 2, (
+        f"text_unigram_logprob: expected >=2 reused exchanges\n{final[:1500]}")
+
+    # dedup_semantic's r6 shape: cell scoring is a scan-side literal
+    # projection (no broadcast/join/groupBy — see similarity.py::
+    # _cell_scores_sql), so the old shared-aggregate subtree that reused
+    # one exchange from 3 references is gone. The join's isnotnull
+    # predicates push into the pair-join branches (they could not cross
+    # the old aggregate barrier), differentiating them from the outer
+    # label branch: the final plan is TWO column-pruned corpus scans
+    # (pair side reuses one exchange) — at scale, two pruned parquet
+    # scans beat one scan plus a full shuffle of the decompressed
+    # vectors, which is what the old shape paid. Pin exactly that: the
+    # pair join still reuses its exchange, and a restructuring that
+    # breaks canonicalization would show a THIRD scan.
+    df = _builders()["dedup_semantic"](spark, SF_DIR)
+    df.collect()
+    final = _plan(df)
+    final_only = final.split("== Initial Plan ==")[0]
+    assert final_only.count("ReusedExchange") >= 1, (
+        f"dedup_semantic: pair join lost exchange reuse\n{final_only[:1500]}")
+    assert final_only.count("Scan parquet") <= 2, (
+        f"dedup_semantic: corpus scanned >2x\n{final_only[:1500]}")
 
 
 def test_no_rdd_access_in_package_source():
