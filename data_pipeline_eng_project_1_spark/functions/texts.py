@@ -122,6 +122,31 @@ def bpe_ish_count(text: Column) -> Column:
         .cast("long")
 
 
+def luhn_valid_sql(digits_expr: str, n_digits: int) -> str:
+    """SQL text for a Luhn checksum validation of an ``n_digits``-long
+    digit string (credit-card PANs): from the RIGHT, odd positions count
+    as-is, even positions double with a 9-subtraction above 9, and the
+    total must be ≡ 0 (mod 10). Pure fold algebra — scan-side codegen on
+    Spark, list_sum on DuckDB — so PII card redaction can be gated on
+    ACTUAL validity instead of redacting every 16-digit run (the classic
+    false-positive source: order ids, timestamps, hashes). The unrolled
+    CASE/substr/CAST spelling parses identically on Spark (F.expr) and
+    DuckDB, so ONE string serves the query and its oracle — parity by
+    construction."""
+    terms = []
+    for i in range(n_digits):  # i = 0-based position from the right
+        # TRY_CAST (both engines): a missing candidate ('' slices) must
+        # yield NULL -> not-valid, not an ANSI cast error — AND does not
+        # short-circuit expression evaluation in Spark.
+        d = f"TRY_CAST(substr({digits_expr}, {n_digits - i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 "
+                         f"ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return "((" + " + ".join(terms) + ") % 10 = 0)"
+
+
 def _in_set(words: tuple[str, ...]):
     # Factory (not a default arg) so the returned lambda stays unary —
     # F.filter treats a 2-arg lambda as (element, index).

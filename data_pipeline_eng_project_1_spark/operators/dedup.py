@@ -325,6 +325,46 @@ def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     ])
 
 
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """(id, mh0..mh{k-1}, sh, sz): per-doc minhash signature columns plus
+    the shingle set and its size (for exact verification). Physical
+    shape: shingles EXPLODE once and each signature element is a min()
+    aggregate over the exploded rows — see minhash_dedup_pairs for why
+    this beats the per-row array formulation ~10x. Docs with fewer than
+    ``n`` tokens have no shingles and no row (they can never collide)."""
+    ex = tokenized(df, id_col, text_col).select(
+        "id",
+        F.explode(texts.word_shingles_of(F.col("__toks"), n)).alias("g"),
+    )
+    return ex.groupBy("id").agg(
+        *[F.min(hashing.seeded_md5(i, F.col("g"))).alias(f"mh{i}")
+          for i in range(num_hashes)],
+        F.collect_set("g").alias("sh"),  # shingles are distinct per doc
+        F.count("*").alias("sz"),
+    )
+
+
+def minhash_band_keys(sig: DataFrame, num_hashes: int = 8,
+                      bands: int = 4) -> DataFrame:
+    """(id, band, key) from a ``minhash_signatures`` frame: the signature
+    split into ``bands`` concatenated keys; docs agreeing on ALL rows of
+    any band become LSH candidates."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
+                                   for r in range(rows_per_band)]).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         num_hashes: int = 8, bands: int = 4,
@@ -345,28 +385,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     once on the doc id. The same agg rebuilds the shingle set + size for
     the verify step, so shingling happens exactly once end to end.
     """
-    rows_per_band = num_hashes // bands
-    ex = tokenized(df, id_col, text_col).select(
-        "id",
-        F.explode(texts.word_shingles_of(F.col("__toks"), n)).alias("g"),
-    )
-    sig = ex.groupBy("id").agg(
-        *[F.min(hashing.seeded_md5(i, F.col("g"))).alias(f"mh{i}")
-          for i in range(num_hashes)],
-        F.collect_set("g").alias("sh"),  # shingles are distinct per doc
-        F.count("*").alias("sz"),
-    )
-    banded = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
-                                   for r in range(rows_per_band)]).alias("key"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = minhash_band_keys(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -387,6 +407,73 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def incremental_dedup_flags(incoming: DataFrame, existing: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3, num_hashes: int = 8, bands: int = 4,
+                            threshold: float = 0.8) -> DataFrame:
+    """Continuous-ingestion dedup: flag each INCOMING doc against an
+    EXISTING reference corpus — the op a production pipeline runs on
+    every new crawl batch so it never re-ingests (or re-pays dedup for)
+    what the corpus already holds. Returns one row per incoming doc:
+    (id, is_known_exact, is_known_near).
+
+    - exact: md5 fingerprint of normalized text semi-joined against the
+      distinct existing fingerprints (byte-identical content up to
+      normalization).
+    - near: MinHash-LSH band collision against the existing side's
+      distinct band keys proposes candidates; an exact Jaccard >=
+      ``threshold`` verification against the colliding existing docs
+      decides — so the flag means ACTUALLY near-duplicate, with LSH
+      recall (a pair missed by every band stays unflagged, the standard
+      LSH trade).
+
+    Scale shape: both sides' signatures are the linear exploded-groupBy
+    build; the band equi-join touches only colliding keys, and — unlike
+    the self-join of full-corpus dedup — its fan-out is incoming-batch x
+    matching existing docs, linear in the (small) batch for non-
+    pathological keys; a hot boilerplate band is the same AQE-skew /
+    band-widening territory as minhash_dedup_pairs. Verification joins
+    candidate pairs only. The existing side's signatures/bands would be
+    PRECOMPUTED and stored in production (content-addressed,
+    append-only); recomputing here keeps the operator self-contained.
+    """
+    fin = add_fingerprint(incoming, text_col).select(
+        F.col(id_col).alias("id"), "fingerprint")
+    fex = (add_fingerprint(existing, text_col)
+           .select("fingerprint").distinct())
+    exact_ids = (fin.join(fex, "fingerprint", "left_semi")
+                 .select("id").withColumn("__e", F.lit(True)))
+
+    sin = minhash_signatures(incoming, id_col, text_col, n, num_hashes)
+    sex = minhash_signatures(existing, id_col, text_col, n, num_hashes)
+    bin_ = minhash_band_keys(sin, num_hashes, bands)
+    bex = minhash_band_keys(sex, num_hashes, bands)
+    cand = (
+        bin_.join(bex.withColumnRenamed("id", "rid"), ["band", "key"])
+        .select("id", "rid").distinct()
+    )
+    near_ids = (
+        cand
+        .join(sin.select("id", F.col("sh").alias("sh_i"),
+                         F.col("sz").alias("sz_i")), "id")
+        .join(sex.select(F.col("id").alias("rid"), F.col("sh").alias("sh_r"),
+                         F.col("sz").alias("sz_r")), "rid")
+        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_r")))
+        .filter(F.col("inter")
+                / (F.col("sz_i") + F.col("sz_r") - F.col("inter"))
+                >= threshold)
+        .select("id").distinct().withColumn("__n", F.lit(True))
+    )
+    return (
+        incoming.select(F.col(id_col).alias("id"))
+        .join(exact_ids, "id", "left")
+        .join(near_ids, "id", "left")
+        .select("id",
+                F.coalesce("__e", F.lit(False)).alias("is_known_exact"),
+                F.coalesce("__n", F.lit(False)).alias("is_known_near"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -179,6 +179,79 @@ def _q_dedup_components(spark, sf_dir):
 
 
 @_register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    ex AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component
+             FROM reach GROUP BY id),
+    q AS (SELECT doc_id, len({SQL_TOKS}) AS q FROM documents),
+    ranked AS (
+      SELECT component, doc_id, q,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY q DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n
+      FROM comp JOIN q USING (doc_id)
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(n AS BIGINT) AS n_members,
+           doc_id AS kept_doc_id,
+           CAST(q AS BIGINT) AS kept_tokens
+    FROM ranked WHERE rn = 1
+    """,
+    doc="quality-aware canonical selection: near-dup components "
+        "(Jaccard>=0.5, same closure as dedup_components) each keep their "
+        "BEST member — most tokens, min-id tiebreak — instead of the "
+        "blind min-id pick: in production curation the canonical doc "
+        "should be the longest/cleanest copy, not whichever crawled "
+        "first. Spark side: hybrid connected_components + one "
+        "groupBy(component).agg(min(struct(-q, id))) argmax — an "
+        "aggregate, not a window, so components of any size reduce "
+        "map-side; the oracle replays the closure recursively and the "
+        "argmax as a row_number window.",
+)
+def _q_dedup_keep_best(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingled(d)
+    pairs = dedup.jaccard_pairs_prefix(sh, 0.5).select("id_a", "id_b")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = dedup.connected_components(nodes, pairs)
+    qual = d.select(F.col("doc_id").alias("id"),
+                    texts.n_tokens(F.col("text")).alias("q"))
+    return (
+        comp.join(qual, "id")
+        .groupBy(F.col("comp").cast("long").alias("component"))
+        .agg(F.count("*").alias("n_members"),
+             F.min(F.struct((-F.col("q")).alias("nq"),
+                            F.col("id").alias("kid"))).alias("m"))
+        .select("component", "n_members",
+                F.col("m.kid").alias("kept_doc_id"),
+                (-F.col("m.nq")).cast("long").alias("kept_tokens"))
+    )
+
+
+@_register(
     "dedup_exact_spans",
     f"""
     WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
@@ -314,6 +387,83 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4,
     SELECT id_a, id_b, round(j, 4) AS jaccard
     FROM verified WHERE j >= {threshold}
     """
+
+
+def _incremental_oracle(num_hashes: int = 8, bands: int = 4,
+                        threshold: float = 0.8) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT id, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    sigs AS (
+      SELECT id, s,
+             {mh_cols}
+      FROM sh
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id, b.id AS rid
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND a.id % 2 = 1 AND b.id % 2 = 0
+    ),
+    near AS (
+      SELECT DISTINCT c.id
+      FROM cand c JOIN sh sa ON sa.id = c.id JOIN sh sb ON sb.id = c.rid
+      WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+            >= {threshold}
+    ),
+    fp AS (SELECT doc_id, md5({SQL_NORM}) AS fingerprint FROM documents),
+    exact AS (
+      SELECT f.doc_id FROM fp f
+      WHERE f.doc_id % 2 = 1
+        AND f.fingerprint IN (SELECT fingerprint FROM fp
+                              WHERE doc_id % 2 = 0)
+    )
+    SELECT d.doc_id AS id,
+           e.doc_id IS NOT NULL AS is_known_exact,
+           v.id IS NOT NULL AS is_known_near
+    FROM documents d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near v ON v.id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """
+
+
+@_register(
+    "dedup_incremental",
+    _incremental_oracle(),
+    doc="continuous-ingestion dedup: the odd-id half of the corpus plays "
+        "the INCOMING batch, the even-id half the EXISTING corpus; each "
+        "incoming doc is flagged is_known_exact (normalized-text md5 "
+        "fingerprint present in the existing side) and is_known_near "
+        "(MinHash-LSH band collision against existing docs, then exact "
+        "Jaccard >= 0.8 verification — the flag means actually-near, at "
+        "LSH recall). This is the op a production pipeline runs per new "
+        "crawl batch instead of re-deduplicating the whole corpus: batch-"
+        "linear work against precomputable content-addressed signatures "
+        "(operators/dedup.py::incremental_dedup_flags).",
+)
+def _q_dedup_incremental(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup_flags(incoming, existing)
 
 
 @_register(
@@ -837,6 +987,129 @@ def _q_pii_scrub(spark, sf_dir):
             F.md5(F.encode(scrubbed, "UTF-8")).alias("scrub_md5"),
         )
     )
+
+
+_CARD_RE = "[0-9]{16}"
+_LUHN = texts.luhn_valid_sql("cand", 16)
+
+
+@_register(
+    "pii_creditcard_luhn",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' card 411111111111111' ||
+                       CAST(doc_id % 10 AS VARCHAR) || ' on file'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' order 1234567890 ref' ELSE '' END AS t
+      FROM documents
+      WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+    ),
+    cands AS (
+      SELECT doc_id, t,
+             len(regexp_extract_all(t, '{_CARD_RE}')) AS n_cards,
+             regexp_extract(t, '{_CARD_RE}') AS cand
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_cards AS INTEGER) AS n_cards,
+           CAST(CASE WHEN n_cards > 0 AND {_LUHN}
+                     THEN 1 ELSE 0 END AS INTEGER) AS n_valid,
+           md5(CASE WHEN n_cards > 0 AND {_LUHN}
+                    THEN replace(t, cand, '<CARD>') ELSE t END) AS scrub_md5
+    FROM cands
+    """,
+    doc="Luhn-validated credit-card PII redaction: detect 16-digit runs, "
+        "validate the Luhn checksum with pure fold algebra (the SAME "
+        "unrolled SQL string runs on both engines — "
+        "functions/texts.py::luhn_valid_sql), and redact only VALID PANs "
+        "— plain all-digit-run redaction mangles order ids and hashes, "
+        "the classic PII-scrub false positive. Fixtures carry no cards, "
+        "so docs embed a synthetic 15-digit prefix + (doc_id%10) check "
+        "digit — valid for exactly one residue, so the validator must "
+        "actually discriminate per row — and a 10-digit decoy run that "
+        "must NOT match. All scan-side codegen, zero shuffles; the md5 "
+        "of the scrubbed text proves byte-exact redaction.",
+)
+def _q_pii_creditcard_luhn(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" card 411111111111111"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(" on file"))).otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" order 1234567890 ref")).otherwise(""),
+    )
+    return (
+        d.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0))
+        .select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id", "t",
+            F.size(F.regexp_extract_all("t", F.lit(_CARD_RE), F.lit(0)))
+             .alias("n_cards"),
+            F.regexp_extract("t", _CARD_RE, 0).alias("cand"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_cards").cast("int").alias("n_cards"),
+            F.when((F.col("n_cards") > 0) & F.expr(_LUHN), 1).otherwise(0)
+             .cast("int").alias("n_valid"),
+            F.md5(F.encode(
+                F.when((F.col("n_cards") > 0) & F.expr(_LUHN),
+                       F.replace("t", "cand", F.lit("<CARD>")))
+                 .otherwise(F.col("t")), "UTF-8")).alias("scrub_md5"),
+        )
+    )
+
+
+@_register(
+    "corpus_shard_export",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             md5('shard:' || CAST(doc_id AS VARCHAR)) AS key,
+             CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 16 AS shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY key, doc_id) AS INTEGER) AS pos
+    FROM k
+    """,
+    doc="deterministic training-shard export plan: every doc gets a "
+        "seeded-md5 key; the shard is the key's value mod n_shards and "
+        "pos is the doc's rank within its shard under the key order — "
+        "i.e. a reproducible GLOBAL pseudo-random shuffle of the corpus "
+        "into equal shards, the step that feeds sequence packing and "
+        "training readers (a corpus read in storage order is ordered by "
+        "crawl/source and trains badly; seeded md5 gives a shuffle that "
+        "re-runs byte-identically for resumable jobs). Scale shape: the "
+        "md5 keying is scan-side; the per-shard row_number window is NOT "
+        "a reducer funnel because n_shards grows with the corpus so one "
+        "shard == one output file's worth of rows (~hundreds of MB) — "
+        "the per-shard sort IS the ordered shard write, inherent to "
+        "emitting shuffled shards, and uniform md5 keys balance shard "
+        "sizes to within sampling noise.",
+)
+def _q_corpus_shard_export(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    seed = F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+    k = d.select(
+        "doc_id",
+        F.md5(seed).alias("key"),
+        (hashing.hex_int(seed) % 16).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return k.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("int").alias("pos"))
 
 
 @_register(

@@ -548,3 +548,33 @@ def test_span_stats_staggered_matches_python_reference(spark):
                for r in dedup.span_stats(df, k=k, offsets=offsets).collect()}
         assert got == want, f"seed {seed}"
         assert any(v > 1 for v in freq.values()), "vacuous: no dup spans"
+
+
+def test_incremental_dedup_flags_planted(spark):
+    """Planted incremental-ingestion geometry: incoming doc 101 is an
+    exact copy of existing doc 0 (exact AND near); 103 is a near-dup of
+    doc 2 (tail edit -> near only); 105 is novel (neither); 107 is too
+    short to shingle (never near, exact still possible via fingerprint
+    and here false)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (2, "one two three four five six seven eight nine ten"),
+        (4, "completely different reference text body here"),
+    ]
+    incoming = [
+        (101, base),                                              # exact
+        (103, "one two three four five six seven eight nine zz"),  # near
+        (105, "wholly novel content never seen in the corpus"),
+        (107, "xy"),                                              # short
+    ]
+    ex = spark.createDataFrame(rows, ["doc_id", "text"])
+    inc = spark.createDataFrame(incoming, ["doc_id", "text"])
+    out = {r["id"]: (r["is_known_exact"], r["is_known_near"])
+           for r in dedup.incremental_dedup_flags(
+               inc, ex, threshold=0.5).collect()}
+    assert set(out) == {101, 103, 105, 107}
+    assert out[101] == (True, True)
+    assert out[103] == (False, True)
+    assert out[105] == (False, False)
+    assert out[107] == (False, False)

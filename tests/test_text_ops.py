@@ -62,3 +62,33 @@ def test_text_repetition_signals(spark, tmp_path):
     assert abs(out[3]["dup_3gram_ratio"] - 0.5) < 1e-9
     assert out[3]["top_unigram_frac"] == 1.0
     assert not out[3]["keep"]
+
+
+def test_pii_creditcard_luhn_discriminates(spark, tmp_path):
+    """The Luhn gate must redact VALID PANs only: doc 30 gets check digit
+    0 (invalid for the 411111111111111 prefix, whose Luhn digit is 1) and
+    stays untouched; doc 21 gets digit 1 (valid) and is redacted; doc 7's
+    10-digit decoy run never matches the 16-digit pattern."""
+    import hashlib
+
+    rows = [(7, "x", "short doc"), (21, "x", "pay now"),
+            (30, "x", "invoice")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           _builder("pii_creditcard_luhn")(spark, str(tmp_path)).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 7: decoy only — no 16-digit candidate
+    assert (out[7]["n_cards"], out[7]["n_valid"]) == (0, 0)
+    assert out[7]["scrub_md5"] == md5("short doc order 1234567890 ref")
+    # doc 21: %3==0 and %7==0 -> card 4111111111111111 (valid) + decoy
+    assert (out[21]["n_cards"], out[21]["n_valid"]) == (1, 1)
+    assert out[21]["scrub_md5"] == md5(
+        "pay now card <CARD> on file order 1234567890 ref")
+    # doc 30: card 4111111111111110 fails Luhn -> NOT redacted
+    assert (out[30]["n_cards"], out[30]["n_valid"]) == (1, 0)
+    assert out[30]["scrub_md5"] == md5(
+        "invoice card 4111111111111110 on file")
