@@ -103,3 +103,34 @@ def test_simhash_banding_recall_complete_for_hamming_le_bands_minus_1(h, flips):
         h2 ^= 1 << bit
     a, b = _simhash_bands(h), _simhash_bands(h2)
     assert any(x == y for x, y in zip(a, b))
+
+
+def _luhn_reference(s: str) -> bool:
+    """Textbook Luhn: from the right, double every second digit with a
+    9-subtraction above 9; valid iff the total is = 0 (mod 10)."""
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@given(st.text(alphabet="0123456789", min_size=16, max_size=16))
+@settings(max_examples=200)
+def test_luhn_sql_matches_reference(s):
+    """The generated Luhn SQL (shared verbatim by the Spark query and its
+    DuckDB oracle — functions/texts.py::luhn_valid_sql) must agree with
+    the textbook algorithm on arbitrary 16-digit strings. Executed via
+    DuckDB (milliseconds per example; the Spark side runs the identical
+    string, covered by the example-based suites and the driver oracle)."""
+    import duckdb
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+
+    sql = texts.luhn_valid_sql(f"'{s}'", 16)
+    got = duckdb.sql(f"SELECT {sql}").fetchone()[0]
+    assert got == _luhn_reference(s), s
