@@ -251,6 +251,38 @@ def dedup_documents_stream(docs: DataFrame, ts_col: str = "ts",
     )
 
 
+def known_content_stream(docs: DataFrame, reference: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Streaming twin of the exact rung of
+    operators/dedup.py::incremental_dedup_flags: flag each ARRIVING doc
+    whose normalized-text fingerprint already exists in a static
+    reference corpus (``is_known``) — a sink/filter drops knowns at
+    intake so re-crawled pages never cost tokenization or near-dup
+    candidate generation downstream.
+
+    Entirely STATELESS: the fingerprint is per-row column algebra and
+    the stream-static left-outer join against the reference's distinct
+    fingerprints re-plans each micro-batch, so a nightly-rebuilt corpus
+    index is picked up without restarting the stream (and a small
+    fingerprint set broadcasts). Compose with
+    ``dedup_documents_stream`` for WITHIN-stream replays (that one needs
+    watermark-bounded state; this one needs none). Near-dup screening
+    stays a batch/compaction concern — its candidate join needs a
+    corpus-wide index, not per-arrival state.
+    """
+    from data_pipeline_eng_project_1_spark.operators import dedup as _dedup
+
+    ref = (_dedup.add_fingerprint(reference, text_col)
+           .select("fingerprint").distinct()
+           .withColumn("__k", F.lit(True)))
+    return (
+        _dedup.add_fingerprint(docs, text_col)
+        .join(ref, "fingerprint", "left")
+        .withColumn("is_known", F.coalesce("__k", F.lit(False)))
+        .drop("__k")
+    )
+
+
 def semantic_hits_stream(vectors_stream: DataFrame, reference: DataFrame,
                          threshold: float = 0.4, num_cells: int = 16,
                          id_col: str = "vec_id",

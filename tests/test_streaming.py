@@ -183,6 +183,37 @@ def test_dedup_documents_stream_content_based(spark, tmp_path):
     assert kept == [1, 3]  # doc 2 is a normalized-content replay of doc 1
 
 
+def test_known_content_stream_flags_reference_matches(spark, tmp_path):
+    """Arriving docs whose normalized text already exists in the static
+    reference corpus are flagged is_known (content match survives
+    case/punctuation differences); novel docs pass unflagged. Stateless
+    stream-static join — no watermark, no state store."""
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "docs", tmp_path / "ck_known"
+    src.mkdir()
+    ref = spark.createDataFrame(
+        [(100, "Alpha,  beta GAMMA."), (101, "existing corpus page")],
+        ["doc_id", "text"])
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma"},        # known (norm.)
+        {"doc_id": 2, "text": "a brand new document"},    # novel
+        {"doc_id": 3, "text": "EXISTING corpus page"},    # known (case)
+    ]
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = sp.run_to_memory(
+        sp.known_content_stream(stream, ref), "known_t", str(ckpt))
+    q.awaitTermination()
+    got = {r["doc_id"]: r["is_known"]
+           for r in spark.table("known_t").collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
 def test_user_activity_stateful(spark, tmp_path):
     src, ckpt = tmp_path / "ev", tmp_path / "ck"
     src.mkdir()
