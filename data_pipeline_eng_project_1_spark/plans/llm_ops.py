@@ -619,6 +619,51 @@ def _q_similarity_topk(spark, sf_dir):
     )
 
 
+@_register(
+    "similarity_filtered_topk",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+      WHERE c.label % 3 = 0
+    )
+    SELECT probe_id, match_id, round(cos, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, match_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    doc="metadata-filtered vector search (the standard vector-DB feature: "
+        "predicate + top-k in one query): exact cosine top-5 over only "
+        "the corpus vectors whose label passes the filter. Spark-first "
+        "design is pure COMPOSITION — the predicate is a DataFrame "
+        "filter, so Catalyst pushes it into the parquet scan "
+        "(PushedFilters on label; pre-filter strategy, exact recall at "
+        "selectivity-proportional cost) before the broadcast-probe "
+        "re-rank; contrast with post-filter ANN, which loses recall when "
+        "the filter is selective. The same composition works in front of "
+        "the IVF/LSH/PQ paths via their corpus argument (pass centroids "
+        "explicitly so the quantizer stays corpus-wide).",
+)
+def _q_similarity_filtered_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("label") % 3 == 0)
+    return (
+        similarity.topk_cosine(probes, corpus, k=5, dim=64)
+        .select("probe_id", "match_id", F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _ann_oracle(num_tables: int = 8, planes_per_table: int = 4,
                 dim: int = 64, k: int = 5, n_probes: int = 20) -> str:
     planes = similarity.hyperplanes(num_tables * planes_per_table, dim)

@@ -248,6 +248,9 @@ _FAMILY = {
     # -- §2.8 training-data layout (shuffle-shard order feeds packing)
     "doc_packing": "corpus_layout",
     "corpus_shard_export": "corpus_layout",
+    # -- §2.8 exact vector search (unfiltered / metadata-filtered)
+    "similarity_topk": "similarity_exact",
+    "similarity_filtered_topk": "similarity_exact",
     # -- §2.8 multimodal rungs are one SURVEY row; merged so the family
     #    count stays low enough that every needs-evidence NON-rep also
     #    fits in the 50-query prefix (the rotation still grades all
