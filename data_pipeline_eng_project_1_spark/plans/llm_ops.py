@@ -1034,6 +1034,76 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 4, d: float = 0.85) -> str:
+    """Unrolled power-method PageRank: one CTE pair (contributions, next
+    ranks) per iteration, spelling the SAME float operations as the
+    Spark side — (1.0 - 0.85)/n and 0.85*x as literal expressions — so
+    the doubles agree to the bit before the final round(6)."""
+    blocks = [
+        "nodes AS (SELECT s_suppkey AS id FROM supplier)",
+        "nn AS (SELECT count(*) AS n FROM supplier)",
+        """edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    )""",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""c{i} AS (
+      SELECT e.dst, sum(r.r / o.deg) AS s
+      FROM edges e JOIN outdeg o ON e.src = o.src
+      JOIN r{i-1} r ON r.id = e.src
+      GROUP BY e.dst
+    )""")
+        blocks.append(
+            f"""r{i} AS (
+      SELECT nodes.id,
+             (1.0 - {d}) / nn.n + {d} * COALESCE(c{i}.s, 0.0) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nodes.id
+    )""")
+    return ("WITH " + ",\n    ".join(blocks)
+            + f"\n    SELECT id AS s_suppkey, round(r, 6) AS rank"
+              f" FROM r{iters}")
+
+
+@_register(
+    "supplier_pagerank",
+    _pagerank_oracle(),
+    doc="link-graph authority scoring (the corpus-curation quality "
+        "signal: rank hosts/sources by centrality before sampling, "
+        "Common Crawl-style) as fixed-iteration power-method PageRank "
+        "over the supplier co-purchase graph (suppliers sharing an "
+        "order, distinct directed pairs — per-order fan-out is bounded "
+        "by lines-per-order, never quadratic in the table). FOUR "
+        "unrolled iterations of r' = (1-d)/N + d*sum(r/outdeg) as ONE "
+        "lazy job — per-iteration shuffles aggregate on dst (a celebrity "
+        "node is a reducer, not a join blowup), dangling mass absorbed "
+        "so the recurrence is exactly mirrorable; the oracle unrolls the "
+        "same iterations as chained CTEs with identical float spelling "
+        "(operators/graph.py::pagerank).",
+)
+def _q_supplier_pagerank(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") != F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("src"),
+                F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    nodes = sup.select(F.col("s_suppkey").alias("id"))
+    pr = graph.pagerank(nodes, edges, iters=4, damping=0.85)
+    return pr.select(F.col("id").alias("s_suppkey"),
+                     F.round("rank", 6).alias("rank"))
+
+
 _CARD_RE = "[0-9]{16}"
 _LUHN = texts.luhn_valid_sql("cand", 16)
 

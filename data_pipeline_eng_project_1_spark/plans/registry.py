@@ -251,6 +251,12 @@ _FAMILY = {
     # -- §2.8 exact vector search (unfiltered / metadata-filtered)
     "similarity_topk": "similarity_exact",
     "similarity_filtered_topk": "similarity_exact",
+    # -- §2.8 ANN rungs are one SURVEY row (IVF/LSH/PQ); merged for the
+    #    same budget-fit reason as multimodal — the rotation still
+    #    grades all three most rounds (1-2 s queries).
+    "similarity_ann_ivf": "similarity_ann",
+    "similarity_ann_lsh": "similarity_ann",
+    "similarity_ann_pq": "similarity_ann",
     # -- §2.8 multimodal rungs are one SURVEY row; merged so the family
     #    count stays low enough that every needs-evidence NON-rep also
     #    fits in the 50-query prefix (the rotation still grades all
