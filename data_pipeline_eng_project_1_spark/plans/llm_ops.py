@@ -1034,6 +1034,80 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+@_register(
+    "text_bigram_pmi",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT sum(c) AS n FROM uc),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    nb AS (SELECT sum(c) AS n FROM bc),
+    scored AS (
+      SELECT w1 || ' ' || w2 AS bigram,
+             bc.c AS n_pair,
+             round(ln((bc.c * 1.0 / nb.n)
+                      / ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))),
+                   4) AS pmi
+      FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE bc.c >= 5
+    )
+    SELECT bigram, CAST(n_pair AS BIGINT) AS n_pair, pmi
+    FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc="collocation mining: top-20 corpus bigrams by pointwise mutual "
+        "information (min support 5) — the phrase-discovery signal "
+        "tokenizer/vocab pipelines compute corpus-wide. Shape: one "
+        "scan-side bigram fan-out (adjacent-token structs, linear in "
+        "tokens), two hash aggs (bigram and unigram counts, partial "
+        "map-side), two equi-joins of the bigram table against the "
+        "unigram counts, and a global top-20 (TakeOrderedAndProject — "
+        "never a full sort at scale). Both engines spell the PMI "
+        "arithmetic identically (c*1.0/N divisions then ln), and "
+        "round-before-rank makes the cutoff tie deterministic via the "
+        "(pmi, bigram) order.",
+)
+def _q_text_bigram_pmi(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    t = d.select(texts.tokens(F.col("text")).alias("toks"))
+    uc = (t.select(F.explode("toks").alias("w"))
+          .groupBy("w").agg(F.count("*").alias("c")))
+    nu = uc.agg(F.sum("c").alias("nu"))
+    bi = (
+        t.filter(F.size("toks") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2")))).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    nb = bc.agg(F.sum("c").alias("nb"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bc.filter(F.col("c") >= 5)
+        .join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c").cast("long").alias("n_pair"),
+            F.round(F.log(
+                (F.col("c") * F.lit(1.0) / F.col("nb"))
+                / ((F.col("c1") * F.lit(1.0) / F.col("nu"))
+                   * (F.col("c2") * F.lit(1.0) / F.col("nu")))), 4)
+             .alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)
+
+
 def _pagerank_oracle(iters: int = 4, d: float = 0.85) -> str:
     """Unrolled power-method PageRank: one CTE pair (contributions, next
     ranks) per iteration, spelling the SAME float operations as the
