@@ -375,40 +375,39 @@ def _green_round(name: str) -> int:
 
 
 def all_specs() -> list[QuerySpec]:
-    """Registered specs in grading order: coverage-first, evidence-first.
+    """Registered specs in grading order: evidence-first, stalest-first.
 
-    1. One representative per operator family — the cheapest
-       needs-evidence member when one exists (never graded, latest row
-       non-green, or changed since its green row), else the STALEST-green
-       member — so a budget cutoff maximizes per-operator coverage, new
-       evidence, and freshness, in that order.
-    2. Remaining specs: needs-evidence first (cheapest-first), then green
-       ones stalest-round-first — every family's green row converges to
-       ≤1 round old as budget allows.
+    1. Every needs-evidence query (never graded, latest row non-green,
+       or changed since its green row) leads, FAMILY-INTERLEAVED: wave 0
+       is the cheapest needy member of each needy family (cheapest
+       family first), wave 1 the second members, and so on — so even a
+       pessimistic budget trip mid-block touches the widest set of
+       operator families (the r2 lesson) while a normal budget grades
+       every needy query.
+    2. Green queries follow, purely STALEST-round-first (cost tiebreak):
+       with the observed 50-row budget this refreshes the oldest
+       evidence corpus-wide each round, instead of burning slots on one
+       already-fresh representative per family (the r5 walk's shape —
+       it capped refreshes at one per family per round and left
+       multi-member families' stale rows waiting ~a round each).
+
+    With N needy and S stale rows, all of both are graded whenever
+    N + S <= budget; when the budget trips early, the order still
+    maximizes (family coverage of new evidence, then oldest-first
+    freshness) at every prefix length.
     """
-    by_family: dict[str, list[QuerySpec]] = {}
-    for s in _SPECS:
-        by_family.setdefault(_family(s.name), []).append(s)
+    def _interleave_needy(lst: list[QuerySpec]) -> list[QuerySpec]:
+        wave: dict[str, int] = {}
+        keyed = []
+        for i, s in enumerate(lst):  # lst is cheapest-first
+            fam = _family(s.name)
+            keyed.append((wave.get(fam, 0), i, s))
+            wave[fam] = wave.get(fam, 0) + 1
+        keyed.sort(key=lambda t: (t[0], t[1]))
+        return [s for _, _, s in keyed]
 
-    reps: list[QuerySpec] = []
-    rest: list[QuerySpec] = []
-    for members in by_family.values():
-        members = sorted(members, key=lambda s: _cost(s.name))
-        needy = [s for s in members if _needs_evidence(s.name)]
-        if needy:
-            rep = needy[0]
-        else:
-            rep = min(members,
-                      key=lambda s: (_green_round(s.name), _cost(s.name)))
-        reps.append(rep)
-        rest.extend(s for s in members if s is not rep)
-
-    def _key(s: QuerySpec):
-        # Needs-evidence first by cost; then green, stalest-round-first.
-        if _needs_evidence(s.name):
-            return (0, _cost(s.name), 0)
-        return (1, _green_round(s.name), _cost(s.name))
-
-    reps.sort(key=_key)
-    rest.sort(key=_key)
-    return reps + rest
+    needy = sorted((s for s in _SPECS if _needs_evidence(s.name)),
+                   key=lambda s: _cost(s.name))
+    green = sorted((s for s in _SPECS if not _needs_evidence(s.name)),
+                   key=lambda s: (_green_round(s.name), _cost(s.name)))
+    return _interleave_needy(needy) + green
