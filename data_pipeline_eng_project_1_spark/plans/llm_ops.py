@@ -252,6 +252,72 @@ def _q_dedup_keep_best(spark, sf_dir):
 
 
 @_register(
+    "corpus_leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    ex AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component
+             FROM reach GROUP BY id)
+    SELECT doc_id,
+           CAST(component AS BIGINT) AS component,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             CAST('0x' || substr(md5('split:' ||
+                                     CAST(component AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10 AS b
+      FROM comp
+    )
+    """,
+    doc="leakage-safe train/val/test assignment: near-dup components "
+        "(Jaccard>=0.5, the dedup_components closure) are split as UNITS "
+        "— the md5 bucket is keyed on the COMPONENT id, so near-"
+        "duplicates can never straddle train and eval (the classic "
+        "contamination bug a doc-keyed random split commits: the eval "
+        "set silently contains near-copies of training docs). "
+        "Deterministic 80/10/10 via the same integer-exact md5 rule the "
+        "sampling family uses; Spark side is hybrid "
+        "connected_components + scan-side bucket algebra.",
+)
+def _q_corpus_leakage_safe_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingled(d)
+    pairs = dedup.jaccard_pairs_prefix(sh, 0.5).select("id_a", "id_b")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = dedup.connected_components(nodes, pairs)
+    b = hashing.hex_int(
+        F.concat(F.lit("split:"), F.col("comp").cast("string"))) % 10
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+         .alias("split"),
+    )
+
+
+@_register(
     "dedup_exact_spans",
     f"""
     WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
@@ -464,6 +530,53 @@ def _q_dedup_incremental(spark, sf_dir):
     incoming = d.filter(F.col("doc_id") % 2 == 1)
     existing = d.filter(F.col("doc_id") % 2 == 0)
     return dedup.incremental_dedup_flags(incoming, existing)
+
+
+@_register(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {SQL_SHINGLES} AS s FROM documents
+    ),
+    ex AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / LEAST(sz_a, sz_b), 4) AS containment
+    FROM pairs
+    WHERE inter * 1.0 / LEAST(sz_a, sz_b) >= 0.9
+    """,
+    doc="containment (asymmetric near-dup) detection: pairs where the "
+        "SMALLER doc's shingles are >=90% contained in the larger's — "
+        "the quote/wrapper/boilerplate-inclusion case Jaccard "
+        "structurally misses at size mismatch (a doc fully quoted inside "
+        "one 10x larger has J ~ 0.1 but containment 1.0). Same "
+        "inverted-index + count-aggregate shape as jaccard_pairs (a hot "
+        "shingle is the same k-squared risk, same stop-df mitigation "
+        "applies); containment normalizes by min(sz) instead of the "
+        "union.",
+)
+def _q_dedup_containment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingled(d)
+    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.col("inter") / F.least("sz_a", "sz_b")
+    return (
+        pairs.filter(cont >= 0.9)
+        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )
 
 
 @_register(

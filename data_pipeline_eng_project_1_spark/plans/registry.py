@@ -239,9 +239,14 @@ _FAMILY = {
     # -- §2.8 PII scrub rungs (regex entities / checksum-validated PANs)
     "pii_scrub": "pii",
     "pii_creditcard_luhn": "pii",
-    # -- §2.8 component-based cluster dedup (closure / quality-keep-best)
+    # -- §2.8 component-based cluster dedup (closure / quality-keep-best
+    #    / leakage-safe split — all build on the same pair closure)
     "dedup_components": "dedup_cluster",
     "dedup_keep_best": "dedup_cluster",
+    "corpus_leakage_safe_split": "dedup_cluster",
+    # -- §2.8 shingle inverted-index pair ops (Jaccard / containment)
+    "dedup_ngram_jaccard": "dedup_shingle_pairs",
+    "dedup_containment": "dedup_shingle_pairs",
     # -- §2.8 minhash-band dedup (full-corpus pairs / incremental batch)
     "dedup_minhash_lsh": "dedup_minhash",
     "dedup_incremental": "dedup_minhash",
