@@ -92,3 +92,24 @@ def test_pii_creditcard_luhn_discriminates(spark, tmp_path):
     assert (out[30]["n_cards"], out[30]["n_valid"]) == (1, 0)
     assert out[30]["scrub_md5"] == md5(
         "invoice card 4111111111111110 on file")
+
+
+def test_leakage_safe_split_never_straddles_components(spark, tmp_path):
+    """The defining property: near-duplicate docs (same component) always
+    land in the SAME split — a doc-keyed random split would violate this
+    with probability ~1/3 per pair."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, "x", base), (2, "x", base + " extra"),  # near-dup pair
+            (3, "x", "totally different content here about other things "
+                     "with many unrelated words in a row")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: (r["component"], r["split"]) for r in
+           _builder("corpus_leakage_safe_split")(
+               spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == out[2][0] == 1      # near-dups share a component
+    assert out[1][1] == out[2][1]           # ... and therefore a split
+    assert out[3][0] == 3                   # singleton keeps its own
+    assert all(s in ("train", "val", "test") for _, s in out.values())
