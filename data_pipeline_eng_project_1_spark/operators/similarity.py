@@ -54,6 +54,22 @@ def signature(vec: Column, planes: list[list[int]]) -> Column:
     return out.cast("int")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """CPU-spread gated on the scan's split count (same rule as
+    dedup.tokenized): a small fixture corpus arrives as one parquet
+    split and per-row interpreted folds would run on one core; an
+    at-scale corpus already has >= defaultParallelism splits and must
+    NOT pay a full shuffle just to spread CPU. Hash-partitions by
+    ``cols`` when given (lets a downstream groupBy reuse the exchange),
+    round-robin otherwise."""
+    from data_pipeline_eng_project_1_spark.operators.dedup import scan_width
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if scan_width(df) >= n:
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _l2(col: str, dim: int | None) -> Column:
     """Norm of a named column: one-F.expr unrolled form when dim is known
     (see vectors.l2_expr — ~300× fewer py4j calls), generic fold otherwise."""
@@ -81,9 +97,9 @@ def topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
     # expression — identical doubles, no parity risk.
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
                       _l2(vec_col, dim).alias("pn"))
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism) \
-        .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
-                _l2(vec_col, dim).alias("cn"))
+    c = _spread(corpus).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+        _l2(vec_col, dim).alias("cn"))
     scored = (
         F.broadcast(p).join(c, F.col("probe_id") != F.col("match_id"))
         .select("probe_id", "match_id",
@@ -277,13 +293,9 @@ def assign_cells(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     and is never re-shuffled."""
     if dim is None:
         dim = len(centroids[0][1])
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
         _l2(vec_col, dim).alias("cn"))
-    n = corpus.sparkSession.sparkContext.defaultParallelism
-    from data_pipeline_eng_project_1_spark.operators.dedup import scan_width
-    if scan_width(corpus) < n:
-        c = c.repartition(n, "match_id")
     best = F.array_min(F.expr(_cell_scores_sql("cv", "cn", centroids, dim)))
     return c.select("match_id", "cv", "cn", best["cid"].alias("cell"))
 
@@ -402,9 +414,7 @@ def lsh_topk_cosine(probes: DataFrame, corpus: DataFrame, k: int,
         )
 
     p = with_sigs(probes, "probe_id", "pv", "pn")
-    c = with_sigs(
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
-        "match_id", "cv", "cn")
+    c = with_sigs(_spread(corpus), "match_id", "cv", "cn")
     cand = (
         F.broadcast(p).join(c, ["tbl", "sig"])
         .filter(F.col("probe_id") != F.col("match_id"))
