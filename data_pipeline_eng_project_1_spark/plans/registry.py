@@ -313,6 +313,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "dedup_semantic": 5,      # same assign_cells rewrite (same output)
     "dedup_minhash_lsh": 5,   # sig/band build refactored into shared
                               # helpers (pure refactor, same output)
+    "similarity_topk": 5,     # corpus spread gated on scan splits
+                              # (physical only, same output)
+    "similarity_ann_lsh": 5,  # same spread gating (same output)
 }
 
 
