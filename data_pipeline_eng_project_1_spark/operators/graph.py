@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, materialize: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over a directed graph: ``nodes`` with
     column ``id``, ``edges`` with ``src``/``dst`` (parallel edges count
     once per row — pre-aggregate or distinct upstream if unwanted).
@@ -33,12 +33,25 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
     The iteration count is FIXED, not convergence-probed: a curation
     signal wants bounded cost, the power method's error decays as d^i
     (~0.52 at i=4, ~0.2 at i=10 — ranks ORDER stabilizes much earlier),
-    and a fixed unroll keeps the whole computation ONE lazy job — no
-    per-round actions, no caches to free. Plan growth is linear in
-    ``iters`` (each rank frame is referenced once by the next), so no
-    lineage truncation is needed at sane depths; the edge⋈outdeg subtree
-    is referenced ``iters`` times and AQE's exchange reuse materializes
-    it once per action.
+    and a fixed unroll keeps the computation a single chained lazy plan —
+    no per-round convergence actions, no cache-manager entries to free.
+    Plan growth is linear in ``iters`` (each rank frame is referenced
+    once by the next), so no lineage truncation is needed at sane
+    depths. The edge⋈outdeg subtree is referenced ``iters`` times: the
+    printed final plan shows ``iters``x repeated scan subtrees (no
+    ReusedExchange — each iteration's self-referencing join re-analyzes
+    the subtree into fresh expression ids), and while AQE's RUNTIME
+    shuffle-stage reuse usually dedups the repeated work (measured:
+    materialize on/off within ~6% warm at sf0.1), that is an opaque
+    best-effort. ``materialize=True`` (default) makes the single
+    derivation explicit and guaranteed — one eager localCheckpoint of
+    the derived graph, every iteration then reads block-manager blocks —
+    which is also the right call at 100 TB (a derived graph should be
+    materialized once, not re-derived per iteration from the raw fact
+    table); checkpoint blocks are ContextCleaner-reclaimed once the
+    result frame is dropped (unlike cache-manager entries). Pass
+    ``materialize=False`` if the edge frame is already a
+    table/checkpoint.
 
     Scale shape per iteration: one shuffle of the edge-carried
     contributions on ``dst`` (partial sums map-side) plus a left join
@@ -50,6 +63,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
     base = (1.0 - damping) / n
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(outdeg, "src")
+    if materialize:
+        e = e.localCheckpoint(eager=True)
     r = nodes.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(iters):
         contrib = (
