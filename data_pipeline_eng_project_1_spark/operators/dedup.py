@@ -409,6 +409,61 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(sh: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Pairs where the SMALLER doc's shingles are >= ``threshold``
+    contained in the larger's — the asymmetric near-dup (quote/wrapper/
+    boilerplate inclusion) that Jaccard structurally misses at size
+    mismatch (a doc fully quoted inside one 10x larger has J ~ 0.1 but
+    containment 1.0). Input is a ``shingled`` frame; output
+    (id_a, id_b, containment) with id_a < id_b and containment =
+    |A∩B| / min(|A|,|B|), rounded to 4.
+
+    Prefix-filtered candidate generation (the asymmetric SSJoin form):
+    only the SMALL side's prefix — its ``sz - ceil(t*sz) + 1`` smallest
+    sorted shingles — goes into the index, joined against the large
+    side's FULL inverted index. Lossless: containment >= t means
+    |A∩B| >= ceil(t*|A|), so A has at most |A| - ceil(t*|A|) shingles
+    outside B and its prefix (one longer than that) must contain a
+    shared one. The role constraint (small = lexicographically smaller
+    (sz, id)) keeps each pair to one candidate orientation. Keys are
+    xxhash64 of the shingle (8-byte shuffle keys; collisions only ADD
+    candidates — exact array_intersect verification decides). At t=0.9
+    the small-side index holds ~10% of its shingles, so the hot-shingle
+    k² blowup shrinks to pfx_df x full_df per key instead of
+    full_df²."""
+    t = threshold
+    pfx = sh.select(
+        "id", "sz",
+        F.explode(F.transform(F.slice(
+            F.array_sort("sh"), 1,
+            F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1,
+        ), lambda s: F.xxhash64(s))).alias("g"),
+    )
+    full = sh.select(
+        F.col("id").alias("fid"), F.col("sz").alias("fsz"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
+    )
+    cand = (
+        pfx.join(full, "g")
+        .filter((F.col("sz") < F.col("fsz"))
+                | ((F.col("sz") == F.col("fsz"))
+                   & (F.col("id") < F.col("fid"))))
+        .select("id", "fid").distinct()
+    )
+    sa = sh.select(F.col("id").alias("id"), F.col("sh").alias("sh_s"),
+                   F.col("sz").alias("sz_s"))
+    sb = sh.select(F.col("id").alias("fid"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id").join(sb, "fid")
+        .withColumn("inter", F.size(F.array_intersect("sh_s", "sh_b")))
+        .filter(F.col("inter") / F.col("sz_s") >= t)
+        .select(F.least("id", "fid").alias("id_a"),
+                F.greatest("id", "fid").alias("id_b"),
+                F.round(F.col("inter") / F.col("sz_s"), 4)
+                 .alias("containment"))
+    )
+
+
 def incremental_dedup_flags(incoming: DataFrame, existing: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             n: int = 3, num_hashes: int = 8, bands: int = 4,

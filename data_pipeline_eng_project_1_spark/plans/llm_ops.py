@@ -554,29 +554,17 @@ def _q_dedup_incremental(spark, sf_dir):
         "SMALLER doc's shingles are >=90% contained in the larger's — "
         "the quote/wrapper/boilerplate-inclusion case Jaccard "
         "structurally misses at size mismatch (a doc fully quoted inside "
-        "one 10x larger has J ~ 0.1 but containment 1.0). Same "
-        "inverted-index + count-aggregate shape as jaccard_pairs (a hot "
-        "shingle is the same k-squared risk, same stop-df mitigation "
-        "applies); containment normalizes by min(sz) instead of the "
-        "union.",
+        "one 10x larger has J ~ 0.1 but containment 1.0). Spark side is "
+        "the asymmetric prefix-filtered form (only the small side's "
+        "~10% prefix is indexed against the large side's full index — "
+        "lossless by the containment pigeonhole, exact verify on "
+        "candidates; operators/dedup.py::containment_pairs); the oracle "
+        "replays the direct all-pairs inverted-index aggregate.",
 )
 def _q_dedup_containment(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sh = dedup.shingled(d)
-    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    cont = F.col("inter") / F.least("sz_a", "sz_b")
-    return (
-        pairs.filter(cont >= 0.9)
-        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
-    )
+    return dedup.containment_pairs(sh, 0.9)
 
 
 @_register(

@@ -578,3 +578,44 @@ def test_incremental_dedup_flags_planted(spark):
     assert out[103] == (False, True)
     assert out[105] == (False, False)
     assert out[107] == (False, False)
+
+
+def test_containment_prefix_equals_direct(spark):
+    """The asymmetric prefix-filtered containment join must be lossless:
+    same pairs and scores as the direct all-pairs inverted-index
+    aggregate, on a corpus with planted containments (small doc quoted
+    inside a large one), near-dups, and unrelated docs."""
+    big = " ".join(f"w{i}" for i in range(40))
+    quoted = " ".join(f"w{i}" for i in range(10, 22))  # inside big
+    rows = [
+        (0, big),
+        (1, quoted),                                     # contained in 0
+        (2, quoted + " tail1 tail2"),                    # mostly contained
+        (3, " ".join(f"z{i}" for i in range(15))),       # unrelated
+        (4, big),                                        # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingled(docs)
+    for t in (0.5, 0.9):
+        ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+        a, b = ex.alias("a"), ex.alias("b")
+        direct_df = (
+            a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        cont = F.col("inter") / F.least("sz_a", "sz_b")
+        direct = {(r["id_a"], r["id_b"]): round(r["c"], 4)
+                  for r in direct_df.filter(cont >= t)
+                  .select("id_a", "id_b", F.round(cont, 4).alias("c"))
+                  .collect()}
+        prefix = {(r["id_a"], r["id_b"]): r["containment"]
+                  for r in dedup.containment_pairs(sh, t).collect()}
+        assert prefix == direct, f"t={t}"
+        assert direct, f"vacuous at t={t}"
+    # the planted containment pair is found at t=0.9
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.containment_pairs(sh, 0.9).collect()}
+    assert (0, 1) in got and (0, 4) in got
