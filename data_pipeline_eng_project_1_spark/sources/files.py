@@ -83,6 +83,31 @@ def archive_file(src_path: str, archive_dir: str) -> str:
     return dst
 
 
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      recursive: bool = True) -> DataFrame:
+    """Ingest raw files (images/audio/video blobs) as binary rows via
+    Spark's built-in ``binaryFile`` source: (path, modificationTime,
+    length, content binary) — the intake step of the multimodal
+    pipeline, feeding operators/multimodal.py (sniff_modality on the
+    magic bytes, PPM/BMP decode, frame sampling) without any driver-side
+    file walking.
+
+    Scale notes: one file never splits (a blob is atomic), so
+    parallelism = file count and a 100 TB media corpus wants the
+    many-small-files layout it naturally has; oversized single blobs are
+    bounded by spark.sql.sources.binaryFile.maxLength (2 GB hard cap —
+    segment bigger media upstream). ``glob`` maps to pathGlobFilter
+    (pushdown file pruning by extension); modifiedAfter/modifiedBefore
+    options compose for incremental intake just like the JSON source.
+    """
+    r = (spark.read.format("binaryFile")
+         .option("recursiveFileLookup", str(recursive).lower()))
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               header: bool = True) -> None:
     """CSV export for interchange with non-parquet consumers. CSV is a

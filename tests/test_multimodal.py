@@ -141,3 +141,40 @@ def test_sample_frames_fanout(payloads):
     # first frame starts at offset 0 of the payload
     first = {r["doc_id"]: r["frame"] for r in frames if r["frame_idx"] == 0}
     assert first[0] == PNG[:8]
+
+
+def test_binary_file_source_feeds_decode(spark, tmp_path):
+    """End-to-end multimodal intake: raw .ppm files on disk -> the
+    binaryFile source (path/length/content rows, extension-pruned via
+    pathGlobFilter) -> the existing numpy PPM decoder. The .txt decoy
+    must be pruned by the glob, and decoded dimensions must match the
+    written images."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.sources import files as src
+
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.ppm").write_bytes(_ppm(6, 4, _grad))
+    (d / "sub" / "b.ppm").write_bytes(_ppm(3, 5, _grad))
+    (d / "decoy.txt").write_text("not an image")
+
+    df = src.read_binary_files(spark, str(d), glob="*.ppm")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2 and all(r["path"].endswith(".ppm") for r in rows)
+    assert all(r["length"] == len(bytes(r["content"])) for r in rows)
+
+    dims = {}
+    for r in rows:
+        w, h, _px = multimodal._parse_ppm(bytes(r["content"]))
+        dims[r["path"].rsplit("/", 1)[-1]] = (w, h)
+    assert dims == {"a.ppm": (6, 4), "b.ppm": (3, 5)}
+
+    # and the Arrow-batch decode operator runs on the sourced frame
+    payload = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"))
+    meta = {r["doc_id"]: r for r in
+            multimodal.extract_binary_meta(
+                payload, id_col="doc_id", payload_col="payload").collect()}
+    assert len(meta) == 2
