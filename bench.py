@@ -148,7 +148,7 @@ def main() -> None:
             "outlier re-measure pass per the method.outlier_rule; "
             "remeasured_outliers records every re-measured query with "
             "both medians and whether the re-measure was kept; JVM code "
-            "cache 512m (85 generated plan classes overflow the 240m "
+            "cache 512m (100 generated plan classes overflow the 240m "
             "default and disable C2 late-session). n_queries grows as "
             "operators are added. r6 note on the similarity_ann_ivf "
             "drift flagged in r5 (0.94->1.26 s over three rounds): it "

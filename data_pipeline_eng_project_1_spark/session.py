@@ -86,7 +86,7 @@ def get_spark(app_name: str = "data_pipeline_eng_project_1_spark",
                 os.environ.get("SPARK_GRAFT_TASK_RETRIES", "4"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Whole-stage codegen emits one large generated class per plan
-        # shape; a many-query session (85-query bench/harness, or a real
+        # shape; a many-query session (100-query bench/harness, or a real
         # multi-tenant driver) overflows the JVM's default 240 MB code
         # cache, and C2 silently stops compiling — measured ~20-70% slowdown
         # on late-session queries. Static conf: set at JVM start.
