@@ -60,6 +60,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
     handling splits it. Returns (id, rank).
     """
     n = nodes.count()  # driver scalar: one cheap metadata job
+    if n == 0:
+        raise ValueError("pagerank: empty node set")
     base = (1.0 - damping) / n
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(outdeg, "src")

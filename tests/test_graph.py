@@ -56,3 +56,12 @@ def test_pagerank_random_graphs_match_reference(spark):
                for r in graph.pagerank(nodes, e, iters=4).collect()}
         want = _pagerank_reference(n, edges, iters=4)
         assert all(abs(got[v] - want[v]) < 1e-12 for v in want), seed
+
+
+def test_pagerank_empty_nodes_raises(spark):
+    import pytest
+
+    nodes = spark.createDataFrame([], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty node set"):
+        graph.pagerank(nodes, edges)
