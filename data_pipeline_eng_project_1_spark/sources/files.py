@@ -108,6 +108,31 @@ def read_binary_files(spark: SparkSession, path: str,
     return r.load(path)
 
 
+def read_text_corpus(spark: SparkSession, path: str, whole: bool = True,
+                     glob: str | None = None,
+                     recursive: bool = True) -> DataFrame:
+    """Ingest raw text files as a document corpus: ``whole=True`` maps
+    ONE FILE -> ONE DOC (wholetext mode, (path, text) rows — the shape
+    crawl dumps and plain-text corpora arrive in, feeding the dedup /
+    quality / tokenize ladder directly); ``whole=False`` maps one LINE
+    -> one row (JSONL-adjacent log shape, splittable scans).
+
+    Scale notes: wholetext files are atomic like binary blobs (one task
+    per file, never split — segment giant files upstream), while line
+    mode splits normally under maxPartitionBytes. ``glob`` maps to
+    pathGlobFilter for extension pruning; the path column is the
+    natural stable doc id (`xxhash64(path)` for a numeric key).
+    """
+    r = (spark.read.format("text")
+         .option("wholetext", str(whole).lower())
+         .option("recursiveFileLookup", str(recursive).lower()))
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return (r.load(path)
+            .select(F.input_file_name().alias("path"),
+                    F.col("value").alias("text")))
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               header: bool = True) -> None:
     """CSV export for interchange with non-parquet consumers. CSV is a

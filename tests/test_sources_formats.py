@@ -60,3 +60,32 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
     schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" not in schema  # column pruning reaches the ORC scan
+
+
+def test_read_text_corpus_whole_and_line_modes(spark, tmp_path):
+    """wholetext: one file -> one doc (the crawl-dump corpus shape,
+    pipes straight into the dedup ladder); line mode: one line -> one
+    row. Glob prunes extensions in both."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.operators import dedup
+    from data_pipeline_eng_project_1_spark.sources import files as src
+
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("alpha beta gamma\ndelta epsilon")
+    (d / "sub" / "b.txt").write_text("alpha beta gamma\ndelta epsilon")
+    (d / "c.md").write_text("ignored by the glob")
+
+    docs = src.read_text_corpus(spark, str(d), whole=True, glob="*.txt")
+    got = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in docs.collect()}
+    assert set(got) == {"a.txt", "b.txt"}
+    assert got["a.txt"] == "alpha beta gamma\ndelta epsilon"
+
+    # the sourced corpus feeds dedup directly: both files are exact dups
+    keyed = docs.select(F.xxhash64("path").alias("doc_id"), "text")
+    kept = dedup.dedup_exact(keyed).count()
+    assert kept == 1
+
+    lines = src.read_text_corpus(spark, str(d), whole=False, glob="*.txt")
+    assert lines.count() == 4  # 2 files x 2 lines
