@@ -113,3 +113,41 @@ def test_leakage_safe_split_never_straddles_components(spark, tmp_path):
     assert out[1][1] == out[2][1]           # ... and therefore a split
     assert out[3][0] == 3                   # singleton keeps its own
     assert all(s in ("train", "val", "test") for _, s in out.values())
+
+
+def test_shard_export_partitions_completely_and_balances(spark, tmp_path):
+    """Every doc gets exactly one (shard, pos); positions are contiguous
+    1..n per shard; and the md5 keying balances shard sizes to within
+    sampling noise (no empty shard at 400 docs / 16 shards)."""
+    rows = [(i, "s", f"doc number {i} text") for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = _builder("corpus_shard_export")(spark, str(tmp_path)).collect()
+    assert len(out) == 400 and len({r["doc_id"] for r in out}) == 400
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(16))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] >= 10 and sizes[-1] <= 45  # ~25 +- noise
+
+
+def test_keep_best_picks_longest_min_id(spark, tmp_path):
+    """Within a near-dup component the kept doc is the one with the most
+    tokens; ties break to the smaller id; singletons keep themselves."""
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, "x", base),
+        (2, "x", base + " extra tokens here"),   # longest in the cluster
+        (3, "x", base + " extra tokens here"),   # tie with 2 -> 2 wins
+        (4, "x", "unrelated standalone doc with its own words only"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["component"]: r for r in
+           _builder("dedup_keep_best")(spark, str(tmp_path)).collect()}
+    assert out[1]["n_members"] == 3 and out[1]["kept_doc_id"] == 2
+    assert out[1]["kept_tokens"] == 23
+    assert out[4]["n_members"] == 1 and out[4]["kept_doc_id"] == 4
