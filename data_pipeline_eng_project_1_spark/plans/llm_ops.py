@@ -1265,12 +1265,23 @@ def _q_supplier_pagerank(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
-    a, b = li.alias("a"), li.alias("b")
+    # Edge derivation WITHOUT a fact-table self-join: collect each
+    # order's distinct supplier set (one shuffle of (orderkey, suppkey)
+    # rows; per-order sets are bounded by lines-per-order), fan out the
+    # ordered pairs with array algebra, then distinct. Same edges as the
+    # lineitem⋈lineitem formulation the oracle replays, one less
+    # full-table shuffle+join.
+    per_order = (li.select("l_orderkey", "l_suppkey").distinct()
+                 .groupBy("l_orderkey")
+                 .agg(F.collect_set("l_suppkey").alias("ss")))
     edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_suppkey") != F.col("b.l_suppkey")))
-        .select(F.col("a.l_suppkey").alias("src"),
-                F.col("b.l_suppkey").alias("dst"))
+        per_order
+        .select(F.explode(F.flatten(F.transform(
+            "ss", lambda s: F.transform(
+                F.filter("ss", lambda t: t != s),
+                lambda t: F.struct(s.alias("src"), t.alias("dst")))))
+        ).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
     )
     nodes = sup.select(F.col("s_suppkey").alias("id"))
