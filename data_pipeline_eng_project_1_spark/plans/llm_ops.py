@@ -1369,6 +1369,61 @@ def _q_pii_creditcard_luhn(spark, sf_dir):
 
 
 @_register(
+    "corpus_importance_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             LEAST(len({SQL_TOKS}), 256) AS wt
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, source, wt,
+             CASE WHEN CAST('0x' || substr(md5('imp:' ||
+                                            CAST(doc_id AS VARCHAR)), 1, 6)
+                       AS BIGINT) * 256 < 16777216 * wt
+                  THEN 1 ELSE 0 END AS kept
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept = 1 THEN wt ELSE 0 END) AS BIGINT)
+               AS kept_weight,
+           CAST(min(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT)
+               AS min_kept_id
+    FROM flagged GROUP BY source
+    """,
+    doc="importance (weighted) sampling: each doc keeps with probability "
+        "proportional to a per-doc weight — here min(tokens, 256)/256, "
+        "the stand-in for any quality/likelihood-ratio score (the "
+        "DSIR-style primitive next to the family's uniform-quota forms: "
+        "stratified = per-class, mixture = per-source, cluster-balance = "
+        "per-embedding-cell, importance = per-DOC score). The keep rule "
+        "is integer-exact and deterministic — md5 6-hex bucket * 256 < "
+        "16^6 * weight, no float thresholds, so both engines replay the "
+        "identical selection; scan-side algebra + one per-source agg.",
+)
+def _q_corpus_importance_sample(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    wt = F.least(texts.n_tokens(F.col("text")), F.lit(256)).cast("long")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("imp:"), F.col("doc_id").cast("string"))),
+        1, 6), 16, 10).cast("long")
+    kept = (bucket * 256 < F.lit(16777216) * F.col("wt")).cast("int")
+    return (
+        d.select("doc_id", "source", wt.alias("wt"))
+        .withColumn("kept", kept)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_total"),
+             F.sum("kept").cast("long").alias("n_kept"),
+             F.sum(F.when(F.col("kept") == 1, F.col("wt")).otherwise(0))
+              .cast("long").alias("kept_weight"),
+             F.min(F.when(F.col("kept") == 1, F.col("doc_id")))
+              .cast("long").alias("min_kept_id"))
+    )
+
+
+@_register(
     "corpus_shard_export",
     """
     WITH k AS (

@@ -243,6 +243,7 @@ _FAMILY = {
     "stratified_sample": "balanced_sampling",
     "corpus_mixture_sample": "balanced_sampling",
     "corpus_cluster_balance": "balanced_sampling",
+    "corpus_importance_sample": "balanced_sampling",
     # -- §2.8 PII scrub rungs (regex entities / checksum-validated PANs)
     "pii_scrub": "pii",
     "pii_creditcard_luhn": "pii",
