@@ -338,3 +338,130 @@ def resize_image(df: DataFrame, id_col: str = "doc_id",
             })
 
     return src.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+#: Output contract of decode_audio.
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("mode", T.StringType()),  # PCM | UNSUPPORTED
+])
+
+#: Output contract of audio_features.
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_windows", T.IntegerType()),
+    T.StructField("rms_mean", T.DoubleType()),
+    T.StructField("rms_max", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+
+def _parse_wav(b: bytes):
+    """RIFF/WAVE PCM → (sample_rate, channels, bits, n_frames, samples)
+    or None; ``samples`` is a float64 numpy array normalized to [-1, 1]
+    for 16-bit PCM, else None (meta still returned for 8/24/32-bit PCM).
+
+    Pure chunk-walk struct parsing — the audio analogue of `_parse_ppm`:
+    no soundfile/librosa needed for the container format itself.
+    Compressed codecs (MP3/AAC/float WAV) classify UNSUPPORTED upstream.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt, data = None, None
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        (sz,) = struct.unpack_from("<I", b, i + 4)
+        body = b[i + 8: i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, ch, rate, _br, block, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if audio_format != 1 or ch <= 0 or rate <= 0 or block <= 0:
+        return None  # PCM only
+    n_frames = len(data) // block
+    samples = None
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2",
+                            count=n_frames * ch).astype(np.float64)
+        samples = arr.reshape(n_frames, ch).mean(axis=1) / 32768.0
+    return rate, ch, bits, n_frames, samples
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "content") -> DataFrame:
+    """Decode WAV payloads to typed audio metadata, Arrow-batched —
+    the audio rung of the multimodal ladder: (sample_rate, channels,
+    bits, n_frames, duration_ms, mode). Non-RIFF/non-PCM payloads
+    classify UNSUPPORTED per row (mixed corpora degrade per-row, not
+    per-job), exactly like `decode_image`."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["p"]):
+                dec = _parse_wav(bytes(b))
+                if dec is None:
+                    rows.append((doc_id, 0, 0, 0, 0, 0.0, "UNSUPPORTED"))
+                else:
+                    rate, ch, bits, nf, _ = dec
+                    rows.append((doc_id, rate, ch, bits, nf,
+                                 1000.0 * nf / rate, "PCM"))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "channels", "bits", "n_frames",
+                "duration_ms", "mode"])
+
+    return src.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "content",
+                   window_ms: int = 100) -> DataFrame:
+    """Windowed loudness features over 16-bit PCM WAV payloads: per-doc
+    RMS energy per ``window_ms`` window (channel-averaged, normalized to
+    [-1, 1]), reduced to (n_windows, rms_mean, rms_max, peak) — the
+    silence/clipping screens an audio-corpus curation pass runs. All
+    vectorized numpy inside the Arrow batch body (frombuffer + reshape +
+    one sqrt(mean(square)) per window matrix); payload bytes never leave
+    the executor. Non-decodable payloads are dropped (use `decode_audio`
+    upstream to see which)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["p"]):
+                dec = _parse_wav(bytes(b))
+                if dec is None or dec[4] is None or dec[3] == 0:
+                    continue
+                rate, _ch, _bits, _nf, x = dec
+                win = max(1, rate * window_ms // 1000)
+                n_win = max(1, len(x) // win)
+                mat = x[: n_win * win].reshape(n_win, win)
+                rms = np.sqrt((mat * mat).mean(axis=1))
+                rows.append((doc_id, n_win, float(rms.mean()),
+                             float(rms.max()), float(np.abs(x).max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_windows", "rms_mean", "rms_max", "peak"])
+
+    return src.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

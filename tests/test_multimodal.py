@@ -178,3 +178,46 @@ def test_binary_file_source_feeds_decode(spark, tmp_path):
             multimodal.extract_binary_meta(
                 payload, id_col="doc_id", payload_col="payload").collect()}
     assert len(meta) == 2
+
+
+def _wav(rate, seconds, amp=0.5, freq=440.0, channels=1):
+    """Minimal RIFF/WAVE PCM16 with a constant-amplitude sine."""
+    import math
+    import struct
+
+    n = int(rate * seconds)
+    frames = bytearray()
+    for i in range(n):
+        v = int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+        frames += struct.pack("<h", v) * channels
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    data = bytes(frames)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_audio_meta_and_unsupported(spark):
+    rows = [(0, _wav(8000, 0.25)), (1, _wav(16000, 0.5, channels=2)),
+            (2, b"not audio at all")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert out[0]["mode"] == "PCM" and out[0]["sample_rate"] == 8000
+    assert out[0]["n_frames"] == 2000 and abs(out[0]["duration_ms"] - 250) < 1e-9
+    assert out[1]["channels"] == 2 and out[1]["n_frames"] == 8000
+    assert out[2]["mode"] == "UNSUPPORTED"
+
+
+def test_audio_features_rms_of_known_sine(spark):
+    """A constant-amplitude sine has RMS ~ amp/sqrt(2) in every window
+    and peak ~ amp; a near-silent clip screens out by rms_mean."""
+    rows = [(0, _wav(8000, 1.0, amp=0.5)), (1, _wav(8000, 1.0, amp=0.001)),
+            (2, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in multimodal.audio_features(df).collect()}
+    assert set(out) == {0, 1}  # junk dropped
+    assert out[0]["n_windows"] == 10  # 1 s / 100 ms
+    assert abs(out[0]["rms_mean"] - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(out[0]["peak"] - 0.5) < 0.01
+    assert out[1]["rms_mean"] < 0.001
