@@ -48,106 +48,107 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.14,
-    "unpivot_part_metrics": 0.15,
-    "posexplode_tokens": 0.15,
-    "string_funcs_part": 0.16,
+    "unpivot_part_metrics": 0.17,
+    "sort_limit_topk": 0.17,
     "multimodal_meta": 0.17,
-    "try_cast_dirty": 0.17,
-    "array_hof_stats": 0.17,
-    "filter_project_cast": 0.17,
-    "doc_chunks": 0.18,
-    "text_fingerprint": 0.18,
-    "vector_norms": 0.19,
-    "null_conditional_agg": 0.21,
-    "date_parts_orders": 0.22,
-    "cube_nation_segment": 0.22,
-    "stratified_sample": 0.22,
-    "topk_per_priority": 0.23,
-    "rollup_status_priority": 0.24,
-    "events_rollup_multigrain": 0.26,
-    "pii_scrub": 0.26,
-    "grouping_sets_status_priority": 0.27,
-    "events_tumbling_1h": 0.27,
-    "conditional_promo_ratio": 0.29,
-    "stats_agg_lineitem": 0.29,
-    "window_distribution": 0.29,
-    "events_sessionize": 0.29,
-    "pivot_returnflag": 0.29,
-    "pricing_summary_agg": 0.30,
-    "window_latest_per_key": 0.30,
-    "text_token_topk": 0.30,
-    "stringagg_nations": 0.30,
-    "events_json_extract": 0.31,
-    "group_distinct_agg": 0.32,
-    "doc_packing": 0.32,
-    "events_scd2_history": 0.32,
-    "above_avg_orders": 0.32,
+    "filter_project_cast": 0.18,
+    "string_funcs_part": 0.19,
+    "array_hof_stats": 0.19,
+    "try_cast_dirty": 0.19,
+    "text_fingerprint": 0.20,
+    "rollup_status_priority": 0.20,
+    "doc_chunks": 0.21,
+    "date_parts_orders": 0.21,
+    "stratified_sample": 0.23,
+    "cube_nation_segment": 0.25,
+    "window_distribution": 0.26,
+    "topk_per_priority": 0.28,
+    "multimodal_frames": 0.28,
+    "pii_scrub": 0.29,
+    "posexplode_tokens": 0.29,
+    "events_tumbling_1h": 0.30,
+    "stats_agg_lineitem": 0.30,
+    "window_range_moving_avg": 0.31,
+    "pricing_summary_agg": 0.32,
     "regression_price_qty": 0.32,
-    "quantiles_per_priority": 0.32,
-    "window_running_rank": 0.32,
-    "multimodal_decode": 0.33,
-    "events_asof_click": 0.35,
-    "customer_order_histogram": 0.36,
-    "window_range_moving_avg": 0.36,
-    "events_range_join_1h": 0.38,
-    "top_revenue_supplier": 0.38,
-    "events_hourly_retention": 0.39,
+    "text_token_topk": 0.32,
+    "stringagg_nations": 0.32,
+    "doc_packing": 0.33,
+    "events_sessionize": 0.34,
+    "window_running_rank": 0.35,
+    "events_json_extract": 0.35,
+    "multimodal_decode": 0.36,
+    "quantiles_per_priority": 0.36,
+    "events_hourly_retention": 0.38,
+    "similarity_filtered_topk": 0.41,
     "similarity_topk": 0.41,
-    "window_lead_lag": 0.41,
-    "map_priority_counts": 0.41,
-    "rich_quiet_customers": 0.42,
+    "set_ops_custkeys": 0.42,
+    "events_asof_click": 0.42,
     "disjunctive_bracket_revenue": 0.42,
-    "corpus_shard_export": 0.43,
-    "text_quality": 0.43,
-    "set_ops_custkeys": 0.44,
+    "events_range_join_1h": 0.43,
+    "conditional_promo_ratio": 0.44,
     "skew_salted_join": 0.44,
-    "small_qty_part_revenue": 0.44,
-    "semi_anti_customers": 0.45,
-    "text_repetition": 0.48,
-    "join_topk_revenue": 0.48,
-    "corpus_mixture_sample": 0.48,
-    "sole_blame_suppliers": 0.49,
-    "scalar_subquery_share": 0.50,
-    "grouped_zscore_pandas": 0.50,
-    "late_shipment_priority": 0.51,
-    "events_sliding_1h_15m": 0.51,
-    "pii_creditcard_luhn": 0.57,
-    "large_order_customers": 0.57,
-    "dedup_exact": 0.57,
-    "bloom_pruned_join": 0.58,
-    "text_langid": 0.59,
-    "dedup_exact_spans_staggered": 0.60,
-    "star_join_region_revenue": 0.60,
-    "dedup_embedding_cosine": 0.61,
-    "orders_dense_index": 0.61,
-    "text_unigram_logprob": 0.62,
-    "nation_trade_volume": 0.66,
-    "events_gap_fill": 0.70,
-    "text_tfidf_topterms": 0.75,
-    "dedup_exact_spans": 0.83,
-    "corpus_curation": 0.83,
-    "similarity_ann_lsh": 0.85,
-    "corpus_decontamination": 0.90,
-    "approx_distinct_custkeys": 0.98,
-    "similarity_ann_ivf": 1.07,
-    "corpus_cluster_balance": 1.12,
-    "similarity_filtered_topk": 1.19,
-    "corpus_pipeline_end_to_end": 1.22,
-    "dedup_simhash": 1.25,
-    "dedup_ngram_jaccard": 1.26,
-    "dedup_components": 1.30,
-    "similarity_ann_pq": 1.41,
-    "text_bigram_pmi": 1.44,
-    "dedup_minhash_lsh": 1.47,
-    "dedup_keep_best": 1.50,
-    "dedup_containment": 1.55,
-    "dedup_semantic": 1.60,
-    "multimodal_frames": 1.80,
-    "ntile_spend_quartiles": 1.84,
-    "corpus_leakage_safe_split": 2.00,
-    "supplier_pagerank": 2.43,
-    "dedup_incremental": 2.82,
+    "text_quality": 0.46,
+    "dedup_exact": 0.47,
+    "map_priority_counts": 0.49,
+    "rich_quiet_customers": 0.54,
+    "dedup_exact_spans": 0.55,
+    "vector_norms": 0.56,
+    "text_repetition": 0.57,
+    "pivot_returnflag": 0.57,
+    "grouping_sets_status_priority": 0.59,
+    "dedup_embedding_cosine": 0.60,
+    "events_scd2_history": 0.68,
+    "above_avg_orders": 0.69,
+    "text_unigram_logprob": 0.70,
+    "semi_anti_customers": 0.73,
+    "text_tfidf_topterms": 0.74,
+    "corpus_mixture_sample": 0.74,
+    "grouped_zscore_pandas": 0.75,
+    "events_gap_fill": 0.75,
+    "window_lead_lag": 0.75,
+    "ntile_spend_quartiles": 0.76,
+    "window_latest_per_key": 0.77,
+    "text_langid": 0.80,
+    "corpus_curation": 0.82,
+    "null_conditional_agg": 0.82,
+    "nation_trade_volume": 0.84,
+    "customer_order_histogram": 0.91,
+    "corpus_decontamination": 0.95,
+    "orders_dense_index": 0.98,
+    "top_revenue_supplier": 0.98,
+    "dedup_containment": 0.98,
+    "corpus_cluster_balance": 1.00,
+    "similarity_ann_ivf": 1.01,
+    "corpus_shard_export": 1.03,
+    "pii_creditcard_luhn": 1.04,
+    "group_distinct_agg": 1.07,
+    "events_rollup_multigrain": 1.07,
+    "approx_distinct_custkeys": 1.12,
+    "dedup_ngram_jaccard": 1.20,
+    "dedup_simhash": 1.23,
+    "corpus_importance_sample": 1.24,
+    "corpus_leakage_safe_split": 1.38,
+    "text_bigram_pmi": 1.39,
+    "join_topk_revenue": 1.39,
+    "small_qty_part_revenue": 1.40,
+    "similarity_ann_pq": 1.45,
+    "late_shipment_priority": 1.45,
+    "corpus_pipeline_end_to_end": 1.49,
+    "sole_blame_suppliers": 1.51,
+    "dedup_keep_best": 1.53,
+    "scalar_subquery_share": 1.54,
+    "events_sliding_1h_15m": 1.56,
+    "star_join_region_revenue": 1.59,
+    "dedup_semantic": 1.66,
+    "dedup_minhash_lsh": 1.67,
+    "large_order_customers": 1.77,
+    "dedup_exact_spans_staggered": 1.81,
+    "supplier_pagerank": 2.00,
+    "bloom_pruned_join": 2.27,
+    "dedup_incremental": 3.56,
+    "dedup_components": 3.66,
+    "similarity_ann_lsh": 4.01,
 }
 
 _MEDIAN_COST = 0.5
