@@ -291,6 +291,30 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def winnow_fingerprint_table(df: DataFrame, k: int = 8, w: int = 4,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(id, fps): winnowing fingerprint sets per document (see
+    functions/texts.py::winnow_fingerprints for the algorithm), staged
+    through TWO materialization barriers — character codes, then gram
+    hashes. Catalyst's interpreted higher-order lambdas re-evaluate
+    INLINED subexpressions per element, so the nested single-expression
+    form is O(n²·k) per doc (measured: minutes at fixture scale vs ~1 s
+    staged); materializing each stage behind an id-hash exchange makes
+    every lambda read a stored array, restoring the O(n·(k+w)) bound.
+    The exchanged payloads are code/hash arrays (≈ text bytes), so the
+    two shuffles are linear in corpus size; unlike ``tokenized``'s
+    gated spread, these barriers are semantically REQUIRED for the
+    complexity bound, not just CPU spreading."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    c = (df.select(F.col(id_col).alias("id"),
+                   texts.char_codes(F.col(text_col)).alias("__codes"))
+         .repartition(n, "id"))
+    g = (c.select("id", texts.gram_hashes(F.col("__codes"), k).alias("__gh"))
+         .repartition(n, "id"))
+    return g.select("id", texts.winnow_mins(F.col("__gh"), w).alias("fps"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

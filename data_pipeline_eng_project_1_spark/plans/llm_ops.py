@@ -1657,6 +1657,66 @@ def _q_text_fingerprint(spark, sf_dir):
 
 
 @_register(
+    "text_winnow_fingerprint",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array({SQL_NORM}, ''),
+                            x -> CAST(ascii(x) AS BIGINT)) AS codes
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(codes) - 8 + 1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT), codes[i:i+7]),
+                      (acc, x) -> (acc * 257 + x) % 2147483647)) AS gh
+      FROM c WHERE len(codes) >= 11
+    ),
+    m AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, len(gh) - 4 + 1),
+               j -> list_min(gh[j:j+3])))) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INTEGER) AS n_fp,
+           fps[1] AS fp_min, fps[-1] AS fp_max,
+           md5(array_to_string(fps, ',')) AS fp_md5
+    FROM m
+    """,
+    doc="winnowing fingerprints (Schleimer et al. / MOSS — the "
+        "rolling-hash rung of document fingerprinting): every 8-char "
+        "gram of the normalized text hashed with an exact polynomial "
+        "family (base 257 mod 2^31-1, int64-exact on both engines), "
+        "then the minimum of each 4-hash window; the distinct minima "
+        "are the fingerprint set — any shared substring >= 11 chars "
+        "guarantees a common fingerprint at ~2/(w+1) the density of "
+        "full shingling. All scan-side array algebra; the fp-set md5 "
+        "proves the SETS are byte-identical cross-engine, not just "
+        "their summary stats (functions/texts.py::winnow_fingerprints).",
+)
+def _q_text_winnow_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = texts.normalize(F.col("text"))
+    return (
+        dedup.winnow_fingerprint_table(
+            d.filter(F.length(norm) >= 11), k=8, w=4)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id",
+            F.size("fps").cast("int").alias("n_fp"),
+            F.element_at("fps", 1).alias("fp_min"),
+            F.element_at("fps", -1).alias("fp_max"),
+            F.md5(F.encode(F.concat_ws(",", F.transform(
+                "fps", lambda x: x.cast("string"))), "UTF-8"))
+             .alias("fp_md5"),
+        )
+    )
+
+
+@_register(
     "doc_chunks",
     """
     SELECT doc_id,

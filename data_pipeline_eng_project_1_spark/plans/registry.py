@@ -253,6 +253,9 @@ _FAMILY = {
     "dedup_components": "dedup_cluster",
     "dedup_keep_best": "dedup_cluster",
     "corpus_leakage_safe_split": "dedup_cluster",
+    # -- §2.8 document fingerprinting (normalized-md5 / winnowing)
+    "text_fingerprint": "fingerprint",
+    "text_winnow_fingerprint": "fingerprint",
     # -- §2.8 shingle inverted-index pair ops (Jaccard / containment)
     "dedup_ngram_jaccard": "dedup_shingle_pairs",
     "dedup_containment": "dedup_shingle_pairs",

@@ -151,3 +151,25 @@ def test_keep_best_picks_longest_min_id(spark, tmp_path):
     assert out[1]["n_members"] == 3 and out[1]["kept_doc_id"] == 2
     assert out[1]["kept_tokens"] == 23
     assert out[4]["n_members"] == 1 and out[4]["kept_doc_id"] == 4
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    """Winnowing's defining property: two documents sharing a substring
+    of >= k + w - 1 = 11 normalized chars ALWAYS share at least one
+    fingerprint; unrelated docs (here: disjoint alphabets) share none;
+    docs shorter than one window have empty sets."""
+    from data_pipeline_eng_project_1_spark.operators import dedup
+
+    shared = "abcdefghijk"  # exactly k + w - 1 chars
+    rows = [
+        (1, "xxx " + shared + " yyy zzz padding words"),
+        (2, "qqq www " + shared + " eee rrr other tail"),
+        (3, "0123456789 0123456789 012345"),   # digits only: disjoint
+        (4, "tiny"),                           # shorter than one window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: set(r["fps"]) for r in
+           dedup.winnow_fingerprint_table(df, k=8, w=4).collect()}
+    assert out[1] & out[2], "shared >=11-char substring must collide"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    assert out[4] == set()
