@@ -293,7 +293,8 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
 
 def winnow_fingerprint_table(df: DataFrame, k: int = 8, w: int = 4,
                              id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             materialize: bool = False) -> DataFrame:
     """(id, fps): winnowing fingerprint sets per document (see
     functions/texts.py::winnow_fingerprints for the algorithm), staged
     through TWO materialization barriers — character codes, then gram
@@ -305,14 +306,29 @@ def winnow_fingerprint_table(df: DataFrame, k: int = 8, w: int = 4,
     The exchanged payloads are code/hash arrays (≈ text bytes), so the
     two shuffles are linear in corpus size; unlike ``tokenized``'s
     gated spread, these barriers are semantically REQUIRED for the
-    complexity bound, not just CPU spreading."""
+    complexity bound, not just CPU spreading.
+
+    ``materialize=True`` additionally localCheckpoints the result —
+    REQUIRED whenever a consumer will filter or join on ``fps``:
+    predicate pushdown crosses repartition barriers, so e.g. a
+    fingerprint equi-join's inferred ``isnotnull`` predicate re-inlines
+    the whole nested winnow expression into a scan-stage interpreted
+    filter and the O(n²·k) blow-up returns (observed: a stuck
+    900-CPU-second single task; jstack showed the full
+    transform/aggregate tower inside a GeneratedClass Filter predicate).
+    Truncating lineage is the only composition-proof guard; the
+    fingerprint table is fingerprint-sized, and materializing a derived
+    index once is the production shape anyway."""
     n = df.sparkSession.sparkContext.defaultParallelism
     c = (df.select(F.col(id_col).alias("id"),
                    texts.char_codes(F.col(text_col)).alias("__codes"))
          .repartition(n, "id"))
     g = (c.select("id", texts.gram_hashes(F.col("__codes"), k).alias("__gh"))
          .repartition(n, "id"))
-    return g.select("id", texts.winnow_mins(F.col("__gh"), w).alias("fps"))
+    out = g.select("id", texts.winnow_mins(F.col("__gh"), w).alias("fps"))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -257,6 +257,7 @@ _FAMILY = {
     # -- §2.8 document fingerprinting (normalized-md5 / winnowing)
     "text_fingerprint": "fingerprint",
     "text_winnow_fingerprint": "fingerprint",
+    "dedup_winnow_pairs": "fingerprint",
     # -- §2.8 shingle inverted-index pair ops (Jaccard / containment)
     "dedup_ngram_jaccard": "dedup_shingle_pairs",
     "dedup_containment": "dedup_shingle_pairs",
