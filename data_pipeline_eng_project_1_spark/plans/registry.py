@@ -48,108 +48,109 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
+    "sort_limit_topk": 0.15,
+    "unpivot_part_metrics": 0.17,
     "posexplode_tokens": 0.17,
-    "unpivot_part_metrics": 0.20,
-    "multimodal_meta": 0.21,
-    "array_hof_stats": 0.22,
-    "sort_limit_topk": 0.24,
-    "filter_project_cast": 0.24,
-    "text_fingerprint": 0.28,
-    "doc_chunks": 0.30,
-    "topk_per_priority": 0.30,
-    "events_tumbling_1h": 0.31,
-    "cube_nation_segment": 0.31,
-    "string_funcs_part": 0.34,
-    "pivot_returnflag": 0.34,
-    "pii_scrub": 0.36,
-    "rollup_status_priority": 0.37,
-    "similarity_topk": 0.37,
-    "conditional_promo_ratio": 0.38,
-    "stratified_sample": 0.38,
-    "window_distribution": 0.39,
-    "window_range_moving_avg": 0.39,
-    "pricing_summary_agg": 0.39,
-    "quantiles_per_priority": 0.39,
-    "multimodal_decode": 0.40,
-    "window_running_rank": 0.42,
-    "stats_agg_lineitem": 0.42,
-    "stringagg_nations": 0.43,
-    "doc_packing": 0.43,
-    "similarity_filtered_topk": 0.44,
-    "multimodal_frames": 0.45,
-    "above_avg_orders": 0.46,
-    "corpus_shard_export": 0.47,
-    "map_priority_counts": 0.47,
-    "corpus_importance_sample": 0.47,
-    "events_asof_click": 0.47,
-    "regression_price_qty": 0.47,
-    "events_range_join_1h": 0.50,
-    "text_token_topk": 0.50,
-    "events_scd2_history": 0.54,
-    "disjunctive_bracket_revenue": 0.55,
-    "grouped_zscore_pandas": 0.55,
-    "window_lead_lag": 0.55,
-    "events_json_extract": 0.56,
-    "rich_quiet_customers": 0.57,
-    "dedup_exact": 0.57,
-    "events_hourly_retention": 0.58,
-    "set_ops_custkeys": 0.59,
-    "vector_norms": 0.60,
-    "text_quality": 0.62,
-    "pii_creditcard_luhn": 0.62,
-    "events_sessionize": 0.63,
+    "string_funcs_part": 0.18,
+    "multimodal_meta": 0.18,
+    "array_hof_stats": 0.19,
+    "vector_norms": 0.19,
+    "doc_chunks": 0.20,
+    "try_cast_dirty": 0.20,
+    "text_fingerprint": 0.21,
+    "rollup_status_priority": 0.21,
+    "filter_project_cast": 0.21,
+    "stratified_sample": 0.22,
+    "cube_nation_segment": 0.25,
+    "date_parts_orders": 0.26,
+    "null_conditional_agg": 0.27,
+    "multimodal_frames": 0.27,
+    "pii_scrub": 0.28,
+    "window_latest_per_key": 0.28,
+    "pricing_summary_agg": 0.29,
+    "conditional_promo_ratio": 0.30,
+    "window_distribution": 0.31,
+    "grouping_sets_status_priority": 0.31,
+    "events_tumbling_1h": 0.32,
+    "window_running_rank": 0.33,
+    "regression_price_qty": 0.33,
+    "above_avg_orders": 0.33,
+    "events_json_extract": 0.33,
+    "events_rollup_multigrain": 0.34,
+    "events_sessionize": 0.35,
+    "pivot_returnflag": 0.35,
+    "similarity_topk": 0.35,
+    "quantiles_per_priority": 0.36,
+    "doc_packing": 0.36,
+    "stats_agg_lineitem": 0.36,
+    "group_distinct_agg": 0.36,
+    "events_scd2_history": 0.37,
+    "stringagg_nations": 0.38,
+    "window_range_moving_avg": 0.38,
+    "multimodal_decode": 0.38,
+    "events_asof_click": 0.39,
+    "text_token_topk": 0.39,
+    "window_lead_lag": 0.42,
+    "customer_order_histogram": 0.42,
+    "disjunctive_bracket_revenue": 0.43,
+    "events_range_join_1h": 0.44,
+    "map_priority_counts": 0.44,
+    "events_hourly_retention": 0.46,
+    "top_revenue_supplier": 0.46,
+    "set_ops_custkeys": 0.47,
+    "semi_anti_customers": 0.47,
+    "similarity_filtered_topk": 0.47,
+    "dedup_exact": 0.48,
+    "small_qty_part_revenue": 0.48,
+    "text_quality": 0.48,
+    "rich_quiet_customers": 0.49,
+    "late_shipment_priority": 0.51,
+    "topk_per_priority": 0.51,
+    "skew_salted_join": 0.53,
+    "text_repetition": 0.54,
+    "grouped_zscore_pandas": 0.56,
+    "corpus_mixture_sample": 0.60,
     "text_langid": 0.63,
-    "customer_order_histogram": 0.64,
-    "try_cast_dirty": 0.65,
-    "text_repetition": 0.66,
-    "orders_dense_index": 0.68,
-    "text_tfidf_topterms": 0.70,
-    "date_parts_orders": 0.70,
-    "corpus_mixture_sample": 0.70,
-    "window_latest_per_key": 0.75,
-    "dedup_exact_spans_staggered": 0.77,
-    "nation_trade_volume": 0.78,
-    "null_conditional_agg": 0.81,
-    "text_unigram_logprob": 0.81,
-    "grouping_sets_status_priority": 0.83,
-    "events_gap_fill": 0.85,
-    "events_rollup_multigrain": 0.87,
-    "dedup_embedding_cosine": 0.89,
-    "corpus_curation": 0.90,
-    "dedup_simhash": 1.13,
-    "ntile_spend_quartiles": 1.14,
-    "group_distinct_agg": 1.18,
-    "corpus_decontamination": 1.24,
-    "semi_anti_customers": 1.32,
-    "skew_salted_join": 1.37,
-    "dedup_ngram_jaccard": 1.37,
-    "text_bigram_pmi": 1.37,
-    "corpus_pipeline_end_to_end": 1.48,
-    "events_sliding_1h_15m": 1.49,
-    "dedup_components": 1.49,
-    "similarity_ann_pq": 1.50,
-    "dedup_containment": 1.50,
-    "similarity_ann_ivf": 1.51,
-    "top_revenue_supplier": 1.52,
-    "dedup_minhash_lsh": 1.54,
-    "join_topk_revenue": 1.56,
-    "small_qty_part_revenue": 1.57,
-    "dedup_semantic": 1.58,
-    "late_shipment_priority": 1.60,
-    "dedup_incremental": 1.65,
-    "scalar_subquery_share": 1.72,
-    "dedup_exact_spans": 1.75,
-    "dedup_keep_best": 1.77,
-    "large_order_customers": 1.79,
-    "sole_blame_suppliers": 1.87,
-    "bloom_pruned_join": 2.06,
-    "corpus_cluster_balance": 2.23,
-    "approx_distinct_custkeys": 2.33,
-    "star_join_region_revenue": 2.42,
-    "supplier_pagerank": 2.51,
-    "similarity_ann_lsh": 2.74,
-    "corpus_leakage_safe_split": 3.02,
-    "text_winnow_fingerprint": 3.65,
+    "join_topk_revenue": 0.65,
+    "corpus_shard_export": 0.66,
+    "events_sliding_1h_15m": 0.69,
+    "bloom_pruned_join": 0.70,
+    "star_join_region_revenue": 0.74,
+    "dedup_exact_spans": 0.74,
+    "scalar_subquery_share": 0.74,
+    "pii_creditcard_luhn": 0.88,
+    "orders_dense_index": 0.95,
+    "text_tfidf_topterms": 0.97,
+    "approx_distinct_custkeys": 1.03,
+    "sole_blame_suppliers": 1.06,
+    "dedup_containment": 1.08,
+    "nation_trade_volume": 1.13,
+    "dedup_embedding_cosine": 1.17,
+    "text_winnow_fingerprint": 1.22,
+    "ntile_spend_quartiles": 1.22,
+    "events_gap_fill": 1.26,
+    "corpus_curation": 1.34,
+    "text_unigram_logprob": 1.36,
+    "corpus_importance_sample": 1.41,
+    "corpus_cluster_balance": 1.66,
+    "dedup_exact_spans_staggered": 1.66,
+    "dedup_minhash_lsh": 1.73,
+    "text_bigram_pmi": 1.74,
+    "similarity_ann_ivf": 1.76,
+    "dedup_incremental": 1.77,
+    "similarity_ann_pq": 1.77,
+    "dedup_keep_best": 1.90,
+    "dedup_semantic": 1.91,
+    "corpus_leakage_safe_split": 1.98,
+    "corpus_decontamination": 2.05,
+    "large_order_customers": 2.16,
+    "dedup_simhash": 2.17,
+    "supplier_pagerank": 2.50,
+    "dedup_ngram_jaccard": 2.54,
+    "dedup_components": 2.97,
+    "similarity_ann_lsh": 3.23,
+    "corpus_pipeline_end_to_end": 3.34,
+    "dedup_winnow_pairs": 5.36,
 }
 
 _MEDIAN_COST = 0.5
