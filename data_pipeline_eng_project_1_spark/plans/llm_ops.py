@@ -1738,21 +1738,25 @@ def _q_text_winnow_fingerprint(spark, sf_dir):
                j -> list_min(gh[j:j+3]))) AS fps
       FROM g
     ),
-    ex AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+    ex AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM m)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS INTEGER) AS n_shared
+           CAST(count(*) AS INTEGER) AS n_shared,
+           round(count(*) * 1.0 / LEAST(a.nf, b.nf), 4) AS overlap
     FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= 3
+    GROUP BY a.doc_id, b.doc_id, a.nf, b.nf
+    HAVING count(*) * 1.0 / LEAST(a.nf, b.nf) >= 0.5
     """,
-    doc="MOSS-style near-dup/plagiarism candidate pairs: documents "
-        "sharing >= 3 winnowing fingerprints (any common substring of "
-        ">= 11 normalized chars contributes one; three shared "
-        "fingerprints ~ repeated or extended verbatim overlap). The "
-        "equi-join runs on the winnowed index — ~2/(w+1) the density of "
-        "full k-gram shingling, so the hot-key k-squared risk shrinks "
-        "quadratically vs a raw gram index; same one-aggregate shape as "
-        "the shingle pair ops.",
+    doc="MOSS-style near-dup/plagiarism pairs: documents whose shared "
+        "winnowing fingerprints cover >= 50% of the SMALLER doc's set — "
+        "winnowed containment, so verbatim inclusion and heavy reuse "
+        "surface while shared boilerplate phrases do not (an absolute "
+        "shared-count threshold drowned in boilerplate on this corpus: "
+        ">=3 shared fingerprints matched 9.7M of 12.5M possible pairs "
+        "at sf0.1; the 0.5 ratio keeps 855). The equi-join runs on the "
+        "winnowed index — ~2/(w+1) the density of full k-gram "
+        "shingling, so the hot-key k-squared risk shrinks quadratically "
+        "vs a raw gram index; same one-aggregate shape as the shingle "
+        "pair ops.",
 )
 def _q_dedup_winnow_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1762,15 +1766,22 @@ def _q_dedup_winnow_pairs(spark, sf_dir):
     # (see winnow_fingerprint_table docstring)
     wft = dedup.winnow_fingerprint_table(
         d.filter(F.length(norm) >= 11), k=8, w=4, materialize=True)
-    ex = wft.select("id", F.explode("fps").alias("fp"))
+    ex = wft.select("id", F.size("fps").alias("nf"),
+                    F.explode("fps").alias("fp"))
     a, b = ex.alias("a"), ex.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.nf").alias("nf_a"), F.col("b.nf").alias("nf_b"))
         .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 3)
-        .select("id_a", "id_b", F.col("n_shared").cast("int").alias("n_shared"))
+    )
+    overlap = F.col("n_shared") / F.least("nf_a", "nf_b")
+    return (
+        pairs.filter(overlap >= 0.5)
+        .select("id_a", "id_b",
+                F.col("n_shared").cast("int").alias("n_shared"),
+                F.round(overlap, 4).alias("overlap"))
     )
 
 
