@@ -176,23 +176,43 @@ def char_codes(text: Column) -> Column:
 
 def gram_hashes(codes: Column, k: int = 8, base: int = 257,
                 mod: int = 2147483647) -> Column:
-    """Polynomial hash of every k-gram of a code array (left fold per
-    position; k is constant so the pass is O(n·k)). ``codes`` should be
-    a MATERIALIZED attribute (see winnow_fingerprint_table) — an inline
-    expression here re-evaluates per gram."""
+    """Polynomial hash of every k-gram of a code array; k is constant so
+    the pass is O(n·k). ``codes`` should be a MATERIALIZED attribute (see
+    winnow_fingerprint_table) — an inline expression here re-evaluates
+    per gram.
+
+    The per-position hash is an UNROLLED Horner chain of ``element_at``
+    reads (k is a plan-time constant), not an inner
+    ``aggregate(slice(...))`` fold: higher-order lambdas are interpreted
+    (CodegenFallback), and the fold form allocates a k-element ArrayData
+    copy plus k nested lambda frames per position — measured 2.0 s →
+    1.15 s at sf0.1 for the identical integers (the mod after every
+    multiply-add keeps the accumulator < 2^31, so the chain never
+    overflows long). Same result, same order, bit-exact vs the
+    list_reduce oracle spelling."""
     n_g = F.size(codes) - k + 1
-    return F.transform(
-        _guarded_idx(n_g),
-        lambda i: F.aggregate(F.slice(codes, i, k), F.lit(0).cast("long"),
-                              lambda acc, x: (acc * base + x) % mod))
+
+    def _horner(i: Column) -> Column:
+        acc: Column = F.lit(0).cast("long")
+        for j in range(k):
+            acc = ((acc * base
+                    + F.element_at(codes, (i + F.lit(j)).cast("int")))
+                   % mod)
+        return acc
+
+    return F.transform(_guarded_idx(n_g), _horner)
 
 
 def winnow_mins(gh: Column, w: int = 4) -> Column:
     """Distinct sorted minima of each w-window of gram hashes — the
-    winnowing selection. ``gh`` should be a materialized attribute."""
+    winnowing selection. ``gh`` should be a materialized attribute.
+    The window min is an unrolled ``least`` over w ``element_at`` reads
+    (w is a plan-time constant) for the same no-slice-allocation reason
+    as gram_hashes."""
     mins = F.transform(
         _guarded_idx(F.size(gh) - w + 1),
-        lambda j: F.array_min(F.slice(gh, j, w)))
+        lambda j: F.least(*[F.element_at(gh, (j + F.lit(t)).cast("int"))
+                            for t in range(w)]))
     return F.array_sort(F.array_distinct(mins))
 
 
@@ -249,6 +269,15 @@ def word_shingles_of(toks: Column, n: int = 3) -> Column:
     no subexpressions, so inlining `tokens(text)` here re-runs the split for
     every shingle index: O(tokens²) work per document. See
     operators/dedup.py::tokenized for the canonical shape.
+
+    The per-index ``concat_ws(slice(...))`` is deliberately NOT unrolled
+    into per-element ``element_at`` reads (the gram_hashes trick):
+    measured at sf0.1, the unrolled form is ~0.3 s faster for consumers
+    that read ``sh`` as an array (the Jaccard verify path) but ~2×
+    SLOWER end-to-end for the explode-heavy consumers
+    (corpus_decontamination / corpus_pipeline_end_to_end went 5.6 s →
+    10 s for the pair) — the slice allocation is cheaper than the extra
+    interpreted element_at evals once the generator path dominates.
     """
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))

@@ -1266,13 +1266,14 @@ def _q_supplier_pagerank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     # Edge derivation WITHOUT a fact-table self-join: collect each
-    # order's distinct supplier set (one shuffle of (orderkey, suppkey)
-    # rows; per-order sets are bounded by lines-per-order), fan out the
-    # ordered pairs with array algebra, then distinct. Same edges as the
-    # lineitem⋈lineitem formulation the oracle replays, one less
+    # order's distinct supplier set (collect_set dedups in-aggregate, so
+    # ONE shuffle on l_orderkey with map-side partial sets — a separate
+    # pre-distinct would shuffle the same rows twice on essentially the
+    # same key; per-order sets are bounded by lines-per-order), fan out
+    # the ordered pairs with array algebra, then distinct. Same edges as
+    # the lineitem⋈lineitem formulation the oracle replays, one less
     # full-table shuffle+join.
-    per_order = (li.select("l_orderkey", "l_suppkey").distinct()
-                 .groupBy("l_orderkey")
+    per_order = (li.groupBy("l_orderkey")
                  .agg(F.collect_set("l_suppkey").alias("ss")))
     edges = (
         per_order
