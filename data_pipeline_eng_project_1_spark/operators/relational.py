@@ -397,3 +397,62 @@ def grouped_zscore(df: DataFrame, key: str, value: str,
         return pdf.assign(**{z_col: (x - x.mean()) / sd})
 
     return df.groupBy(key).applyInPandas(zscore, out_schema)
+
+
+def capped_per_key(df: DataFrame, key: str, id_col: str, quota: int,
+                   method: str = "threshold",
+                   salt_buckets: int = 64) -> DataFrame:
+    """Deterministic per-key cap sampling: keep at most ``quota`` rows per
+    ``key`` value, picked by a seeded-uniform rule (rank by
+    (md5 of the id, id)) — the per-domain/per-source quota every web-scale
+    corpus applies before training (a handful of giant domains otherwise
+    dominate the token budget). Returns the input columns plus
+    ``pick_rank`` (1-based within the key).
+
+    Same dual-form contract as similarity.cluster_balanced_sample, which
+    this generalizes from embedding cells to an arbitrary key column:
+
+    - ``method="window"``: one ``row_number`` per key — the obvious form,
+      but a hot key (one domain = 30% of the crawl) funnels through a
+      single reducer that sorts the whole domain.
+    - ``method="threshold"`` (default, the scale form): the quota-th
+      smallest sort key per key is found with a salted two-level
+      aggregate (level 1: ``quota`` smallest per (key, salt) — a bounded
+      array_sort; level 2: merge ``salt_buckets`` quota-arrays), then a
+      broadcast join keeps rows ``<=`` the threshold — no per-key sort
+      ever sees more than key/salt_buckets rows, so the hot-domain
+      reducer disappears. Survivors (output-sized) get ``pick_rank``
+      from a window that is no longer a funnel. Exact at every scale:
+      the k-th order statistic's prefix equals the sort's prefix (ties
+      impossible — the key embeds the unique id; ids must be
+      non-negative for the zero-padded spelling).
+    """
+    if method not in ("window", "threshold"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "window":
+        w = Window.partitionBy(key).orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col)
+        return (df.withColumn("pick_rank", F.row_number().over(w))
+                .filter(F.col("pick_rank") <= quota))
+    keyed = df.withColumn(
+        "__k", F.concat(F.md5(F.col(id_col).cast("string")), F.lit("|"),
+                        F.lpad(F.col(id_col).cast("string"), 20, "0")))
+    thr = (
+        keyed
+        .withColumn("__s", F.pmod(F.xxhash64(F.col(id_col)),
+                                  F.lit(salt_buckets)))
+        .groupBy(key, "__s")
+        .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, quota)
+             .alias("__ks"))
+        .groupBy(key)
+        .agg(F.array_sort(F.flatten(F.collect_list("__ks"))).alias("__all"))
+        .select(key,
+                F.element_at("__all",
+                             F.least(F.lit(quota), F.size("__all")))
+                .alias("__thr"))
+    )
+    survivors = (keyed.join(F.broadcast(thr), key)
+                 .filter(F.col("__k") <= F.col("__thr")))
+    w = Window.partitionBy(key).orderBy("__k")
+    return (survivors.withColumn("pick_rank", F.row_number().over(w))
+            .drop("__k", "__thr"))

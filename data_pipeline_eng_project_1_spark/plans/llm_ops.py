@@ -2376,3 +2376,281 @@ def _q_similarity_pq(spark, sf_dir):
                 (F.coalesce(F.col("__n_hit"), F.lit(0)) >= 2)
                 .alias("pq_recall_ge_04"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: entropy scoring, snapshot CDC, per-domain caps
+# ---------------------------------------------------------------------------
+
+@_register(
+    "text_char_entropy",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({SQL_NORM}, ''),
+                         x -> x != '') AS ch
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ch, len(ch) AS n,
+             list_sort(list_distinct(ch)) AS d
+      FROM c WHERE len(ch) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_norm,
+           CAST(len(d) AS INTEGER) AS n_unique_chars,
+           round(-list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(d,
+                 x -> (len(list_filter(ch, y -> y = x)) * 1.0 / n)
+                      * log2(len(list_filter(ch, y -> y = x)) * 1.0 / n))),
+             (a, b) -> a + b), 4) AS entropy
+    FROM s
+    """,
+    doc="character-distribution Shannon entropy per document — the "
+        "classic gibberish/low-quality detector (base64 blobs and "
+        "key-mash score far from prose's ~4.1 bits/char; repeated-char "
+        "spam scores near 0): H = -sum p(c) log2 p(c) over the "
+        "normalized [a-z0-9 ] alphabet. Pure scan-side column algebra: "
+        "the char array is one projection attribute, the <=37-symbol "
+        "distinct alphabet keeps the count pass O(37 n) per doc, and no "
+        "shuffle ever sees a row — at 100 TB this is a free rider on "
+        "the curation scan. The distinct alphabet is SORTED on both "
+        "engines so the entropy fold adds terms in the same order "
+        "(bit-identical accumulate before the round).",
+)
+def _q_text_char_entropy(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    ch = F.filter(F.split(texts.normalize(F.col("text")), ""),
+                  lambda c: c != "")
+    base = d.select("doc_id", ch.alias("ch")).filter(F.size("ch") > 0)
+    n = F.size("ch")
+    dist = F.array_sort(F.array_distinct(F.col("ch")))
+    def _p(x):
+        return (F.size(F.filter(F.col("ch"), lambda y: y == x))
+                * F.lit(1.0) / n)
+    terms = F.transform(dist, lambda x: _p(x) * F.log2(_p(x)))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_norm"),
+        F.size(dist).cast("int").alias("n_unique_chars"),
+        F.round(-F.aggregate(terms, F.lit(0.0), lambda a, b: a + b), 4)
+         .alias("entropy"),
+    )
+
+
+#: Snapshot-diff synthesis rule (fixtures ship one corpus snapshot, so the
+#: second is derived deterministically — shared as a RULE with the oracle,
+#: the pii_creditcard_luhn pattern): snapshot A drops doc_id % 13 == 0
+#: (docs "added later"), snapshot B drops doc_id % 11 == 0 (docs
+#: "removed") and revises text for doc_id % 7 == 0 (docs "changed").
+_SNAP_REV = " rev2"
+
+
+@_register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS old_md5 FROM documents
+      WHERE doc_id % 13 != 0
+    ),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || '{_SNAP_REV}'
+                      ELSE text END) AS new_md5
+      FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           a.old_md5, b.new_md5
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.old_md5 <> b.new_md5
+    """,
+    doc="corpus snapshot diff (CDC between two corpus versions): "
+        "content-hash compare over a full outer join on the primary key, "
+        "emitting added/removed/changed rows — the incremental-refresh "
+        "primitive that turns a monthly recrawl into a delta pipeline "
+        "(downstream dedup/index stages reprocess only the delta). "
+        "Scale shape: ONE pk-keyed shuffle join of (pk, md5) pairs — "
+        "text never moves, only 16-byte digests; with both snapshots "
+        "bucketed by pk (sources/bucketed.py) the exchanges vanish "
+        "entirely. The second snapshot is synthesized from the fixture "
+        "by the deterministic rule above, mirrored in the oracle.",
+)
+def _q_corpus_snapshot_diff(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = (d.filter(F.col("doc_id") % 13 != 0)
+         .select("doc_id", F.md5("text").alias("old_md5")))
+    b = (d.filter(F.col("doc_id") % 11 != 0)
+         .select("doc_id",
+                 F.md5(F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit(_SNAP_REV)))
+                       .otherwise(F.col("text"))).alias("new_md5")))
+    diff = a.join(b, "doc_id", "full_outer")
+    status = (F.when(F.col("old_md5").isNull(), "added")
+              .when(F.col("new_md5").isNull(), "removed")
+              .otherwise("changed"))
+    return (diff.select("doc_id", status.alias("status"),
+                        "old_md5", "new_md5")
+            .filter(F.col("old_md5").isNull() | F.col("new_md5").isNull()
+                    | (F.col("old_md5") != F.col("new_md5"))))
+
+
+@_register(
+    "corpus_domain_cap",
+    """
+    SELECT doc_id, source, CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+      FROM documents
+    )
+    WHERE pick_rank <= 15
+    """,
+    doc="per-domain document cap (keep <= 15 docs per source, "
+        "seeded-uniform pick): the anti-domination quota every web-scale "
+        "corpus applies — a few giant domains otherwise swallow the "
+        "token budget. The GRADED plan is the production "
+        "method='threshold' form of operators/relational.py::"
+        "capped_per_key (salted two-level order-statistic + broadcast "
+        "threshold filter, no per-domain sort — a domain holding 30% of "
+        "a 100 TB crawl is never a single sorting reducer); the oracle "
+        "replays the selection as the equivalent row_number window, "
+        "identical because the quota-th order statistic's prefix equals "
+        "the sort's prefix and the md5-of-id key is cross-engine.",
+)
+def _q_corpus_domain_cap(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (relational.capped_per_key(
+                d, key="source", id_col="doc_id", quota=15,
+                method="threshold")
+            .select("doc_id", "source",
+                    F.col("pick_rank").cast("int").alias("pick_rank")))
+
+
+@_register(
+    "similarity_knn_graph",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr, round(cos, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, nbr) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    doc="exact k-nearest-neighbor graph (k=5, cosine) over the whole "
+        "embedding corpus — the backbone for graph-based semantic dedup "
+        "and kNN classification; unlike similarity_topk's bounded probe "
+        "set, EVERY vector is a probe, so the broadcast-probe plan is "
+        "unusable and the blocked-GEMM + per-block partial top-k shape "
+        "is the production path (operators/similarity.py::knn_graph: "
+        "shuffle volume num_blocks x corpus, candidate volume n*blocks*k "
+        "scalars — the n x n matrix never materializes). Ranking runs on "
+        "the raw doubles with an id tiebreak, same contract as the green "
+        "similarity_topk; the oracle replays the full quadratic join.",
+)
+def _q_similarity_knn_graph(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        similarity.knn_graph(e, k=5, num_blocks=8)
+        .select(F.col("id").alias("vec_id"), "nbr",
+                F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@_register(
+    "text_bigram_lm_perplexity",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c1 AS (SELECT w, count(*) AS c FROM
+             (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM (SELECT unnest(toks) FROM t)),
+    scored AS (
+      SELECT bi.doc_id,
+             ln(0.7 * (c2.c * 1.0 / c1a.c) + 0.3 * (c1b.c * 1.0 / tot.n))
+               AS lp
+      FROM bi
+      JOIN (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2) c2
+        USING (w1, w2)
+      JOIN c1 c1a ON bi.w1 = c1a.w
+      JOIN c1 c1b ON bi.w2 = c1b.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    doc="interpolated bigram-LM perplexity per document (the hierarchical "
+        "rung above text_unigram_logprob, the CCNet-style quality "
+        "filter): P(w2|w1) = 0.7 * c(w1 w2)/c(w1) + 0.3 * c(w2)/N with "
+        "the corpus itself as the LM; documents whose token transitions "
+        "surprise the corpus LM (high perplexity) flag gibberish and "
+        "boilerplate-mangled text. Plan: bigrams come from one "
+        "scan-side array transform + explode (no self-join on "
+        "position), counts are two partial+final hash-aggs keyed on "
+        "the bigram/word, scoring is word-keyed equi-joins back "
+        "(broadcast when the vocab is bounded, shuffle co-partitioned "
+        "when it is web-scale), then ONE doc-keyed agg. ln/exp drift "
+        "is absorbed by round-4 on the per-doc AVERAGE, the "
+        "unigram_logprob precedent.",
+)
+def _q_text_bigram_lm_perplexity(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", texts.tokens(F.col("text")).alias("__toks"))
+    n_t = F.size("__toks")
+    bigr = (
+        tok.filter(n_t >= 2)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(1), n_t - 1),
+            lambda i: F.struct(
+                F.element_at("__toks", i.cast("int")).alias("w1"),
+                F.element_at("__toks", (i + F.lit(1)).cast("int"))
+                 .alias("w2")))).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+    )
+    uni = tok.select(F.explode("__toks").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n"))
+    c2 = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lp = F.log(F.lit(0.7) * (F.col("c2") * F.lit(1.0) / F.col("c1a"))
+               + F.lit(0.3) * (F.col("c1b") * F.lit(1.0) / F.col("n")))
+    scored = (
+        bigr.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1a")),
+              "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("c1b")),
+              "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg("lp"), 4).alias("avg_logprob"),
+             F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"))
+    )

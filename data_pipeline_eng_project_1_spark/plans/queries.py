@@ -1992,6 +1992,73 @@ def _q_regression_price_qty(spark, sf_dir):
     )
 
 
+@_register(
+    "events_funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events),
+    v AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts_ms) AS t2, min(v.t1) AS t1
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts_ms > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts_ms) AS t3
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_ms > c.t2
+          GROUP BY e.user_id)
+    SELECT CAST(v.user_id % 10 AS INTEGER) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_view,
+           CAST(count(c.t2) AS BIGINT) AS n_click,
+           CAST(count(p.t3) AS BIGINT) AS n_purchase,
+           round(avg(CASE WHEN p.t3 IS NOT NULL
+                          THEN (p.t3 - v.t1) / 1000.0 END), 2)
+               AS avg_convert_s
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY v.user_id % 10
+    """,
+    doc="ordered event funnel (view -> later click -> later purchase) "
+        "with per-cohort conversion counts and mean seconds-to-convert — "
+        "the product-analytics staple that needs ORDER, not mere "
+        "presence (a purchase before the first view must not count). "
+        "Three user-keyed conditional min-aggregates chained by joins: "
+        "every shuffle is on user_id, so AQE plans ONE exchange family "
+        "and the stage-2/3 frames are per-user rows (collapsed "
+        "grain, not raw events). At 100 TB the same shape holds — the "
+        "funnel state per user is O(steps) longs, never an event list; "
+        "timestamps compare as exact epoch-millis BIGINTs.",
+)
+def _q_events_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", "ts_ms")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts_ms").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts_ms") > F.col("t1"))
+         .groupBy("user_id")
+         .agg(F.min("ts_ms").alias("t2"), F.min("t1").alias("t1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "t2"), "user_id")
+         .filter(F.col("ts_ms") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts_ms").alias("t3")))
+    return (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy((F.col("user_id") % 10).cast("int").alias("cohort"))
+        .agg(
+            F.count("*").alias("n_view"),
+            F.count("t2").alias("n_click"),
+            F.count("t3").alias("n_purchase"),
+            F.round(F.avg(F.when(F.col("t3").isNotNull(),
+                                 (F.col("t3") - F.col("t1")) / 1000.0)), 2)
+             .alias("avg_convert_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -326,6 +326,14 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "similarity_topk": 5,     # corpus spread gated on scan splits
                               # (physical only, same output)
     "similarity_ann_lsh": 5,  # same spread gating (same output)
+    # changed in r7 (r6-and-earlier green rows stale):
+    "text_winnow_fingerprint": 6,  # gram_hashes/winnow_mins unrolled to
+                                   # element_at chains (bit-exact math,
+                                   # same output)
+    "dedup_winnow_pairs": 6,       # same winnow unroll (same output)
+    "supplier_pagerank": 6,        # edge derivation drops the redundant
+                                   # pre-distinct before collect_set
+                                   # (same edge set, same output)
 }
 
 

@@ -107,3 +107,41 @@ def test_dot_dim_truncation_consistent_across_forms(spark):
     assert row["u"] == row["ue"] == want_4
     assert row["f"] == row["fe"] == want_18
     assert row["full"] == 2.0 * sum(a)
+
+
+def test_capped_per_key_threshold_matches_window(spark):
+    """Both methods of capped_per_key select the IDENTICAL rows and ranks
+    (the k-th order statistic's prefix equals the sort's prefix), the
+    quota binds per key, and the pick is deterministic across runs."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    rows = [(i, f"k{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    w = relational.capped_per_key(df, key="grp", id_col="id", quota=7,
+                                  method="window")
+    t = relational.capped_per_key(df, key="grp", id_col="id", quota=7,
+                                  method="threshold")
+    got_w = sorted((r.grp, r.id, r.pick_rank) for r in w.collect())
+    got_t = sorted((r.grp, r.id, r.pick_rank) for r in t.collect())
+    assert got_w == got_t
+    assert len(got_w) == 5 * 7
+    per_key: dict[str, list[int]] = {}
+    for g, _, rank in got_w:
+        per_key.setdefault(g, []).append(rank)
+    for g, ranks in per_key.items():
+        assert sorted(ranks) == list(range(1, 8)), g
+    # deterministic: a second run picks the same rows
+    again = sorted((r.grp, r.id, r.pick_rank) for r in relational
+                   .capped_per_key(df, "grp", "id", 7, "threshold")
+                   .collect())
+    assert again == got_t
+
+
+def test_capped_per_key_quota_above_key_size_keeps_all(spark):
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame([(i, "only") for i in range(4)],
+                               "id long, grp string")
+    for method in ("window", "threshold"):
+        got = relational.capped_per_key(df, "grp", "id", 10, method)
+        assert got.count() == 4, method

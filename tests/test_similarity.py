@@ -351,3 +351,53 @@ def test_cluster_balanced_sample_threshold_matches_window(spark):
     with pytest.raises(ValueError):
         similarity.cluster_balanced_sample(df, quota=5, centroids=cents,
                                            dim=2, method="bogus")
+
+
+def test_knn_graph_matches_bruteforce_and_block_invariant(spark):
+    """knn_graph equals the numpy brute-force kNN on the fixture (exact
+    candidates: every true neighbor lives in some block pair with its
+    row), and the result is invariant to num_blocks."""
+    import numpy as np
+
+    from data_pipeline_eng_project_1_spark.operators import similarity
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    e = catalog.load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                    for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    k = 4
+    want = set()
+    order = np.argsort(ids)
+    for i in range(len(ids)):
+        # rank by (-cos, nbr id): mirror the operator's tiebreak
+        cand = sorted(
+            ((-sims[i, j], ids[j]) for j in range(len(ids)) if j != i))
+        for rank, (negc, nbr) in enumerate(cand[:k], start=1):
+            want.add((int(ids[i]), int(nbr), rank))
+    for nb in (3, 8):
+        got = {(r.id, r.nbr, r.rank)
+               for r in similarity.knn_graph(e, k=k, num_blocks=nb)
+               .collect()}
+        assert got == want, f"num_blocks={nb}"
+
+
+def test_knn_graph_small_corpus_fewer_than_k(spark):
+    """Corpora smaller than k+1 return all available neighbors, ranked."""
+    from data_pipeline_eng_project_1_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    got = similarity.knn_graph(df, k=5, num_blocks=4).collect()
+    per_id = {}
+    for r in got:
+        per_id.setdefault(r.id, []).append(r.rank)
+    assert set(per_id) == {1, 2, 3}
+    for ranks in per_id.values():
+        assert sorted(ranks) == [1, 2]  # only two other vectors exist

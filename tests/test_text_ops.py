@@ -173,3 +173,82 @@ def test_winnowing_guarantee_and_short_docs(spark):
     assert out[1] & out[2], "shared >=11-char substring must collide"
     assert not (out[1] & out[3]) and not (out[2] & out[3])
     assert out[4] == set()
+
+
+def test_char_entropy_matches_python_reference(spark, sf_dir):
+    """Spark entropy == a direct Python computation of
+    -sum p log2 p over the normalized alphabet, for every fixture doc."""
+    import math
+    import re
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    got = {r.doc_id: r for r in
+           Q.queries()["text_char_entropy"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    checked = 0
+    for row in docs:
+        norm = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "",
+                                        row.text.lower())).strip()
+        if not norm:
+            assert row.doc_id not in got
+            continue
+        cnt = Counter(norm)
+        n = len(norm)
+        h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        g = got[row.doc_id]
+        assert g.n_chars_norm == n
+        assert g.n_unique_chars == len(cnt)
+        assert abs(g.entropy - h) < 5e-4, row.doc_id
+        checked += 1
+    assert checked == len(got)
+
+
+def test_snapshot_diff_statuses_follow_rule(spark, sf_dir):
+    """Every diff row's status agrees with the synthesis rule, and
+    unchanged docs are absent."""
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    got = Q.queries()["corpus_snapshot_diff"](spark, sf_dir).collect()
+    by_status = {}
+    for r in got:
+        by_status.setdefault(r.status, set()).add(r.doc_id)
+        if r.status == "added":
+            assert r.doc_id % 13 == 0 and r.doc_id % 11 != 0
+            assert r.old_md5 is None and r.new_md5 is not None
+        elif r.status == "removed":
+            assert r.doc_id % 11 == 0 and r.doc_id % 13 != 0
+            assert r.new_md5 is None and r.old_md5 is not None
+        else:
+            assert r.status == "changed"
+            assert r.doc_id % 7 == 0
+            assert r.old_md5 is not None and r.new_md5 is not None
+            assert r.old_md5 != r.new_md5
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # every doc matching a rule appears exactly once with the right status
+    for i in range(n_docs):
+        in_a, in_b, rev = i % 13 != 0, i % 11 != 0, i % 7 == 0
+        if in_a and in_b and not rev:
+            for s in by_status.values():
+                assert i not in s
+        elif not in_a and in_b:
+            assert i in by_status.get("added", set())
+        elif in_a and not in_b:
+            assert i in by_status.get("removed", set())
+        elif in_a and in_b:
+            assert i in by_status.get("changed", set())
+
+
+def test_funnel_counts_are_ordered_and_order_sensitive(spark, sf_dir):
+    """Funnel stages are monotone per cohort, and the operator's ordering
+    semantics reject a purchase that precedes the user's first view."""
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    rows = Q.queries()["events_funnel_conversion"](spark, sf_dir).collect()
+    assert rows, "funnel returned no cohorts"
+    for r in rows:
+        assert r.n_view >= r.n_click >= r.n_purchase >= 0
+        if r.n_purchase:
+            assert r.avg_convert_s is not None and r.avg_convert_s > 0
