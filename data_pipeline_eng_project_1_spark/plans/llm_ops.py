@@ -2654,3 +2654,171 @@ def _q_text_bigram_lm_perplexity(spark, sf_dir):
              F.round(F.avg("lp"), 4).alias("avg_logprob"),
              F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"))
     )
+
+
+@_register(
+    "text_heavy_hitters",
+    f"""
+    WITH w AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS n FROM w),
+    c AS (SELECT token, count(*) AS cnt FROM w GROUP BY token)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt * 1.0 / n, 6) AS share
+    FROM c CROSS JOIN tot
+    WHERE cnt * 30 > n
+    """,
+    doc="frequent-token heavy hitters (count > N/30) via a per-batch "
+        "top-s candidate sketch + exact candidate recount — the "
+        "SpaceSaving/Misra-Gries shape: a token with global count > N/s "
+        "must, by pigeonhole, exceed n_b/s in SOME batch, where it "
+        "cannot miss that batch's exact top-s (fewer than s tokens can "
+        "each exceed n_b/s) — so the merged candidate set provably "
+        "contains every true heavy hitter, and the exact recount + "
+        "threshold makes the OUTPUT deterministic no matter how rows "
+        "were batched. Scale story: the final aggregate shuffles ONLY "
+        "candidate-token rows (<= s per batch), never the full vocab — "
+        "at 100 TB the vocab-wide groupBy this replaces is the "
+        "bottleneck; the threshold compare is exact integer algebra "
+        "(cnt*s > N), immune to float drift. The oracle replays the "
+        "exact definition the sketch provably converges to.",
+)
+def _q_text_heavy_hitters(spark, sf_dir):
+    import pandas as pd
+
+    s = 30
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(texts.tokens(F.col("text"))).alias("token"))
+
+    def batch_tops(it):
+        for pdf in it:
+            vc = pdf["token"].value_counts().head(s)
+            yield pd.DataFrame({"token": vc.index})
+
+    cand = toks.mapInPandas(batch_tops, "token string").distinct()
+    # total token count from the cheap per-doc size sum — one narrow scan,
+    # not a second explode
+    tot = d.agg(F.sum(F.size(texts.tokens(F.col("text")))).alias("n"))
+    exact = (toks.join(F.broadcast(cand), "token")
+             .groupBy("token").agg(F.count("*").alias("cnt")))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * s > F.col("n"))
+        .select("token", F.col("cnt").cast("long").alias("cnt"),
+                F.round(F.col("cnt") * F.lit(1.0) / F.col("n"), 6)
+                 .alias("share"))
+    )
+
+
+@_register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
+               AS to_type
+      FROM events
+    ),
+    c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM c
+    """,
+    doc="behavioral Markov chain: per-user event-sequence transition "
+        "counts and conditional probabilities P(next | current) — the "
+        "session-model primitive behind next-event prediction and "
+        "anomaly scoring. ONE window (lead over user_id ordered by "
+        "exact epoch-millis with the event_id tiebreak) + one "
+        "state-pair aggregate; the transition matrix is "
+        "|event_types|^2 rows, so the normalizing window runs on a "
+        "5x5 frame — at 100 TB the only full-data pass is the "
+        "user-keyed window, the same exchange every sessionization "
+        "query already pays.",
+)
+def _q_events_markov_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    c = (seq.filter(F.col("to_type").isNotNull())
+         .groupBy("from_type", "to_type").agg(F.count("*").alias("n")))
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wn), 4).alias("p"))
+
+
+#: Quality-classifier weights (a stand-in for a distilled fasttext-style
+#: linear model): literal constants shared by the Spark plan and the
+#: oracle, applied to the text_quality feature set.
+_QC_W = {"bias": -0.2, "stop": 3.0, "punct": -2.0, "alen": -0.15,
+         "lntok": 0.1}
+
+
+@_register(
+    "quality_classifier_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({SQL_TOKS}) AS n_tokens,
+             len(list_filter({SQL_TOKS},
+                 t -> list_contains({_SQL_STOPS}, t))) * 1.0
+               / len({SQL_TOKS}) AS stop_r,
+             (length(lower(text))
+              - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+               * 1.0 / length(text) AS punct_r,
+             length(replace(text, ' ', '')) * 1.0
+               / len({SQL_TOKS}) AS alen
+      FROM documents WHERE len({SQL_TOKS}) > 0
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({_QC_W['bias']}
+                 + {_QC_W['stop']} * stop_r
+                 + {_QC_W['punct']} * punct_r
+                 + {_QC_W['alen']} * alen
+                 + {_QC_W['lntok']} * ln(n_tokens)))), 4) AS score,
+           1.0 / (1.0 + exp(-({_QC_W['bias']}
+                 + {_QC_W['stop']} * stop_r
+                 + {_QC_W['punct']} * punct_r
+                 + {_QC_W['alen']} * alen
+                 + {_QC_W['lntok']} * ln(n_tokens)))) >= 0.5 AS keep
+    FROM f
+    """,
+    doc="model-based quality scoring (the fasttext-classifier stage of "
+        "CCNet/RefinedWeb-style curation, distilled to a linear model "
+        "whose weights ship as broadcast literals): score = "
+        "sigmoid(w . features) over the text_quality feature vector "
+        "(stopword ratio, punctuation ratio, mean token length, log "
+        "token count), keep = score >= 0.5. Pure scan-side codegen — "
+        "swapping in real trained weights changes ONE literal map, not "
+        "the plan; at 100 TB the scoring pass rides the same corpus "
+        "scan as every other curation signal. The oracle replays the "
+        "identical arithmetic spelling, so the round-4 score and the "
+        "boolean gate are cross-engine stable.",
+)
+def _q_quality_classifier_score(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
+    text, toks = F.col("text"), F.col("__toks")
+    f = (toked.filter(F.size(toks) > 0)
+         .select(
+             F.col("id").alias("doc_id"),
+             F.size(toks).alias("n_tokens"),
+             (F.size(F.filter(toks, lambda t: t.isin(*texts.STOPWORDS)))
+              * F.lit(1.0) / F.size(toks)).alias("stop_r"),
+             ((F.length(F.lower(text))
+               - F.length(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")))
+              * F.lit(1.0) / F.length(text)).alias("punct_r"),
+             (F.length(F.regexp_replace(text, " ", "")) * F.lit(1.0)
+              / F.size(toks)).alias("alen")))
+    z = (F.lit(_QC_W["bias"])
+         + F.lit(_QC_W["stop"]) * F.col("stop_r")
+         + F.lit(_QC_W["punct"]) * F.col("punct_r")
+         + F.lit(_QC_W["alen"]) * F.col("alen")
+         + F.lit(_QC_W["lntok"]) * F.log(F.col("n_tokens")))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return f.select("doc_id", F.round(score, 4).alias("score"),
+                    (score >= 0.5).alias("keep"))

@@ -252,3 +252,51 @@ def test_funnel_counts_are_ordered_and_order_sensitive(spark, sf_dir):
         assert r.n_view >= r.n_click >= r.n_purchase >= 0
         if r.n_purchase:
             assert r.avg_convert_s is not None and r.avg_convert_s > 0
+
+
+def test_heavy_hitters_equals_full_aggregate_any_partitioning(spark, sf_dir):
+    """The sketch+recount output equals the exact full-vocab definition
+    regardless of how rows are batched (candidate-superset guarantee)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(texts.tokens(F.col("text"))).alias("token"))
+    n = toks.count()
+    want = {(r.token, r.cnt) for r in
+            toks.groupBy("token").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * 30 > n).collect()}
+    got = {(r.token, r.cnt) for r in
+           Q.queries()["text_heavy_hitters"](spark, sf_dir).collect()}
+    assert got == want
+    assert got, "degenerate fixture: no heavy hitters at s=30"
+
+
+def test_markov_transition_probs_normalize(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    rows = Q.queries()["events_markov_transitions"](spark, sf_dir).collect()
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_from[r.from_type] += r.p
+    for ft, tot in by_from.items():
+        assert abs(tot - 1.0) < 1e-3, (ft, tot)
+
+
+def test_quality_classifier_gate_consistent(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    rows = Q.queries()["quality_classifier_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        # the gate uses the unrounded score; at the round-4 boundary the
+        # rounded column may sit exactly on 0.5 either way, so only
+        # assert consistency away from it
+        if abs(r.score - 0.5) > 1e-3:
+            assert r.keep == (r.score >= 0.5)
