@@ -465,3 +465,71 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
                 "doc_id", "n_windows", "rms_mean", "rms_max", "peak"])
 
     return src.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+#: Output contract of image_ahash.
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("phash", T.IntegerType()),
+])
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "content") -> DataFrame:
+    """Perceptual average-hash over decoded image payloads — the image
+    counterpart of the text fingerprint rungs: images whose hash (plus
+    dimensions) collide are visual duplicates/near-duplicates, found with
+    a plain hash groupBy instead of pairwise pixel compares.
+
+    The 4-bit aHash here is the 2x2 block form of the standard 8x8
+    algorithm (the fixture images are tiny; a production corpus would
+    resize to 8x8 grayscale first — `resize_image` is the hook): each
+    quadrant's bit says whether its mean luminance exceeds the image
+    mean. All comparisons are EXACT integer cross-multiplications
+    (sum_block * n_total > sum_total * n_block) over uint8 sums — no
+    float means, so the hash is bit-reproducible anywhere, including in
+    a SQL oracle replaying the synthesis rule.
+
+    Decoding runs on the REAL payload bytes (PPM/BMP numpy parsers) in
+    Arrow batches inside the scan stage; payload bytes never shuffle —
+    only (id, w, h, phash) rows leave the stage, so the dedup groupBy
+    downstream moves 4 scalars per image at any corpus size.
+    Undecodable payloads are dropped (mirror decode_image's UNSUPPORTED
+    row if you need the accounting)."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "phash": []}
+            for did, b in zip(pdf["doc_id"], pdf["p"]):
+                dec = _decode_any(bytes(b))
+                if dec is None:
+                    continue
+                w, h, arr = dec
+                lum = arr.astype(np.int64).sum(axis=2)  # h x w
+                hw, hh = w // 2, h // 2
+                st, ct = int(lum.sum()), w * h
+                phash = 0
+                quads = (lum[:hh, :hw], lum[:hh, hw:],
+                         lum[hh:, :hw], lum[hh:, hw:])
+                for bit, blk in enumerate(quads):
+                    if blk.size and int(blk.sum()) * ct > st * blk.size:
+                        phash |= 1 << bit
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash"].append(phash)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "phash": pd.Series(out["phash"], dtype="int32"),
+            })
+
+    return src.mapInPandas(batches, AHASH_SCHEMA)

@@ -2822,3 +2822,88 @@ def _q_quality_classifier_score(spark, sf_dir):
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return f.select("doc_id", F.round(score, 4).alias("score"),
                     (score >= 0.5).alias("keep"))
+
+
+@_register(
+    "multimodal_phash_dedup",
+    """
+    WITH imgs AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 4 + 2 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (p % w) AS x, (p // w) AS y,
+             (48 + ((doc_id % 16) * 31 + (3*p + 1) * 7) % 64)
+           + (48 + ((doc_id % 16) * 31 + (3*p + 2) * 7) % 64)
+           + (48 + ((doc_id % 16) * 31 + (3*p + 3) * 7) % 64) AS lum
+      FROM imgs, unnest(generate_series(0, w * h - 1)) AS t(p)
+    ),
+    blk AS (
+      SELECT doc_id, w, h,
+             (CASE WHEN y >= h // 2 THEN 2 ELSE 0 END
+              + CASE WHEN x >= w // 2 THEN 1 ELSE 0 END) AS b,
+             sum(lum) AS s, count(*) AS c
+      FROM px GROUP BY doc_id, w, h,
+             (CASE WHEN y >= h // 2 THEN 2 ELSE 0 END
+              + CASE WHEN x >= w // 2 THEN 1 ELSE 0 END)
+    ),
+    tot AS (SELECT doc_id, sum(s) AS st, sum(c) AS ct
+            FROM blk GROUP BY doc_id),
+    hashes AS (
+      SELECT blk.doc_id, blk.w, blk.h,
+             CAST(sum(CASE WHEN s * ct > st * c
+                           THEN 1 << b ELSE 0 END) AS INTEGER) AS phash
+      FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+      GROUP BY blk.doc_id, blk.w, blk.h
+    ),
+    g AS (SELECT w, h, phash, count(*) AS n_dups,
+                 min(doc_id) AS canonical
+          FROM hashes GROUP BY w, h, phash)
+    SELECT hashes.doc_id,
+           hashes.w AS width, hashes.h AS height, hashes.phash,
+           CAST(g.n_dups AS INTEGER) AS n_dups,
+           CAST(hashes.doc_id = g.canonical AS INTEGER) AS is_canonical
+    FROM hashes JOIN g ON hashes.w = g.w AND hashes.h = g.h
+                      AND hashes.phash = g.phash
+    """,
+    doc="image near-dup detection by perceptual hash: every fifth doc "
+        "synthesizes a real binary-PPM payload whose PIXELS vary by a "
+        "deterministic doc_id%16 rule (so visually identical images "
+        "recur across docs), operators/multimodal.py::image_ahash "
+        "DECODES the actual bytes (numpy PPM parser, Arrow batches, "
+        "bytes never shuffle) and computes the 2x2 average-hash with "
+        "exact integer cross-multiplications, and duplicate groups fall "
+        "out of a plain (w, h, phash) groupBy — hash-join dedup over "
+        "images, no pairwise pixel compares. The oracle recomputes the "
+        "hash from the SYNTHESIS RULE alone (shared as column algebra, "
+        "never as parsing code), so a green row proves the byte-level "
+        "encode->decode->hash round-trip end to end.",
+)
+def _q_multimodal_phash_dedup(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 5 == 0)
+         .select("doc_id"))
+    w = (F.col("doc_id") % 6 + 4).cast("int")
+    h = (F.col("doc_id") % 4 + 2).cast("int")
+    code = lambda i: (F.lit(48)
+                      + ((F.col("doc_id") % 16) * 31 + i * 7) % 64)
+    body = F.concat_ws("", F.transform(
+        F.sequence(F.lit(1), (w * h * 3).cast("int")),
+        lambda i: F.char(code(i))))
+    payload = F.encode(
+        F.concat(F.lit("P6 "), w.cast("string"), F.lit(" "),
+                 h.cast("string"), F.lit(" 255\n"), body), "UTF-8")
+    imgs = d.select("doc_id", payload.alias("content"))
+    hashes = multimodal.image_ahash(imgs)
+    g = (hashes.groupBy("width", "height", "phash")
+         .agg(F.count("*").cast("int").alias("n_dups"),
+              F.min("doc_id").alias("canonical")))
+    return (
+        hashes.join(g, ["width", "height", "phash"])
+        .select("doc_id", "width", "height", "phash", "n_dups",
+                (F.col("doc_id") == F.col("canonical")).cast("int")
+                .alias("is_canonical"))
+    )

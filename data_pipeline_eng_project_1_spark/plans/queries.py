@@ -2059,6 +2059,86 @@ def _q_events_funnel(spark, sf_dir):
     )
 
 
+@_register(
+    "basket_brand_lift",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+    bs AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab * 1.0 / sa.n_b, 4) AS confidence_a_b,
+           round(n_ab * 1.0 * n.n_orders / (sa.n_b * sb.n_b), 4) AS lift
+    FROM pairs
+    JOIN bs sa ON pairs.brand_a = sa.brand
+    JOIN bs sb ON pairs.brand_b = sb.brand
+    CROSS JOIN n
+    WHERE n_ab >= 20
+    """,
+    doc="market-basket association rules (support / confidence / lift) "
+        "over brand co-occurrence within orders — the frequent-itemset "
+        "primitive behind recommendations and assortment analysis. "
+        "Spark derives the pair supports from per-order distinct-brand "
+        "SETS fanned out with array algebra (the supplier_pagerank edge "
+        "shape: one shuffle of (order, brand) rows, pair fan-out "
+        "bounded by basket size squared, never a fact-table self-join), "
+        "brand supports ride the same distinct frame, and the 25-row "
+        "support table broadcasts back onto the pair aggregate. At "
+        "100 TB the only wide exchanges carry the DISTINCT "
+        "(order, item) grain; a hot item is an aggregate reducer. The "
+        "oracle replays the definition as a plain self-join, and "
+        "lift's integer cross-multiplication happens before the one "
+        "float divide.",
+)
+def _q_basket_brand_lift(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ob = (li.select("l_orderkey", "l_partkey")
+          .join(F.broadcast(pt.select("p_partkey", "p_brand")),
+                li["l_partkey"] == pt["p_partkey"])
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("p_brand").alias("brand"))
+          .distinct())
+    per_order = ob.groupBy("okey").agg(F.collect_set("brand").alias("bs"))
+    n = per_order.agg(F.count("*").alias("n_orders"))
+    bs = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
+    sorted_bs = F.array_sort("bs")
+    pairs = (
+        per_order
+        .select(F.explode(F.flatten(F.transform(
+            sorted_bs, lambda a: F.transform(
+                F.filter(sorted_bs, lambda b: b > a),
+                lambda b: F.struct(a.alias("brand_a"),
+                                   b.alias("brand_b")))))).alias("e"))
+        .groupBy(F.col("e.brand_a").alias("brand_a"),
+                 F.col("e.brand_b").alias("brand_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    sa = bs.select(F.col("brand").alias("brand_a"),
+                   F.col("n_b").alias("n_a"))
+    sb = bs.select(F.col("brand").alias("brand_b"),
+                   F.col("n_b").alias("n_bb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a", "brand_b", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_a"), 4)
+             .alias("confidence_a_b"),
+            F.round(F.col("n_ab") * F.lit(1.0) * F.col("n_orders")
+                    / (F.col("n_a") * F.col("n_bb")), 4).alias("lift"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

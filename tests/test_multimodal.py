@@ -221,3 +221,28 @@ def test_audio_features_rms_of_known_sine(spark):
     assert abs(out[0]["rms_mean"] - 0.5 / 2 ** 0.5) < 0.01
     assert abs(out[0]["peak"] - 0.5) < 0.01
     assert out[1]["rms_mean"] < 0.001
+
+
+def test_image_ahash_known_image_and_dup_groups(spark):
+    """aHash bits verified against a hand-computed 4x2 PPM; identical
+    payloads land in one hash group, a visually different payload lands
+    in another."""
+    from data_pipeline_eng_project_1_spark.operators import multimodal
+
+    def ppm(pixels):  # pixels: flat list of (r, g, b)
+        body = bytes([c for px in pixels for c in px])
+        return b"P6 4 2 255\n" + body
+
+    # left half dark (0), right half bright (200): bits for quadrants
+    # 1 (top-right) and 3 (bottom-right) only -> phash = 0b1010 = 10
+    row = [(0, 0, 0), (0, 0, 0), (200, 200, 200), (200, 200, 200)]
+    bright_right = ppm(row + row)
+    flat = ppm([(7, 7, 7)] * 8)  # uniform: no block exceeds the mean
+    rows = [(1, bytearray(bright_right)), (2, bytearray(bright_right)),
+            (3, bytearray(flat)), (4, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in multimodal.image_ahash(df).collect()}
+    assert set(got) == {1, 2, 3}  # undecodable row dropped
+    assert got[1].phash == got[2].phash == 10
+    assert got[3].phash == 0
+    assert (got[1].width, got[1].height) == (4, 2)
