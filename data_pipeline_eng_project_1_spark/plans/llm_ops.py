@@ -1739,25 +1739,41 @@ def _q_text_winnow_fingerprint(spark, sf_dir):
                j -> list_min(gh[j:j+3]))) AS fps
       FROM g
     ),
-    ex AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM m)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS INTEGER) AS n_shared,
-           round(count(*) * 1.0 / LEAST(a.nf, b.nf), 4) AS overlap
-    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.nf, b.nf
-    HAVING count(*) * 1.0 / LEAST(a.nf, b.nf) >= 0.5
+    ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    keep AS (SELECT fp FROM ex0 GROUP BY fp HAVING count(*) <= 200),
+    ex AS (SELECT doc_id, fp FROM ex0 JOIN keep USING (fp)),
+    nf AS (SELECT doc_id, count(*) AS nf FROM ex GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_shared AS INTEGER) AS n_shared,
+           round(n_shared * 1.0 / LEAST(na.nf, nb.nf), 4) AS overlap
+    FROM p JOIN nf na ON p.id_a = na.doc_id
+           JOIN nf nb ON p.id_b = nb.doc_id
+    WHERE n_shared >= 3
+      AND n_shared * 1.0 / LEAST(na.nf, nb.nf) >= 0.5
     """,
-    doc="MOSS-style near-dup/plagiarism pairs: documents whose shared "
-        "winnowing fingerprints cover >= 50% of the SMALLER doc's set — "
-        "winnowed containment, so verbatim inclusion and heavy reuse "
-        "surface while shared boilerplate phrases do not (an absolute "
-        "shared-count threshold drowned in boilerplate on this corpus: "
-        ">=3 shared fingerprints matched 9.7M of 12.5M possible pairs "
-        "at sf0.1; the 0.5 ratio keeps 855). The equi-join runs on the "
-        "winnowed index — ~2/(w+1) the density of full k-gram "
-        "shingling, so the hot-key k-squared risk shrinks quadratically "
-        "vs a raw gram index; same one-aggregate shape as the shingle "
-        "pair ops.",
+    doc="MOSS-style near-dup/plagiarism pairs over the NOISE-CAPPED "
+        "winnowed index: fingerprints appearing in > 200 documents are "
+        "boilerplate (MOSS's noise threshold) and are excluded from "
+        "both the shared count and each doc's denominator; a pair "
+        "matches when the shared RARE fingerprints number >= 3 and "
+        "cover >= 50% of the smaller doc's rare set. The cap is the "
+        "scale guard the r6 uncapped form lacked: measured at sf0.1 "
+        "ONE boilerplate fingerprint sat in 3813 of 5000 docs and the "
+        "raw self-join emitted 191M candidate rows (sum of df^2); the "
+        "cap bounds any key's fan-out at cap^2 and cuts the join to "
+        "6.2M rows (31x) while the n_shared >= 3 floor keeps "
+        "tiny-denominator docs from matching on one lucky rare gram. "
+        "Unlike the Jaccard ops' recall-preserving stop-shingle cap, "
+        "this cap is part of the MEASURE (the oracle replays it "
+        "exactly): overlap is DEFINED over rare fingerprints, which is "
+        "what makes the measure robust to boilerplate in the first "
+        "place. At 100 TB the absolute 200 becomes a corpus-relative "
+        "df quantile; the df aggregation shuffles on the same fp key "
+        "as the candidate join, so the exchange is reused, not added.",
 )
 def _q_dedup_winnow_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1767,19 +1783,29 @@ def _q_dedup_winnow_pairs(spark, sf_dir):
     # (see winnow_fingerprint_table docstring)
     wft = dedup.winnow_fingerprint_table(
         d.filter(F.length(norm) >= 11), k=8, w=4, materialize=True)
-    ex = wft.select("id", F.size("fps").alias("nf"),
-                    F.explode("fps").alias("fp"))
+    ex0 = wft.select("id", F.explode("fps").alias("fp"))
+    keep = (ex0.groupBy("fp").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= 200).select("fp"))
+    ex = ex0.join(keep, "fp")
+    nf = ex.groupBy("id").agg(F.count("*").alias("nf"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.nf").alias("nf_a"), F.col("b.nf").alias("nf_b"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    scored = (
+        pairs
+        .join(nf.select(F.col("id").alias("id_a"),
+                        F.col("nf").alias("nf_a")), "id_a")
+        .join(nf.select(F.col("id").alias("id_b"),
+                        F.col("nf").alias("nf_b")), "id_b")
     )
     overlap = F.col("n_shared") / F.least("nf_a", "nf_b")
     return (
-        pairs.filter(overlap >= 0.5)
+        scored.filter(overlap >= 0.5)
         .select("id_a", "id_b",
                 F.col("n_shared").cast("int").alias("n_shared"),
                 F.round(overlap, 4).alias("overlap"))

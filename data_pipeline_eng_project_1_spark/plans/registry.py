@@ -48,109 +48,120 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.15,
-    "unpivot_part_metrics": 0.17,
-    "posexplode_tokens": 0.17,
-    "string_funcs_part": 0.18,
-    "multimodal_meta": 0.18,
-    "array_hof_stats": 0.19,
     "vector_norms": 0.19,
-    "doc_chunks": 0.20,
-    "try_cast_dirty": 0.20,
-    "text_fingerprint": 0.21,
-    "rollup_status_priority": 0.21,
-    "filter_project_cast": 0.21,
-    "stratified_sample": 0.22,
-    "cube_nation_segment": 0.25,
-    "date_parts_orders": 0.26,
-    "null_conditional_agg": 0.27,
-    "multimodal_frames": 0.27,
-    "pii_scrub": 0.28,
-    "window_latest_per_key": 0.28,
-    "pricing_summary_agg": 0.29,
-    "conditional_promo_ratio": 0.30,
-    "window_distribution": 0.31,
-    "grouping_sets_status_priority": 0.31,
-    "events_tumbling_1h": 0.32,
+    "multimodal_meta": 0.20,
+    "sort_limit_topk": 0.20,
+    "posexplode_tokens": 0.20,
+    "string_funcs_part": 0.21,
+    "unpivot_part_metrics": 0.22,
+    "filter_project_cast": 0.22,
+    "topk_per_priority": 0.22,
+    "array_hof_stats": 0.23,
+    "try_cast_dirty": 0.23,
+    "null_conditional_agg": 0.24,
+    "text_fingerprint": 0.26,
+    "grouping_sets_status_priority": 0.26,
+    "doc_chunks": 0.27,
+    "stats_agg_lineitem": 0.28,
+    "window_range_moving_avg": 0.29,
+    "stringagg_nations": 0.29,
+    "window_latest_per_key": 0.29,
+    "date_parts_orders": 0.30,
+    "rollup_status_priority": 0.30,
     "window_running_rank": 0.33,
-    "regression_price_qty": 0.33,
-    "above_avg_orders": 0.33,
-    "events_json_extract": 0.33,
+    "pii_scrub": 0.34,
     "events_rollup_multigrain": 0.34,
-    "events_sessionize": 0.35,
-    "pivot_returnflag": 0.35,
-    "similarity_topk": 0.35,
-    "quantiles_per_priority": 0.36,
-    "doc_packing": 0.36,
-    "stats_agg_lineitem": 0.36,
-    "group_distinct_agg": 0.36,
-    "events_scd2_history": 0.37,
-    "stringagg_nations": 0.38,
-    "window_range_moving_avg": 0.38,
-    "multimodal_decode": 0.38,
-    "events_asof_click": 0.39,
-    "text_token_topk": 0.39,
-    "window_lead_lag": 0.42,
-    "customer_order_histogram": 0.42,
-    "disjunctive_bracket_revenue": 0.43,
-    "events_range_join_1h": 0.44,
-    "map_priority_counts": 0.44,
-    "events_hourly_retention": 0.46,
-    "top_revenue_supplier": 0.46,
-    "set_ops_custkeys": 0.47,
-    "semi_anti_customers": 0.47,
-    "similarity_filtered_topk": 0.47,
-    "dedup_exact": 0.48,
-    "small_qty_part_revenue": 0.48,
-    "text_quality": 0.48,
-    "rich_quiet_customers": 0.49,
-    "late_shipment_priority": 0.51,
-    "topk_per_priority": 0.51,
-    "skew_salted_join": 0.53,
-    "text_repetition": 0.54,
-    "grouped_zscore_pandas": 0.56,
+    "stratified_sample": 0.35,
+    "window_distribution": 0.35,
+    "disjunctive_bracket_revenue": 0.35,
+    "similarity_filtered_topk": 0.36,
+    "corpus_shard_export": 0.36,
+    "multimodal_frames": 0.37,
+    "multimodal_decode": 0.37,
+    "pivot_returnflag": 0.38,
+    "cube_nation_segment": 0.38,
+    "group_distinct_agg": 0.39,
+    "semi_anti_customers": 0.39,
+    "top_revenue_supplier": 0.39,
+    "pricing_summary_agg": 0.39,
+    "events_tumbling_1h": 0.40,
+    "events_json_extract": 0.41,
+    "regression_price_qty": 0.41,
+    "corpus_importance_sample": 0.41,
+    "small_qty_part_revenue": 0.43,
+    "similarity_topk": 0.43,
+    "text_token_topk": 0.44,
+    "events_scd2_history": 0.45,
+    "events_sessionize": 0.45,
+    "customer_order_histogram": 0.46,
+    "conditional_promo_ratio": 0.46,
+    "events_asof_click": 0.50,
+    "skew_salted_join": 0.50,
+    "quantiles_per_priority": 0.51,
+    "pii_creditcard_luhn": 0.51,
+    "above_avg_orders": 0.52,
+    "text_quality": 0.52,
+    "join_topk_revenue": 0.53,
+    "window_lead_lag": 0.55,
+    "events_hourly_retention": 0.56,
+    "late_shipment_priority": 0.57,
+    "scalar_subquery_share": 0.57,
+    "map_priority_counts": 0.58,
+    "doc_packing": 0.59,
+    "sole_blame_suppliers": 0.60,
     "corpus_mixture_sample": 0.60,
-    "text_langid": 0.63,
-    "join_topk_revenue": 0.65,
-    "corpus_shard_export": 0.66,
-    "events_sliding_1h_15m": 0.69,
-    "bloom_pruned_join": 0.70,
-    "star_join_region_revenue": 0.74,
-    "dedup_exact_spans": 0.74,
-    "scalar_subquery_share": 0.74,
-    "pii_creditcard_luhn": 0.88,
-    "orders_dense_index": 0.95,
-    "text_tfidf_topterms": 0.97,
-    "approx_distinct_custkeys": 1.03,
-    "sole_blame_suppliers": 1.06,
-    "dedup_containment": 1.08,
-    "nation_trade_volume": 1.13,
-    "dedup_embedding_cosine": 1.17,
-    "text_winnow_fingerprint": 1.22,
-    "ntile_spend_quartiles": 1.22,
-    "events_gap_fill": 1.26,
-    "corpus_curation": 1.34,
-    "text_unigram_logprob": 1.36,
-    "corpus_importance_sample": 1.41,
-    "corpus_cluster_balance": 1.66,
-    "dedup_exact_spans_staggered": 1.66,
-    "dedup_minhash_lsh": 1.73,
-    "text_bigram_pmi": 1.74,
-    "similarity_ann_ivf": 1.76,
-    "dedup_incremental": 1.77,
-    "similarity_ann_pq": 1.77,
-    "dedup_keep_best": 1.90,
-    "dedup_semantic": 1.91,
-    "corpus_leakage_safe_split": 1.98,
-    "corpus_decontamination": 2.05,
-    "large_order_customers": 2.16,
-    "dedup_simhash": 2.17,
-    "supplier_pagerank": 2.50,
-    "dedup_ngram_jaccard": 2.54,
-    "dedup_components": 2.97,
-    "similarity_ann_lsh": 3.23,
-    "corpus_pipeline_end_to_end": 3.34,
-    "dedup_winnow_pairs": 5.36,
+    "corpus_snapshot_diff": 0.61,
+    "events_sliding_1h_15m": 0.61,
+    "set_ops_custkeys": 0.62,
+    "dedup_embedding_cosine": 0.62,
+    "events_range_join_1h": 0.68,
+    "bloom_pruned_join": 0.69,
+    "rich_quiet_customers": 0.69,
+    "star_join_region_revenue": 0.69,
+    "text_unigram_logprob": 0.73,
+    "dedup_exact": 0.74,
+    "dedup_exact_spans_staggered": 0.75,
+    "dedup_exact_spans": 0.76,
+    "events_markov_transitions": 0.78,
+    "multimodal_phash_dedup": 0.78,
+    "large_order_customers": 0.82,
+    "dedup_containment": 0.83,
+    "quality_classifier_score": 0.84,
+    "corpus_decontamination": 0.87,
+    "text_langid": 0.88,
+    "nation_trade_volume": 0.91,
+    "text_bigram_pmi": 0.96,
+    "ntile_spend_quartiles": 0.98,
+    "corpus_curation": 1.06,
+    "similarity_ann_ivf": 1.08,
+    "events_gap_fill": 1.20,
+    "approx_distinct_custkeys": 1.32,
+    "corpus_cluster_balance": 1.32,
+    "dedup_minhash_lsh": 1.33,
+    "text_tfidf_topterms": 1.36,
+    "dedup_incremental": 1.39,
+    "text_bigram_lm_perplexity": 1.39,
+    "orders_dense_index": 1.43,
+    "text_winnow_fingerprint": 1.45,
+    "similarity_ann_lsh": 1.54,
+    "corpus_pipeline_end_to_end": 1.54,
+    "dedup_simhash": 1.62,
+    "similarity_ann_pq": 1.64,
+    "grouped_zscore_pandas": 1.69,
+    "text_heavy_hitters": 1.74,
+    "dedup_semantic": 1.81,
+    "text_repetition": 1.84,
+    "dedup_ngram_jaccard": 1.84,
+    "corpus_domain_cap": 1.91,
+    "text_char_entropy": 2.13,
+    "events_funnel_conversion": 2.27,
+    "basket_brand_lift": 2.30,
+    "dedup_components": 2.38,
+    "corpus_leakage_safe_split": 2.74,
+    "supplier_pagerank": 2.75,
+    "dedup_keep_best": 3.14,
+    "similarity_knn_graph": 3.65,
+    "dedup_winnow_pairs": 5.00,
 }
 
 _MEDIAN_COST = 0.5
