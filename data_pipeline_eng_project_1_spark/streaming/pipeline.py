@@ -162,6 +162,41 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def trending_tokens_stream(docs: DataFrame, window: str = "1 hour",
+                           watermark: str = "30 minutes",
+                           min_count: int = 3,
+                           ts_col: str = "ts",
+                           text_col: str = "text") -> DataFrame:
+    """Streaming twin of the text_heavy_hitters rung: per-tumbling-window
+    frequent tokens over an arriving document stream — the trending-terms
+    monitor a live ingestion pipeline runs next to its quality gates (a
+    token suddenly dominating a window flags a scraper loop or spam
+    flood before it pollutes the corpus).
+
+    Tokens explode scan-side from each micro-batch; the stateful
+    aggregate is keyed on (window, token), so state is bounded by the
+    watermark horizon times the ACTIVE vocabulary of the window — and a
+    hot token is one state row with a counter, never a fan-out. The
+    ``min_count`` gate applies to the windowed count, mirroring the
+    batch query's N/s threshold in spirit (a per-window absolute floor —
+    a streaming aggregate cannot see the final window total until the
+    watermark closes it, so the corpus-relative form belongs to the
+    batch op). Batch twin: plans/llm_ops.py::text_heavy_hitters.
+    """
+    from data_pipeline_eng_project_1_spark.functions import texts as _texts
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col),
+                F.explode(_texts.tokens(F.col(text_col))).alias("token"))
+        .groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "token", "n")
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame,
                     on: str) -> DataFrame:
     """Stream-static left join: per-micro-batch broadcast hash join of the

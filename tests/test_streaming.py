@@ -460,3 +460,36 @@ def test_semantic_hits_same_id_space_flag(spark):
                                     num_cells=2, dim=2, same_id_space=False)
     assert dflt.filter("ref_id = 0").count() == 0   # self-excluded
     assert indep.filter("ref_id = 0").count() == 1  # screened
+
+
+def test_trending_tokens_stream_windowed_floor(spark, tmp_path):
+    """Per-window token counts respect the min_count gate and the window
+    boundaries: a token spread across two windows must not pool."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "docs_tt", tmp_path / "ck_tt"
+    src.mkdir()
+    h = 3_600_000
+    docs = [
+        # window 0: "spam" x4 (passes), "rare" x1 (gated)
+        {"doc_id": 1, "ts_ms": 10 * 60_000, "text": "spam spam rare"},
+        {"doc_id": 2, "ts_ms": 20 * 60_000, "text": "spam spam"},
+        # window 1: "spam" x2 only -> gated there (no pooling across windows)
+        {"doc_id": 3, "ts_ms": h + 10 * 60_000, "text": "spam spam"},
+    ]
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    q = sp.run_to_memory(
+        sp.trending_tokens_stream(stream, min_count=3), "trending_t",
+        str(ckpt), output_mode="complete")
+    q.awaitTermination()
+    rows = {(r.window_start.minute + 60 * r.window_start.hour, r.token): r.n
+            for r in spark.table("trending_t").collect()}
+    assert rows == {(0, "spam"): 4}
