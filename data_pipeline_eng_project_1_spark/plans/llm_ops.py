@@ -2933,3 +2933,105 @@ def _q_multimodal_phash_dedup(spark, sf_dir):
                 (F.col("doc_id") == F.col("canonical")).cast("int")
                 .alias("is_canonical"))
     )
+
+
+def _bpe_oracle(rounds: int = 5) -> str:
+    """Unrolled-CTE oracle for text_bpe_vocab (the _pagerank_oracle
+    pattern: the iterative algorithm is replayed as ``rounds`` chained
+    CTEs with identical tie-break and merge spelling)."""
+    blocks = [
+        f"""w AS (
+      SELECT word, count(*) AS cnt FROM
+        (SELECT unnest({SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (
+      SELECT word, cnt,
+             array_to_string(list_filter(
+               regexp_split_to_array(word, ''), x -> x != ''), ' ') AS seq
+      FROM w
+    )"""]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""p{r} AS (
+      SELECT sy[i] || ' ' || sy[i + 1] AS pair, sum(cnt) AS c
+      FROM (SELECT cnt, string_split(seq, ' ') AS sy FROM s{r-1}),
+           unnest(generate_series(1, len(sy) - 1)) AS u(i)
+      GROUP BY sy[i] || ' ' || sy[i + 1]
+    ),
+    win{r} AS (
+      SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1
+    ),
+    s{r} AS (
+      SELECT word, cnt,
+             trim(replace(' ' || seq || ' ', ' ' || pair || ' ',
+                          ' ' || replace(pair, ' ', '') || ' ')) AS seq
+      FROM s{r-1} CROSS JOIN win{r}
+    )""")
+        blocks.append(f"""o{r} AS (
+      SELECT {r} AS round, pair,
+             replace(pair, ' ', '') AS merged, c FROM win{r}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT * FROM o{r}" for r in range(1, rounds + 1))
+    return ("WITH " + ",\n    ".join(blocks)
+            + f"\n    SELECT CAST(round AS INTEGER) AS round, pair, merged,"
+              f" CAST(c AS BIGINT) AS cnt FROM ({unions})")
+
+
+@_register(
+    "text_bpe_vocab",
+    _bpe_oracle(),
+    doc="BPE tokenizer-vocabulary induction at corpus scale (the "
+        "Sennrich et al. byte-pair-encoding training loop, 5 unrolled "
+        "merge rounds): symbol-pair counts aggregate over the WORD "
+        "FREQUENCY table — the classic trick that makes BPE corpus-size-"
+        "independent (a 100 TB crawl has ~1e8 distinct words, so every "
+        "round is one word-keyed scan of the compact (word, count) "
+        "frame, never of the raw corpus) — the winning pair (max count, "
+        "lexicographic tie-break) broadcasts back as a 1-row frame, and "
+        "the merge applies as a single left-to-right literal replace on "
+        "the space-joined symbol string (identical greedy semantics on "
+        "both engines). The whole 5-round loop is ONE lazy plan of "
+        "chained pair-aggregate shuffles + broadcast joins, the "
+        "supplier_pagerank shape; the oracle unrolls the same rounds as "
+        "chained CTEs with the identical argmax and replace spelling. "
+        "Output: (round, pair, merged, cnt) — the learned merge table, "
+        "which IS the tokenizer.",
+)
+def _q_text_bpe_vocab(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    w = (d.select(F.explode(texts.tokens(F.col("text"))).alias("word"))
+         .groupBy("word").agg(F.count("*").alias("cnt")))
+    seq = F.concat_ws(" ", F.filter(F.split(F.col("word"), ""),
+                                    lambda c: c != ""))
+    s = w.select("word", "cnt", seq.alias("seq"))
+    outs = []
+    for r in range(1, 6):
+        sy = F.split(F.col("seq"), " ")
+        pairs = (
+            s.select("cnt", F.explode(F.transform(
+                texts._guarded_idx(F.size(sy) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(sy, i.cast("int")),
+                    F.element_at(sy, (i + F.lit(1)).cast("int")))))
+             .alias("pair"))
+            .groupBy("pair").agg(F.sum("cnt").alias("c"))
+        )
+        win = (pairs.agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                        F.col("pair").alias("p"))).alias("m"))
+               .select(F.col("m.p").alias("pair"),
+                       (-F.col("m.nc")).alias("c")))
+        outs.append(win.select(
+            F.lit(r).cast("int").alias("round"), "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("c").cast("long").alias("cnt")))
+        merged = F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+        s = (s.crossJoin(F.broadcast(win))
+             .select("word", "cnt", F.trim(F.replace(
+                 F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                 F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                 F.concat(F.lit(" "), merged, F.lit(" ")))).alias("seq")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

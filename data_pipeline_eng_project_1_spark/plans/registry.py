@@ -162,6 +162,7 @@ _MEASURED_COST_S = {
     "dedup_keep_best": 3.14,
     "similarity_knn_graph": 3.65,
     "dedup_winnow_pairs": 5.00,
+    "text_bpe_vocab": 6.09,
 }
 
 _MEDIAN_COST = 0.5

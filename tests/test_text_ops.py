@@ -300,3 +300,32 @@ def test_quality_classifier_gate_consistent(spark, sf_dir):
         # assert consistency away from it
         if abs(r.score - 0.5) > 1e-3:
             assert r.keep == (r.score >= 0.5)
+
+
+def test_bpe_vocab_matches_python_reference(spark, sf_dir):
+    """The 5 learned merges equal a sequential Python BPE (Sennrich-style)
+    run on the same word-frequency table with the same tie-break."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text").collect()
+    freq = Counter(w for r in docs for w in r.text.split(" ") if w)
+    seqs = {w: " ".join(w) for w in freq}
+    want = []
+    for rnd in range(1, 6):
+        pc: Counter = Counter()
+        for w, s in seqs.items():
+            sy = s.split(" ")
+            for i in range(len(sy) - 1):
+                pc[f"{sy[i]} {sy[i+1]}"] += freq[w]
+        # max count, lexicographically smallest pair
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        want.append((rnd, pair, pair.replace(" ", ""), pc[pair]))
+        for w, s in seqs.items():
+            seqs[w] = (" " + s + " ").replace(
+                " " + pair + " ", " " + pair.replace(" ", "") + " ").strip()
+    got = sorted((r.round, r.pair, r.merged, r.cnt) for r in
+                 Q.queries()["text_bpe_vocab"](spark, sf_dir).collect())
+    assert got == want
