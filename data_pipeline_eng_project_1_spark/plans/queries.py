@@ -2060,6 +2060,52 @@ def _q_events_funnel(spark, sf_dir):
 
 
 @_register(
+    "events_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour_idx,
+             count(*) AS n
+      FROM events GROUP BY event_type, hour_idx
+    ),
+    s AS (
+      SELECT event_type, hour_idx, n,
+             avg(n) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+      FROM h
+    )
+    SELECT event_type, CAST(hour_idx AS BIGINT) AS hour_idx,
+           CAST(n AS BIGINT) AS n,
+           round((n - mu) / sd, 4) AS z
+    FROM s
+    WHERE abs(round((n - mu) / sd, 4)) >= 2.0
+    """,
+    doc="volume-anomaly monitoring: hourly event counts per type scored "
+        "as z-scores against the type's own mean/std, flagging |z| >= 2 "
+        "— the pipeline-health gate a production intake runs next to "
+        "its quality checks (a scraper loop or an outage shows up as a "
+        "count spike/hole hours before downstream metrics drift). Two "
+        "aggregations: raw events collapse to the (type, hour) grain "
+        "first (at 100 TB the only full-data pass), then the per-type "
+        "stats window runs over hours-per-type rows — thousands, not "
+        "billions. The flag compares the ROUNDED z on both engines so "
+        "ulp-level stddev drift cannot flip membership.",
+)
+def _q_events_anomaly_zscore(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   F.floor(F.col("ts_ms") / 3600000).alias("hour_idx"))
+         .groupBy("event_type", "hour_idx").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type")
+    z = F.round((F.col("n") - F.avg("n").over(w))
+                / F.stddev_samp(F.col("n")).over(w), 4)
+    return (h.withColumn("z", z)
+            .filter(F.abs(F.col("z")) >= 2.0)
+            .select("event_type", F.col("hour_idx").cast("long"),
+                    F.col("n").cast("long").alias("n"), "z"))
+
+
+@_register(
     "basket_brand_lift",
     """
     WITH ob AS (

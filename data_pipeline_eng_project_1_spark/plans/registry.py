@@ -123,6 +123,7 @@ _MEASURED_COST_S = {
     "dedup_exact_spans_staggered": 0.75,
     "dedup_exact_spans": 0.76,
     "events_markov_transitions": 0.78,
+    "events_anomaly_zscore": 0.80,
     "multimodal_phash_dedup": 0.78,
     "large_order_customers": 0.82,
     "dedup_containment": 0.83,
