@@ -278,3 +278,29 @@ def test_no_rdd_access_in_package_source():
             if re.search(r"\.rdd\b(?!``)", line):
                 hits.append(f"{p.name}:{i}: {line.strip()}")
     assert not hits, hits
+
+
+def test_domain_cap_threshold_never_windows_full_input(spark):
+    """The graded corpus_domain_cap plan (threshold method) must find the
+    per-key quota threshold with AGGREGATES, not a window over the whole
+    input: every Window node must sit above the threshold-filter
+    broadcast join (i.e. operate on output-sized survivors)."""
+    df = _builders()["corpus_domain_cap"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan  # survivors do get their pick_rank windowed
+    # the window's subtree must contain the broadcast threshold join —
+    # a window whose subtree has no join is running on the raw input
+    win_at = plan.index("Window")
+    assert "BroadcastHashJoin" in plan[win_at:], plan[win_at:win_at + 400]
+
+
+def test_knn_graph_candidates_never_materialize_n_squared(spark):
+    """similarity_knn_graph: the only window runs over the per-block
+    top-k candidate rows emitted by the Arrow stage (bounded by
+    n*blocks*k), and the pairwise GEMM runs inside FlatMapGroupsInPandas
+    — no join between two corpus-sized frames exists in the plan."""
+    df = _builders()["similarity_knn_graph"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan  # candidates flow explode->group->window
+    assert "CartesianProduct" not in plan
