@@ -2601,6 +2601,154 @@ def _q_similarity_knn_graph(spark, sf_dir):
     )
 
 
+#: kNN-graph CTE blocks shared by the graph-analytics oracles: the exact
+#: quadratic replay of similarity.knn_graph(k=5) producing directed edges
+#: g(vec_id, nbr). Kept as a fragment so triangle counting and label
+#: propagation mirror the SAME edge set the Spark side computes.
+_SQL_KNN_EDGES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    g AS (
+      SELECT vec_id, nbr FROM (
+        SELECT vec_id, nbr, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    )"""
+
+
+@_register(
+    "similarity_graph_triangles",
+    f"""
+    WITH {_SQL_KNN_EDGES},
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr) AS a, greatest(vec_id, nbr) AS b
+      FROM g
+    ),
+    deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+      GROUP BY id
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+      SELECT id, count(*) AS n FROM (
+        SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        UNION ALL SELECT z AS id FROM tri)
+      GROUP BY id
+    )
+    SELECT deg.id AS vec_id, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(COALESCE(pern.n, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN deg.deg > 1
+                      THEN 2.0 * COALESCE(pern.n, 0)
+                           / (deg.deg * (deg.deg - 1))
+                      ELSE 0.0 END, 4) AS clustering
+    FROM deg LEFT JOIN pern ON pern.id = deg.id
+    """,
+    doc="per-node triangle counts and local clustering coefficient over "
+        "the symmetrized k=5 cosine kNN graph — the semantic-cluster "
+        "density signal (a doc whose neighbors are also mutual neighbors "
+        "sits in a tight template/boilerplate cluster; lone bridges "
+        "score 0). The kNN substrate keeps the graph SPARSE by "
+        "construction (<= k*n directed edges), so triangle work is "
+        "bounded no matter how dense the raw similarity structure is. "
+        "Counting is the degree-ordered node-iterator (Suri & "
+        "Vassilvitskii): edges oriented low-(deg,id) -> high, wedges "
+        "fan out only from out-edges (outdeg <= O(sqrt(E)) after "
+        "orientation — the curse-of-the-last-reducer fix), one join "
+        "closes wedges against the oriented edge list; edges shuffle as "
+        "bare id pairs, payloads never move "
+        "(operators/graph.py::triangle_counts). The oracle replays the "
+        "same triangle set from the canonical id-ordered enumeration — "
+        "both orientations enumerate each triangle exactly once.",
+)
+def _q_similarity_graph_triangles(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.operators import graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.knn_graph(e, k=5, num_blocks=8)
+    und = (
+        g.select(F.least("id", "nbr").alias("a"),
+                 F.greatest("id", "nbr").alias("b"))
+        .distinct()
+    )
+    tc = graph.triangle_counts(und)
+    lcc = F.when(
+        F.col("deg") > 1,
+        F.lit(2.0) * F.col("n_triangles")
+        / (F.col("deg") * (F.col("deg") - F.lit(1)))).otherwise(0.0)
+    return tc.select(
+        F.col("id").alias("vec_id"), F.col("deg").cast("long").alias("deg"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.round(lcc, 4).alias("clustering"))
+
+
+@_register(
+    "similarity_label_propagation",
+    f"""
+    WITH {_SQL_KNN_EDGES},
+    votes AS (
+      SELECT g.vec_id, nb.label AS nbr_label, count(*) AS v
+      FROM g JOIN embeddings nb ON nb.vec_id = g.nbr
+      GROUP BY g.vec_id, nb.label
+    ),
+    top AS (
+      SELECT vec_id, nbr_label, v, row_number() OVER (
+        PARTITION BY vec_id ORDER BY v DESC, nbr_label) AS rn
+      FROM votes
+    )
+    SELECT t.vec_id, emb.label AS label,
+           CAST(t.nbr_label AS INTEGER) AS new_label,
+           CAST(t.v AS BIGINT) AS n_votes,
+           emb.label <> t.nbr_label AS changed
+    FROM top t JOIN embeddings emb ON emb.vec_id = t.vec_id
+    WHERE t.rn = 1
+    """,
+    doc="one synchronous round of kNN label propagation (the "
+        "semi-supervised labeling primitive: push sparse human/classifier "
+        "labels across the semantic neighbor graph to label the whole "
+        "corpus): each vector's proposed label is the plurality vote of "
+        "its k=5 nearest neighbors' labels, ties broken by smallest "
+        "label — fully deterministic, so rounds can chain. Plan shape "
+        "per round: one join of the kNN edge list against the (id, "
+        "label) frame (k rows per node — output-scale, never n^2), one "
+        "(node, label) count aggregate with map-side partials, one "
+        "k-bounded window to pick the argmax. At 100 TB the edge list "
+        "is materialized once (it is the expensive artifact — "
+        "knn_graph's blocked GEMM) and each propagation round costs "
+        "only the two cheap shuffles above.",
+)
+def _q_similarity_label_propagation(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.knn_graph(e, k=5, num_blocks=8)
+    votes = (
+        g.join(e.select(F.col("vec_id").alias("nbr"),
+                        F.col("label").alias("nbr_label")), "nbr")
+        .groupBy("id", "nbr_label").agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("v").desc(), "nbr_label")
+    top = (votes.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1))
+    return (
+        top.join(e.select(F.col("vec_id").alias("id"), "label"), "id")
+        .select(F.col("id").alias("vec_id"), "label",
+                F.col("nbr_label").cast("int").alias("new_label"),
+                F.col("v").cast("long").alias("n_votes"),
+                (F.col("label") != F.col("nbr_label")).alias("changed"))
+    )
+
+
 @_register(
     "text_bigram_lm_perplexity",
     f"""

@@ -65,3 +65,47 @@ def test_pagerank_empty_nodes_raises(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty node set"):
         graph.pagerank(nodes, edges)
+
+
+def _triangles_reference(edges):
+    """Naive per-node triangle counts from an adjacency-set scan."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return {v: (len(adj[v]), tri[v]) for v in adj}
+
+
+def test_triangle_counts_known_graph(spark):
+    """A 4-clique plus a pendant: clique nodes sit in C(3,2)=3 triangles,
+    the pendant in none."""
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["id"]: (r["deg"], r["n_triangles"])
+           for r in graph.triangle_counts(e).collect()}
+    assert got == {0: (3, 3), 1: (3, 3), 2: (3, 3), 3: (4, 3), 4: (1, 0)}
+
+
+def test_triangle_counts_random_graphs_match_reference(spark):
+    """Degree-ordered wedge closure == brute-force enumeration, including
+    graphs with heavy degree ties (the orientation's tiebreak path)."""
+    import random
+
+    for seed, n, m in ((7, 15, 40), (23, 12, 60), (42, 25, 50)):
+        rng = random.Random(seed)
+        edges = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b]
+        e = spark.createDataFrame(edges, ["a", "b"])
+        got = {r["id"]: (r["deg"], r["n_triangles"])
+               for r in graph.triangle_counts(e).collect()}
+        assert got == _triangles_reference(edges), seed
