@@ -329,3 +329,41 @@ def test_bpe_vocab_matches_python_reference(spark, sf_dir):
     got = sorted((r.round, r.pair, r.merged, r.cnt) for r in
                  Q.queries()["text_bpe_vocab"](spark, sf_dir).collect())
     assert got == want
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Scalar int8 quantization: RMSE is bounded by half a code step
+    (uniform quantizer worst case), and a constant vector degenerates to
+    scale 0 / rmse 0 codes-all-zero without dividing by zero."""
+    from data_pipeline_eng_project_1_spark.plans.registry import _SPECS
+
+    spec = next(s for s in _SPECS if s.name == "embedding_quantize_int8")
+    rows = spec.builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_dims"] == 64
+        # worst-case uniform quantization error is scale/2 per dim
+        assert r["rmse"] <= r["scale"] / 2 + 1e-9, r
+
+    const = spark.createDataFrame(
+        [(1, [2.5] * 4)], "vec_id long, embedding array<float>")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    # builder reads from a dir: write a one-row embeddings table
+    const.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = spec.builder(spark, d).collect()[0]
+    assert out["scale"] == 0.0 and out["rmse"] == 0.0
+
+
+def test_random_projection_jl_distortion(spark, sf_dir):
+    """JL Rademacher projection 64->8: distortion concentrates around 1
+    (E[proj_norm^2] = orig_norm^2); on the fixture every vector must land
+    within a loose [0.3, 2.2] band and the mean within 10% of 1."""
+    from data_pipeline_eng_project_1_spark.plans.registry import _SPECS
+
+    spec = next(s for s in _SPECS if s.name == "embedding_random_projection")
+    rows = spec.builder(spark, sf_dir).collect()
+    assert rows
+    ds = [r["distortion"] for r in rows]
+    assert all(0.3 <= d <= 2.2 for d in ds)
+    assert abs(sum(ds) / len(ds) - 1.0) < 0.1
