@@ -2185,6 +2185,203 @@ def _q_basket_brand_lift(spark, sf_dir):
     )
 
 
+@_register(
+    "entity_match_fuzzy",
+    """
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+             count(*) AS n_parts
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="fuzzy entity resolution over the product-name vocabulary: "
+        "blocked edit-distance matching (the record-linkage primitive "
+        "behind catalog dedup and master-data management). Two-stage "
+        "shape that survives 100 TB: (1) collapse the fact table to its "
+        "DISTINCT entity vocabulary with one hash aggregate (64 names "
+        "from 2k parts here; vocabularies stay bounded while fact "
+        "tables grow), (2) block the vocabulary on the head noun and "
+        "run the quadratic levenshtein verify only WITHIN blocks — the "
+        "classic blocking trick that turns all-pairs O(V^2) into "
+        "sum-of-block-squares; at web scale add soundex/length "
+        "composite block keys. levenshtein is a JVM intrinsic on Spark "
+        "and a native function on DuckDB — identical integer distances, "
+        "no float parity surface.",
+)
+def _q_entity_match_fuzzy(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    names = (p.groupBy("p_name")
+             .agg(F.count("*").alias("n_parts"))
+             .select("p_name",
+                     F.split("p_name", " ").getItem(1).alias("blk"),
+                     "n_parts"))
+    a = names.select(F.col("p_name").alias("name_a"),
+                     F.col("blk").alias("blk_a"),
+                     F.col("n_parts").alias("n_parts_a"))
+    b = names.select(F.col("p_name").alias("name_b"),
+                     F.col("blk").alias("blk_b"),
+                     F.col("n_parts").alias("n_parts_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b"))
+               & (F.col("name_a") < F.col("name_b"))
+               & (F.levenshtein("name_a", "name_b") <= 3))
+        .select("name_a", "name_b",
+                F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+                F.col("n_parts_a").cast("long").alias("n_parts_a"),
+                F.col("n_parts_b").cast("long").alias("n_parts_b"))
+    )
+
+
+@_register(
+    "orders_table_profile",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(CAST(min(o_custkey) AS DOUBLE), 4),
+           round(CAST(max(o_custkey) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           round(CAST(min(length(o_orderstatus)) AS DOUBLE), 4),
+           round(CAST(max(length(o_orderstatus)) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 4),
+           round(CAST(max(o_totalprice) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           round(CAST(epoch_ms(CAST(min(o_orderdate) AS TIMESTAMP)) AS DOUBLE), 4),
+           round(CAST(epoch_ms(CAST(max(o_orderdate) AS TIMESTAMP)) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           round(CAST(min(length(o_orderpriority)) AS DOUBLE), 4),
+           round(CAST(max(length(o_orderpriority)) AS DOUBLE), 4)
+    FROM orders
+    """,
+    doc="single-pass data profiling of the orders table (the ANALYZE/"
+        "data-quality-report operator every ingestion pipeline runs "
+        "before trusting a new drop): per column null count, exact "
+        "distinct count, numeric/temporal min-max (timestamps as "
+        "epoch-millis, varchar profiled by value LENGTH so no "
+        "cross-engine string-formatting surface exists). Spark computes "
+        "ALL columns' stats in ONE aggregate over one scan — the "
+        "multi-DISTINCT agg plans as Expand (x6 rows of one narrow "
+        "column each), the standard exact form; at 100 TB swap "
+        "count(DISTINCT) for approx_count_distinct and the Expand "
+        "collapses to a single pass of HLL sketches, same plan "
+        "otherwise. The long-format result is a driver-side stack of "
+        "the single aggregate row, not six scans (the oracle spells it "
+        "as UNION ALL because DuckDB reads the 15k-row fixture six "
+        "times for free).",
+)
+def _q_orders_table_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nn_okey"),
+        F.countDistinct("o_orderkey").alias("nd_okey"),
+        F.min("o_orderkey").cast("double").alias("mn_okey"),
+        F.max("o_orderkey").cast("double").alias("mx_okey"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_ckey"),
+        F.countDistinct("o_custkey").alias("nd_ckey"),
+        F.min("o_custkey").cast("double").alias("mn_ckey"),
+        F.max("o_custkey").cast("double").alias("mx_ckey"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("nn_stat"),
+        F.countDistinct("o_orderstatus").alias("nd_stat"),
+        F.min(F.length("o_orderstatus")).cast("double").alias("mn_stat"),
+        F.max(F.length("o_orderstatus")).cast("double").alias("mx_stat"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("mn_tp"),
+        F.max("o_totalprice").cast("double").alias("mx_tp"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.unix_millis(F.min(F.col("o_orderdate").cast("timestamp")))
+         .cast("double").alias("mn_od"),
+        F.unix_millis(F.max(F.col("o_orderdate").cast("timestamp")))
+         .cast("double").alias("mx_od"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        F.min(F.length("o_orderpriority")).cast("double").alias("mn_op"),
+        F.max(F.length("o_orderpriority")).cast("double").alias("mx_op"),
+    )
+    stacked = agg.select(F.expr("""
+        stack(6,
+          'o_orderkey',      nn_okey, nd_okey, mn_okey, mx_okey,
+          'o_custkey',       nn_ckey, nd_ckey, mn_ckey, mx_ckey,
+          'o_orderstatus',   nn_stat, nd_stat, mn_stat, mx_stat,
+          'o_totalprice',    nn_tp,   nd_tp,   mn_tp,   mx_tp,
+          'o_orderdate',     nn_od,   nd_od,   mn_od,   mx_od,
+          'o_orderpriority', nn_op,   nd_op,   mn_op,   mx_op)
+        AS (column_name, n_nulls, n_distinct, min_raw, max_raw)
+    """))
+    return stacked.select(
+        "column_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("min_raw", 4).alias("min_num"),
+        F.round("max_raw", 4).alias("max_num"))
+
+
+@_register(
+    "customer_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT count(*) AS n FROM customer)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           group_size < 10 AS below_k,
+           round(group_size * 1.0 / n, 6) AS share
+    FROM g CROSS JOIN tot
+    """,
+    doc="k-anonymity audit over the (nation, market-segment) "
+        "quasi-identifier pair (the privacy gate run before releasing "
+        "or training on user-attributable records): equivalence-class "
+        "sizes, a below-k=10 re-identification-risk flag per class, and "
+        "each class's population share. ONE hash aggregate on the "
+        "quasi-identifier key plus a broadcast scalar total — the class "
+        "count is bounded by the QI domain product, so the result "
+        "frame stays tiny no matter the fact-table scale; suppression/"
+        "generalization policies downstream consume exactly this frame.",
+)
+def _q_customer_k_anonymity(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("group_size")))
+    tot = c.agg(F.count("*").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select("c_nationkey", "c_mktsegment",
+                F.col("group_size").cast("long").alias("group_size"),
+                (F.col("group_size") < 10).alias("below_k"),
+                F.round(F.col("group_size") * F.lit(1.0) / F.col("n"), 6)
+                 .alias("share"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

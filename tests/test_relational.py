@@ -145,3 +145,20 @@ def test_capped_per_key_quota_above_key_size_keeps_all(spark):
     for method in ("window", "threshold"):
         got = relational.capped_per_key(df, "grp", "id", 10, method)
         assert got.count() == 4, method
+
+
+def test_entity_match_fuzzy_blocks_and_distance(spark, sf_dir):
+    """Fuzzy entity pairs: same head-noun block only, ordered names,
+    distance within threshold and symmetric-free (each pair once)."""
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    rows = Q.queries()["entity_match_fuzzy"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[1] == r["name_b"].split(" ")[1]
+        assert 0 <= r["dist"] <= 3
+        key = (r["name_a"], r["name_b"])
+        assert key not in seen
+        seen.add(key)

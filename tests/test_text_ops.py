@@ -335,9 +335,9 @@ def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
     """Scalar int8 quantization: RMSE is bounded by half a code step
     (uniform quantizer worst case), and a constant vector degenerates to
     scale 0 / rmse 0 codes-all-zero without dividing by zero."""
-    from data_pipeline_eng_project_1_spark.plans.registry import _SPECS
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
 
-    spec = next(s for s in _SPECS if s.name == "embedding_quantize_int8")
+    spec = next(s for s in Q.specs() if s.name == "embedding_quantize_int8")
     rows = spec.builder(spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -359,9 +359,9 @@ def test_random_projection_jl_distortion(spark, sf_dir):
     """JL Rademacher projection 64->8: distortion concentrates around 1
     (E[proj_norm^2] = orig_norm^2); on the fixture every vector must land
     within a loose [0.3, 2.2] band and the mean within 10% of 1."""
-    from data_pipeline_eng_project_1_spark.plans.registry import _SPECS
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
 
-    spec = next(s for s in _SPECS if s.name == "embedding_random_projection")
+    spec = next(s for s in Q.specs() if s.name == "embedding_random_projection")
     rows = spec.builder(spark, sf_dir).collect()
     assert rows
     ds = [r["distortion"] for r in rows]
