@@ -533,3 +533,58 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id",
             })
 
     return src.mapInPandas(batches, AHASH_SCHEMA)
+
+
+#: Output contract of audio_fingerprint.
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_windows", T.IntegerType()),
+    T.StructField("fp", T.StringType()),
+])
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "content", window_ms: int = 100,
+                      levels: int = 64) -> DataFrame:
+    """Acoustic fingerprint over 16-bit PCM WAV payloads: the per-window
+    RMS envelope (the `audio_features` windowing rule) quantized to
+    ``levels`` buckets and joined into a code string — a
+    Chromaprint-flavored coarse fingerprint that makes audio dedup a
+    hash groupBy, the audio rung next to `image_ahash`.
+
+    Quantization is floor(rms * levels) clamped to levels-1 (a full-scale
+    clip hits rms 1.0 exactly). Determinism story mirrors the image
+    hash: the per-window sum of squares over PCM samples is a sum of
+    dyadic rationals (int16 / 32768 squared) whose partial sums stay
+    exactly representable in float64, so ANY summation order yields the
+    same double, and the divide+sqrt+floor chain is bit-identical IEEE
+    everywhere — a SQL oracle replaying the synthesis rule reproduces
+    the codes exactly. Payload bytes decode in Arrow batches inside the
+    scan stage and never shuffle; only (id, n_windows, fp) rows leave.
+    Non-decodable payloads are dropped."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("p"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["p"]):
+                dec = _parse_wav(bytes(b))
+                if dec is None or dec[4] is None or dec[3] == 0:
+                    continue
+                rate, _ch, _bits, _nf, x = dec
+                win = max(1, rate * window_ms // 1000)
+                n_win = max(1, len(x) // win)
+                mat = x[: n_win * win].reshape(n_win, win)
+                rms = np.sqrt((mat * mat).mean(axis=1))
+                codes = np.minimum((rms * levels).astype(np.int64),
+                                   levels - 1)
+                rows.append((doc_id, n_win,
+                             ",".join(str(int(c)) for c in codes)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "n_windows", "fp"])
+
+    return src.mapInPandas(batches, AUDIO_FP_SCHEMA)

@@ -3331,3 +3331,216 @@ def _q_embedding_random_projection(spark, sf_dir):
         F.expr(f"round(sqrt({pn}), 4)").alias("proj_norm"),
         F.expr(f"round(sqrt({pn}) / {on}, 4)").alias("distortion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition / pairing / multimodal audio dedup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "corpus_source_overlap",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source, unnest({SQL_SHINGLES}) AS g FROM documents
+    ),
+    sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    ix AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(inter AS BIGINT) AS n_shared,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM ix JOIN sz sa ON sa.source = ix.source_a
+            JOIN sz sb ON sb.source = ix.source_b
+    """,
+    doc="cross-source contamination matrix: pairwise Jaccard overlap of "
+        "the DISTINCT word-3-shingle vocabularies of every source pair — "
+        "the audit run before mixing corpora (two 'independent' crawls "
+        "sharing half their shingles would double-count on mixture "
+        "weights and leak across train/eval splits). Scale shape: one "
+        "scan shingles every doc, a (source, shingle) DISTINCT "
+        "aggregate collapses the corpus to its per-source vocabulary "
+        "(the only full-data shuffle), and the shingle-keyed self-join "
+        "fan-out is bounded by #sources^2 PER SHINGLE no matter how "
+        "often the shingle occurs in raw text — a boilerplate phrase in "
+        "a billion docs is one vocabulary row per source, so the "
+        "pair-count aggregate is O(V * S^2) worst case, never "
+        "corpus-quadratic; the S x S result frame is tiny at any scale.",
+)
+def _q_corpus_source_overlap(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("source",))
+    sh = (toked.select("source",
+                       F.explode(texts.word_shingles_of(F.col("__toks")))
+                       .alias("g"))
+          .distinct())
+    sz = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    ix = (a.join(b, ["g"])
+          .filter(F.col("source_a") < F.col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(F.count("*").alias("inter")))
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        ix.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select("source_a", "source_b",
+                F.col("inter").cast("long").alias("n_shared"),
+                F.round(F.col("inter") * F.lit(1.0)
+                        / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+                 .alias("jaccard"))
+    )
+
+
+_NEG_BUCKETS, _NEG_K = 16, 3
+
+
+@_register(
+    "corpus_negative_sampling",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS hv
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, hv, hv % {_NEG_BUCKETS} AS bucket,
+             row_number() OVER (PARTITION BY hv % {_NEG_BUCKETS}
+                                ORDER BY hv, doc_id) AS rk,
+             count(*) OVER (PARTITION BY hv % {_NEG_BUCKETS}) AS bs
+      FROM h
+    ),
+    want AS (
+      SELECT doc_id, bucket, bs, rk, j,
+             (rk - 1 + j) % bs + 1 AS tgt
+      FROM pos, unnest(generate_series(1, {_NEG_K})) AS t(j)
+    )
+    SELECT w.doc_id, CAST(w.j AS INTEGER) AS neg_rank,
+           p2.doc_id AS neg_id
+    FROM want w JOIN pos p2
+      ON p2.bucket = w.bucket AND p2.rk = w.tgt
+    WHERE p2.doc_id <> w.doc_id
+    """,
+    doc="deterministic negative sampling for contrastive training: each "
+        "anchor doc gets k=3 pseudo-random negatives by walking a "
+        "seeded-md5 hash ring WITHIN one of 16 hash buckets — "
+        "reproducible across runs/engines (no RNG at execution time), "
+        "uniform because the ring order is a keyed hash, and "
+        "collision-free per anchor by construction (successive ring "
+        "positions). Scale shape: the window sorts run PER BUCKET (the "
+        "global-ring form would funnel the corpus through ONE sorted "
+        "partition — the known window scale-killer), and the "
+        "anchor->target resolution is a bucket+position equi-join, so "
+        "every stage shuffles on bounded keys; raise the bucket count "
+        "with corpus size to cap per-reducer sort volume.",
+)
+def _q_corpus_negative_sampling(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        hashing.hex_int(
+            F.concat(F.lit("neg:"), F.col("doc_id").cast("string")))
+        .alias("hv"))
+    w = Window.partitionBy("bucket").orderBy("hv", "doc_id")
+    pos = (h.withColumn("bucket", F.col("hv") % _NEG_BUCKETS)
+           .withColumn("rk", F.row_number().over(w))
+           .withColumn("bs", F.count("*").over(
+               Window.partitionBy("bucket"))))
+    want = (pos.select(
+        "doc_id", "bucket", "bs", "rk",
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j"))
+        .withColumn("tgt", (F.col("rk") - 1 + F.col("j")) % F.col("bs") + 1))
+    p2 = pos.select(F.col("bucket").alias("bucket2"),
+                    F.col("rk").alias("rk2"),
+                    F.col("doc_id").alias("neg_id"))
+    return (
+        want.join(p2, (F.col("bucket") == F.col("bucket2"))
+                  & (F.col("tgt") == F.col("rk2")))
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", F.col("j").cast("int").alias("neg_rank"), "neg_id")
+    )
+
+
+#: Audio synthesis constants shared by the Spark plan (real WAV bytes)
+#: and the oracle (sample-rule replay): 1600 mono PCM16 frames at 8 kHz,
+#: sample p of doc d = 256 * ((d % 5) * 20 + (p * 7) % 13).
+_AU_N, _AU_RATE, _AU_WIN = 1600, 8000, 800
+
+
+def _au_header() -> str:
+    import struct as _s
+
+    hdr = (b"RIFF" + _s.pack("<I", 36 + 2 * _AU_N) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 16)
+           + _s.pack("<HHIIHH", 1, 1, _AU_RATE, 2 * _AU_RATE, 2, 16)
+           + b"data" + _s.pack("<I", 2 * _AU_N))
+    return hdr.decode("latin-1")
+
+
+@_register(
+    "multimodal_audio_fp_dedup",
+    f"""
+    WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, p // {_AU_WIN} AS w,
+             (256.0 * ((doc_id % 5) * 20 + (p * 7) % 13)) / 32768.0 AS x
+      FROM a, unnest(generate_series(0, {_AU_N - 1})) AS t(p)
+    ),
+    wrms AS (
+      SELECT doc_id, w,
+             CAST(least(floor(sqrt(sum(x * x) / {_AU_WIN}.0) * 64), 63)
+                  AS INTEGER) AS code
+      FROM px GROUP BY doc_id, w
+    ),
+    fp AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_windows,
+             md5(string_agg(code::VARCHAR, ',' ORDER BY w)) AS fp_md5
+      FROM wrms GROUP BY doc_id
+    ),
+    g AS (SELECT fp_md5, count(*) AS n_dups, min(doc_id) AS canonical
+          FROM fp GROUP BY fp_md5)
+    SELECT fp.doc_id, fp.n_windows, fp.fp_md5,
+           CAST(g.n_dups AS INTEGER) AS n_dups,
+           CAST(fp.doc_id = g.canonical AS INTEGER) AS is_canonical
+    FROM fp JOIN g USING (fp_md5)
+    """,
+    doc="audio near-dup detection by acoustic fingerprint: every third "
+        "doc synthesizes a REAL RIFF/WAVE PCM16 payload (byte-exact "
+        "header built driver-side, samples by a deterministic doc_id%5 "
+        "rule so identical clips recur), "
+        "operators/multimodal.py::audio_fingerprint DECODES the actual "
+        "bytes (numpy chunk-walk WAV parser, Arrow batches, bytes never "
+        "shuffle), quantizes the 100 ms RMS envelope to 64 levels, and "
+        "duplicate groups fall out of a hash groupBy on the code-string "
+        "md5 — the audio analogue of multimodal_phash_dedup. The "
+        "envelope math is drift-free by construction (dyadic-rational "
+        "sample squares sum exactly in float64 under any order), so the "
+        "oracle reproduces the codes from the synthesis rule alone and "
+        "a green row proves the encode->parse->fingerprint round-trip.",
+)
+def _q_multimodal_audio_fp_dedup(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 3 == 0)
+         .select("doc_id"))
+    k = lambda p: ((F.col("doc_id") % 5) * 20 + (p * 7) % 13).cast("int")
+    body = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(_AU_N - 1)),
+        lambda p: F.concat(F.char(F.lit(0)), F.char(k(p)))))
+    payload = F.encode(F.concat(F.lit(_au_header()), body), "ISO-8859-1")
+    clips = d.select("doc_id", payload.alias("content"))
+    fp = multimodal.audio_fingerprint(clips)
+    fpm = fp.select("doc_id", "n_windows",
+                    F.md5(F.encode("fp", "UTF-8")).alias("fp_md5"))
+    g = (fpm.groupBy("fp_md5")
+         .agg(F.count("*").cast("int").alias("n_dups"),
+              F.min("doc_id").alias("canonical")))
+    return (
+        fpm.join(g, "fp_md5")
+        .select("doc_id", "n_windows", "fp_md5", "n_dups",
+                (F.col("doc_id") == F.col("canonical")).cast("int")
+                .alias("is_canonical"))
+    )

@@ -246,3 +246,39 @@ def test_image_ahash_known_image_and_dup_groups(spark):
     assert got[1].phash == got[2].phash == 10
     assert got[3].phash == 0
     assert (got[1].width, got[1].height) == (4, 2)
+
+
+def test_audio_fingerprint_codes_and_dedup(spark):
+    """Known-amplitude sine: rms = amp/sqrt(2) per window, so the code is
+    floor(amp/sqrt(2) * 64); identical payloads produce identical fp,
+    different amplitude a different fp; junk is dropped."""
+    rows = [(0, _wav(8000, 1.0, amp=0.5)), (1, _wav(8000, 1.0, amp=0.5)),
+            (2, _wav(8000, 1.0, amp=0.9)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in
+           multimodal.audio_fingerprint(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_windows"] == 10
+    codes = out[0]["fp"].split(",")
+    assert len(codes) == 10
+    # sine rms ~ 0.5/sqrt(2) ~ 0.3535 -> floor(0.3535 * 64) = 22 (+-1 for
+    # quantized sine harmonics)
+    assert all(abs(int(c) - 22) <= 1 for c in codes)
+    assert out[0]["fp"] == out[1]["fp"]
+    assert out[0]["fp"] != out[2]["fp"]
+
+
+def test_audio_fingerprint_full_scale_clamps(spark):
+    """A full-scale square-ish clip pushes rms toward 1.0: codes must
+    clamp at levels-1, never reach levels."""
+    import struct
+
+    n = 800
+    frames = b"".join(struct.pack("<h", 32767) for _ in range(n))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    df = spark.createDataFrame([(0, wav)], "doc_id long, content binary")
+    out = multimodal.audio_fingerprint(df).collect()[0]
+    assert out["fp"] == "63"

@@ -367,3 +367,19 @@ def test_random_projection_jl_distortion(spark, sf_dir):
     ds = [r["distortion"] for r in rows]
     assert all(0.3 <= d <= 2.2 for d in ds)
     assert abs(sum(ds) / len(ds) - 1.0) < 0.1
+
+
+def test_negative_sampling_properties(spark, sf_dir):
+    """Every anchor gets exactly k distinct negatives, none equal to the
+    anchor, and the assignment is deterministic across runs."""
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+    fn = Q.queries()["corpus_negative_sampling"]
+    rows = fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r["neg_id"])
+        assert r["neg_id"] != r["doc_id"]
+    assert all(len(v) == 3 and len(set(v)) == 3 for v in per.values())
+    rows2 = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
