@@ -1270,21 +1270,28 @@ def _q_supplier_pagerank(spark, sf_dir):
     # ONE shuffle on l_orderkey with map-side partial sets — a separate
     # pre-distinct would shuffle the same rows twice on essentially the
     # same key; per-order sets are bounded by lines-per-order), fan out
-    # the ordered pairs with array algebra, then distinct. Same edges as
-    # the lineitem⋈lineitem formulation the oracle replays, one less
+    # the ordered pairs with TWO NATIVE explodes + a codegen'd predicate
+    # (the nested transform/filter/struct lambda chain this replaces was
+    # interpreted CodegenFallback — building ~6M structs per-element in
+    # the interpreter cost ~40% of the derivation; Generate is
+    # whole-stage codegen), then distinct. Same edges as the
+    # lineitem⋈lineitem formulation the oracle replays, one less
     # full-table shuffle+join.
     per_order = (li.groupBy("l_orderkey")
                  .agg(F.collect_set("l_suppkey").alias("ss")))
-    edges = (
+    # Co-purchase edges are symmetric by construction, so distinct only
+    # the CANONICAL (src < dst) half — half the pair-distinct's shuffle
+    # volume — and mirror it back; the mirrored union IS the directed
+    # edge set the recurrence (and the oracle) speaks about.
+    half = (
         per_order
-        .select(F.explode(F.flatten(F.transform(
-            "ss", lambda s: F.transform(
-                F.filter("ss", lambda t: t != s),
-                lambda t: F.struct(s.alias("src"), t.alias("dst")))))
-        ).alias("e"))
-        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = sup.select(F.col("s_suppkey").alias("id"))
     pr = graph.pagerank(nodes, edges, iters=4, damping=0.85)
     return pr.select(F.col("id").alias("s_suppkey"),
