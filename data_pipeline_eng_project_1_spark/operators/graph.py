@@ -163,3 +163,62 @@ def triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
         .select("id", "deg",
                 F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
+
+
+def link_prediction_jaccard(edges: DataFrame,
+                            materialize: bool = True) -> DataFrame:
+    """Common-neighbor link prediction over an UNDIRECTED simple graph
+    given as canonical edges (``a`` < ``b``): for every NON-adjacent pair
+    at distance 2, the number of shared neighbors and the Jaccard overlap
+    of the two neighborhoods |N(x) ∩ N(y)| / |N(x) ∪ N(y)|. Returns
+    (a, b, common, jaccard) with a < b — the standard candidate-edge
+    scorer for graph densification (kNN-graph repair: an edge the metric
+    missed but the topology implies) and dedup-cluster stitching.
+
+    Plan shape: neighborhoods fan out from each shared neighbor u —
+    every pair (x, y) in N(u) is a wedge, so the join is the adjacency
+    list self-joined on the CENTER node, exactly the triangle wedge
+    join but keeping non-closed wedges. Per-node cost is deg(u)^2;
+    unlike triangle counting there is no orientation trick that removes
+    the quadratic-in-degree term (the pair itself is the output), so at
+    100 TB the guard is a degree cap on wedge centers (drop or sample
+    hubs above a df-cap, the stop-shingle pattern — a hub shared by
+    everything carries no discriminating signal anyway, same argument
+    as dropping stopwords from similarity shingles). For kNN-derived
+    graphs, out-degree is k by construction and in-degree concentration
+    is the only hub source. The wedge pairs then aggregate by (x, y)
+    with map-side partial counts (a hot pair is a reducer, never a
+    join), anti-join the existing edge list, and join the degree frame
+    (2 longs per node) twice for the union size — broadcast when the
+    node set fits (AQE decides from runtime stats; no hint pinned,
+    because a web-scale node set must shuffle-join on the endpoint key
+    instead).
+
+    ``materialize``: the edge frame is referenced four times (degree
+    pass, both wedge sides, the anti-join); default True eagerly
+    localCheckpoints it — same rationale as ``triangle_counts``.
+    """
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
+    adj = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("x"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("x")))
+    )
+    deg = adj.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    w1 = adj.select("u", F.col("x").alias("a"))
+    w2 = adj.select(F.col("u").alias("u2"), F.col("x").alias("b"))
+    common = (
+        w1.join(w2, (F.col("u") == F.col("u2"))
+                & (F.col("a") < F.col("b")))
+        .groupBy("a", "b").agg(F.count("*").alias("common"))
+    )
+    cand = common.join(edges, ["a", "b"], "left_anti")
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    return (
+        cand.join(da, "a").join(db, "b")
+        .select("a", "b", "common",
+                (F.col("common")
+                 / (F.col("da") + F.col("db") - F.col("common")))
+                .alias("jaccard"))
+    )

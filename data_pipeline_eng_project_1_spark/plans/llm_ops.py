@@ -1432,6 +1432,80 @@ def _q_corpus_importance_sample(spark, sf_dir):
 
 
 @_register(
+    "corpus_temperature_mixture",
+    """
+    WITH counts AS (SELECT source, count(*) AS n
+                    FROM documents GROUP BY source),
+    tot AS (SELECT sum(pow(n, 0.3)) AS z, sum(n) AS big_n FROM counts),
+    quota AS (
+      SELECT source,
+             round(3 * big_n * pow(n, 0.3) / z / n, 6) AS q
+      FROM counts CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(q.q) AS BIGINT)
+               + CASE WHEN CAST('0x' || substr(md5('tmix:' ||
+                            CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 1000000
+                        < CAST(round((q.q - floor(q.q)) * 1000000, 0)
+                               AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN quota q USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(n_copies AS INTEGER) AS n_copies,
+           CAST(u.i AS INTEGER) AS copy_idx
+    FROM perdoc, unnest(generate_series(0, n_copies - 1)) AS u(i)
+    WHERE n_copies > 0
+    """,
+    doc="temperature-scaled mixture with deterministic replication (the "
+        "XLM-R / multilingual-LM upsampling rule): source share p_s "
+        "∝ n_s^alpha with alpha=0.3 flattens the natural distribution "
+        "so low-resource sources train more than their raw share; the "
+        "epoch budget (3x corpus size) times p_s yields a per-DOC copy "
+        "quota whose integer part replicates every doc and whose "
+        "fractional part keeps one extra copy per doc via the seeded-md5 "
+        "1e-6 grid rule — no RNG, identical replay on both engines, and "
+        "float-boundary-safe because the quota is rounded to the grid "
+        "BEFORE the compare. This completes the sampling family's "
+        "UP-sampling side (stratified/mixture/domain-cap/importance all "
+        "only down-sample). Scale shape: source stats are a tiny "
+        "aggregate broadcast back onto the scan; replication is a "
+        "scan-side explode of a bounded sequence (fan-out = per-source "
+        "quota, by construction ~epoch budget / corpus), so the only "
+        "shuffle in the whole plan is the partial+final source count.",
+)
+def _q_corpus_temperature_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum(F.pow("n", F.lit(0.3))).alias("z"),
+                     F.sum("n").alias("big_n"))
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("source",
+                F.round(F.lit(3) * F.col("big_n") * F.pow("n", F.lit(0.3))
+                        / F.col("z") / F.col("n"), 6).alias("q"))
+    )
+    bucket = hashing.hex_int(
+        F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))) % 1000000
+    frac_grid = F.round((F.col("q") - F.floor("q")) * 1000000, 0).cast("long")
+    n_copies = (F.floor("q").cast("long")
+                + F.when(bucket < frac_grid, 1).otherwise(0))
+    return (
+        d.join(F.broadcast(quota), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select("doc_id", "source",
+                F.col("n_copies").cast("int").alias("n_copies"),
+                F.explode(F.sequence(
+                    F.lit(0), (F.col("n_copies") - 1).cast("int")))
+                 .alias("copy_idx"))
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+    )
+
+
+@_register(
     "corpus_shard_export",
     """
     WITH k AS (
@@ -2753,6 +2827,73 @@ def _q_similarity_label_propagation(spark, sf_dir):
                 F.col("nbr_label").cast("int").alias("new_label"),
                 F.col("v").cast("long").alias("n_votes"),
                 (F.col("label") != F.col("nbr_label")).alias("changed"))
+    )
+
+
+@_register(
+    "similarity_link_prediction",
+    f"""
+    WITH {_SQL_KNN_EDGES},
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr) AS a, greatest(vec_id, nbr) AS b
+      FROM g
+    ),
+    adj AS (
+      SELECT a AS u, b AS x FROM und
+      UNION ALL SELECT b AS u, a AS x FROM und
+    ),
+    deg AS (SELECT u AS id, count(*) AS deg FROM adj GROUP BY u),
+    cn AS (
+      SELECT w1.x AS a, w2.x AS b, count(*) AS common
+      FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.x < w2.x
+      GROUP BY w1.x, w2.x
+    ),
+    cand AS (
+      SELECT cn.* FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM und
+                        WHERE und.a = cn.a AND und.b = cn.b)
+    )
+    SELECT c.a AS vec_a, c.b AS vec_b,
+           CAST(c.common AS BIGINT) AS common,
+           round(c.common * 1.0 / (da.deg + db.deg - c.common), 4)
+             AS jaccard
+    FROM cand c
+    JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b
+    ORDER BY round(c.common * 1.0 / (da.deg + db.deg - c.common), 4) DESC,
+             c.a, c.b
+    LIMIT 50
+    """,
+    doc="common-neighbor link prediction over the symmetrized k=5 kNN "
+        "graph: the 50 strongest NON-edges by neighborhood Jaccard — "
+        "pairs the metric's top-k missed but the topology implies, the "
+        "candidate generator for kNN-graph densification and for "
+        "stitching dedup clusters that LSH banding split. Wedge pairs "
+        "fan out from each shared neighbor (the triangle wedge join, "
+        "kept open), aggregate map-side by pair, anti-join the edge "
+        "list, and score against the degree frame "
+        "(operators/graph.py::link_prediction_jaccard — per-center "
+        "cost deg^2 with the hub df-cap documented there); the global "
+        "top-50 is a TakeOrdered over per-partition heads, never a "
+        "full sort. Jaccard is rounded to 4dp BEFORE ranking on both "
+        "engines so the order compares the same numbers it outputs.",
+)
+def _q_similarity_link_prediction(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.operators import graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.knn_graph(e, k=5, num_blocks=8)
+    und = (
+        g.select(F.least("id", "nbr").alias("a"),
+                 F.greatest("id", "nbr").alias("b"))
+        .distinct()
+    )
+    lp = graph.link_prediction_jaccard(und)
+    return (
+        lp.select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"),
+                  F.col("common").cast("long").alias("common"),
+                  F.round("jaccard", 4).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "vec_a", "vec_b")
+        .limit(50)
     )
 
 

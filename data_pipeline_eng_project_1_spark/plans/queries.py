@@ -2382,6 +2382,181 @@ def _q_customer_k_anonymity(spark, sf_dir):
     )
 
 
+@_register(
+    "referential_integrity_audit",
+    """
+    SELECT * FROM (
+      SELECT 'fk_lineitem_orders' AS constraint_name,
+             (SELECT count(*) FROM lineitem) AS n_rows,
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_violations
+      UNION ALL
+      SELECT 'fk_lineitem_part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'fk_lineitem_supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'fk_orders_customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'fk_customer_nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'fk_supplier_nation',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+      UNION ALL
+      SELECT 'pk_orders', (SELECT count(*) FROM orders),
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      UNION ALL
+      SELECT 'pk_customer', (SELECT count(*) FROM customer),
+             (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+      UNION ALL
+      SELECT 'pk_lineitem_composite', (SELECT count(*) FROM lineitem),
+             (SELECT count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber)
+              FROM lineitem)
+    )
+    """,
+    doc="declarative data-quality constraint audit over the star schema "
+        "(the expectation-suite gate a warehouse pipeline runs before "
+        "publishing a snapshot): six foreign-key orphan counts plus "
+        "three primary-key uniqueness checks, one row per constraint "
+        "with rows-checked and violation counts. Plan shape per FK: a "
+        "LEFT ANTI join of the child on the parent key — dimension "
+        "parents (nation/customer/supplier/part) broadcast, and the "
+        "fact-fact check (lineitem->orders) shuffles both sides on the "
+        "orderkey once; PK checks are a single partial+final "
+        "count-distinct aggregate. Each check reduces to ONE scalar row "
+        "before the tiny 9-row union, so the audit costs one pass over "
+        "each child table regardless of scale — and the checks are "
+        "independent jobs, schedulable concurrently. The composite "
+        "lineitem PK folds (orderkey, linenumber) into one integer so "
+        "the distinct is a single 8-byte key, not a struct compare.",
+)
+def _q_referential_integrity_audit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+
+    def fk(name, child, key, parent, pkey, bcast=True):
+        p = parent.select(F.col(pkey).alias(key)).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        orphans = (child.join(p, key, "left_anti")
+                   .agg(F.count("*").alias("n_violations")))
+        total = child.agg(F.count("*").alias("n_rows"))
+        return (total.crossJoin(orphans)
+                .select(F.lit(name).alias("constraint_name"),
+                        "n_rows", "n_violations"))
+
+    def pk(name, tbl, key_col):
+        return (tbl.agg(
+                    F.count("*").alias("n_rows"),
+                    (F.count("*") - F.countDistinct(key_col))
+                    .alias("n_violations"))
+                .select(F.lit(name).alias("constraint_name"),
+                        "n_rows", "n_violations"))
+
+    checks = [
+        fk("fk_lineitem_orders", li, "l_orderkey", orders, "o_orderkey",
+           bcast=False),
+        fk("fk_lineitem_part", li, "l_partkey", part, "p_partkey"),
+        fk("fk_lineitem_supplier", li, "l_suppkey", supp, "s_suppkey"),
+        fk("fk_orders_customer", orders, "o_custkey", cust, "c_custkey"),
+        fk("fk_customer_nation", cust, "c_nationkey", nation, "n_nationkey"),
+        fk("fk_supplier_nation", supp, "s_nationkey", nation, "n_nationkey"),
+        pk("pk_orders", orders, "o_orderkey"),
+        pk("pk_customer", cust, "c_custkey"),
+        pk("pk_lineitem_composite",
+           li.select((F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                     .alias("k")), "k"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.select("constraint_name",
+                      F.col("n_rows").cast("long").alias("n_rows"),
+                      F.col("n_violations").cast("long").alias("n_violations"))
+
+
+@_register(
+    "orders_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT f.cohort, o.o_custkey,
+             datediff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate)) AS months_since
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM firsts
+              GROUP BY cohort)
+    SELECT strftime(a.cohort, '%Y-%m') AS cohort_month,
+           CAST(a.months_since AS INTEGER) AS months_since,
+           count(DISTINCT a.o_custkey) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(count(DISTINCT a.o_custkey) * 1.0 / s.cohort_size, 6)
+             AS retention
+    FROM activity a JOIN sizes s ON s.cohort = a.cohort
+    GROUP BY a.cohort, a.months_since, s.cohort_size
+    """,
+    doc="monthly cohort-retention matrix from the orders fact (the "
+        "classic warehouse lifecycle report): each customer joins the "
+        "cohort of their first order month; each later order marks them "
+        "active at months-since-cohort offset; cells carry the distinct "
+        "active count and the share of the cohort it represents. Plan: "
+        "the first-order aggregate and the activity join both key on "
+        "o_custkey, so the SAME hash partitioning serves the groupBy "
+        "and the join (one exchange, AQE-reused); the distinct-count "
+        "rolls up to (cohort, offset) — a frame bounded by "
+        "months_span^2 cells regardless of fact scale; cohort sizes "
+        "broadcast back onto it. No window functions, so no per-cohort "
+        "sort anywhere.",
+)
+def _q_orders_cohort_retention(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = (o.groupBy("o_custkey")
+              .agg(F.min(month).alias("cohort")))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select("o_custkey", "cohort",
+                F.months_between(F.date_trunc("month", F.col("o_orderdate")),
+                                 F.col("cohort")).cast("int")
+                 .alias("months_since"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+                F.col("months_since").cast("int").alias("months_since"),
+                F.col("n_active").cast("long").alias("n_active"),
+                F.col("cohort_size").cast("long").alias("cohort_size"),
+                F.round(F.col("n_active") * F.lit(1.0) / F.col("cohort_size"),
+                        6).alias("retention"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

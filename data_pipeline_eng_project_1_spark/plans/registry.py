@@ -48,122 +48,136 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "vector_norms": 0.19,
-    "multimodal_meta": 0.20,
-    "sort_limit_topk": 0.20,
-    "posexplode_tokens": 0.20,
-    "string_funcs_part": 0.21,
-    "unpivot_part_metrics": 0.22,
-    "filter_project_cast": 0.22,
-    "topk_per_priority": 0.22,
-    "array_hof_stats": 0.23,
-    "try_cast_dirty": 0.23,
-    "null_conditional_agg": 0.24,
-    "text_fingerprint": 0.26,
-    "grouping_sets_status_priority": 0.26,
-    "doc_chunks": 0.27,
-    "stats_agg_lineitem": 0.28,
-    "window_range_moving_avg": 0.29,
-    "stringagg_nations": 0.29,
-    "window_latest_per_key": 0.29,
-    "date_parts_orders": 0.30,
-    "rollup_status_priority": 0.30,
-    "window_running_rank": 0.33,
-    "pii_scrub": 0.34,
-    "events_rollup_multigrain": 0.34,
-    "stratified_sample": 0.35,
-    "window_distribution": 0.35,
-    "disjunctive_bracket_revenue": 0.35,
+    "posexplode_tokens": 0.16,
+    "vector_norms": 0.16,
+    "string_funcs_part": 0.17,
+    "sort_limit_topk": 0.17,
+    "unpivot_part_metrics": 0.17,
+    "multimodal_meta": 0.18,
+    "try_cast_dirty": 0.19,
+    "text_fingerprint": 0.20,
+    "grouping_sets_status_priority": 0.21,
+    "null_conditional_agg": 0.21,
+    "array_hof_stats": 0.21,
+    "rollup_status_priority": 0.22,
+    "stratified_sample": 0.23,
+    "doc_chunks": 0.24,
+    "filter_project_cast": 0.24,
+    "window_latest_per_key": 0.24,
+    "window_running_rank": 0.24,
+    "cube_nation_segment": 0.25,
+    "date_parts_orders": 0.25,
+    "window_range_moving_avg": 0.25,
+    "window_distribution": 0.25,
+    "events_rollup_multigrain": 0.25,
+    "topk_per_priority": 0.26,
+    "stringagg_nations": 0.26,
+    "pii_scrub": 0.28,
+    "corpus_shard_export": 0.28,
+    "multimodal_frames": 0.29,
+    "events_sessionize": 0.30,
+    "pivot_returnflag": 0.30,
+    "similarity_topk": 0.30,
+    "events_asof_click": 0.31,
+    "events_json_extract": 0.31,
+    "pricing_summary_agg": 0.31,
+    "text_token_topk": 0.31,
+    "regression_price_qty": 0.31,
+    "multimodal_decode": 0.32,
+    "doc_packing": 0.32,
+    "group_distinct_agg": 0.33,
+    "events_scd2_history": 0.33,
+    "quantiles_per_priority": 0.34,
+    "above_avg_orders": 0.34,
+    "stats_agg_lineitem": 0.34,
+    "conditional_promo_ratio": 0.36,
     "similarity_filtered_topk": 0.36,
-    "corpus_shard_export": 0.36,
-    "multimodal_frames": 0.37,
-    "multimodal_decode": 0.37,
-    "pivot_returnflag": 0.38,
-    "cube_nation_segment": 0.38,
-    "group_distinct_agg": 0.39,
-    "semi_anti_customers": 0.39,
-    "top_revenue_supplier": 0.39,
-    "pricing_summary_agg": 0.39,
-    "events_tumbling_1h": 0.40,
-    "events_json_extract": 0.41,
-    "regression_price_qty": 0.41,
-    "corpus_importance_sample": 0.41,
-    "small_qty_part_revenue": 0.43,
-    "similarity_topk": 0.43,
-    "text_token_topk": 0.44,
-    "events_scd2_history": 0.45,
-    "events_sessionize": 0.45,
-    "customer_order_histogram": 0.46,
-    "conditional_promo_ratio": 0.46,
-    "events_asof_click": 0.50,
-    "skew_salted_join": 0.50,
-    "quantiles_per_priority": 0.51,
-    "pii_creditcard_luhn": 0.51,
-    "above_avg_orders": 0.52,
-    "text_quality": 0.52,
-    "join_topk_revenue": 0.53,
-    "window_lead_lag": 0.55,
-    "events_hourly_retention": 0.56,
-    "late_shipment_priority": 0.57,
-    "scalar_subquery_share": 0.57,
-    "map_priority_counts": 0.58,
-    "doc_packing": 0.59,
-    "sole_blame_suppliers": 0.60,
-    "corpus_mixture_sample": 0.60,
-    "corpus_snapshot_diff": 0.61,
-    "events_sliding_1h_15m": 0.61,
-    "set_ops_custkeys": 0.62,
-    "dedup_embedding_cosine": 0.62,
-    "events_range_join_1h": 0.68,
-    "bloom_pruned_join": 0.69,
-    "rich_quiet_customers": 0.69,
-    "star_join_region_revenue": 0.69,
-    "text_unigram_logprob": 0.73,
-    "dedup_exact": 0.74,
-    "dedup_exact_spans_staggered": 0.75,
-    "dedup_exact_spans": 0.76,
-    "events_markov_transitions": 0.78,
-    "events_anomaly_zscore": 0.80,
-    "multimodal_phash_dedup": 0.78,
-    "large_order_customers": 0.82,
-    "dedup_containment": 0.83,
-    "quality_classifier_score": 0.84,
+    "events_tumbling_1h": 0.36,
+    "corpus_importance_sample": 0.36,
+    "events_hourly_retention": 0.37,
+    "map_priority_counts": 0.37,
+    "corpus_snapshot_diff": 0.37,
+    "semi_anti_customers": 0.37,
+    "disjunctive_bracket_revenue": 0.38,
+    "set_ops_custkeys": 0.38,
+    "customer_order_histogram": 0.38,
+    "pii_creditcard_luhn": 0.38,
+    "top_revenue_supplier": 0.40,
+    "skew_salted_join": 0.40,
+    "events_range_join_1h": 0.40,
+    "events_anomaly_zscore": 0.41,
+    "window_lead_lag": 0.42,
+    "rich_quiet_customers": 0.43,
+    "text_quality": 0.43,
+    "small_qty_part_revenue": 0.44,
+    "large_order_customers": 0.46,
+    "dedup_exact_spans": 0.48,
+    "events_sliding_1h_15m": 0.49,
+    "scalar_subquery_share": 0.50,
+    "customer_k_anonymity": 0.50,
+    "dedup_embedding_cosine": 0.50,
+    "dedup_exact": 0.50,
+    "corpus_mixture_sample": 0.50,
+    "join_topk_revenue": 0.51,
+    "grouped_zscore_pandas": 0.52,
+    "embedding_quantize_int8": 0.52,
+    "events_markov_transitions": 0.53,
+    "corpus_negative_sampling": 0.54,
+    "late_shipment_priority": 0.56,
+    "text_repetition": 0.56,
+    "sole_blame_suppliers": 0.56,
+    "text_unigram_logprob": 0.60,
+    "star_join_region_revenue": 0.60,
+    "corpus_domain_cap": 0.60,
+    "text_char_entropy": 0.62,
+    "dedup_exact_spans_staggered": 0.62,
+    "text_tfidf_topterms": 0.63,
+    "bloom_pruned_join": 0.67,
+    "text_langid": 0.67,
+    "orders_dense_index": 0.69,
+    "embedding_random_projection": 0.69,
+    "nation_trade_volume": 0.70,
+    "events_gap_fill": 0.73,
+    "similarity_knn_graph": 0.74,
+    "corpus_temperature_mixture": 0.74,
+    "text_bigram_pmi": 0.79,
+    "events_funnel_conversion": 0.80,
+    "corpus_curation": 0.80,
+    "multimodal_phash_dedup": 0.86,
     "corpus_decontamination": 0.87,
-    "text_langid": 0.88,
-    "nation_trade_volume": 0.91,
-    "text_bigram_pmi": 0.96,
-    "ntile_spend_quartiles": 0.98,
-    "corpus_curation": 1.06,
-    "similarity_ann_ivf": 1.08,
-    "events_gap_fill": 1.20,
-    "approx_distinct_custkeys": 1.32,
-    "corpus_cluster_balance": 1.32,
+    "orders_cohort_retention": 0.89,
+    "text_bigram_lm_perplexity": 0.89,
+    "corpus_cluster_balance": 0.91,
+    "dedup_containment": 0.96,
+    "multimodal_audio_fp_dedup": 1.01,
+    "similarity_label_propagation": 1.03,
+    "similarity_ann_ivf": 1.04,
+    "approx_distinct_custkeys": 1.06,
+    "ntile_spend_quartiles": 1.08,
+    "basket_brand_lift": 1.11,
+    "text_heavy_hitters": 1.26,
+    "text_winnow_fingerprint": 1.27,
+    "corpus_pipeline_end_to_end": 1.28,
+    "dedup_ngram_jaccard": 1.30,
     "dedup_minhash_lsh": 1.33,
-    "text_tfidf_topterms": 1.36,
-    "dedup_incremental": 1.39,
-    "text_bigram_lm_perplexity": 1.39,
-    "orders_dense_index": 1.43,
-    "text_winnow_fingerprint": 1.45,
-    "similarity_ann_lsh": 1.54,
-    "corpus_pipeline_end_to_end": 1.54,
-    "dedup_simhash": 1.62,
-    "similarity_ann_pq": 1.64,
-    "grouped_zscore_pandas": 1.69,
-    "text_heavy_hitters": 1.74,
-    "dedup_semantic": 1.81,
-    "text_repetition": 1.84,
-    "dedup_ngram_jaccard": 1.84,
-    "corpus_domain_cap": 1.91,
-    "text_char_entropy": 2.13,
-    "events_funnel_conversion": 2.27,
-    "basket_brand_lift": 2.30,
-    "dedup_components": 2.38,
-    "corpus_leakage_safe_split": 2.74,
-    "supplier_pagerank": 2.75,
-    "dedup_keep_best": 3.14,
-    "similarity_knn_graph": 3.65,
-    "dedup_winnow_pairs": 5.00,
-    "text_bpe_vocab": 6.09,
+    "corpus_source_overlap": 1.35,
+    "similarity_link_prediction": 1.43,
+    "dedup_simhash": 1.48,
+    "quality_classifier_score": 1.61,
+    "supplier_pagerank": 1.68,
+    "dedup_keep_best": 1.70,
+    "orders_table_profile": 1.74,
+    "dedup_incremental": 1.84,
+    "similarity_ann_lsh": 1.99,
+    "corpus_leakage_safe_split": 2.02,
+    "referential_integrity_audit": 2.14,
+    "similarity_ann_pq": 2.79,
+    "text_bpe_vocab": 2.81,
+    "dedup_winnow_pairs": 2.88,
+    "dedup_components": 3.39,
+    "similarity_graph_triangles": 4.11,
+    "dedup_semantic": 4.39,
+    "entity_match_fuzzy": 4.59,
 }
 
 _MEDIAN_COST = 0.5

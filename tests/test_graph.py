@@ -109,3 +109,50 @@ def test_triangle_counts_random_graphs_match_reference(spark):
         got = {r["id"]: (r["deg"], r["n_triangles"])
                for r in graph.triangle_counts(e).collect()}
         assert got == _triangles_reference(edges), seed
+
+
+def _link_prediction_reference(edges):
+    """Naive common-neighbor/Jaccard scores for all non-adjacent
+    distance-2 pairs, from adjacency sets."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for x, y in combinations(sorted(adj), 2):
+        if y in adj[x]:
+            continue
+        common = len(adj[x] & adj[y])
+        if common:
+            out[(x, y)] = (common, common / len(adj[x] | adj[y]))
+    return out
+
+
+def test_link_prediction_known_graph(spark):
+    """Path 0-1-2 plus hub 3 adjacent to all: (0,2) shares {1,3}; the
+    already-adjacent pairs never appear."""
+    edges = [(0, 1), (1, 2), (0, 3), (1, 3), (2, 3)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+           for r in graph.link_prediction_jaccard(e).collect()}
+    # N(0)={1,3}, N(2)={1,3} -> common 2, union 2 -> jaccard 1.0
+    assert got == {(0, 2): (2, 1.0)}
+
+
+def test_link_prediction_random_graphs_match_reference(spark):
+    import random
+
+    for seed, n, m in ((5, 12, 25), (19, 16, 40)):
+        rng = random.Random(seed)
+        edges = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b]
+        e = spark.createDataFrame(edges, ["a", "b"])
+        got = {(r["a"], r["b"]): (r["common"], round(r["jaccard"], 9))
+               for r in graph.link_prediction_jaccard(e).collect()}
+        want = {p: (c, round(j, 9))
+                for p, (c, j) in _link_prediction_reference(edges).items()}
+        assert got == want, seed
