@@ -749,3 +749,63 @@ def knn_graph(corpus: DataFrame, k: int = 5, num_blocks: int = 8,
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), "nbr")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def covariance_matrix(corpus: DataFrame, vec_col: str = "embedding",
+                      dim: int = 64) -> DataFrame:
+    """Exact feature covariance of an embedding corpus in ONE pass:
+    returns (i, j, n, cov) for the upper triangle 0 <= i <= j < dim —
+    the D x D statistic behind PCA/whitening, drift monitoring, and
+    OPQ-style rotation training for product quantizers.
+
+    Scale shape: each Arrow batch is reduced IN the scan task to a
+    D x D partial Gram (X^T X via one BLAS call), a partial per-dim sum
+    and a count — so the only thing that ever shuffles is
+    O(partitions * D^2) scalars, never vectors (100 TB of embeddings
+    reduce to megabytes of partials; the final groupBy on (i, j) is a
+    D^2-key partial+final agg). The driver never collects; the finish
+    cov = (S_xy - S_x*S_y/n) / (n - 1) runs as column algebra on the
+    D^2-row frame. This is the textbook map-side-combine pattern that a
+    naive unnest-join (D^2 rows per VECTOR shuffled) would miss by four
+    orders of magnitude at scale.
+
+    Numerics: float32 inputs are widened to float64 before the products
+    (exact), partial sums accumulate in float64; cross-engine
+    sum-order differences are absorbed by the caller rounding cov (the
+    registry rounds to 6dp). The non-centered Gram plus mean correction
+    is the mergeable form (unlike centered single-pass streams, partials
+    combine associatively) — the catastrophic-cancellation caveat only
+    bites when |mean| >> stddev, which embedding corpora (centered by
+    construction) don't hit; callers with raw un-centered features
+    should pre-shift by any constant approximation of the mean.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+    schema = "i int, j int, n long, si double, sj double, sxy double"
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame({
+                "i": iu[0], "j": iu[1],
+                "n": np.full(len(iu[0]), len(x), dtype=np.int64),
+                "si": s[iu[0]], "sj": s[iu[1]],
+                "sxy": g[iu],
+            })
+
+    agg = (
+        corpus.select(vec_col).mapInPandas(partials, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("si").alias("si"),
+             F.sum("sj").alias("sj"), F.sum("sxy").alias("sxy"))
+    )
+    cov = ((F.col("sxy") - F.col("si") * F.col("sj") / F.col("n"))
+           / (F.col("n") - 1))
+    return agg.select("i", "j", F.col("n").cast("long").alias("n"),
+                      cov.alias("cov"))

@@ -3481,6 +3481,54 @@ def _q_embedding_random_projection(spark, sf_dir):
     )
 
 
+@_register(
+    "embedding_covariance",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    cnt AS (SELECT count(*) AS n FROM e),
+    sums AS (
+      SELECT d.d AS d, sum(v[d.d + 1]) AS s
+      FROM e CROSS JOIN dims d GROUP BY d.d
+    ),
+    pairs AS (SELECT a.d AS i, b.d AS j FROM dims a
+              JOIN dims b ON b.d >= a.d),
+    sxy AS (
+      SELECT p.i, p.j, sum(v[p.i + 1] * v[p.j + 1]) AS sxy
+      FROM e CROSS JOIN pairs p GROUP BY p.i, p.j
+    )
+    SELECT CAST(x.i AS INTEGER) AS i, CAST(x.j AS INTEGER) AS j,
+           CAST(cnt.n AS BIGINT) AS n,
+           round((x.sxy - si.s * sj.s / cnt.n) / (cnt.n - 1), 6) + 0.0
+             AS cov
+    FROM sxy x
+    JOIN sums si ON si.d = x.i JOIN sums sj ON sj.d = x.j
+    CROSS JOIN cnt
+    """,
+    doc="exact 64x64 feature covariance of the embedding corpus in one "
+        "pass — the statistic behind PCA/whitening, embedding-drift "
+        "monitors, and OPQ rotation training. The Spark plan is the "
+        "map-side-combine shape (operators/similarity.py::"
+        "covariance_matrix): every Arrow batch collapses to a D^2 "
+        "partial Gram + per-dim sums IN the scan task via one BLAS "
+        "call, so only O(partitions * D^2) scalars ever shuffle and "
+        "the (i, j)-keyed final agg touches megabytes at any corpus "
+        "scale; the mean correction finishes as column algebra, no "
+        "collect. The oracle replays the same non-centered-Gram "
+        "formula from a quadratic unnest — affordable at fixture "
+        "scale, and the 6dp round absorbs cross-engine sum-order ulps.",
+)
+def _q_embedding_covariance(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        similarity.covariance_matrix(e, "embedding", dim=64)
+        .select("i", "j", "n",
+                # + 0.0 collapses IEEE -0.0 to +0.0 (a round() output for
+                # tiny negatives) so both engines emit one zero sign
+                (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus composition / pairing / multimodal audio dedup
 # ---------------------------------------------------------------------------

@@ -2557,6 +2557,142 @@ def _q_orders_cohort_retention(spark, sf_dir):
     )
 
 
+@_register(
+    "customer_l_diversity",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_distinct,
+           count(DISTINCT bal_bucket) < 3 AS below_l
+    FROM s GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="l-diversity audit — the privacy rung above customer_k_anonymity "
+        "(a k-anonymous class is still re-identifying when everyone in "
+        "it shares the same sensitive value): per (nation, segment) "
+        "quasi-identifier class, the count of DISTINCT sensitive values "
+        "(account-balance thousand-buckets) and an l<3 flag. One "
+        "count-distinct aggregate on the QI key — Spark plans it as the "
+        "two-phase expand/partial-agg, so a hot class aggregates "
+        "map-side; output is bounded by the QI domain, scale-free.",
+)
+def _q_customer_l_diversity(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("int")
+    return (
+        c.select("c_nationkey", "c_mktsegment", bucket.alias("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("group_size"),
+             F.countDistinct("bal_bucket").cast("long").alias("l_distinct"))
+        .withColumn("below_l", F.col("l_distinct") < 3)
+    )
+
+
+@_register(
+    "orders_incremental_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="incremental aggregate maintenance, PROVED exact by the oracle: "
+        "the Spark side splits orders at the latest month boundary into "
+        "a base partition (the standing pre-aggregate a warehouse keeps "
+        "materialized) and a delta (the newly arrived month), aggregates "
+        "each INDEPENDENTLY, and merges the partials — count/sum add, "
+        "max folds with greatest() — while the oracle aggregates the "
+        "full table directly, so the hash compare certifies that the "
+        "merge algebra loses nothing. This is the §2.6-adjacent "
+        "incremental-ETL primitive: at 100 TB you never re-scan "
+        "history, you aggregate the delta (one partition's scan) and "
+        "merge D^0-sized partial frames; every aggregate here is "
+        "decomposable (sum/count/max), which is exactly the property "
+        "the merge step needs. The month boundary derives from a "
+        "broadcast one-row max, keeping the split predicates "
+        "scan-side.",
+)
+def _q_orders_incremental_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cutoff = o.agg(F.date_trunc("month", F.max("o_orderdate"))
+                   .alias("cut"))
+    with_cut = o.crossJoin(F.broadcast(cutoff))
+    base = with_cut.filter(F.col("o_orderdate") < F.col("cut"))
+    delta = with_cut.filter(F.col("o_orderdate") >= F.col("cut"))
+
+    def part(df):
+        return (df.groupBy("o_orderstatus", "o_orderpriority")
+                .agg(F.count("*").alias("n"),
+                     F.sum("o_totalprice").alias("rev"),
+                     F.max("o_totalprice").alias("mx")))
+
+    merged = (
+        part(base).unionAll(part(delta))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"),
+             F.sum("rev").alias("revenue"),
+             F.max("mx").alias("max_price"))
+    )
+    return merged.select(
+        "o_orderstatus", "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round("max_price", 2).alias("max_price"))
+
+
+@_register(
+    "events_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value, epoch_ms(ts) AS t,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(max(t_next) - min(t) AS BIGINT) AS span_ms,
+           round(sum(value * (t_next - t)) / sum(t_next - t), 4) AS twa
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="time-weighted average of a sampled metric per user (the "
+        "correct mean for irregularly-sampled gauges — a value that "
+        "held for an hour must weigh 60x one that held a minute; the "
+        "row-mean the naive avg() computes is biased toward bursty "
+        "periods): each event's value is weighted by its holding "
+        "interval (until the next event), via one lead() window per "
+        "user and a per-user agg. Epoch-millis arithmetic keeps the "
+        "weights exact integers on both engines; only the final ratio "
+        "is a round-4 double. Scale: one shuffle on user_id serves "
+        "both the window sort and the aggregate (same key, exchange "
+        "reused); per-user sequences are the only sort unit, so no "
+        "global funnel.",
+)
+def _q_events_time_weighted_avg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "value",
+        F.col("ts_ms").alias("t"),
+        F.lead("ts_ms").over(w).alias("t_next"),
+    )
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_intervals"),
+             (F.max("t_next") - F.min("t")).cast("long").alias("span_ms"),
+             F.round(F.sum(F.col("value") * (F.col("t_next") - F.col("t")))
+                     / F.sum(F.col("t_next") - F.col("t")), 4).alias("twa"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -401,3 +401,24 @@ def test_knn_graph_small_corpus_fewer_than_k(spark):
     assert set(per_id) == {1, 2, 3}
     for ranks in per_id.values():
         assert sorted(ranks) == [1, 2]  # only two other vectors exist
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """Partial-Gram merge across many partitions == numpy's exact
+    covariance, including the n and upper-triangle contract."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n = 6, 200
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(7)
+    got = {(r["i"], r["j"]): (r["n"], r["cov"])
+           for r in similarity.covariance_matrix(df, "embedding", dim)
+           .collect()}
+    want = np.cov(x.astype(np.float64), rowvar=False)
+    assert len(got) == dim * (dim + 1) // 2
+    for (i, j), (cnt, cov) in got.items():
+        assert i <= j and cnt == n
+        assert abs(cov - want[i, j]) < 1e-9, (i, j, cov, want[i, j])
