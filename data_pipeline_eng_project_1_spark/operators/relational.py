@@ -456,3 +456,60 @@ def capped_per_key(df: DataFrame, key: str, id_col: str, quota: int,
     w = Window.partitionBy(key).orderBy("__k")
     return (survivors.withColumn("pick_rank", F.row_number().over(w))
             .drop("__k", "__thr"))
+
+
+def banded_running_total(df: DataFrame, value: str, tiebreak: str,
+                         num_bands: int = 64,
+                         out_col: str = "running_total") -> DataFrame:
+    """Global DESCENDING running total of ``value`` (ties broken by
+    ``tiebreak`` ascending) WITHOUT a global-sort single reducer — the
+    distributed prefix-sum that backs Pareto/ABC cuts, top-share
+    reports, and budget-threshold selection at scale.
+
+    An unpartitioned ``sum() OVER (ORDER BY ...)`` funnels every row
+    through ONE reducer (Spark even warns). Instead: rows land in
+    value-range bands (band 0 = highest values) via a broadcast
+    min/max; per-band totals aggregate map-side into a ``num_bands``-row
+    frame whose own prefix sum IS computed with the naive window — over
+    num_bands rows, not N; the per-band offsets broadcast-join back and
+    a within-band window (partitioned, so parallel) finishes. Banding by
+    VALUE keeps band order consistent with the global order, and ties
+    can't straddle bands (equal values share a band). Cost: two narrow
+    passes + one bounded window; the prefix regrouping changes float
+    ADDITION GROUPING vs a sequential scan (same multiset of addends),
+    so compare prefix totals at a rounded precision.
+
+    Returns the input plus ``out_col``; uniform band width degrades to
+    populated-band skew under heavy value skew — acceptable because the
+    within-band window still parallelizes across bands, and a quantile
+    bander (approx_percentile bounds) slots in without changing the
+    contract.
+    """
+    bounds = df.agg(F.min(value).alias("__lo"),
+                    F.max(value).alias("__hi"))
+    banded = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__band",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(num_bands - 1),
+                    F.floor((F.col("__hi") - F.col(value))
+                            / ((F.col("__hi") - F.col("__lo"))
+                               / num_bands)).cast("int"))))
+        .drop("__lo", "__hi")
+    )
+    totals = banded.groupBy("__band").agg(F.sum(value).alias("__bt"))
+    w_bands = (Window.orderBy("__band")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__band",
+        F.coalesce(F.sum("__bt").over(w_bands), F.lit(0.0)).alias("__off"))
+    w_in = (Window.partitionBy("__band")
+            .orderBy(F.col(value).desc(), F.col(tiebreak))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        banded.join(F.broadcast(offsets), "__band")
+        .withColumn(out_col, F.col("__off") + F.sum(value).over(w_in))
+        .drop("__band", "__off")
+    )

@@ -1209,6 +1209,106 @@ def _q_text_bigram_pmi(spark, sf_dir):
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)
 
 
+#: x*ln(x) with the 0*ln(0)=0 convention, spelled identically in both
+#: engines so the LLR entropy terms agree to the bit.
+_SQL_XLX = "CASE WHEN {x} > 0 THEN {x} * ln({x}) ELSE 0.0 END"
+
+
+@_register(
+    "text_collocation_llr",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    r1 AS (SELECT w1, sum(c) AS r FROM bc GROUP BY w1),
+    c2 AS (SELECT w2, sum(c) AS s FROM bc GROUP BY w2),
+    nb AS (SELECT sum(c) AS n FROM bc),
+    cells AS (
+      SELECT bc.w1, bc.w2, bc.c,
+             bc.c * 1.0 AS k11,
+             (r1.r - bc.c) * 1.0 AS k12,
+             (c2.s - bc.c) * 1.0 AS k21,
+             (nb.n - r1.r - c2.s + bc.c) * 1.0 AS k22,
+             nb.n * 1.0 AS n
+      FROM bc JOIN r1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb
+      WHERE bc.c >= 5
+    ),
+    scored AS (
+      SELECT w1 || ' ' || w2 AS bigram,
+             CAST(c AS BIGINT) AS n_pair,
+             round(2.0 * ({_SQL_XLX.format(x='k11')}
+                        + {_SQL_XLX.format(x='k12')}
+                        + {_SQL_XLX.format(x='k21')}
+                        + {_SQL_XLX.format(x='k22')}
+                        - {_SQL_XLX.format(x='(k11 + k12)')}
+                        - {_SQL_XLX.format(x='(k21 + k22)')}
+                        - {_SQL_XLX.format(x='(k11 + k21)')}
+                        - {_SQL_XLX.format(x='(k12 + k22)')}
+                        + {_SQL_XLX.format(x='n')}), 4) AS llr
+      FROM cells
+    )
+    SELECT bigram, n_pair, llr
+    FROM scored ORDER BY llr DESC, bigram LIMIT 20
+    """,
+    doc="top-20 collocations by Dunning's log-likelihood ratio (min "
+        "support 5) — the statistically-sound sibling of "
+        "text_bigram_pmi: PMI explodes for rare pairs (two hapaxes "
+        "co-occurring once score maximally), while the G^2 likelihood "
+        "ratio weighs evidence MASS, which is why production phrase "
+        "miners (Mahout collocations, phrase-vocab builders) rank by "
+        "LLR. The 2x2 contingency margins come from the bigram table "
+        "itself (rows sum to N exactly); the entropy form 2*(sum "
+        "xlx(cells) - xlx(row/col margins) + xlx(N)) is spelled "
+        "term-for-term identically in both engines with the "
+        "0*ln(0)=0 guard, and round-before-rank keeps the top-20 "
+        "cutoff deterministic. Plan: the PMI pipeline's shape — "
+        "scan-side bigram fan-out, hash aggs for counts and margins, "
+        "vocab-keyed joins (broadcast when bounded), TakeOrdered "
+        "top-20 — with one extra margin aggregate.",
+)
+def _q_text_collocation_llr(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    t = d.select(texts.tokens(F.col("text")).alias("toks"))
+    bi = (
+        t.filter(F.size("toks") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2")))).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    r1 = bc.groupBy("w1").agg(F.sum("c").alias("r"))
+    c2 = bc.groupBy("w2").agg(F.sum("c").alias("s"))
+    nb = bc.agg(F.sum("c").alias("n"))
+
+    def xlx(x):
+        return F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+    k11 = F.col("c") * F.lit(1.0)
+    k12 = (F.col("r") - F.col("c")) * F.lit(1.0)
+    k21 = (F.col("s") - F.col("c")) * F.lit(1.0)
+    k22 = (F.col("n") - F.col("r") - F.col("s") + F.col("c")) * F.lit(1.0)
+    n = F.col("n") * F.lit(1.0)
+    llr = F.lit(2.0) * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(k11 + k12) - xlx(k21 + k22)
+        - xlx(k11 + k21) - xlx(k12 + k22) + xlx(n))
+    scored = (
+        bc.filter(F.col("c") >= 5)
+        .join(r1, "w1").join(c2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(F.concat_ws(" ", "w1", "w2").alias("bigram"),
+                F.col("c").cast("long").alias("n_pair"),
+                F.round(llr, 4).alias("llr"))
+    )
+    return scored.orderBy(F.col("llr").desc(), "bigram").limit(20)
+
+
 def _pagerank_oracle(iters: int = 4, d: float = 0.85) -> str:
     """Unrolled power-method PageRank: one CTE pair (contributions, next
     ranks) per iteration, spelling the SAME float operations as the

@@ -2693,6 +2693,68 @@ def _q_events_time_weighted_avg(spark, sf_dir):
     )
 
 
+@_register(
+    "parts_abc_pareto",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev_e4) AS t FROM rev),
+    c AS (
+      SELECT l_partkey, rev_e4,
+             sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey) AS cum
+      FROM rev
+    )
+    SELECT l_partkey,
+           CAST(rev_e4 AS BIGINT) AS revenue_e4,
+           round(cum * 1.0 / t, 6) AS cum_share,
+           CASE WHEN round(cum * 1.0 / t, 6) <= 0.8 THEN 'A'
+                WHEN round(cum * 1.0 / t, 6) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+    """,
+    doc="Pareto/ABC classification of parts by revenue share — the "
+        "80/15/5 cut behind inventory tiering and 'which domains are "
+        "80% of the tokens' corpus reports. The interesting part is "
+        "the GLOBAL cumulative sum: the oracle's unpartitioned window "
+        "is a single-reducer funnel at scale, so the Spark side runs "
+        "operators/relational.py::banded_running_total — value-range "
+        "bands from a broadcast min/max, per-band totals whose own "
+        "prefix sum is a window over num_bands ROWS (not N), offsets "
+        "broadcast back, and a parallel within-band window. Revenue "
+        "runs in EXACT integer 1e-4-dollar units (2-decimal prices x "
+        "2-decimal discount rates are integers after scaling), so the "
+        "per-part sums, banded prefix sums, and grand total are "
+        "bit-exact on both engines regardless of addition order — the "
+        "cent-boundary round flips a double-sum version showed "
+        "(3/2000 rows) are impossible by construction; the class "
+        "derives from the round-6 share of two exact integers.",
+)
+def _q_parts_abc_pareto(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dpct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(cents * (F.lit(100) - dpct)).alias("rev_e4")))
+    tot = rev.agg(F.sum("rev_e4").alias("t"))
+    c = relational.banded_running_total(
+        rev, value="rev_e4", tiebreak="l_partkey", out_col="cum")
+    share = F.round(F.col("cum") * F.lit(1.0) / F.col("t"), 6)
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("l_partkey",
+                F.col("rev_e4").cast("long").alias("revenue_e4"),
+                share.alias("cum_share"),
+                F.when(share <= 0.8, "A")
+                 .when(share <= 0.95, "B")
+                 .otherwise("C").alias("abc_class"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -162,3 +162,33 @@ def test_entity_match_fuzzy_blocks_and_distance(spark, sf_dir):
         key = (r["name_a"], r["name_b"])
         assert key not in seen
         seen.add(key)
+
+
+def test_banded_running_total_matches_global_window(spark):
+    """Band-decomposed prefix sum == the naive global window, on integer
+    values (exact compare), including heavy skew and duplicate values."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([1, 2, 5, 1000, 10**6])) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(5)
+    got = {r["id"]: r["running_total"]
+           for r in relational.banded_running_total(
+               df, value="v", tiebreak="id").collect()}
+    w = (Window.orderBy(F.col("v").desc(), "id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: r["rt"]
+            for r in df.withColumn("rt", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_banded_running_total_constant_values(spark):
+    """All-equal values (zero band width) must not divide by zero; order
+    falls back to the tiebreak."""
+    df = spark.createDataFrame([(i, 10) for i in range(8)], ["id", "v"])
+    got = sorted((r["id"], r["running_total"])
+                 for r in relational.banded_running_total(
+                     df, value="v", tiebreak="id").collect())
+    assert got == [(i, (i + 1) * 10) for i in range(8)]
