@@ -164,6 +164,25 @@ def main() -> None:
             "~1.2 s and dedup_semantic 1.9->1.4 s."
         ),
     }
+    if only:
+        # A filtered run (SPARK_GRAFT_QUERIES) is a spot probe: MERGE its
+        # rows into the existing full sidecar instead of replacing it —
+        # a one-query run kept overwriting the 100+-query artifact (bit
+        # r6 twice and r7 once; restored from git each time).
+        try:
+            with open(os.path.join(here, "BENCH_QUERIES.json")) as f:
+                full = json.load(f)
+        except (OSError, ValueError):
+            full = None
+        if (isinstance(full, dict) and isinstance(full.get("queries"), dict)
+                and full.get("sf") == headline["sf"]
+                and len(full["queries"]) > len(timings)):
+            full["queries"].update(timings)
+            full["remeasured_outliers"] = {
+                **full.get("remeasured_outliers", {}), **remeasured}
+            full["value"] = round(sum(full["queries"].values()), 3)
+            full["n_queries"] = len(full["queries"])
+            sidecar = full
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
         json.dump(sidecar, f, indent=1, sort_keys=True)
     # Emit the compact line both first and last: whichever end of the
