@@ -809,3 +809,59 @@ def covariance_matrix(corpus: DataFrame, vec_col: str = "embedding",
            / (F.col("n") - 1))
     return agg.select("i", "j", F.col("n").cast("long").alias("n"),
                       cov.alias("cov"))
+
+
+def _sq_l2_to_literal(vec_col: str, center: list[float]) -> Column:
+    """Squared L2 distance from a double-array column to a LITERAL center,
+    as a sequential dim-order fold — the same addition order DuckDB's
+    list_sum(list_transform(...)) performs, so both engines produce
+    bit-identical doubles (the list_dot_product/vectors.dot precedent)."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in center) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 8) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection: start
+    from the smallest-id vector, then k-1 times pick the point FARTHEST
+    (squared L2) from the already-selected set — a 2-approximation of the
+    optimal k-center cover, and the standard diversity-coreset /
+    active-learning seed picker (pick the k docs that together span the
+    embedding space, not k near-duplicates).
+
+    Returns (rank, vec_id, sel_dist): selection order, chosen id, and the
+    point's distance to the set at selection time (0 for the seed) — a
+    DECREASING sequence that doubles as the coverage-radius curve.
+
+    Scale shape: each of the k rounds is one corpus scan computing
+    min-over-centers distance as a scan-side codegen fold over LITERAL
+    center vectors (no join, no shuffle — the centers ride the closure
+    like ivf's inlined centroids) followed by a TakeOrdered(1); the only
+    driver traffic is k vectors of dim floats — bounded metadata, the
+    ivf_train_kmeans contract. k scans of the raw table beat k
+    materializations at 100 TB (columnar scan of one array column is
+    cheap; persisting n x dim doubles is not); batch variants (select
+    m > 1 farthest per round with an m-sized TakeOrdered) trade
+    approximation quality for fewer passes when k is large.
+    Deterministic: ties in distance break on the smaller id.
+    """
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_select: empty corpus")
+    picked = [(0, first[0]["id"], 0.0)]
+    vecs = [list(first[0]["v"])]
+    for rank in range(1, k):
+        dists = [_sq_l2_to_literal("v", c) for c in vecs]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (base.select("id", "v", dmin.alias("d"))
+               .orderBy(F.col("d").desc(), "id").limit(1).collect()[0])
+        picked.append((rank, far["id"], float(far["d"])))
+        vecs.append(list(far["v"]))
+    return spark.createDataFrame(picked, "rank int, vec_id long, "
+                                         "sel_dist double")

@@ -3180,6 +3180,196 @@ _QC_W = {"bias": -0.2, "stop": 3.0, "punct": -2.0, "alen": -0.15,
          "lntok": 0.1}
 
 
+#: Count-min sketch geometry: d independent md5-seeded hash rows of w
+#: buckets. Small enough that the counter frame is broadcastable, large
+#: enough that the top-probe overestimates stay modest at fixture scale.
+_CMS_D, _CMS_W = 4, 256
+
+
+@_register(
+    "events_count_min_sketch",
+    f"""
+    WITH rows_ AS (
+      SELECT user_id, s.s AS seed,
+             CAST('0x' || substr(md5('cms' || s.s || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}
+               AS bucket
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1}))
+                              AS s) s
+    ),
+    counters AS (
+      SELECT seed, bucket, count(*) AS c FROM rows_ GROUP BY seed, bucket
+    ),
+    truth AS (
+      SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id
+      ORDER BY count(*) DESC, user_id LIMIT 10
+    ),
+    probe AS (
+      SELECT t.user_id, t.true_count, s.s AS seed,
+             CAST('0x' || substr(md5('cms' || s.s || ':' ||
+                  CAST(t.user_id AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}
+               AS bucket
+      FROM truth t CROSS JOIN (SELECT unnest(generate_series(0,
+                               {_CMS_D - 1})) AS s) s
+    )
+    SELECT p.user_id,
+           CAST(max(p.true_count) AS BIGINT) AS true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - max(p.true_count) AS BIGINT) AS overestimate
+    FROM probe p JOIN counters c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.user_id
+    """,
+    doc=f"count-min sketch accuracy audit: build a {_CMS_D}x{_CMS_W} CMS "
+        "over event user_ids with md5-seeded rows (deterministic, so "
+        "both engines build the IDENTICAL sketch), then estimate the 10 "
+        "true-heaviest users and report estimate vs truth — CMS "
+        "guarantees estimate >= truth, with overestimates bounded by "
+        "collision mass. This is the MERGEABLE frequency sketch next to "
+        "text_heavy_hitters' candidate-recount form: counters are a "
+        "partial+final agg to d*w cells, so 100 TB of events reduce "
+        "map-side to a KB-scale frame that unions across "
+        "partitions/days by cell-wise addition — the streaming/"
+        "cross-shard path the exact groupBy can't take. Probing joins "
+        f"the 10x{_CMS_D} probe rows against the broadcast counter "
+        "frame; min-over-rows is the CMS read.",
+)
+def _q_events_count_min_sketch(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed")
+
+    def bucket(uid_col):
+        return (hashing.hex_int(
+            F.concat(F.lit("cms"), F.col("seed").cast("string"),
+                     F.lit(":"), uid_col.cast("string"))) % _CMS_W)
+
+    rows = (e.select("user_id", seeds)
+            .select("user_id", "seed", bucket(F.col("user_id"))
+                    .alias("bucket")))
+    counters = (rows.groupBy("seed", "bucket")
+                .agg(F.count("*").alias("c")))
+    truth = (e.groupBy("user_id").agg(F.count("*").alias("true_count"))
+             .orderBy(F.col("true_count").desc(), "user_id").limit(10))
+    probe = (truth.select("user_id", "true_count", seeds)
+             .select("user_id", "true_count", "seed",
+                     bucket(F.col("user_id")).alias("bucket")))
+    return (
+        probe.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.max("true_count").cast("long").alias("true_count"),
+             F.min("c").cast("long").alias("cms_estimate"),
+             (F.min("c") - F.max("true_count")).cast("long")
+             .alias("overestimate"))
+    )
+
+
+def _kcenter_oracle(k: int = 8, dim: int = 64) -> str:
+    """Unrolled greedy k-center: one (distance, argmax) CTE pair per
+    round, the pagerank-unroll pattern. The squared-L2 fold
+    list_sum(list_transform(...)) sums dims left-to-right — the same
+    order as the Spark side's aggregate() fold, so the selection
+    arithmetic agrees to the bit."""
+    def dist(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    blocks = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.v, {dist('e.v', 'c.v')} AS dmin "
+        f"FROM e CROSS JOIN c0 c)",
+    ]
+    for i in range(1, k):
+        blocks.append(
+            f"m{i} AS (SELECT vec_id, v, dmin FROM d{i} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)")
+        if i < k - 1:
+            blocks.append(
+                f"d{i + 1} AS (SELECT d.vec_id, d.v, "
+                f"least(d.dmin, {dist('d.v', 'c.v')}) AS dmin "
+                f"FROM d{i} d CROSS JOIN m{i} c)")
+    selects = ["SELECT 0 AS rank, vec_id, 0.0 AS sel_dist FROM c0"]
+    selects += [
+        f"SELECT {i} AS rank, vec_id, round(dmin, 4) AS sel_dist FROM m{i}"
+        for i in range(1, k)
+    ]
+    return ("WITH " + ",\n    ".join(blocks) + "\n    "
+            + "\n    UNION ALL ".join(selects))
+
+
+@_register(
+    "corpus_kcenter_coreset",
+    _kcenter_oracle(),
+    doc="greedy k-center coreset (Gonzalez farthest-point, k=8) over the "
+        "embedding corpus: the seed is the smallest id, each later pick "
+        "is the point farthest (squared L2) from the selected set — the "
+        "2-approximate diversity cover that seeds active learning and "
+        "picks maximally-spread exemplars for eval/annotation budgets; "
+        "the decreasing sel_dist column IS the coverage-radius curve. "
+        "Spark side (operators/similarity.py::kcenter_select): each "
+        "round is ONE corpus scan with the min-over-centers distance as "
+        "a scan-side codegen fold over literal center vectors (no "
+        "join/shuffle; the ivf inlined-centroid pattern) plus a "
+        "TakeOrdered(1); driver traffic is k*dim floats of bounded "
+        "metadata. The oracle unrolls the same k rounds as CTE pairs "
+        "(the pagerank pattern) with the identical left-to-right "
+        "dim fold, so selection ties can only break on the shared id "
+        "tiebreak.",
+)
+def _q_corpus_kcenter_coreset(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.kcenter_select(e, "embedding", "vec_id", k=8)
+    return out.select("rank", "vec_id",
+                      F.round("sel_dist", 4).alias("sel_dist"))
+
+
+@_register(
+    "text_ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({SQL_SHINGLES}) AS g
+      FROM documents
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS novelty
+    FROM sh JOIN firsts f ON f.g = sh.g
+    GROUP BY sh.doc_id
+    """,
+    doc="per-document n-gram novelty in corpus order: the fraction of a "
+        "doc's distinct 3-shingles whose FIRST corpus occurrence (min "
+        "doc_id) is this doc — the marginal-information curve that "
+        "tells a crawl pipeline when a source has gone stale (novelty "
+        "for late docs decays toward template-only) and ranks docs for "
+        "dedup-aware curriculum ordering. Plan: one scan-side shingle "
+        "fan-out feeds BOTH the min-aggregate and the join probe "
+        "(shared subtree, exchange-reused); first-occurrence is a "
+        "partial+final min keyed on the shingle — a boilerplate "
+        "shingle in a billion docs is one reducer AGGREGATING, never a "
+        "self-join — and the join back is shingle-keyed equi, AQE "
+        "skew-split, then one doc-keyed agg. No windows, no sorts.",
+)
+def _q_text_ngram_novelty(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = (dedup.shingled(d)
+          .select(F.col("id").alias("doc_id"), F.explode("sh").alias("g")))
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shingles"),
+             F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                   .otherwise(0)).cast("long").alias("n_novel"),
+             F.round(F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                           .otherwise(0)) * F.lit(1.0) / F.count("*"), 4)
+             .alias("novelty"))
+    )
+
+
 @_register(
     "quality_classifier_score",
     f"""

@@ -422,3 +422,42 @@ def test_covariance_matrix_matches_numpy(spark):
     for (i, j), (cnt, cov) in got.items():
         assert i <= j and cnt == n
         assert abs(cov - want[i, j]) < 1e-9, (i, j, cov, want[i, j])
+
+
+def test_kcenter_select_matches_greedy_reference(spark):
+    """Distributed farthest-point traversal == the sequential greedy
+    algorithm, including the smallest-id seed and id tiebreaks."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(60, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(4)
+    got = [(r["rank"], r["vec_id"], r["sel_dist"])
+           for r in similarity.kcenter_select(df, k=6)
+           .orderBy("rank").collect()]
+
+    xd = x.astype(np.float64)
+    picked = [0]
+    dmin = ((xd - xd[0]) ** 2).sum(axis=1)
+    want = [(0, 0, 0.0)]
+    for rank in range(1, 6):
+        far = int(np.argmax(dmin))  # np.argmax breaks ties on low index
+        want.append((rank, far, float(dmin[far])))
+        picked.append(far)
+        dmin = np.minimum(dmin, ((xd - xd[far]) ** 2).sum(axis=1))
+    assert [(r, v) for r, v, _ in got] == [(r, v) for r, v, _ in want]
+    for (_, _, dg), (_, _, dw) in zip(got, want):
+        assert abs(dg - dw) < 1e-9
+    # coverage radius decreases (weakly) along the selection order
+    dists = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_kcenter_select_empty_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.kcenter_select(df, k=3)
