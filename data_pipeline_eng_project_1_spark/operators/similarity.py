@@ -823,7 +823,8 @@ def _sq_l2_to_literal(vec_col: str, center: list[float]) -> Column:
 
 
 def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
-                   id_col: str = "vec_id", k: int = 8) -> DataFrame:
+                   id_col: str = "vec_id", k: int = 8,
+                   method: str = "running") -> DataFrame:
     """Greedy k-center (Gonzalez farthest-point) coreset selection: start
     from the smallest-id vector, then k-1 times pick the point FARTHEST
     (squared L2) from the already-selected set — a 2-approximation of the
@@ -835,18 +836,30 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
     point's distance to the set at selection time (0 for the seed) — a
     DECREASING sequence that doubles as the coverage-radius curve.
 
-    Scale shape: each of the k rounds is one corpus scan computing
-    min-over-centers distance as a scan-side codegen fold over LITERAL
-    center vectors (no join, no shuffle — the centers ride the closure
-    like ivf's inlined centroids) followed by a TakeOrdered(1); the only
-    driver traffic is k vectors of dim floats — bounded metadata, the
-    ivf_train_kmeans contract. k scans of the raw table beat k
-    materializations at 100 TB (columnar scan of one array column is
-    cheap; persisting n x dim doubles is not); batch variants (select
-    m > 1 farthest per round with an m-sized TakeOrdered) trade
-    approximation quality for fewer passes when k is large.
+    Two bit-identical forms (min is associative and each per-center fold
+    keeps the same left-to-right dim order, so only the evaluation
+    schedule differs — a pytest asserts row equality):
+
+    - method="running" (default): maintain (id, v, dmin) as a persisted
+      frame; each round updates dmin = least(dmin, dist-to-NEWEST-center)
+      and takes TakeOrdered(1). Per-point work is O(k) distance folds
+      total (vs O(k^2) for rescan), and every round's plan carries ONE
+      literal center — constant expression size, so driver/codegen cost
+      stays flat as k grows (the similarity_ann_ivf r6 lesson: per-round
+      expression growth is driver time). The persist is
+      MEMORY_AND_DISK of (id, v, dmin) — source-table-sized, the same
+      budget any cached scan costs; rounds unpersist the parent as soon
+      as the child is materialized, so at most two generations live.
+    - method="rescan": stateless k scans of the raw table, round r
+      folding over all r literal centers (least of r folds). No cache
+      budget at all — the choice when executor storage memory is the
+      binding constraint at 100 TB — at the price of O(k^2) folds and
+      growing per-round expressions; preferred only for small k.
+
     Deterministic: ties in distance break on the smaller id.
     """
+    if method not in ("running", "rescan"):
+        raise ValueError(f"kcenter_select: unknown method {method!r}")
     spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("id"),
@@ -856,12 +869,36 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
         raise ValueError("kcenter_select: empty corpus")
     picked = [(0, first[0]["id"], 0.0)]
     vecs = [list(first[0]["v"])]
-    for rank in range(1, k):
-        dists = [_sq_l2_to_literal("v", c) for c in vecs]
-        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
-        far = (base.select("id", "v", dmin.alias("d"))
-               .orderBy(F.col("d").desc(), "id").limit(1).collect()[0])
-        picked.append((rank, far["id"], float(far["d"])))
-        vecs.append(list(far["v"]))
+    if method == "rescan":
+        for rank in range(1, k):
+            dists = [_sq_l2_to_literal("v", c) for c in vecs]
+            dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+            far = (base.select("id", "v", dmin.alias("d"))
+                   .orderBy(F.col("d").desc(), "id").limit(1).collect()[0])
+            picked.append((rank, far["id"], float(far["d"])))
+            vecs.append(list(far["v"]))
+    else:
+        from pyspark import StorageLevel
+        cur = (base.select("id", "v",
+                           _sq_l2_to_literal("v", vecs[0]).alias("d"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        prev = None
+        for rank in range(1, k):
+            far = (cur.orderBy(F.col("d").desc(), "id")
+                   .limit(1).collect()[0])  # materializes cur in cache
+            if prev is not None:
+                prev.unpersist()
+            picked.append((rank, far["id"], float(far["d"])))
+            if rank < k - 1:
+                prev, cur = cur, (
+                    cur.select(
+                        "id", "v",
+                        F.least(F.col("d"),
+                                _sq_l2_to_literal("v", list(far["v"])))
+                        .alias("d"))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(picked, "rank int, vec_id long, "
                                          "sel_dist double")

@@ -3306,15 +3306,17 @@ def _kcenter_oracle(k: int = 8, dim: int = 64) -> str:
         "2-approximate diversity cover that seeds active learning and "
         "picks maximally-spread exemplars for eval/annotation budgets; "
         "the decreasing sel_dist column IS the coverage-radius curve. "
-        "Spark side (operators/similarity.py::kcenter_select): each "
-        "round is ONE corpus scan with the min-over-centers distance as "
-        "a scan-side codegen fold over literal center vectors (no "
-        "join/shuffle; the ivf inlined-centroid pattern) plus a "
-        "TakeOrdered(1); driver traffic is k*dim floats of bounded "
-        "metadata. The oracle unrolls the same k rounds as CTE pairs "
-        "(the pagerank pattern) with the identical left-to-right "
-        "dim fold, so selection ties can only break on the shared id "
-        "tiebreak.",
+        "Spark side (operators/similarity.py::kcenter_select, "
+        "method='running'): a persisted (id, v, dmin) frame where each "
+        "round folds in ONLY the newest center "
+        "(dmin = least(dmin, dist)) as a scan-side codegen fold over "
+        "one literal vector (no join/shuffle; the ivf inlined-centroid "
+        "pattern) plus a TakeOrdered(1) — O(k) folds per point and "
+        "constant per-round expression size; driver traffic is k*dim "
+        "floats of bounded metadata. The oracle unrolls the same "
+        "running-min recurrence as CTE pairs (the pagerank pattern) "
+        "with the identical left-to-right dim fold, so selection ties "
+        "can only break on the shared id tiebreak.",
 )
 def _q_corpus_kcenter_coreset(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

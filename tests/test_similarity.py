@@ -455,6 +455,33 @@ def test_kcenter_select_matches_greedy_reference(spark):
     assert all(a >= b for a, b in zip(dists, dists[1:]))
 
 
+def test_kcenter_select_running_equals_rescan(spark):
+    """The two evaluation schedules are bit-identical: running keeps a
+    persisted dmin and folds in only the newest center; rescan re-derives
+    least-of-all-centers from the raw table each round. Min is
+    associative and the per-center fold order is shared, so every
+    (rank, id, dist) row must agree exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(80, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(3)
+    run = similarity.kcenter_select(df, k=7, method="running").collect()
+    scan = similarity.kcenter_select(df, k=7, method="rescan").collect()
+    assert sorted(map(tuple, run)) == sorted(map(tuple, scan))
+
+
+def test_kcenter_select_bad_method_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [0.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity.kcenter_select(df, k=2, method="nope")
+
+
 def test_kcenter_select_empty_raises(spark):
     import pytest
 
