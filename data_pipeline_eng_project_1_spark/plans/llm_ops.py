@@ -3229,7 +3229,11 @@ _CMS_D, _CMS_W = 4, 256
         "partial+final agg to d*w cells, so 100 TB of events reduce "
         "map-side to a KB-scale frame that unions across "
         "partitions/days by cell-wise addition — the streaming/"
-        "cross-shard path the exact groupBy can't take. Probing joins "
+        "cross-shard path the exact groupBy can't take. (The AUDIT "
+        "derives the counters from the per-user truth aggregate it "
+        "must compute anyway — sum(cnt) per cell is the identical "
+        "sketch, hashed once per user, one shared exchange.) "
+        "Probing joins "
         f"the 10x{_CMS_D} probe rows against the broadcast counter "
         "frame; min-over-rows is the CMS read.",
 )
@@ -3243,12 +3247,20 @@ def _q_events_count_min_sketch(spark, sf_dir):
             F.concat(F.lit("cms"), F.col("seed").cast("string"),
                      F.lit(":"), uid_col.cast("string"))) % _CMS_W)
 
-    rows = (e.select("user_id", seeds)
-            .select("user_id", "seed", bucket(F.col("user_id"))
-                    .alias("bucket")))
-    counters = (rows.groupBy("seed", "bucket")
-                .agg(F.count("*").alias("c")))
-    truth = (e.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    # The audit pays for the exact per-user aggregate anyway (truth), so
+    # the counters are derived FROM it: sum(cnt) per (seed, bucket) is
+    # identical to counting raw events per cell, but hashes each USER
+    # 4x instead of each EVENT 4x, and both branches reuse one exchange.
+    # (A production ingest sketch skips the user-keyed exchange entirely
+    # and folds raw events map-side into d*w cells — see the doc above;
+    # this shape is specific to the audit, where truth is mandatory.)
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    counters = (per_user.select("user_id", "cnt", seeds)
+                .select("cnt", "seed", bucket(F.col("user_id"))
+                        .alias("bucket"))
+                .groupBy("seed", "bucket")
+                .agg(F.sum("cnt").alias("c")))
+    truth = (per_user.withColumnRenamed("cnt", "true_count")
              .orderBy(F.col("true_count").desc(), "user_id").limit(10))
     probe = (truth.select("user_id", "true_count", seeds)
              .select("user_id", "true_count", "seed",
@@ -4031,4 +4043,115 @@ def _q_multimodal_audio_fp_dedup(spark, sf_dir):
         .select("doc_id", "n_windows", "fp_md5", "n_dups",
                 (F.col("doc_id") == F.col("canonical")).cast("int")
                 .alias("is_canonical"))
+    )
+
+
+@_register(
+    "text_tfidf_cosine_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_WTOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, term, df, n_docs * 0.1 AS cap,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    norm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    wn AS (
+      SELECT w.doc_id, w.term, w.df, w.cap, w.w / n.nrm AS u
+      FROM w JOIN norm n ON n.doc_id = w.doc_id WHERE n.nrm > 0
+    ),
+    half AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(sum(a.u * b.u), 4) AS cosine,
+             count(*) AS shared_terms
+      FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE a.df >= 2 AND a.df <= a.cap AND b.df >= 2 AND b.df <= b.cap
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT * FROM half WHERE cosine >= 0.25
+      UNION ALL
+      SELECT doc_b, doc_a, cosine, shared_terms FROM half
+      WHERE cosine >= 0.25
+    )
+    SELECT doc_a AS doc_id, doc_b AS nearest_doc, cosine,
+           CAST(shared_terms AS BIGINT) AS shared_terms
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_a
+                                   ORDER BY cosine DESC, doc_b) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+    doc="sparse TF-IDF cosine similarity join via an inverted index: "
+        "per-doc L2-normalized tf-idf weights (smooth idf "
+        "ln((N+1)/(df+1)), rounded to 6 before use so ulp-level ln() "
+        "drift cannot propagate), posting lists self-joined on the TERM "
+        "(never doc x doc), partial sums of u_a*u_b reduce map-side into "
+        "the pair aggregate, and each doc keeps its single NEAREST "
+        "neighbor (rounded cosine >= 0.25, doc-keyed top-1 window over "
+        "the mirrored half-matrix) so output is one row per doc, not "
+        "O(pairs). The lexical complement to dedup_embedding_cosine "
+        "(dense GEMM) and dedup_ngram_jaccard (set overlap): same "
+        "bucket-join scale shape — cost is sum over terms of "
+        "df^2, so the hot spots are stop-terms, and the join carries "
+        "BOTH prunes: df=1 terms (cannot form a pair — exactness-"
+        "preserving) and the stop-term cap df <= 0.1*N (the "
+        "approximation dial that makes the shape scale: on the fixture "
+        "corpus it is output-invariant — planted near-dups share RARE "
+        "terms — while cutting candidate postings 4.5M -> 625 at "
+        "sf0.01 and 448M -> 62k at sf0.1; without it the join is "
+        "quadratic in corpus size, measured as a >15-min bench "
+        "timeout at sf0.1). Norms still cover ALL terms, so reported "
+        "cosines are true-cosine lower bounds restricted to "
+        "discriminative terms, not renormalized ones. At 100 TB add "
+        "the xxhash64 term-key trick from the jaccard join (8-byte "
+        "shuffle keys). Norms divide once per posting, so the join "
+        "ships already-normalized weights.",
+)
+def _q_text_tfidf_cosine_pairs(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(texts.tokenize_words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = d.select(F.count("*").alias("n_docs"))
+    w = (tf.join(dfreq, "term")
+         .crossJoin(F.broadcast(ndocs))
+         .select("doc_id", "term", "df",
+                 (F.col("n_docs") * 0.1).alias("cap"),
+                 F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                             / (F.col("df") + 1.0)), 6)
+                 .alias("w")))
+    norm = (w.groupBy("doc_id")
+            .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    wn = (w.join(norm, "doc_id").filter(F.col("nrm") > 0)
+          .select("doc_id", "term", "df", "cap",
+                  (F.col("w") / F.col("nrm")).alias("u")))
+    joinable = (F.col("df") >= 2) & (F.col("df") <= F.col("cap"))
+    a = wn.filter(joinable).select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua"))
+    b = wn.filter(joinable).select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("u").alias("ub"))
+    half = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("cosine"),
+             F.count("*").alias("shared_terms"))
+        .filter(F.col("cosine") >= 0.25)
+    )
+    pairs = half.unionByName(
+        half.select(F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    "cosine", "shared_terms"))
+    nb = Window.partitionBy("doc_a").orderBy(F.col("cosine").desc(), "doc_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(nb))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_a").alias("doc_id"),
+                F.col("doc_b").alias("nearest_doc"),
+                "cosine", "shared_terms")
     )

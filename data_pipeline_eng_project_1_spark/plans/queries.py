@@ -2755,6 +2755,274 @@ def _q_parts_abc_pareto(spark, sf_dir):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations / statistical testing / interval algebra
+# ---------------------------------------------------------------------------
+
+#: (rule name, DuckDB predicate) for the one-pass expectations audit; the
+#: Spark side mirrors each predicate with column algebra. Mixed on
+#: purpose: some rules PASS on the fixture (zero-violation rows prove the
+#: report includes clean rules) and some FIRE (real violation counts).
+_EXPECT_RULES_SQL = [
+    ("qty_positive", "l_quantity >= 1"),
+    ("qty_le_40", "l_quantity <= 40"),
+    ("discount_le_5pct", "l_discount <= 0.05"),
+    ("tax_range", "l_tax BETWEEN 0 AND 0.08"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_lt_2001", "l_shipdate < TIMESTAMP '2001-01-01'"),
+    ("price_floor_1000", "l_extendedprice >= 1000"),
+]
+
+
+@_register(
+    "lineitem_expectations_audit",
+    "SELECT rule, n_rows, n_violations, violation_pct, first_bad_key "
+    "FROM (\n"
+    + "\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS rule, count(*) AS n_rows,
+           CAST(sum(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_violations,
+           round(sum(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1.0
+                          ELSE 0 END) / count(*), 4) AS violation_pct,
+           min(CASE WHEN NOT coalesce({pred}, FALSE)
+                    THEN l_orderkey * 10 + l_linenumber END)
+             AS first_bad_key
+    FROM lineitem"""
+        for name, pred in _EXPECT_RULES_SQL)
+    + "\n)",
+    doc="one-pass row-level expectations engine (the Deequ/"
+        "Great-Expectations gate): K business rules evaluated as "
+        "scan-side boolean columns on a SINGLE pass over the fact table "
+        "— rules-as-data via explode(array(struct(rule, violated, "
+        "key))) then a K-group aggregate — reporting rows checked, "
+        "violations, violation rate, and the smallest violating "
+        "composite key per rule. Null predicate results count as "
+        "violations (the expectations convention). Complements "
+        "referential_integrity_audit (cross-table FK/PK checks, one "
+        "job per constraint): here all K rules share ONE scan, so at "
+        "100 TB the audit costs the same as any single aggregate, and "
+        "the explode fans out K tiny structs per row that collapse "
+        "map-side into K running counters. The oracle replays each "
+        "rule as its own aggregate and unions the K scalar rows.",
+)
+def _q_lineitem_expectations_audit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    preds = [
+        ("qty_positive", F.col("l_quantity") >= 1),
+        ("qty_le_40", F.col("l_quantity") <= 40),
+        ("discount_le_5pct", F.col("l_discount") <= 0.05),
+        ("tax_range", (F.col("l_tax") >= 0) & (F.col("l_tax") <= 0.08)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ("shipdate_lt_2001",
+         F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")),
+        ("price_floor_1000", F.col("l_extendedprice") >= 1000),
+    ]
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    rules = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("rule"),
+                 (~F.coalesce(pred, F.lit(False))).alias("viol"),
+                 key.alias("k"))
+        for name, pred in preds])).alias("r")
+    return (
+        li.select(rules)
+        .select("r.rule", "r.viol", "r.k")
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("viol").cast("long")).alias("n_violations"),
+             F.round(F.sum(F.when(F.col("viol"), 1.0).otherwise(0.0))
+                     / F.count("*"), 4).alias("violation_pct"),
+             F.min(F.when(F.col("viol"), F.col("k")))
+             .alias("first_bad_key"))
+    )
+
+
+@_register(
+    "events_chisq_independence",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 % 7
+                  AS INTEGER) AS dow,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.dow, coalesce(o.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.dow = d.dow
+    ),
+    m AS (
+      SELECT event_type, dow, n,
+             sum(n) OVER (PARTITION BY event_type) AS r,
+             sum(n) OVER (PARTITION BY dow) AS c,
+             sum(n) OVER () AS total
+      FROM grid
+    )
+    SELECT round(sum((n - r * c * 1.0 / total) * (n - r * c * 1.0 / total)
+                     / (r * c * 1.0 / total)), 4) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS INTEGER) AS dof,
+           CAST(max(total) AS BIGINT) AS n
+    FROM m
+    """,
+    doc="chi-square test of independence between event_type and "
+        "day-of-week (epoch-day % 7 — integer-exact on both engines, "
+        "dodging the Sunday=0-vs-1 dayofweek() mismatch): the "
+        "categorical-drift monitor behind 'did the event mix shift by "
+        "weekday'. ONE partial+final aggregate reduces 100 TB of events "
+        "to a |types| x 7 contingency table; margins, expected counts, "
+        "and the statistic are window algebra over that tiny frame "
+        "(zero-observed cells restored via the distinct-types x "
+        "distinct-dows grid, since (0-e)^2/e = e still contributes). "
+        "Output: chi2, degrees of freedom, N.",
+)
+def _q_events_chisq_independence(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    obs = (ev.select("event_type",
+                     (F.floor(F.col("ts_ms") / 86400000) % 7)
+                     .cast("int").alias("dow"))
+           .groupBy("event_type", "dow").agg(F.count("*").alias("n")))
+    grid = (obs.select("event_type").distinct()
+            .crossJoin(obs.select("dow").distinct())
+            .join(obs, ["event_type", "dow"], "left")
+            .select("event_type", "dow",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    r = F.sum("n").over(Window.partitionBy("event_type"))
+    c = F.sum("n").over(Window.partitionBy("dow"))
+    total = F.sum("n").over(Window.partitionBy())
+    m = grid.select("event_type", "dow", "n", r.alias("r"), c.alias("c"),
+                    total.alias("total"))
+    e = F.col("r") * F.col("c") / F.col("total")
+    return m.agg(
+        F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 4)
+        .alias("chi2"),
+        ((F.count_distinct(F.col("event_type")) - 1)
+         * (F.count_distinct(F.col("dow")) - 1)).cast("int").alias("dof"),
+        F.max("total").cast("long").alias("n"))
+
+
+@_register(
+    "events_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_ms(CAST(ts AS TIMESTAMP)) + 300000 AS e
+      FROM events
+    ),
+    sweep AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+                AS BIGINT) AS covered_ms,
+           CAST(max(e) - min(s) AS BIGINT) AS span_ms,
+           round(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+                 * 1.0 / (max(e) - min(s)), 4) AS coverage_ratio
+    FROM sweep GROUP BY user_id
+    """,
+    doc="interval-union length per user (sweep-line in SQL): each event "
+        "opens a 5-minute activity interval; overlapping intervals must "
+        "count once, so per user the window carries the running max "
+        "end-time over all EARLIER intervals (rows unbounded preceding "
+        "to 1 preceding) and each row contributes only its uncovered "
+        "suffix max(0, e - max(s, prev_max)) — the classic O(n log n) "
+        "union-of-intervals, as ONE user-keyed window plus ONE "
+        "aggregate on the same exchange (sort within partitions, no "
+        "second shuffle). All math is epoch-millis integers: "
+        "bit-exact across engines. The active-time / uptime primitive "
+        "sessionization cannot express when intervals have fixed "
+        "extents that overlap arbitrarily.",
+)
+def _q_events_interval_coverage(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select("user_id", "event_id", F.col("ts_ms").alias("s"),
+                   (F.col("ts_ms") + 300000).alias("e"))
+    w = (Window.partitionBy("user_id").orderBy("s", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sweep = iv.select("user_id", "s", "e", F.max("e").over(w).alias("pmax"))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(F.col("s"),
+                                F.coalesce(F.col("pmax"), F.col("s"))))
+    return (
+        sweep.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(contrib).cast("long").alias("covered_ms"),
+             (F.max("e") - F.min("s")).cast("long").alias("span_ms"),
+             F.round(F.sum(contrib) * 1.0 / (F.max("e") - F.min("s")), 4)
+             .alias("coverage_ratio"))
+    )
+
+
+@_register(
+    "orders_subsample_variance",
+    """
+    WITH reps AS (
+      SELECT b.b, o_totalprice
+      FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+      WHERE CAST('0x' || substr(md5('hs' || b.b || ':' ||
+                 CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+    ),
+    means AS (
+      SELECT b, avg(o_totalprice) AS mu, count(*) AS n FROM reps GROUP BY b
+    ),
+    full_ AS (SELECT avg(o_totalprice) AS mu_full, count(*) AS n_full
+              FROM orders)
+    SELECT CAST(count(*) AS INTEGER) AS n_replicates,
+           round(avg(mu), 4) AS mean_of_means,
+           round(stddev_samp(mu) / sqrt(2), 6) AS se_half_sample,
+           round(max(mu_full), 4) AS full_mean,
+           CAST(max(n_full) AS BIGINT) AS n_rows
+    FROM means CROSS JOIN full_
+    """,
+    doc="half-sample replication error bars: 32 deterministic "
+        "md5-parity half-samples of orders, each yielding a replicate "
+        "mean of o_totalprice; the spread of the replicate means "
+        "(scaled by 1/sqrt(2), since half-samples double the variance "
+        "of a mean) IS a standard error for the full-data mean — the "
+        "distributed bootstrap-lite that needs no random state and no "
+        "resampling-with-replacement. Plan: one scan explodes each row "
+        "into its <=32 replicate memberships (expected 16, md5-parity "
+        "keep rule — the stratified_sample determinism contract), "
+        "partial+final agg to 32 replicate rows, then a scalar "
+        "aggregate; at 100 TB the fan-out collapses map-side into 32 "
+        "running (sum, count) pairs per task, so the whole audit is "
+        "one pass with KB-scale state. avg() of doubles is "
+        "order-sensitive only at the last ulp; both outputs round "
+        "(4 for means, 6 for the se).",
+)
+def _q_orders_subsample_variance(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.functions import hashing
+
+    o = _t(spark, sf_dir, "orders")
+    reps = (o.select("o_orderkey", "o_totalprice",
+                     F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+            .filter(hashing.hex_int(
+                F.concat(F.lit("hs"), F.col("b").cast("string"), F.lit(":"),
+                         F.col("o_orderkey").cast("string"))) % 2 == 0))
+    means = reps.groupBy("b").agg(F.avg("o_totalprice").alias("mu"),
+                                  F.count("*").alias("n"))
+    full = o.agg(F.avg("o_totalprice").alias("mu_full"),
+                 F.count("*").alias("n_full"))
+    return (
+        means.crossJoin(F.broadcast(full))
+        .agg(F.count("*").cast("int").alias("n_replicates"),
+             F.round(F.avg("mu"), 4).alias("mean_of_means"),
+             F.round(F.stddev_samp("mu") / F.sqrt(F.lit(2.0)), 6)
+             .alias("se_half_sample"),
+             F.round(F.max("mu_full"), 4).alias("full_mean"),
+             F.max("n_full").cast("long").alias("n_rows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------
