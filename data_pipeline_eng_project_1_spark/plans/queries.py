@@ -2965,11 +2965,16 @@ def _q_events_interval_coverage(spark, sf_dir):
 @_register(
     "orders_subsample_variance",
     """
-    WITH reps AS (
+    WITH h AS (
+      SELECT o_totalprice,
+             CAST('0x' || substr(md5('hs:' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) AS hv
+      FROM orders
+    ),
+    reps AS (
       SELECT b.b, o_totalprice
-      FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
-      WHERE CAST('0x' || substr(md5('hs' || b.b || ':' ||
-                 CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+      WHERE (hv >> b.b) & 1 = 0
     ),
     means AS (
       SELECT b, avg(o_totalprice) AS mu, count(*) AS n FROM reps GROUP BY b
@@ -2984,30 +2989,37 @@ def _q_events_interval_coverage(spark, sf_dir):
     FROM means CROSS JOIN full_
     """,
     doc="half-sample replication error bars: 32 deterministic "
-        "md5-parity half-samples of orders, each yielding a replicate "
+        "md5-bit half-samples of orders, each yielding a replicate "
         "mean of o_totalprice; the spread of the replicate means "
         "(scaled by 1/sqrt(2), since half-samples double the variance "
         "of a mean) IS a standard error for the full-data mean — the "
         "distributed bootstrap-lite that needs no random state and no "
-        "resampling-with-replacement. Plan: one scan explodes each row "
-        "into its <=32 replicate memberships (expected 16, md5-parity "
-        "keep rule — the stratified_sample determinism contract), "
-        "partial+final agg to 32 replicate rows, then a scalar "
-        "aggregate; at 100 TB the fan-out collapses map-side into 32 "
-        "running (sum, count) pairs per task, so the whole audit is "
-        "one pass with KB-scale state. avg() of doubles is "
-        "order-sensitive only at the last ulp; both outputs round "
-        "(4 for means, 6 for the se).",
+        "resampling-with-replacement. Plan: ONE md5 per row (32 bits "
+        "= 32 independent fair coins; replicate b keeps rows whose "
+        "bit b is 0), and the 32x explode runs AFTER a gated spread "
+        "to full parallelism — profiling showed the 4.5 s r7 debut "
+        "cost was the one-row-group orders file pinning the whole "
+        "fan-out to a single task, not the hashing (single-task 4.9 s "
+        "vs 32-task 1.0 s cold / 0.1 s warm at sf0.1; the per-row md5 "
+        "cut is still the right shape at 100 TB where the scan is "
+        "already wide and the spread no-ops). Partial+final agg to "
+        "32 replicate rows and a scalar aggregate; at 100 TB the "
+        "fan-out collapses map-side into 32 running (sum, count) "
+        "pairs per task, so the whole audit is one pass with KB-scale "
+        "state. avg() of doubles is order-sensitive only at the last "
+        "ulp; both outputs round (4 for means, 6 for the se).",
 )
 def _q_orders_subsample_variance(spark, sf_dir):
     from data_pipeline_eng_project_1_spark.functions import hashing
+    from data_pipeline_eng_project_1_spark.plans.llm_ops import _spread
 
     o = _t(spark, sf_dir, "orders")
-    reps = (o.select("o_orderkey", "o_totalprice",
-                     F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-            .filter(hashing.hex_int(
-                F.concat(F.lit("hs"), F.col("b").cast("string"), F.lit(":"),
-                         F.col("o_orderkey").cast("string"))) % 2 == 0))
+    hv = hashing.hex_int(
+        F.concat(F.lit("hs:"), F.col("o_orderkey").cast("string")), 8)
+    reps = (_spread(o)
+            .select("o_totalprice", hv.alias("hv"),
+                    F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+            .filter(F.expr("(hv >> b) & 1") == 0))
     means = reps.groupBy("b").agg(F.avg("o_totalprice").alias("mu"),
                                   F.count("*").alias("n"))
     full = o.agg(F.avg("o_totalprice").alias("mu_full"),
