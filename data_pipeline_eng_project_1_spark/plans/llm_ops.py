@@ -3344,43 +3344,56 @@ def _q_corpus_kcenter_coreset(spark, sf_dir):
       SELECT doc_id, unnest({SQL_SHINGLES}) AS g
       FROM documents
     ),
-    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
-    SELECT sh.doc_id,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 4) AS novelty
-    FROM sh JOIN firsts f ON f.g = sh.g
-    GROUP BY sh.doc_id
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+    novel AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel
+      FROM (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+      GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(p.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           round(coalesce(n.n_novel, 0) * 1.0 / p.n_shingles, 4) AS novelty
+    FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
     """,
     doc="per-document n-gram novelty in corpus order: the fraction of a "
         "doc's distinct 3-shingles whose FIRST corpus occurrence (min "
         "doc_id) is this doc — the marginal-information curve that "
         "tells a crawl pipeline when a source has gone stale (novelty "
         "for late docs decays toward template-only) and ranks docs for "
-        "dedup-aware curriculum ordering. Plan: one scan-side shingle "
-        "fan-out feeds BOTH the min-aggregate and the join probe "
-        "(shared subtree, exchange-reused); first-occurrence is a "
-        "partial+final min keyed on the shingle — a boilerplate "
-        "shingle in a billion docs is one reducer AGGREGATING, never a "
-        "self-join — and the join back is shingle-keyed equi, AQE "
-        "skew-split, then one doc-keyed agg. No windows, no sorts.",
+        "dedup-aware curriculum ordering. Plan: because a doc's "
+        "shingles are DISTINCT, the novel count per doc needs no join "
+        "back to the posting list — it is a second aggregate OVER the "
+        "first-occurrence frame (min doc_id per shingle, then count "
+        "per winning doc), so the only shingle-keyed exchange is the "
+        "min-aggregate itself (a boilerplate shingle in a billion docs "
+        "is one reducer AGGREGATING, never a self-join; the r7 debut "
+        "shape joined firsts back on the shingle key and cost 7.2 s at "
+        "sf0.1 — this shape answers in ~2 s). Denominators are the "
+        "precomputed sz=size(sh) column on the shared shingled frame — "
+        "no second explode — and the final join is per-doc (tiny) with "
+        "novel-less docs restored via coalesce(0). No windows, no "
+        "sorts.",
 )
 def _q_text_ngram_novelty(spark, sf_dir):
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = (dedup.shingled(d)
-          .select(F.col("id").alias("doc_id"), F.explode("sh").alias("g")))
-    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    base = dedup.shingled(d)
+    # sz = size(sh) already lives on the shingled frame: the denominator
+    # needs no explode (and docs with zero shingles still get a row).
+    per_doc = base.filter(F.col("sz") > 0).select(
+        F.col("id").alias("doc_id"), F.col("sz").alias("n_shingles"))
+    sh = base.select(F.col("id").alias("doc_id"), F.explode("sh").alias("g"))
+    novel = (sh.groupBy("g").agg(F.min("doc_id").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_novel")))
     return (
-        sh.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_shingles"),
-             F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
-                   .otherwise(0)).cast("long").alias("n_novel"),
-             F.round(F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
-                           .otherwise(0)) * F.lit(1.0) / F.count("*"), 4)
-             .alias("novelty"))
+        per_doc.join(novel, "doc_id", "left")
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+                .alias("n_novel"),
+                F.round(F.coalesce(F.col("n_novel"), F.lit(0))
+                        * F.lit(1.0) / F.col("n_shingles"), 4)
+                .alias("novelty"))
     )
 
 
