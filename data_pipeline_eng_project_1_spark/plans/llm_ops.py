@@ -4168,3 +4168,211 @@ def _q_text_tfidf_cosine_pairs(spark, sf_dir):
                 F.col("doc_b").alias("nearest_doc"),
                 "cosine", "shared_terms")
     )
+
+
+@_register(
+    "corpus_weighted_reservoir",
+    """
+    WITH w AS (
+      SELECT doc_id, greatest(n_chars, 1) AS wt,
+             (CAST('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15) AS BIGINT) + 1.0)
+               / 1152921504606846977.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+             round(-ln(u) / wt, 6) AS es_key
+      FROM w
+    )
+    SELECT CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, wt, es_key
+    FROM keyed ORDER BY es_key, doc_id LIMIT 25
+    """,
+    doc="weighted reservoir sampling without replacement (Efraimidis-"
+        "Spirakis A-Res): each doc draws a deterministic uniform "
+        "u=md5(doc_id)-based in (0,1], scores key=-ln(u)/weight "
+        "(weight = n_chars, any importance score works), and the "
+        "k=25 SMALLEST keys ARE a weighted sample without replacement "
+        "— the one-pass, mergeable primitive behind 'give me k docs "
+        "biased toward length/quality' that Bernoulli importance "
+        "sampling (corpus_importance_sample) cannot do, because it "
+        "fixes k exactly and never draws a doc twice. Plan: scan-side "
+        "key algebra + TakeOrdered(k) — per-partition top-k heaps "
+        "merge on the driver, no global sort, no shuffle of the "
+        "corpus; at 100 TB every task ships exactly k candidate rows. "
+        "Keys are ROUNDED to 6 before ranking (doc_id tiebreak) so "
+        "ulp-level ln() drift between engines cannot flip the cutoff; "
+        "u comes from 15 md5 hex digits + 1 over 2^60 + 1 — integer-"
+        "exact, never zero.",
+)
+def _q_corpus_weighted_reservoir(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.functions import hashing
+
+    d = _t(spark, sf_dir, "documents")
+    wt = F.greatest(F.col("n_chars"), F.lit(1))
+    u = ((hashing.hex_int(
+        F.concat(F.lit("wres:"), F.col("doc_id").cast("string"))) + 1.0)
+        / F.lit(1152921504606846977.0))
+    keyed = d.select("doc_id", wt.cast("long").alias("wt"),
+                     F.round(-F.log(u) / wt, 6).alias("es_key"))
+    top = keyed.orderBy("es_key", "doc_id").limit(25)
+    rk = Window.orderBy("es_key", "doc_id")
+    return top.select(
+        F.row_number().over(rk).cast("int").alias("rank"),
+        "doc_id", "wt", "es_key")
+
+
+@_register(
+    "text_kl_drift",
+    f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS side, unnest({SQL_WTOKS}) AS term
+      FROM documents
+    ),
+    cnt AS (
+      SELECT term,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cq
+      FROM toks GROUP BY term
+    ),
+    tot AS (SELECT sum(cp) AS np, sum(cq) AS nq, count(*) AS v FROM cnt),
+    probs AS (
+      SELECT (cp + 1.0) / (np + v) AS p, (cq + 1.0) / (nq + v) AS q
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT round(sum(p * ln(p / q)), 6) AS kl_pq,
+           round(sum(q * ln(q / p)), 6) AS kl_qp,
+           round(sum(0.5 * p * ln(p / (0.5 * p + 0.5 * q))
+                     + 0.5 * q * ln(q / (0.5 * p + 0.5 * q))), 6) AS js,
+           CAST(max(v) AS BIGINT) AS vocab,
+           CAST(max(np) AS BIGINT) AS n_tokens_p,
+           CAST(max(nq) AS BIGINT) AS n_tokens_q
+    FROM probs CROSS JOIN tot
+    """,
+    doc="corpus drift monitor: KL divergence (both directions) and the "
+        "symmetric bounded Jensen-Shannon divergence between the "
+        "add-one-smoothed unigram distributions of two corpus slices "
+        "(doc_id parity here; source/snapshot/crawl-date in "
+        "production) — the language-level complement to "
+        "events_chisq_independence (categorical counts) and "
+        "corpus_snapshot_diff (row identity): it answers 'did the "
+        "WORDS change', the canary for crawl rot, template takeover, "
+        "or a filter regression upstream of training. Plan: one "
+        "explode -> term-keyed partial+final agg with both sides as "
+        "conditional sums (one pass, one shuffle, vocab-sized result), "
+        "a 3-scalar broadcast, then a scalar aggregate over the vocab "
+        "frame; 100 TB of text reduces map-side to one (term, cp, cq) "
+        "row per distinct term per task. Each engine sums ~vocab "
+        "ln() terms in float64 (absolute drift ~1e-12) and rounds to "
+        "6: the smoothed ratios are bounded away from 0/inf by "
+        "construction.",
+)
+def _q_text_kl_drift(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(texts.tokenize_words(F.col("text"))).alias("term"))
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cq"))
+    tot = cnt.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq"),
+                  F.count("*").alias("v"))
+    p = (F.col("cp") + 1.0) / (F.col("np") + F.col("v"))
+    q = (F.col("cq") + 1.0) / (F.col("nq") + F.col("v"))
+    m = 0.5 * p + 0.5 * q
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_pq"),
+             F.round(F.sum(q * F.log(q / p)), 6).alias("kl_qp"),
+             F.round(F.sum(0.5 * p * F.log(p / m)
+                           + 0.5 * q * F.log(q / m)), 6).alias("js"),
+             F.max("v").cast("long").alias("vocab"),
+             F.max("np").cast("long").alias("n_tokens_p"),
+             F.max("nq").cast("long").alias("n_tokens_q"))
+    )
+
+
+@_register(
+    "corpus_doremi_reweight",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({SQL_WTOKS}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT sum(c) AS total FROM vocab),
+    dom AS (
+      SELECT source, count(*) AS n_tokens,
+             -sum(ln(c * 1.0 / total)) / count(*) AS nll
+      FROM toks JOIN vocab USING (term) CROSS JOIN tot
+      GROUP BY source
+    ),
+    docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    base AS (
+      SELECT d.source, docs.n_docs, d.n_tokens, d.nll,
+             d.n_tokens * 1.0 / sum(d.n_tokens) OVER () AS share,
+             sum(d.n_tokens * d.nll) OVER ()
+               / sum(d.n_tokens) OVER () AS nll_bar
+      FROM dom d JOIN docs USING (source)
+    ),
+    upd AS (
+      SELECT source, n_docs, n_tokens, nll, share,
+             share * exp(nll - nll_bar) AS raw
+      FROM base
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(share, 6) AS old_share,
+           round(nll, 6) AS avg_nll,
+           round(raw / sum(raw) OVER (), 6) AS new_weight
+    FROM upd
+    """,
+    doc="one DoReMi-style exponentiated-gradient step of domain "
+        "reweighting: each source's proxy loss is its average per-token "
+        "negative log-likelihood under the CORPUS unigram LM (domains "
+        "whose text the aggregate model fits worst get upweighted — "
+        "the excess-loss signal DoReMi computes with a reference "
+        "model), and the new mixture weight is share * exp(nll - "
+        "weighted_mean_nll), renormalized. Feeding corpus_mixture_"
+        "sample / corpus_temperature_mixture with LEARNED weights "
+        "instead of heuristic temperature closes the curation loop. "
+        "Plan: one token explode, a term-keyed agg for the LM, a "
+        "term-keyed join back (vocab-sized build side — broadcastable "
+        "in production), a source-keyed agg to ~|domains| rows, and "
+        "window algebra over that tiny frame; the token stream is "
+        "touched once. ln/exp live on ~|domains| aggregates of "
+        "float64 sums -> round(6) absorbs engine ulp drift.",
+)
+def _q_corpus_doremi_reweight(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(texts.tokenize_words(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"))
+    dom = (toks.join(vocab, "term")
+           .crossJoin(F.broadcast(tot))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_tokens"),
+                (-F.sum(F.log(F.col("c") * 1.0 / F.col("total")))
+                 / F.count("*")).alias("nll")))
+    docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    base = (dom.join(docs, "source")
+            .withColumn("share",
+                        F.col("n_tokens") * 1.0
+                        / F.sum("n_tokens").over(wall))
+            .withColumn("nll_bar",
+                        F.sum(F.col("n_tokens") * F.col("nll")).over(wall)
+                        / F.sum("n_tokens").over(wall)))
+    upd = base.withColumn(
+        "raw", F.col("share") * F.exp(F.col("nll") - F.col("nll_bar")))
+    return upd.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("share", 6).alias("old_share"),
+        F.round("nll", 6).alias("avg_nll"),
+        F.round(F.col("raw") / F.sum("raw").over(wall), 6)
+        .alias("new_weight"))

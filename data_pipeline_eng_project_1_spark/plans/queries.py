@@ -3035,6 +3035,104 @@ def _q_orders_subsample_variance(spark, sf_dir):
     )
 
 
+@_register(
+    "orders_mad_outliers",
+    """
+    WITH med AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders
+    ),
+    mad AS (
+      SELECT quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+      FROM orders CROSS JOIN med
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           round(0.6745 * (o_totalprice - med) / mad, 4) AS robust_z
+    FROM orders CROSS JOIN med CROSS JOIN mad
+    ORDER BY abs(round(0.6745 * (o_totalprice - med) / mad, 4)) DESC,
+             o_orderkey
+    LIMIT 20
+    """,
+    doc="robust outlier detection by median/MAD (the Iglewicz-Hoaglin "
+        "modified z-score, |z*|=0.6745(x-med)/MAD): unlike "
+        "events_anomaly_zscore's mean/stddev, the medians do not move "
+        "when the outliers themselves get more extreme — the monitor "
+        "you want when bad rows are the thing you're hunting. Output: "
+        "the 20 most extreme orders by |modified z| (rounded before "
+        "rank, key tiebreak). Plan: two exact-median aggregates "
+        "(percentile / quantile_cont interpolate with the same "
+        "lower+(upper-lower)*frac arithmetic in both engines), each "
+        "broadcast as a 1-row scalar, then a scan-side score and "
+        "TakeOrdered(20) — per-partition heaps, no global sort. Exact "
+        "percentile holds all values per group; at 100 TB swap "
+        "approx_percentile(1e-4 accuracy) in — the z-scores move in "
+        "the 4th decimal, the top-20 set does not (the dial is "
+        "documented, the fixture grades the exact form).",
+)
+def _q_orders_mad_outliers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    med = o.agg(F.percentile(F.col("o_totalprice"), F.lit(0.5))
+                .alias("med"))
+    mad = (o.crossJoin(F.broadcast(med))
+           .agg(F.percentile(F.abs(F.col("o_totalprice") - F.col("med")),
+                             F.lit(0.5)).alias("mad")))
+    rz = F.round(F.lit(0.6745) * (F.col("o_totalprice") - F.col("med"))
+                 / F.col("mad"), 4)
+    return (
+        o.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+        .select("o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                rz.alias("robust_z"))
+        .orderBy(F.abs(F.col("robust_z")).desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "parts_skyline_frontier",
+    """
+    SELECT a.p_partkey, a.p_size, round(a.p_retailprice, 2) AS p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    """,
+    doc="2-D Pareto skyline (maximize p_size, minimize p_retailprice): "
+        "the parts no other part beats on both axes — the multi-"
+        "objective 'best tradeoffs' operator behind price-performance "
+        "frontiers, and a shape Spark has no built-in for. The naive "
+        "form is a quadratic dominance anti-join (the oracle spells "
+        "exactly that, NOT EXISTS); the Spark plan exploits that a "
+        "2-D skyline is DISTRIBUTIVE over the sort dimension: one "
+        "per-size aggregate (min price per distinct size — partial+"
+        "final, corpus never pairs with itself), a suffix-min window "
+        "over that aggregate frame ordered by size descending (rows "
+        "= distinct sizes, KB-scale — the only sequential step runs "
+        "on the aggregate, never the data), broadcast back, and a "
+        "scan-side keep rule: on the frontier iff price == own-size "
+        "min AND price < min over all strictly larger sizes. At "
+        "100 TB this is one agg + one broadcast join per pass; a "
+        "continuous sort dimension buckets to the same shape.",
+)
+def _q_parts_skyline_frontier(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    per_size = (p.groupBy("p_size")
+                .agg(F.min("p_retailprice").alias("minp")))
+    suff = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    frontier = per_size.select(
+        "p_size", "minp", F.min("minp").over(suff).alias("larger_min"))
+    return (
+        p.join(F.broadcast(frontier), "p_size")
+        .filter((F.col("p_retailprice") == F.col("minp"))
+                & (F.col("larger_min").isNull()
+                   | (F.col("p_retailprice") < F.col("larger_min"))))
+        .select("p_partkey", "p_size",
+                F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

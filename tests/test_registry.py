@@ -83,6 +83,11 @@ def test_stale_refresh_fits_budget_now():
              if not _needs_evidence(s.name)
              and _green_round(s.name) <= latest - 2]
     spilled = sum(1 for i in stale if i >= BUDGET)
-    assert spilled <= 10, (
+    # Spilled stale rows lead the NEXT walk (stalest-first tail), which
+    # must also absorb that round's new operators: reserve half the
+    # budget for those, so re-convergence within one extra round needs
+    # spilled <= BUDGET/2.
+    assert spilled <= BUDGET // 2, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
-        "budget — more than one extra round to re-converge")
+        f"budget — more than {BUDGET // 2} cannot re-converge on the "
+        "next walk alongside a typical new-operator load")
