@@ -513,3 +513,35 @@ def banded_running_total(df: DataFrame, value: str, tiebreak: str,
         .withColumn(out_col, F.col("__off") + F.sum(value).over(w_in))
         .drop("__band", "__off")
     )
+
+
+def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
+    """2-D Pareto skyline: rows not dominated on (maximize `max_col`,
+    minimize `min_col`) — dominance = other row >= on the max axis, <= on
+    the min axis, strict on at least one.
+
+    The naive form is a quadratic dominance anti-join. A 2-D skyline is
+    distributive over the sort dimension, so the plan is: one per-key
+    aggregate (min of `min_col` per distinct `max_col` value — partial+
+    final, the data never pairs with itself), a suffix-min window over
+    that AGGREGATE frame ordered by `max_col` descending (rows = distinct
+    keys, KB-scale — the only sequential step never touches the fact
+    rows), then a broadcast join back with the keep rule: on the frontier
+    iff the row hits its own key's min AND beats the min over all
+    strictly-greater keys. A continuous `max_col` buckets to the same
+    shape (bucket id = coarse range, frontier-exact after an in-bucket
+    re-check). Ties on both axes all survive (neither dominates —
+    matches the NOT EXISTS definition).
+    """
+    per_key = df.groupBy(max_col).agg(F.min(min_col).alias("__minv"))
+    suffix = Window.orderBy(F.col(max_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    frontier = per_key.select(
+        max_col, "__minv", F.min("__minv").over(suffix).alias("__larger"))
+    return (
+        df.join(F.broadcast(frontier), max_col)
+        .filter((F.col(min_col) == F.col("__minv"))
+                & (F.col("__larger").isNull()
+                   | (F.col(min_col) < F.col("__larger"))))
+        .drop("__minv", "__larger")
+    )

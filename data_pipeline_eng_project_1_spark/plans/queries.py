@@ -3117,17 +3117,8 @@ def _q_orders_mad_outliers(spark, sf_dir):
 )
 def _q_parts_skyline_frontier(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
-    per_size = (p.groupBy("p_size")
-                .agg(F.min("p_retailprice").alias("minp")))
-    suff = Window.orderBy(F.col("p_size").desc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    frontier = per_size.select(
-        "p_size", "minp", F.min("minp").over(suff).alias("larger_min"))
     return (
-        p.join(F.broadcast(frontier), "p_size")
-        .filter((F.col("p_retailprice") == F.col("minp"))
-                & (F.col("larger_min").isNull()
-                   | (F.col("p_retailprice") < F.col("larger_min"))))
+        relational.skyline_2d(p, "p_size", "p_retailprice")
         .select("p_partkey", "p_size",
                 F.round("p_retailprice", 2).alias("p_retailprice"))
     )

@@ -1,0 +1,178 @@
+"""Cross-checks for the statistics / sampling / frontier operators added
+in round 7: each Spark result is recomputed by an independent sequential
+Python reference on the same inputs (the pattern test_dedup.py uses for
+span stats) — the oracle harness proves Spark==DuckDB; these prove both
+match the math."""
+
+import hashlib
+import math
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_eng_project_1_spark.operators import relational
+from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    spec = next(s for s in Q.specs() if s.name == name)
+    return spec.builder(spark, sf)
+
+
+def _tokenize_words(text: str) -> list[str]:
+    """Python twin of functions/texts.py::tokenize_words."""
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _docs(cols: str):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT {cols} FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d
+# ---------------------------------------------------------------------------
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    # Duplicates on both axes, same-key ties, and an interior point.
+    rows = [(1, 10, 5.0), (2, 10, 5.0), (3, 10, 7.0), (4, 8, 4.0),
+            (5, 8, 6.0), (6, 12, 9.0), (7, 12, 9.0), (8, 6, 4.0),
+            (9, 6, 3.0), (10, 1, 1.0)]
+    df = spark.createDataFrame(rows, ["id", "sz", "price"])
+    got = {r.id for r in relational.skyline_2d(df, "sz", "price").collect()}
+
+    def dominated(a):
+        return any(
+            b[1] >= a[1] and b[2] <= a[2] and (b[1] > a[1] or b[2] < a[2])
+            for b in rows if b is not a)
+
+    want = {a[0] for a in rows if not dominated(a)}
+    assert got == want
+    # the both-axis duplicates (1, 2) survive or die together
+    assert (1 in got) == (2 in got)
+
+
+def test_skyline_single_key_keeps_all_min_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 2.0), (2, 5, 2.0), (3, 5, 9.0)], ["id", "sz", "price"])
+    got = {r.id for r in relational.skyline_2d(df, "sz", "price").collect()}
+    assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_reservoir
+# ---------------------------------------------------------------------------
+
+def test_weighted_reservoir_matches_sequential_es(spark):
+    """The graded query's 25 winners must equal a sequential Python
+    Efraimidis-Spirakis pass using the identical md5 key rule."""
+    keyed = []
+    for doc_id, n_chars in _docs("doc_id, n_chars"):
+        h = hashlib.md5(f"wres:{doc_id}".encode()).hexdigest()
+        u = (int(h[:15], 16) + 1.0) / 1152921504606846977.0
+        wt = max(n_chars, 1)
+        keyed.append((round(-math.log(u) / wt, 6), doc_id, wt))
+    keyed.sort()
+    want = [(i + 1, doc_id, wt, key)
+            for i, (key, doc_id, wt) in enumerate(keyed[:25])]
+    got = [(r["rank"], r["doc_id"], r["wt"], r["es_key"])
+           for r in _run(spark, "corpus_weighted_reservoir").collect()]
+    assert sorted(got) == want
+
+
+def test_weighted_reservoir_bias_toward_heavy_docs(spark):
+    """Selection probability rises with weight: the mean weight of the
+    25 winners must exceed the corpus mean (deterministic given the
+    fixture, and a real property — keys are -ln(u)/w)."""
+    rows = _run(spark, "corpus_weighted_reservoir").collect()
+    assert len(rows) == 25
+    sample_mean = sum(r["wt"] for r in rows) / len(rows)
+    pop = [max(c, 1) for (c,) in _docs("n_chars")]
+    assert sample_mean > sum(pop) / len(pop)
+
+
+# ---------------------------------------------------------------------------
+# text_kl_drift
+# ---------------------------------------------------------------------------
+
+def test_kl_drift_matches_python_reference(spark):
+    cp, cq = {}, {}
+    np_ = nq = 0
+    for doc_id, text in _docs("doc_id, text"):
+        side = cp if doc_id % 2 == 0 else cq
+        for t in _tokenize_words(text):
+            side[t] = side.get(t, 0) + 1
+    np_ = sum(cp.values())
+    nq = sum(cq.values())
+    vocab = set(cp) | set(cq)
+    v = len(vocab)
+    kl_pq = kl_qp = js = 0.0
+    for t in vocab:
+        p = (cp.get(t, 0) + 1.0) / (np_ + v)
+        q = (cq.get(t, 0) + 1.0) / (nq + v)
+        m = 0.5 * p + 0.5 * q
+        kl_pq += p * math.log(p / q)
+        kl_qp += q * math.log(q / p)
+        js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    row = _run(spark, "text_kl_drift").collect()[0]
+    assert row["vocab"] == v
+    assert row["n_tokens_p"] == np_ and row["n_tokens_q"] == nq
+    assert row["kl_pq"] == pytest.approx(kl_pq, abs=2e-6)
+    assert row["kl_qp"] == pytest.approx(kl_qp, abs=2e-6)
+    assert row["js"] == pytest.approx(js, abs=2e-6)
+    # JS is symmetric, bounded by ln2, and below both KLs' average
+    assert 0.0 <= row["js"] <= math.log(2.0)
+    assert row["js"] <= (row["kl_pq"] + row["kl_qp"]) / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# orders_mad_outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_outliers_matches_numpy_reference(spark):
+    import numpy as np
+
+    con = duckdb.connect()
+    prices = con.execute(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"read_parquet('{SF}/orders.parquet')").fetchall()
+    x = np.array([p for _, p in prices])
+    med = float(np.percentile(x, 50, method="linear"))
+    mad = float(np.percentile(np.abs(x - med), 50, method="linear"))
+    scored = sorted(
+        ((round(0.6745 * (p - med) / mad, 4), k, p) for k, p in prices),
+        key=lambda t: (-abs(t[0]), t[1]))
+    want = [(k, round(p, 2), rz) for rz, k, p in scored[:20]]
+    got = [(r["o_orderkey"], r["o_totalprice"], r["robust_z"])
+           for r in _run(spark, "orders_mad_outliers").collect()]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_doremi_reweight
+# ---------------------------------------------------------------------------
+
+def test_doremi_weights_normalize_and_follow_excess_loss(spark):
+    rows = _run(spark, "corpus_doremi_reweight").collect()
+    assert len(rows) >= 2
+    assert sum(r["new_weight"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum(r["old_share"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    # exponentiated gradient: the up/down ratio new/old is exp(nll -
+    # nll_bar)/Z, so it must increase with the domain's nll. The outputs
+    # round to 6 decimals, which can flip the ratio for domains whose
+    # nll differs by ~1e-6 — require the ordering only across gaps the
+    # rounding cannot produce (weights ~0.05, so ratio noise ~2e-5).
+    by_nll = sorted(rows, key=lambda r: r["avg_nll"])
+    for a, b in zip(by_nll, by_nll[1:]):
+        if b["avg_nll"] - a["avg_nll"] > 5e-5:
+            assert (b["new_weight"] / b["old_share"]
+                    > a["new_weight"] / a["old_share"])
+    # and the extremes are unambiguous: worst-fit domain up, best down
+    assert by_nll[-1]["new_weight"] > by_nll[-1]["old_share"]
+    assert by_nll[0]["new_weight"] < by_nll[0]["old_share"]
