@@ -3600,25 +3600,31 @@ def _bpe_oracle(rounds: int = 5) -> str:
         "FREQUENCY table — the classic trick that makes BPE corpus-size-"
         "independent (a 100 TB crawl has ~1e8 distinct words, so every "
         "round is one word-keyed scan of the compact (word, count) "
-        "frame, never of the raw corpus) — the winning pair (max count, "
-        "lexicographic tie-break) broadcasts back as a 1-row frame, and "
-        "the merge applies as a single left-to-right literal replace on "
-        "the space-joined symbol string (identical greedy semantics on "
-        "both engines). The whole 5-round loop is ONE lazy plan of "
-        "chained pair-aggregate shuffles + broadcast joins, the "
-        "supplier_pagerank shape; the oracle unrolls the same rounds as "
-        "chained CTEs with the identical argmax and replace spelling. "
-        "Output: (round, pair, merged, cnt) — the learned merge table, "
-        "which IS the tokenizer.",
+        "frame, never of the raw corpus) — and each round's winner "
+        "(max count, lexicographic tie-break) is ONE ROW, so the loop "
+        "collects it eagerly and applies the merge as a LITERAL "
+        "left-to-right replace on the space-joined symbol string "
+        "(identical greedy semantics on both engines). That keeps each "
+        "round a single small job over the persisted word frame and "
+        "makes the final result 5 literal rows — the r7-debut form "
+        "instead built one lazy plan whose 5-branch union re-derived "
+        "the whole replace chain per branch through 5 broadcast joins "
+        "(2.7 s -> ~1 s at sf0.1). The per-round driver round-trip is "
+        "a scalar, the same bounded-metadata budget as the k-means "
+        "trainer; the oracle unrolls the same rounds as chained CTEs "
+        "with the identical argmax and replace spelling. Output: "
+        "(round, pair, merged, cnt) — the learned merge table, which "
+        "IS the tokenizer.",
 )
 def _q_text_bpe_vocab(spark, sf_dir):
     d = _spread(_t(spark, sf_dir, "documents"))
     w = (d.select(F.explode(texts.tokens(F.col("text"))).alias("word"))
-         .groupBy("word").agg(F.count("*").alias("cnt")))
+         .groupBy("word").agg(F.count("*").alias("cnt"))
+         .persist())
     seq = F.concat_ws(" ", F.filter(F.split(F.col("word"), ""),
                                     lambda c: c != ""))
-    s = w.select("word", "cnt", seq.alias("seq"))
-    outs = []
+    s = w.select("cnt", seq.alias("seq"))
+    rows = []
     for r in range(1, 6):
         sy = F.split(F.col("seq"), " ")
         pairs = (
@@ -3633,21 +3639,19 @@ def _q_text_bpe_vocab(spark, sf_dir):
         win = (pairs.agg(F.min(F.struct((-F.col("c")).alias("nc"),
                                         F.col("pair").alias("p"))).alias("m"))
                .select(F.col("m.p").alias("pair"),
-                       (-F.col("m.nc")).alias("c")))
-        outs.append(win.select(
-            F.lit(r).cast("int").alias("round"), "pair",
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-            F.col("c").cast("long").alias("cnt")))
-        merged = F.replace(F.col("pair"), F.lit(" "), F.lit(""))
-        s = (s.crossJoin(F.broadcast(win))
-             .select("word", "cnt", F.trim(F.replace(
-                 F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                 F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                 F.concat(F.lit(" "), merged, F.lit(" ")))).alias("seq")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+                       (-F.col("m.nc")).alias("c"))
+               .collect())
+        if not win or win[0]["pair"] is None:
+            break
+        pair, cnt = win[0]["pair"], win[0]["c"]
+        merged = pair.replace(" ", "")
+        rows.append((r, pair, merged, int(cnt)))
+        s = s.select("cnt", F.trim(F.replace(
+            F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+            F.lit(f" {pair} "), F.lit(f" {merged} "))).alias("seq"))
+    w.unpersist()
+    return spark.createDataFrame(
+        rows, "round int, pair string, merged string, cnt long")
 
 
 # ---------------------------------------------------------------------------

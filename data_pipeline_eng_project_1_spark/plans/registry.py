@@ -48,136 +48,155 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "posexplode_tokens": 0.16,
-    "vector_norms": 0.16,
-    "string_funcs_part": 0.17,
-    "sort_limit_topk": 0.17,
     "unpivot_part_metrics": 0.17,
-    "multimodal_meta": 0.18,
-    "try_cast_dirty": 0.19,
-    "text_fingerprint": 0.20,
-    "grouping_sets_status_priority": 0.21,
-    "null_conditional_agg": 0.21,
-    "array_hof_stats": 0.21,
-    "rollup_status_priority": 0.22,
-    "stratified_sample": 0.23,
-    "doc_chunks": 0.24,
-    "filter_project_cast": 0.24,
-    "window_latest_per_key": 0.24,
-    "window_running_rank": 0.24,
-    "cube_nation_segment": 0.25,
-    "date_parts_orders": 0.25,
-    "window_range_moving_avg": 0.25,
-    "window_distribution": 0.25,
-    "events_rollup_multigrain": 0.25,
-    "topk_per_priority": 0.26,
-    "stringagg_nations": 0.26,
-    "pii_scrub": 0.28,
+    "sort_limit_topk": 0.18,
+    "vector_norms": 0.18,
+    "multimodal_meta": 0.19,
+    "posexplode_tokens": 0.20,
+    "array_hof_stats": 0.20,
+    "text_fingerprint": 0.21,
+    "string_funcs_part": 0.21,
+    "date_parts_orders": 0.22,
+    "null_conditional_agg": 0.22,
+    "topk_per_priority": 0.23,
+    "grouping_sets_status_priority": 0.24,
+    "stratified_sample": 0.25,
+    "try_cast_dirty": 0.25,
+    "filter_project_cast": 0.25,
+    "rollup_status_priority": 0.26,
+    "window_latest_per_key": 0.26,
+    "cube_nation_segment": 0.26,
+    "corpus_weighted_reservoir": 0.26,
+    "events_rollup_multigrain": 0.27,
+    "doc_chunks": 0.28,
+    "window_range_moving_avg": 0.28,
     "corpus_shard_export": 0.28,
-    "multimodal_frames": 0.29,
-    "events_sessionize": 0.30,
-    "pivot_returnflag": 0.30,
-    "similarity_topk": 0.30,
-    "events_asof_click": 0.31,
-    "events_json_extract": 0.31,
-    "pricing_summary_agg": 0.31,
-    "text_token_topk": 0.31,
-    "regression_price_qty": 0.31,
-    "multimodal_decode": 0.32,
-    "doc_packing": 0.32,
-    "group_distinct_agg": 0.33,
-    "events_scd2_history": 0.33,
-    "quantiles_per_priority": 0.34,
-    "above_avg_orders": 0.34,
-    "stats_agg_lineitem": 0.34,
+    "stringagg_nations": 0.31,
+    "window_distribution": 0.31,
+    "pivot_returnflag": 0.32,
+    "quantiles_per_priority": 0.33,
+    "stats_agg_lineitem": 0.33,
+    "pii_scrub": 0.34,
+    "window_running_rank": 0.34,
+    "text_token_topk": 0.34,
+    "events_sessionize": 0.34,
+    "group_distinct_agg": 0.35,
+    "similarity_topk": 0.35,
+    "doc_packing": 0.36,
+    "multimodal_frames": 0.36,
+    "pricing_summary_agg": 0.36,
     "conditional_promo_ratio": 0.36,
-    "similarity_filtered_topk": 0.36,
-    "events_tumbling_1h": 0.36,
-    "corpus_importance_sample": 0.36,
-    "events_hourly_retention": 0.37,
-    "map_priority_counts": 0.37,
-    "corpus_snapshot_diff": 0.37,
-    "semi_anti_customers": 0.37,
-    "disjunctive_bracket_revenue": 0.38,
-    "set_ops_custkeys": 0.38,
-    "customer_order_histogram": 0.38,
-    "pii_creditcard_luhn": 0.38,
-    "top_revenue_supplier": 0.40,
-    "skew_salted_join": 0.40,
-    "events_range_join_1h": 0.40,
-    "events_anomaly_zscore": 0.41,
-    "window_lead_lag": 0.42,
-    "rich_quiet_customers": 0.43,
-    "text_quality": 0.43,
+    "regression_price_qty": 0.37,
+    "corpus_importance_sample": 0.38,
+    "similarity_filtered_topk": 0.38,
+    "multimodal_decode": 0.39,
+    "events_scd2_history": 0.39,
+    "above_avg_orders": 0.40,
+    "events_hourly_retention": 0.41,
+    "entity_match_fuzzy": 0.42,
+    "top_revenue_supplier": 0.42,
+    "text_quality": 0.42,
+    "disjunctive_bracket_revenue": 0.42,
+    "semi_anti_customers": 0.42,
+    "events_json_extract": 0.43,
+    "customer_order_histogram": 0.43,
+    "events_tumbling_1h": 0.43,
     "small_qty_part_revenue": 0.44,
-    "large_order_customers": 0.46,
-    "dedup_exact_spans": 0.48,
-    "events_sliding_1h_15m": 0.49,
-    "scalar_subquery_share": 0.50,
-    "customer_k_anonymity": 0.50,
-    "dedup_embedding_cosine": 0.50,
-    "dedup_exact": 0.50,
-    "corpus_mixture_sample": 0.50,
-    "join_topk_revenue": 0.51,
-    "grouped_zscore_pandas": 0.52,
-    "embedding_quantize_int8": 0.52,
-    "events_markov_transitions": 0.53,
-    "corpus_negative_sampling": 0.54,
-    "late_shipment_priority": 0.56,
-    "text_repetition": 0.56,
-    "sole_blame_suppliers": 0.56,
-    "text_unigram_logprob": 0.60,
-    "star_join_region_revenue": 0.60,
-    "corpus_domain_cap": 0.60,
-    "text_char_entropy": 0.62,
-    "dedup_exact_spans_staggered": 0.62,
-    "text_tfidf_topterms": 0.63,
-    "bloom_pruned_join": 0.67,
+    "events_asof_click": 0.44,
+    "rich_quiet_customers": 0.46,
+    "map_priority_counts": 0.47,
+    "embedding_random_projection": 0.47,
+    "pii_creditcard_luhn": 0.47,
+    "events_range_join_1h": 0.48,
+    "embedding_quantize_int8": 0.49,
+    "skew_salted_join": 0.50,
+    "set_ops_custkeys": 0.51,
+    "quality_classifier_score": 0.51,
+    "events_sliding_1h_15m": 0.52,
+    "join_topk_revenue": 0.52,
+    "window_lead_lag": 0.53,
+    "large_order_customers": 0.53,
+    "text_repetition": 0.53,
+    "scalar_subquery_share": 0.54,
+    "events_interval_coverage": 0.54,
+    "late_shipment_priority": 0.54,
+    "dedup_exact": 0.54,
+    "corpus_negative_sampling": 0.56,
+    "grouped_zscore_pandas": 0.56,
+    "dedup_exact_spans": 0.57,
+    "sole_blame_suppliers": 0.59,
+    "text_char_entropy": 0.60,
+    "events_markov_transitions": 0.61,
+    "corpus_temperature_mixture": 0.61,
+    "dedup_embedding_cosine": 0.62,
+    "corpus_mixture_sample": 0.62,
+    "corpus_domain_cap": 0.63,
+    "parts_skyline_frontier": 0.64,
+    "dedup_exact_spans_staggered": 0.64,
+    "orders_cohort_retention": 0.64,
+    "text_unigram_logprob": 0.66,
+    "text_kl_drift": 0.66,
     "text_langid": 0.67,
-    "orders_dense_index": 0.69,
-    "embedding_random_projection": 0.69,
-    "nation_trade_volume": 0.70,
-    "events_gap_fill": 0.73,
-    "similarity_knn_graph": 0.74,
-    "corpus_temperature_mixture": 0.74,
-    "text_bigram_pmi": 0.79,
-    "events_funnel_conversion": 0.80,
-    "corpus_curation": 0.80,
-    "multimodal_phash_dedup": 0.86,
-    "corpus_decontamination": 0.87,
-    "orders_cohort_retention": 0.89,
-    "text_bigram_lm_perplexity": 0.89,
-    "corpus_cluster_balance": 0.91,
-    "dedup_containment": 0.96,
-    "multimodal_audio_fp_dedup": 1.01,
-    "similarity_label_propagation": 1.03,
-    "similarity_ann_ivf": 1.04,
-    "approx_distinct_custkeys": 1.06,
-    "ntile_spend_quartiles": 1.08,
-    "basket_brand_lift": 1.11,
-    "text_heavy_hitters": 1.26,
-    "text_winnow_fingerprint": 1.27,
-    "corpus_pipeline_end_to_end": 1.28,
-    "dedup_ngram_jaccard": 1.30,
-    "dedup_minhash_lsh": 1.33,
-    "corpus_source_overlap": 1.35,
-    "similarity_link_prediction": 1.43,
-    "dedup_simhash": 1.48,
-    "quality_classifier_score": 1.61,
-    "supplier_pagerank": 1.68,
-    "dedup_keep_best": 1.70,
-    "orders_table_profile": 1.74,
-    "dedup_incremental": 1.84,
-    "similarity_ann_lsh": 1.99,
-    "corpus_leakage_safe_split": 2.02,
-    "referential_integrity_audit": 2.14,
-    "similarity_ann_pq": 2.79,
-    "text_bpe_vocab": 2.81,
-    "dedup_winnow_pairs": 2.88,
-    "dedup_components": 3.39,
-    "similarity_graph_triangles": 4.11,
-    "dedup_semantic": 4.39,
-    "entity_match_fuzzy": 4.59,
+    "customer_k_anonymity": 0.69,
+    "text_tfidf_topterms": 0.71,
+    "events_gap_fill": 0.72,
+    "star_join_region_revenue": 0.74,
+    "events_time_weighted_avg": 0.76,
+    "nation_trade_volume": 0.77,
+    "orders_mad_outliers": 0.79,
+    "events_funnel_conversion": 0.81,
+    "corpus_curation": 0.81,
+    "customer_l_diversity": 0.81,
+    "events_count_min_sketch": 0.82,
+    "bloom_pruned_join": 0.82,
+    "multimodal_phash_dedup": 0.83,
+    "orders_dense_index": 0.84,
+    "multimodal_audio_fp_dedup": 0.84,
+    "ntile_spend_quartiles": 0.87,
+    "text_bigram_lm_perplexity": 0.88,
+    "dedup_containment": 0.88,
+    "text_bigram_pmi": 0.89,
+    "corpus_decontamination": 0.90,
+    "lineitem_expectations_audit": 0.91,
+    "similarity_knn_graph": 0.93,
+    "similarity_label_propagation": 0.93,
+    "corpus_source_overlap": 1.00,
+    "basket_brand_lift": 1.07,
+    "corpus_doremi_reweight": 1.08,
+    "orders_subsample_variance": 1.15,
+    "corpus_cluster_balance": 1.15,
+    "text_winnow_fingerprint": 1.19,
+    "events_chisq_independence": 1.23,
+    "similarity_ann_ivf": 1.26,
+    "similarity_ann_lsh": 1.26,
+    "text_heavy_hitters": 1.30,
+    "orders_incremental_rollup": 1.30,
+    "approx_distinct_custkeys": 1.31,
+    "orders_table_profile": 1.31,
+    "text_ngram_novelty": 1.31,
+    "dedup_simhash": 1.34,
+    "dedup_ngram_jaccard": 1.42,
+    "corpus_pipeline_end_to_end": 1.47,
+    "similarity_link_prediction": 1.49,
+    "dedup_minhash_lsh": 1.63,
+    "dedup_incremental": 1.69,
+    "text_collocation_llr": 1.72,
+    "supplier_pagerank": 1.86,
+    "similarity_ann_pq": 1.87,
+    "parts_abc_pareto": 1.88,
+    "events_anomaly_zscore": 1.95,
+    "embedding_covariance": 2.09,
+    "dedup_semantic": 2.20,
+    "corpus_leakage_safe_split": 2.60,
+    "dedup_keep_best": 2.94,
+    "text_tfidf_cosine_pairs": 3.27,
+    "referential_integrity_audit": 3.34,
+    "dedup_winnow_pairs": 3.37,
+    "corpus_kcenter_coreset": 3.61,
+    "dedup_components": 4.14,
+    "corpus_snapshot_diff": 5.24,
+    "similarity_graph_triangles": 5.28,
+    "text_bpe_vocab": 17.92,
 }
 
 _MEDIAN_COST = 0.5
