@@ -183,6 +183,14 @@ def main() -> None:
             full["value"] = round(sum(full["queries"].values()), 3)
             full["n_queries"] = len(full["queries"])
             sidecar = full
+        elif isinstance(full, dict) and full.get("sf") != headline["sf"]:
+            # A filtered probe at a DIFFERENT scale factor (scaling-curve
+            # runs) must never replace the sf0.1 artifact: print the
+            # headline, keep the file (bit r7's curve sweep — the sf
+            # mismatch fell through to the replace branch below).
+            print(json.dumps(headline), flush=True)
+            print(json.dumps({**headline, "queries": timings}), flush=True)
+            return
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
         json.dump(sidecar, f, indent=1, sort_keys=True)
     # Emit the compact line both first and last: whichever end of the
