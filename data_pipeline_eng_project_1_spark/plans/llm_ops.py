@@ -4043,11 +4043,22 @@ def _q_multimodal_audio_fp_dedup(spark, sf_dir):
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") % 3 == 0)
          .select("doc_id"))
-    k = lambda p: ((F.col("doc_id") % 5) * 20 + (p * 7) % 13).cast("int")
-    body = F.concat_ws("", F.transform(
-        F.sequence(F.lit(0), F.lit(_AU_N - 1)),
-        lambda p: F.concat(F.char(F.lit(0)), F.char(k(p)))))
-    payload = F.encode(F.concat(F.lit(_au_header()), body), "ISO-8859-1")
+    # The doc_id%5 synthesis rule admits only 5 DISTINCT payloads, so the
+    # WAV bytes are built ONCE driver-side (KB-scale literals, same
+    # bounded-metadata budget as the PQ codebooks) and picked per row by
+    # residue — the r7 debut form instead ran a 1600-element char-concat
+    # transform per ROW, ~2.6M JVM string ops at sf0.1 that profiled as
+    # half the query's cost. The DECODE path stays per-row real work:
+    # every clip's bytes still parse through the numpy WAV chunk walker.
+    variants = [
+        _au_header() + "".join(
+            chr(0) + chr(v * 20 + (p * 7) % 13) for p in range(_AU_N))
+        for v in range(5)
+    ]
+    payload = F.encode(
+        F.element_at(F.array(*[F.lit(s) for s in variants]),
+                     (F.col("doc_id") % 5 + 1).cast("int")),
+        "ISO-8859-1")
     clips = d.select("doc_id", payload.alias("content"))
     fp = multimodal.audio_fingerprint(clips)
     fpm = fp.select("doc_id", "n_windows",
