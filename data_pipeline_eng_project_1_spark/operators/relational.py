@@ -515,7 +515,8 @@ def banded_running_total(df: DataFrame, value: str, tiebreak: str,
     )
 
 
-def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
+def skyline_2d(df: DataFrame, max_col: str, min_col: str,
+               buckets: int | None = None) -> DataFrame:
     """2-D Pareto skyline: rows not dominated on (maximize `max_col`,
     minimize `min_col`) — dominance = other row >= on the max axis, <= on
     the min axis, strict on at least one.
@@ -525,14 +526,42 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
     aggregate (min of `min_col` per distinct `max_col` value — partial+
     final, the data never pairs with itself), a suffix-min window over
     that AGGREGATE frame ordered by `max_col` descending (rows = distinct
-    keys, KB-scale — the only sequential step never touches the fact
-    rows), then a broadcast join back with the keep rule: on the frontier
-    iff the row hits its own key's min AND beats the min over all
-    strictly-greater keys. A continuous `max_col` buckets to the same
-    shape (bucket id = coarse range, frontier-exact after an in-bucket
-    re-check). Ties on both axes all survive (neither dominates —
-    matches the NOT EXISTS definition).
+    keys — the only sequential step never touches the fact rows), then a
+    broadcast join back with the keep rule: on the frontier iff the row
+    hits its own key's min AND beats the min over all strictly-greater
+    keys. Ties on both axes all survive (neither dominates — matches the
+    NOT EXISTS definition).
+
+    ``buckets``: the scale path for a CONTINUOUS `max_col`, where the
+    per-key aggregate frame would be O(distinct values) and its window a
+    single fat partition. Rows bucket into `buckets` equal ranges of
+    `max_col`; a suffix-min of `min_col` over the strictly-higher buckets
+    is an EXACT dominance witness (any point there has strictly larger
+    `max_col`, so a row with `min_col` >= that suffix-min is dominated)
+    — the surviving candidates are near-frontier only, and the exact
+    per-key pass runs on them alone. Bucket-boundary ties cost nothing:
+    the witness only PRUNES; the exact pass decides. Result is
+    row-identical to the unbucketed form (pytest-pinned).
     """
+    if buckets:
+        bounds = df.agg(F.min(max_col).alias("__lo"),
+                        F.max(max_col).alias("__hi"))
+        wb = df.crossJoin(F.broadcast(bounds)).withColumn(
+            "__b",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.floor((F.col(max_col) - F.col("__lo"))
+                            / ((F.col("__hi") - F.col("__lo")) / buckets))
+                    .cast("int"))))
+        per_b = wb.groupBy("__b").agg(F.min(min_col).alias("__bmin"))
+        suffix_b = Window.orderBy(F.col("__b").desc()).rowsBetween(
+            Window.unboundedPreceding, -1)
+        witness = per_b.select(
+            "__b", F.min("__bmin").over(suffix_b).alias("__w"))
+        df = (wb.join(F.broadcast(witness), "__b")
+              .filter(F.col("__w").isNull() | (F.col(min_col) < F.col("__w")))
+              .drop("__b", "__w", "__lo", "__hi"))
     per_key = df.groupBy(max_col).agg(F.min(min_col).alias("__minv"))
     suffix = Window.orderBy(F.col(max_col).desc()).rowsBetween(
         Window.unboundedPreceding, -1)

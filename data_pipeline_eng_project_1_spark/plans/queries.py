@@ -3113,7 +3113,10 @@ def _q_orders_mad_outliers(spark, sf_dir):
         "scan-side keep rule: on the frontier iff price == own-size "
         "min AND price < min over all strictly larger sizes. At "
         "100 TB this is one agg + one broadcast join per pass; a "
-        "continuous sort dimension buckets to the same shape.",
+        "continuous sort dimension takes the IMPLEMENTED buckets= path "
+        "(relational.skyline_2d: equal-range bucket witness prunes to "
+        "near-frontier candidates, exact pass on those — row-identical "
+        "by test).",
 )
 def _q_parts_skyline_frontier(spark, sf_dir):
     p = _t(spark, sf_dir, "part")

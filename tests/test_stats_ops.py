@@ -58,6 +58,33 @@ def test_skyline_matches_bruteforce_with_ties(spark):
     assert (1 in got) == (2 in got)
 
 
+def test_skyline_bucketed_continuous_matches_exact(spark):
+    """The buckets= scale path (continuous max axis) must select exactly
+    the same rows as the unbucketed form — the bucket witness only
+    prunes provably-dominated rows, never decides."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(0, 100), round(rng.uniform(0, 100), 3))
+            for i in range(400)]
+    # clusters of exact ties on each axis to stress boundaries
+    rows += [(1000 + i, 50.0, 10.0) for i in range(3)]
+    rows += [(2000 + i, 99.5, 0.123) for i in range(2)]
+    df = spark.createDataFrame(rows, ["id", "x", "price"])
+    exact = {r.id for r in relational.skyline_2d(df, "x", "price").collect()}
+    for b in (1, 4, 16):
+        got = {r.id for r in
+               relational.skyline_2d(df, "x", "price", buckets=b).collect()}
+        assert got == exact, f"buckets={b}"
+
+    def dominated(a):
+        return any(b[1] >= a[1] and b[2] <= a[2]
+                   and (b[1] > a[1] or b[2] < a[2])
+                   for b in rows if b is not a)
+
+    assert exact == {a[0] for a in rows if not dominated(a)}
+
+
 def test_skyline_single_key_keeps_all_min_ties(spark):
     df = spark.createDataFrame(
         [(1, 5, 2.0), (2, 5, 2.0), (3, 5, 9.0)], ["id", "sz", "price"])
