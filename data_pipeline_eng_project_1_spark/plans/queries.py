@@ -2155,16 +2155,18 @@ def _q_basket_brand_lift(spark, sf_dir):
     per_order = ob.groupBy("okey").agg(F.collect_set("brand").alias("bs"))
     n = per_order.agg(F.count("*").alias("n_orders"))
     bs = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
-    sorted_bs = F.array_sort("bs")
+    # Pair fan-out as TWO NATIVE explodes + a codegen'd predicate (the
+    # supplier_pagerank edge-derivation lesson: the nested
+    # transform/filter/struct lambda chain this replaces is interpreted
+    # CodegenFallback — per-element struct builds in the interpreter;
+    # Generate is whole-stage codegen, and b > a keeps each unordered
+    # pair once, collect_set order notwithstanding).
     pairs = (
         per_order
-        .select(F.explode(F.flatten(F.transform(
-            sorted_bs, lambda a: F.transform(
-                F.filter(sorted_bs, lambda b: b > a),
-                lambda b: F.struct(a.alias("brand_a"),
-                                   b.alias("brand_b")))))).alias("e"))
-        .groupBy(F.col("e.brand_a").alias("brand_a"),
-                 F.col("e.brand_b").alias("brand_b"))
+        .select(F.explode("bs").alias("brand_a"), "bs")
+        .select("brand_a", F.explode("bs").alias("brand_b"))
+        .filter(F.col("brand_b") > F.col("brand_a"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 20)
     )
