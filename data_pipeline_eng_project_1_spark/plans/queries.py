@@ -3129,6 +3129,93 @@ def _q_parts_skyline_frontier(spark, sf_dir):
     )
 
 
+@_register(
+    "hll_distinct_audit",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS hv
+      FROM orders
+    ),
+    r AS (
+      SELECT hv % 256 AS b,
+             max(CASE WHEN hv // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hv // 256)) END) AS mreg
+      FROM h GROUP BY 1
+    ),
+    agg AS (
+      SELECT sum(pow(2.0, -mreg)) + (256 - count(*)) * 1.0 AS s,
+             CAST(count(*) AS INTEGER) AS nz
+      FROM r
+    ),
+    ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders),
+    est AS (
+      SELECT CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536 / s <= 640
+                       AND 256 - nz > 0
+                  THEN 256 * ln(256.0 / (256 - nz))
+                  ELSE (0.7213 / (1 + 1.079 / 256)) * 65536 / s END AS e,
+             nz
+      FROM agg
+    )
+    SELECT CAST(256 AS INTEGER) AS m,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round(e, 2) AS n_est,
+           round((e - n_exact) * 100.0 / n_exact, 2) AS err_pct,
+           CAST(nz AS INTEGER) AS nonzero_registers
+    FROM est CROSS JOIN ex
+    """,
+    doc="HyperLogLog distinct-count audit (Flajolet et al., m=256 "
+        "registers): every row hashes once (md5 60-bit), the low 8 bits "
+        "pick a register, and the register keeps the max leading-zero "
+        "rank of the remaining 52 bits — rank via the length of the "
+        "integer's binary string, INTEGER-exact on both engines (no "
+        "float log2 near power-of-2 boundaries). The estimate is the "
+        "bias-corrected harmonic mean with the linear-counting "
+        "small-range branch spelled identically in both engines, "
+        "audited against the exact distinct. Completes the sketch "
+        "family (count-min = frequencies, SpaceSaving = heavy hitters, "
+        "Bloom = membership, HLL = cardinality): at 100 TB the register "
+        "frame is <=256 rows built by one partial+final max-aggregate — "
+        "registers from disjoint shards/days MERGE by cell-wise max, "
+        "the property that makes HLL the cross-partition distinct "
+        "counter exact DISTINCT can't be (the audit's exact side is the "
+        "expensive expand it replaces). err_pct is the measured "
+        "sketch error at m=256 (~2%, 1.04/sqrt(m) expected).",
+)
+def _q_hll_distinct_audit(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.functions import hashing
+
+    o = _t(spark, sf_dir, "orders")
+    hv = hashing.hex_int(
+        F.concat(F.lit("hll:"), F.col("o_custkey").cast("string")))
+    w = F.shiftright(F.col("hv"), 8)
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w)))
+    r = (o.select(hv.alias("hv"))
+         .select((F.col("hv") % 256).alias("b"), rho.alias("mreg"))
+         .groupBy("b").agg(F.max("mreg").alias("mreg")))
+    agg = r.agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("mreg")))
+         + (F.lit(256) - F.count("*")) * 1.0).alias("s"),
+        F.count("*").cast("int").alias("nz"))
+    ex = o.agg(F.count_distinct(F.col("o_custkey")).alias("n_exact"))
+    alpha_m2 = (0.7213 / (1 + 1.079 / 256)) * 65536
+    raw = F.lit(alpha_m2) / F.col("s")
+    e = F.when((raw <= 640) & (F.lit(256) - F.col("nz") > 0),
+               F.lit(256) * F.log(F.lit(256.0) / (F.lit(256) - F.col("nz")))
+               ).otherwise(raw)
+    return (
+        agg.select(e.alias("e"), "nz")
+        .crossJoin(F.broadcast(ex))
+        .select(F.lit(256).cast("int").alias("m"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.round(F.col("e"), 2).alias("n_est"),
+                F.round((F.col("e") - F.col("n_exact")) * 100.0
+                        / F.col("n_exact"), 2).alias("err_pct"),
+                F.col("nz").cast("int").alias("nonzero_registers"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------
