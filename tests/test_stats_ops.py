@@ -203,3 +203,49 @@ def test_doremi_weights_normalize_and_follow_excess_loss(spark):
     # and the extremes are unambiguous: worst-fit domain up, best down
     assert by_nll[-1]["new_weight"] > by_nll[-1]["old_share"]
     assert by_nll[0]["new_weight"] < by_nll[0]["old_share"]
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_audit
+# ---------------------------------------------------------------------------
+
+def _hll_registers(rows):
+    """Python reference: the (bucket, max leading-zero rank) registers the
+    query builds, from the identical md5 rule."""
+    regs = {}
+    for (k,) in rows:
+        h = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:15], 16)
+        b, w = h % 256, h >> 8
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_merge_by_cellwise_max(spark):
+    """The docstring's shard-merge claim: registers built on two disjoint
+    halves, merged by cell-wise max, equal the whole-corpus registers —
+    and the Spark estimate equals the Python reference estimate."""
+    con = duckdb.connect()
+    keys = con.execute(
+        f"SELECT o_custkey FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    whole = _hll_registers(keys)
+    h1 = _hll_registers(keys[: len(keys) // 2])
+    h2 = _hll_registers(keys[len(keys) // 2:])
+    merged = {b: max(h1.get(b, 0), h2.get(b, 0)) for b in set(h1) | set(h2)}
+    assert merged == whole
+
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -whole.get(j, 0) for j in range(m))
+    e = alpha * m * m / s
+    zeros = m - len(whole)
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    row = _run(spark, "hll_distinct_audit").collect()[0]
+    assert row["m"] == m
+    assert row["nonzero_registers"] == len(whole)
+    assert row["n_est"] == pytest.approx(round(e, 2), abs=0.02)
+    assert row["n_exact"] == len({k for (k,) in keys})
+    # sketch honesty: error within 5x the theoretical 1.04/sqrt(m)
+    assert abs(row["err_pct"]) < 100 * 5 * 1.04 / math.sqrt(m)
