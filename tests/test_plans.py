@@ -304,3 +304,46 @@ def test_knn_graph_candidates_never_materialize_n_squared(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan  # candidates flow explode->group->window
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_is_takeordered_not_sort(spark):
+    """The ES sample must plan as TakeOrderedAndProject (per-task heaps,
+    k rows shipped per task) — a global Sort before the limit would ship
+    the whole corpus through one range exchange at scale."""
+    df = _builders()["corpus_weighted_reservoir"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_skyline_joins_broadcast_frontier(spark):
+    """The skyline's join back must broadcast the aggregate frontier
+    frame — the fact side streams, never shuffles on the key."""
+    df = _builders()["parts_skyline_frontier"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_registers_are_one_partial_final_aggregate(spark):
+    """HLL register construction is one partial+final hash aggregate on
+    the bucket key: exactly one exchange below the register frame (the
+    tiny scalar-estimate stage above it may add a single-partition
+    exchange of <=256 rows, which is fine)."""
+    df = _builders()["hll_distinct_audit"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(b#") == 1
+    # the raw-row side never sorts and never window-functions
+    assert "Window" not in plan
+
+
+def test_kl_drift_single_term_shuffle(spark):
+    """Both sides' counts ride ONE term-keyed aggregate. The static plan
+    prints the cnt subtree twice (main side + the tot scalar broadcast),
+    so pin the RUNTIME property the 100 TB claim rests on: AQE exchange
+    reuse collapses them — the token stream shuffles once on the term."""
+    df = _builders()["text_kl_drift"](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final[:1500]
+    assert final.count("Scan parquet") == 1, final[:1500]
