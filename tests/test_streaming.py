@@ -507,6 +507,57 @@ def test_token_drift_stream_counts_and_divergence(spark, tmp_path):
     assert 0.0 < js < math.log(2.0)
 
 
+def test_token_drift_stream_append_mode_emits_closed_windows(spark, tmp_path):
+    """Production (append) mode: a window's counts emit exactly once,
+    FINALIZED, after the watermark passes its end — proving the drift
+    frame is safe to consume incrementally (each emitted row is the
+    window's last word, not a running update)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src, ckpt = tmp_path / "docs_ka", tmp_path / "ck_ka"
+    out = tmp_path / "out_ka"
+    src.mkdir()
+    h = 3_600_000
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("side", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def drain():
+        stream = (spark.readStream.schema(schema).json(str(src))
+                  .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+        q = sp.run_to_parquet(sp.token_drift_stream(stream), str(out),
+                              str(ckpt))
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(str(out)).collect()
+        except Exception:  # noqa: BLE001 — no closed window emitted yet
+            return []
+
+    # Drain 1: window-0 data plus a 2h event that advances the watermark
+    # to 1.5h (> window 0's end) at BATCH END — append emission of the
+    # closed window happens on a subsequent batch.
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 1, "ts_ms": 5 * 60_000, "side": 0, "text": "aa aa"},
+        {"doc_id": 2, "ts_ms": 9 * 60_000, "side": 1, "text": "aa"},
+        {"doc_id": 3, "ts_ms": 2 * h, "side": 0, "text": "zz"},
+    ]))
+    drain()
+
+    # Drain 2 (restart on the checkpoint with one new file): window 0 is
+    # now past the watermark and must emit, finalized.
+    (src / "d2.json").write_text(json.dumps(
+        {"doc_id": 4, "ts_ms": 3 * h, "side": 1, "text": "yy"}))
+    rows = drain()
+    got = {(r.window_start.hour, r.term): (r.cp, r.cq) for r in rows}
+    assert got.get((0, "aa")) == (2, 1)
+    # the still-open windows (2h, 3h) must NOT have emitted yet
+    assert all(hh == 0 for hh, _ in got)
+
+
 def test_trending_tokens_stream_windowed_floor(spark, tmp_path):
     """Per-window token counts respect the min_count gate and the window
     boundaries: a token spread across two windows must not pool."""
