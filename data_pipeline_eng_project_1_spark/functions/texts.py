@@ -330,3 +330,32 @@ def argmax_label(scores: list[tuple[str, Column]], default: str = "und") -> Colu
 def lang_id_of(wtoks: Column) -> Column:
     """lang_id over a materialized word-token array."""
     return argmax_label(lang_scores_of(wtoks))
+
+
+#: Default linear quality-classifier weights (the fasttext-gate stand-in):
+#: trained weights ship as a different literal map, not a different plan.
+DEFAULT_QUALITY_WEIGHTS = {"bias": -0.2, "stop": 3.0, "punct": -2.0,
+                           "alen": -0.15, "lntok": 0.1}
+
+
+def quality_score_of(text: Column, toks: Column,
+                     weights: dict | None = None) -> Column:
+    """Linear quality-classifier score = sigmoid(w . features) over the
+    curation feature vector (stopword ratio, punctuation ratio, mean
+    token length, log token count). Pure scan-side column algebra —
+    shared by the batch quality_classifier_score query and the streaming
+    quality gate so both apply the identical model. ``toks`` must be a
+    materialized token-array attribute (same contract as
+    word_shingles_of); callers must filter size(toks) > 0 first."""
+    w = weights or DEFAULT_QUALITY_WEIGHTS
+    stop_r = (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+              * F.lit(1.0) / F.size(toks))
+    punct_r = ((F.length(F.lower(text))
+                - F.length(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")))
+               * F.lit(1.0) / F.length(text))
+    alen = (F.length(F.regexp_replace(text, " ", "")) * F.lit(1.0)
+            / F.size(toks))
+    z = (F.lit(w["bias"]) + F.lit(w["stop"]) * stop_r
+         + F.lit(w["punct"]) * punct_r + F.lit(w["alen"]) * alen
+         + F.lit(w["lntok"]) * F.log(F.size(toks).cast("double")))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -3176,8 +3176,11 @@ def _q_events_markov_transitions(spark, sf_dir):
 #: Quality-classifier weights (a stand-in for a distilled fasttext-style
 #: linear model): literal constants shared by the Spark plan and the
 #: oracle, applied to the text_quality feature set.
-_QC_W = {"bias": -0.2, "stop": 3.0, "punct": -2.0, "alen": -0.15,
-         "lntok": 0.1}
+#: The linear quality-classifier weights live with the shared scoring
+#: column (functions/texts.py::quality_score_of) so the batch query and
+#: the streaming quality gate apply the identical model; alias kept for
+#: the oracle f-strings below.
+_QC_W = texts.DEFAULT_QUALITY_WEIGHTS
 
 
 #: Count-min sketch geometry: d independent md5-seeded hash rows of w
@@ -3441,26 +3444,11 @@ def _q_text_ngram_novelty(spark, sf_dir):
 def _q_quality_classifier_score(spark, sf_dir):
     d = _spread(_t(spark, sf_dir, "documents"))
     toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
-    text, toks = F.col("text"), F.col("__toks")
-    f = (toked.filter(F.size(toks) > 0)
-         .select(
-             F.col("id").alias("doc_id"),
-             F.size(toks).alias("n_tokens"),
-             (F.size(F.filter(toks, lambda t: t.isin(*texts.STOPWORDS)))
-              * F.lit(1.0) / F.size(toks)).alias("stop_r"),
-             ((F.length(F.lower(text))
-               - F.length(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")))
-              * F.lit(1.0) / F.length(text)).alias("punct_r"),
-             (F.length(F.regexp_replace(text, " ", "")) * F.lit(1.0)
-              / F.size(toks)).alias("alen")))
-    z = (F.lit(_QC_W["bias"])
-         + F.lit(_QC_W["stop"]) * F.col("stop_r")
-         + F.lit(_QC_W["punct"]) * F.col("punct_r")
-         + F.lit(_QC_W["alen"]) * F.col("alen")
-         + F.lit(_QC_W["lntok"]) * F.log(F.col("n_tokens")))
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return f.select("doc_id", F.round(score, 4).alias("score"),
-                    (score >= 0.5).alias("keep"))
+    score = texts.quality_score_of(F.col("text"), F.col("__toks"))
+    return (toked.filter(F.size("__toks") > 0)
+            .select(F.col("id").alias("doc_id"),
+                    F.round(score, 4).alias("score"),
+                    (score >= 0.5).alias("keep")))
 
 
 @_register(

@@ -236,6 +236,61 @@ def token_drift_stream(docs: DataFrame, side_col: str = "side",
     )
 
 
+def quality_gate_stream(docs: DataFrame, threshold: float = 0.5,
+                        weights: dict | None = None,
+                        text_col: str = "text") -> DataFrame:
+    """Stateless curation-at-ingest: score every arriving document with
+    the SAME linear quality classifier the batch gate applies
+    (functions/texts.py::quality_score_of — one shared weight map, so
+    the stream and the backfill can never disagree about a document),
+    and flag keep = score >= threshold. Pure scan-side column algebra —
+    no state store, no watermark, no shuffle: at ingest scale the gate
+    rides the micro-batch's read stage. Empty docs (zero tokens) get
+    score NULL and keep FALSE rather than being dropped: the dead-letter
+    split (run_split_sink) routes them to the reject side for audit,
+    matching the batch pipeline's quality-gate accounting."""
+    from data_pipeline_eng_project_1_spark.functions import texts as _texts
+
+    toks = _texts.tokens(F.col(text_col))
+    score = F.when(
+        F.size(toks) > 0,
+        _texts.quality_score_of(F.col(text_col), toks, weights))
+    return docs.withColumn("score", F.round(score, 4)) \
+               .withColumn("keep", F.coalesce(score >= threshold,
+                                              F.lit(False)))
+
+
+def run_split_sink(df: DataFrame, predicate_col: str, pass_dir: str,
+                   reject_dir: str, checkpoint_dir: str) -> StreamingQuery:
+    """Dead-letter routing: drain a stream into TWO parquet directories —
+    rows where ``predicate_col`` is true to ``pass_dir``, the rest to
+    ``reject_dir`` — from ONE source read per micro-batch (foreachBatch
+    caches the batch, writes both slices, then releases it; two separate
+    writeStreams would double the source read and could diverge on
+    retries). Rejected rows are data, not garbage: quality-gate
+    failures, malformed records, and PII-flagged docs all need the
+    audit trail the reference pipeline loses by filtering in place.
+    Exactly-once per sink comes from the shared checkpoint; the batch id
+    is stamped on both sides so a replayed batch is identifiable."""
+    def write_both(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn("batch_id", F.lit(batch_id)).persist()
+        try:
+            batch.filter(F.col(predicate_col)) \
+                 .write.mode("append").parquet(pass_dir)
+            batch.filter(~F.col(predicate_col)
+                         | F.col(predicate_col).isNull()) \
+                 .write.mode("append").parquet(reject_dir)
+        finally:
+            batch.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame,
                     on: str) -> DataFrame:
     """Stream-static left join: per-micro-batch broadcast hash join of the

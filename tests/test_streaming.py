@@ -589,3 +589,56 @@ def test_trending_tokens_stream_windowed_floor(spark, tmp_path):
     rows = {(r.window_start.minute + 60 * r.window_start.hour, r.token): r.n
             for r in spark.table("trending_t").collect()}
     assert rows == {(0, "spam"): 4}
+
+
+def test_quality_gate_split_sink_routes_and_checkpoints(spark, tmp_path):
+    """Curation-at-ingest e2e: arriving docs score through the SHARED
+    quality model, the split sink routes keep/reject to separate parquet
+    dirs from one batch read, empty docs land on the reject side (not
+    dropped), and a checkpointed re-drain with no new files appends
+    nothing to either side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+
+    src = tmp_path / "docs_qg"
+    src.mkdir()
+    good = "the cat sat of the mat and the dog ran to the park in town"
+    bad = "zzzzqqqq!!!! ####&&&& @@@@***"
+    docs = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": bad},
+        {"doc_id": 3, "text": ""},
+    ]
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = sp.run_split_sink(
+            sp.quality_gate_stream(stream), "keep",
+            str(tmp_path / "pass"), str(tmp_path / "reject"),
+            str(tmp_path / "ck_qg"))
+        q.awaitTermination()
+
+    drain()
+    kept = spark.read.parquet(str(tmp_path / "pass")).collect()
+    rej = spark.read.parquet(str(tmp_path / "reject")).collect()
+    assert {r.doc_id for r in kept} == {1}
+    assert {r.doc_id for r in rej} == {2, 3}
+    empty = next(r for r in rej if r.doc_id == 3)
+    assert empty.score is None and empty.keep is False
+
+    # the stream's score equals the shared batch model's score
+    batch_score = spark.createDataFrame([(good,)], ["text"]).select(
+        F.round(texts.quality_score_of(
+            F.col("text"), texts.tokens(F.col("text"))), 4)
+        .alias("s")).collect()[0]["s"]
+    assert kept[0].score == batch_score
+
+    # checkpointed restart, no new data: nothing re-appends on either side
+    drain()
+    assert spark.read.parquet(str(tmp_path / "pass")).count() == len(kept)
+    assert spark.read.parquet(str(tmp_path / "reject")).count() == len(rej)
