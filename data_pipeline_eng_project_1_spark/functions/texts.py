@@ -359,3 +359,72 @@ def quality_score_of(text: Column, toks: Column,
          + F.lit(w["punct"]) * punct_r + F.lit(w["alen"]) * alen
          + F.lit(w["lntok"]) * F.log(F.size(toks).cast("double")))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+#: Gear table for content-defined chunking: one deterministic 31-bit value
+#: per character of the normalized alphabet [a-z0-9 ], derived from md5 so
+#: both engines (and the sequential test reference) can rebuild it.
+CDC_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _cdc_gear() -> dict[str, int]:
+    from data_pipeline_eng_project_1_spark.functions.hashing import py_hex_int
+
+    return {c: py_hex_int(f"gear:{c}", 7) % 2147483648 for c in CDC_ALPHABET}
+
+
+def cdc_boundaries(text: Column, avg: int = 64, min_len: int = 32,
+                   max_len: int = 128) -> Column:
+    """Content-defined chunk boundaries (FastCDC/gear-style) over the
+    NORMALIZED text, as a sorted array<int> of chunk START offsets
+    (0-based, always starting with 0 for non-empty text).
+
+    Rolling gear hash h = (2h + gear[c]) mod 2^31 — shift-out-free: a
+    character's influence halves each step and is gone after 31 chars,
+    so boundaries depend only on a bounded trailing window. A position
+    ends a chunk when h % avg == 0 and the chunk has >= min_len chars;
+    max_len forces a cut. That is the dedup-stable chunking property
+    fixed-stride spans (dedup_exact_spans) cannot have: INSERTING text
+    shifts every downstream stride boundary, but gear boundaries
+    re-synchronize within ~31 chars + min_len, so unchanged tails keep
+    identical chunks (and identical chunk hashes) — the primitive behind
+    storage dedup and incremental-crawl chunk reuse.
+
+    One interpreted O(n) fold per document (aggregate with a struct
+    accumulator — the winnowing precedent; all arithmetic stays under
+    2^32 so ANSI never overflows). The same fold spells in DuckDB as
+    list_reduce for an r8 oracle; tests cross-check a sequential Python
+    reference and the resynchronization property.
+    """
+    gear = _cdc_gear()
+    # literal lookup array indexed by ascii code (codes 32..122 cover the
+    # normalized alphabet; anything else contributes 0 — normalize()
+    # guarantees it never occurs)
+    table = [0] * 123
+    for c, g in gear.items():
+        table[ord(c)] = g
+    gear_arr = F.array(*[F.lit(g) for g in table])
+    codes = char_codes(text)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("h"),
+        F.lit(0).cast("int").alias("run"),
+        F.array(F.lit(0).cast("int")).alias("bounds"),
+        F.lit(0).cast("int").alias("pos"))
+
+    def step(acc, c):
+        h = ((acc["h"] * 2 + F.element_at(gear_arr, (c + 1).cast("int")))
+             % 2147483648)
+        run = acc["run"] + 1
+        pos = acc["pos"] + 1
+        cut = ((run >= min_len) & (h % avg == 0)) | (run >= max_len)
+        return F.struct(
+            F.when(cut, F.lit(0).cast("long")).otherwise(h).alias("h"),
+            F.when(cut, F.lit(0)).otherwise(run).cast("int").alias("run"),
+            F.when(cut & (pos < F.size(codes)),
+                   F.array_append(acc["bounds"], pos.cast("int")))
+             .otherwise(acc["bounds"]).alias("bounds"),
+            pos.cast("int").alias("pos"))
+
+    out = F.aggregate(codes, zero, step)
+    return F.when(F.size(codes) > 0, out["bounds"]) \
+            .otherwise(F.array().cast("array<int>"))

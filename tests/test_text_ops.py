@@ -383,3 +383,71 @@ def test_negative_sampling_properties(spark, sf_dir):
     assert all(len(v) == 3 and len(set(v)) == 3 for v in per.values())
     rows2 = fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_cdc_boundaries_match_sequential_reference(spark):
+    """The fold-form gear CDC must reproduce a sequential Python pass:
+    same gear table, same cut rule (h % avg == 0 after min_len, force at
+    max_len, reset at cuts, no trailing empty chunk)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+
+    def py_cdc(text, avg=64, min_len=32, max_len=128):
+        import re
+        norm = re.sub(" +", " ",
+                      re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+        gear = texts._cdc_gear()
+        h, run, bounds = 0, 0, [0] if norm else []
+        for i, c in enumerate(norm):
+            h = (2 * h + gear[c]) % 2147483648
+            run += 1
+            if ((run >= 32 and h % 64 == 0) or run >= 128) \
+                    and i + 1 < len(norm):
+                bounds.append(i + 1)
+                h, run = 0, 0
+            elif (run >= 32 and h % 64 == 0) or run >= 128:
+                h, run = 0, 0
+        return bounds
+
+    import random
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        n = rng.randrange(0, 600)
+        rows.append((i, "".join(rng.choice("abcdef 01") for _ in range(n))))
+    rows.append((100, ""))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id",
+        texts.cdc_boundaries(F.col("text")).alias("b")).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == py_cdc(text), doc_id
+
+
+def test_cdc_boundaries_resynchronize_after_insertion(spark):
+    """The dedup-stability property fixed strides lack: inserting text at
+    the front shifts every boundary by the insertion length at first,
+    but the boundary set RE-SYNCHRONIZES — the tail's boundaries are the
+    originals plus the shift, so unchanged content re-chunks
+    identically."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+
+    import random
+    rng = random.Random(23)
+    base = "".join(rng.choice("abcdef 01") for _ in range(2000))
+    ins = "xyzzy inserted run "
+    df = spark.createDataFrame(
+        [(0, base), (1, ins + base)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id",
+        texts.cdc_boundaries(F.col("text")).alias("b")).collect()}
+    shift = len(ins)  # normalized insertion keeps its length here
+    orig, edited = set(got[0]), set(got[1])
+    shifted_matches = {b for b in orig if b + shift in edited}
+    # everything past the first few chunks must re-align
+    tail = {b for b in orig if b > 400}
+    assert tail and tail <= shifted_matches, (
+        f"tail boundaries failed to resync: {sorted(tail - shifted_matches)[:5]}")
