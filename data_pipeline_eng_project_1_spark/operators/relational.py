@@ -574,3 +574,38 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str,
                    | (F.col(min_col) < F.col("__larger"))))
         .drop("__minv", "__larger")
     )
+
+
+def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of ``value`` in ``k``
+    buckets: the optimizer-statistics primitive (selectivity estimation,
+    skew detection) and the binning step before per-bucket modeling.
+
+    Returns (bucket 1..k, lo, hi, n_rows) where lo/hi are the bucket's
+    actual min/max. Scale shape: the k-1 interior boundaries come from
+    ONE exact percentile aggregate (`percentile(value, array(...))` —
+    a single pass + KB-scale state per group at fixture scale; swap
+    `approx_percentile` in at 100 TB, same plan), broadcast as a 1-row
+    frame; bucket assignment is a scan-side binary-search-free fold over
+    the k-1 literals-at-runtime, then one partial+final aggregate. No
+    global sort, no single-partition window — the ntile formulation
+    (exactly equal counts, ties split arbitrarily) costs a full-data
+    range exchange and is what this operator exists to avoid; with
+    percentile boundaries, ties on a boundary value land in one bucket,
+    so bucket counts are equal only up to tie mass (exact equi-depth
+    semantics for continuous-ish columns).
+    """
+    if k < 2:
+        raise ValueError("equidepth_histogram: k must be >= 2")
+    fracs = F.array(*[F.lit(i / k) for i in range(1, k)])
+    bounds = df.agg(F.percentile(F.col(value), fracs).alias("__bs"))
+    # bucket = 1 + number of boundaries strictly below the value
+    bucket = (F.size(F.filter(F.col("__bs"),
+                              lambda b: b < F.col(value))) + 1).alias("bucket")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket, F.col(value).alias("__v"))
+        .groupBy("bucket")
+        .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"),
+             F.count("*").alias("n_rows"))
+    )

@@ -249,3 +249,55 @@ def test_hll_registers_merge_by_cellwise_max(spark):
     assert row["n_exact"] == len({k for (k,) in keys})
     # sketch honesty: error within 5x the theoretical 1.04/sqrt(m)
     assert abs(row["err_pct"]) < 100 * 5 * 1.04 / math.sqrt(m)
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram
+# ---------------------------------------------------------------------------
+
+def test_equidepth_histogram_matches_percentile_reference(spark):
+    import numpy as np
+
+    con = duckdb.connect()
+    vals = [v for (v,) in con.execute(
+        f"SELECT o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()]
+    k = 8
+    x = np.array(vals)
+    bounds = [float(np.percentile(x, 100 * i / k, method="linear"))
+              for i in range(1, k)]
+
+    def bucket(v):
+        return 1 + sum(1 for b in bounds if b < v)
+
+    want = {}
+    for v in vals:
+        b = bucket(v)
+        lo, hi, n = want.get(b, (v, v, 0))
+        want[b] = (min(lo, v), max(hi, v), n + 1)
+
+    rows = relational.equidepth_histogram(
+        spark.read.parquet(f"{SF}/orders.parquet"), "o_totalprice", k
+    ).collect()
+    got = {r["bucket"]: (r["lo"], r["hi"], r["n_rows"]) for r in rows}
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][2] == want[b][2], b
+        assert got[b][0] == pytest.approx(want[b][0], abs=1e-9)
+        assert got[b][1] == pytest.approx(want[b][1], abs=1e-9)
+    # equi-depth up to tie mass: every bucket within 2x of the ideal
+    n = len(vals)
+    assert all(cnt <= 2 * n / k + 1 for _, _, cnt in got.values())
+    assert sum(cnt for _, _, cnt in got.values()) == n
+
+
+def test_equidepth_histogram_handles_heavy_ties(spark):
+    """A value owning >1/k of the mass must land in ONE bucket (boundary
+    ties never split), and counts still total n."""
+    rows = [(i, 5.0) for i in range(50)] + [(100 + i, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = relational.equidepth_histogram(df, "v", 4).collect()
+    assert sum(r["n_rows"] for r in got) == len(rows)
+    fives = [r for r in got if r["lo"] <= 5.0 <= r["hi"]]
+    assert sum(r["n_rows"] for r in fives if r["lo"] == 5.0 == r["hi"]) >= 50 or \
+        any(r["n_rows"] >= 50 for r in fives)
