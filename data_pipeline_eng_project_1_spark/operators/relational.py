@@ -609,3 +609,58 @@ def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
         .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"),
              F.count("*").alias("n_rows"))
     )
+
+
+def attribute_last_touch(events: DataFrame, conversion_type: str,
+                         touch_types: list[str], horizon: int,
+                         key: str = "user_id", ts: str = "ts_ms",
+                         type_col: str = "event_type",
+                         id_col: str = "event_id") -> DataFrame:
+    """Last-touch marketing attribution: every conversion event gets the
+    most recent PRECEDING touch event (same ``key``, any of
+    ``touch_types``, within ``horizon`` units of ``ts``) or null — the
+    credit-assignment primitive behind 'which channel drove this
+    purchase'.
+
+    Distinct from a plain as-of join in two ways a naive composition
+    gets wrong: the attribution WINDOW (a touch older than the horizon
+    must not get credit, so the as-of match is post-filtered against
+    conversion_ts - horizon), and ties (a touch exactly at the
+    conversion instant counts — backward-inclusive, the industry
+    convention). Plan: one union + single key-keyed shuffle/sort (the
+    asof_join shape — no broadcast, both sides any size), carrying the
+    touch's id, type, and timestamp through one running
+    last_value(ignoreNulls) struct; at 100 TB a power user is one
+    sorted run inside a task, never a join fan-out.
+
+    Returns the conversion rows (key, ts, id) plus ``touch_id``,
+    ``touch_type``, ``touch_ts`` (nulls when unattributed) and
+    ``lag_ms`` = conversion ts - touch ts.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type)
+    touch = events.filter(F.col(type_col).isin(*touch_types))
+    l_tag = conv.select(
+        F.col(key), F.col(ts).alias("__ts"), F.lit(1).alias("__is_conv"),
+        F.lit(None).cast("struct<i:long,t:string,s:long>").alias("__touch"),
+        F.col(id_col).alias("conversion_id"))
+    r_tag = touch.select(
+        F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__is_conv"),
+        F.struct(F.col(id_col).cast("long").alias("i"),
+                 F.col(type_col).alias("t"),
+                 F.col(ts).cast("long").alias("s")).alias("__touch"),
+        F.lit(None).cast("long").alias("conversion_id"))
+    w = (Window.partitionBy(key).orderBy("__ts", "__is_conv")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__m", F.last("__touch", ignorenulls=True).over(w))
+        .filter(F.col("__is_conv") == 1)
+    )
+    in_horizon = F.col("__m").isNotNull() & \
+        (F.col("__m.s") >= F.col("__ts") - horizon)
+    return matched.select(
+        key, F.col("__ts").alias("conversion_ts"), "conversion_id",
+        F.when(in_horizon, F.col("__m.i")).alias("touch_id"),
+        F.when(in_horizon, F.col("__m.t")).alias("touch_type"),
+        F.when(in_horizon, F.col("__m.s")).alias("touch_ts"),
+        F.when(in_horizon, F.col("__ts") - F.col("__m.s")).alias("lag_ms"))

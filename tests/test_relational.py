@@ -192,3 +192,37 @@ def test_banded_running_total_constant_values(spark):
                  for r in relational.banded_running_total(
                      df, value="v", tiebreak="id").collect())
     assert got == [(i, (i + 1) * 10) for i in range(8)]
+
+
+def test_attribute_last_touch_horizon_and_ties(spark):
+    """Last-touch attribution: nearest preceding touch wins, a touch at
+    the exact conversion instant counts (backward-inclusive), touches
+    beyond the horizon do NOT get credit, and conversions with no touch
+    attribute null."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    rows = [
+        # user 1: click@100, email@900, purchase@1000 -> email (latest)
+        (1, 1, 100, "click"), (2, 1, 900, "email"),
+        (3, 1, 1000, "purchase"),
+        # user 2: click exactly at the purchase instant -> counts
+        (4, 2, 500, "click"), (5, 2, 500, "purchase"),
+        # user 3: click too old for the 300 horizon -> null
+        (6, 3, 100, "click"), (7, 3, 900, "purchase"),
+        # user 4: no touches at all -> null
+        (8, 4, 700, "purchase"),
+        # user 5: a LATER click never attributes backward
+        (9, 5, 800, "purchase"), (10, 5, 900, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_ms", "event_type"])
+    got = {r["conversion_id"]: (r["touch_id"], r["touch_type"], r["lag_ms"])
+           for r in relational.attribute_last_touch(
+               ev, "purchase", ["click", "email"], horizon=300).collect()}
+    assert got[3] == (2, "email", 100)
+    assert got[5] == (4, "click", 0)
+    assert got[7] == (None, None, None)
+    assert got[8] == (None, None, None)
+    assert got[9] == (None, None, None)
