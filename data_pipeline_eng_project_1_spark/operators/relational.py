@@ -664,3 +664,17 @@ def attribute_last_touch(events: DataFrame, conversion_type: str,
         F.when(in_horizon, F.col("__m.t")).alias("touch_type"),
         F.when(in_horizon, F.col("__m.s")).alias("touch_ts"),
         F.when(in_horizon, F.col("__ts") - F.col("__m.s")).alias("lag_ms"))
+
+
+def grouped_regression(df: DataFrame, keys: list[str], x: str,
+                       y: str) -> DataFrame:
+    """Per-group OLS of y on x via Spark's moment aggregates — one
+    partial+final aggregate per group, sufficient statistics only (no
+    per-group data movement beyond the running sums). Returns
+    (keys..., n, slope, intercept, r2); groups with zero x-variance get
+    null slope/intercept/r2 (regr_* semantics)."""
+    return df.groupBy(*keys).agg(
+        F.regr_count(F.col(y), F.col(x)).alias("n"),
+        F.regr_slope(F.col(y), F.col(x)).alias("slope"),
+        F.regr_intercept(F.col(y), F.col(x)).alias("intercept"),
+        F.regr_r2(F.col(y), F.col(x)).alias("r2"))

@@ -1,5 +1,6 @@
 """Unit tests for shuffle-conscious relational combinators."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_eng_project_1_spark.operators import relational
@@ -226,3 +227,28 @@ def test_attribute_last_touch_horizon_and_ties(spark):
     assert got[7] == (None, None, None)
     assert got[8] == (None, None, None)
     assert got[9] == (None, None, None)
+
+
+def test_grouped_regression_matches_numpy_per_group(spark):
+    import numpy as np
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g, (a, b) in enumerate([(2.0, 1.0), (-0.5, 3.0), (0.0, 7.0)]):
+        xs = rng.uniform(0, 10, 40)
+        ys = a * xs + b + rng.normal(0, 0.1, 40)
+        rows += [(g, float(x), float(yv)) for x, yv in zip(xs, ys)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in
+           relational.grouped_regression(df, ["g"], "x", "y").collect()}
+    for g in range(3):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([yv for gg, _, yv in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[g]["n"] == 40
+        assert got[g]["slope"] == pytest.approx(slope, abs=1e-9)
+        assert got[g]["intercept"] == pytest.approx(intercept, abs=1e-9)
+        r = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert got[g]["r2"] == pytest.approx(r, abs=1e-9)
