@@ -581,8 +581,12 @@ def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
     buckets: the optimizer-statistics primitive (selectivity estimation,
     skew detection) and the binning step before per-bucket modeling.
 
-    Returns (bucket 1..k, lo, hi, n_rows) where lo/hi are the bucket's
-    actual min/max. Scale shape: the k-1 interior boundaries come from
+    Returns (bucket, lo, hi, n_rows) where lo/hi are the bucket's
+    actual min/max. Bucket ids are DENSE 1..k' (k' <= k): duplicate
+    percentile boundaries under heavy tie mass are collapsed before the
+    strictly-below count, so a value owning more than 1/k of the mass
+    yields fewer-but-contiguous buckets rather than unreachable ids.
+    Scale shape: the k-1 interior boundaries come from
     ONE exact percentile aggregate (`percentile(value, array(...))` —
     a single pass + KB-scale state per group at fixture scale; swap
     `approx_percentile` in at 100 TB, same plan), broadcast as a 1-row
@@ -598,7 +602,8 @@ def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
     if k < 2:
         raise ValueError("equidepth_histogram: k must be >= 2")
     fracs = F.array(*[F.lit(i / k) for i in range(1, k)])
-    bounds = df.agg(F.percentile(F.col(value), fracs).alias("__bs"))
+    bounds = df.agg(F.array_distinct(
+        F.percentile(F.col(value), fracs)).alias("__bs"))
     # bucket = 1 + number of boundaries strictly below the value
     bucket = (F.size(F.filter(F.col("__bs"),
                               lambda b: b < F.col(value))) + 1).alias("bucket")
@@ -627,7 +632,9 @@ def attribute_last_touch(events: DataFrame, conversion_type: str,
     must not get credit, so the as-of match is post-filtered against
     conversion_ts - horizon), and ties (a touch exactly at the
     conversion instant counts — backward-inclusive, the industry
-    convention). Plan: one union + single key-keyed shuffle/sort (the
+    convention; two touches at the same instant credit the one with the
+    LARGEST id, a pinned total order rather than partition luck). Plan:
+    one union + single key-keyed shuffle/sort (the
     asof_join shape — no broadcast, both sides any size), carrying the
     touch's id, type, and timestamp through one running
     last_value(ignoreNulls) struct; at 100 TB a power user is one
@@ -635,21 +642,28 @@ def attribute_last_touch(events: DataFrame, conversion_type: str,
 
     Returns the conversion rows (key, ts, id) plus ``touch_id``,
     ``touch_type``, ``touch_ts`` (nulls when unattributed) and
-    ``lag_ms`` = conversion ts - touch ts.
+    ``lag_ms`` = conversion ts - touch ts. ``touch_id`` keeps
+    ``id_col``'s source type (same as ``conversion_id``); ``ts`` must
+    be numeric (epoch units).
     """
+    id_t = events.schema[id_col].dataType.simpleString()
+    ts_t = events.schema[ts].dataType.simpleString()
     conv = events.filter(F.col(type_col) == conversion_type)
     touch = events.filter(F.col(type_col).isin(*touch_types))
     l_tag = conv.select(
         F.col(key), F.col(ts).alias("__ts"), F.lit(1).alias("__is_conv"),
-        F.lit(None).cast("struct<i:long,t:string,s:long>").alias("__touch"),
-        F.col(id_col).alias("conversion_id"))
+        F.lit(None).cast(f"struct<i:{id_t},t:string,s:{ts_t}>")
+        .alias("__touch"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(id_col).alias("__oid"))
     r_tag = touch.select(
         F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__is_conv"),
-        F.struct(F.col(id_col).cast("long").alias("i"),
+        F.struct(F.col(id_col).alias("i"),
                  F.col(type_col).alias("t"),
-                 F.col(ts).cast("long").alias("s")).alias("__touch"),
-        F.lit(None).cast("long").alias("conversion_id"))
-    w = (Window.partitionBy(key).orderBy("__ts", "__is_conv")
+                 F.col(ts).alias("s")).alias("__touch"),
+        F.lit(None).cast(id_t).alias("conversion_id"),
+        F.col(id_col).alias("__oid"))
+    w = (Window.partitionBy(key).orderBy("__ts", "__is_conv", "__oid")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (
         l_tag.unionByName(r_tag)

@@ -856,7 +856,11 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
       binding constraint at 100 TB — at the price of O(k^2) folds and
       growing per-round expressions; preferred only for small k.
 
-    Deterministic: ties in distance break on the smaller id.
+    Deterministic: ties in distance break on the smaller id. If k
+    exceeds the number of DISTINCT vectors, selection stops early
+    (fewer than k rows returned): once the farthest remaining distance
+    is 0 every point coincides with a center, and further rounds could
+    only re-pick duplicates.
     """
     if method not in ("running", "rescan"):
         raise ValueError(f"kcenter_select: unknown method {method!r}")
@@ -875,6 +879,8 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
             dmin = dists[0] if len(dists) == 1 else F.least(*dists)
             far = (base.select("id", "v", dmin.alias("d"))
                    .orderBy(F.col("d").desc(), "id").limit(1).collect()[0])
+            if float(far["d"]) == 0.0:
+                break  # coverage exhausted: all points coincide with centers
             picked.append((rank, far["id"], float(far["d"])))
             vecs.append(list(far["v"]))
     else:
@@ -888,6 +894,9 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
                    .limit(1).collect()[0])  # materializes cur in cache
             if prev is not None:
                 prev.unpersist()
+                prev = None
+            if float(far["d"]) == 0.0:
+                break  # coverage exhausted: all points coincide with centers
             picked.append((rank, far["id"], float(far["d"])))
             if rank < k - 1:
                 prev, cur = cur, (

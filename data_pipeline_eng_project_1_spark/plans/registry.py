@@ -381,6 +381,11 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "supplier_pagerank": 6,        # edge derivation drops the redundant
                                    # pre-distinct before collect_set
                                    # (same edge set, same output)
+    # changed in r8 (r7-and-earlier green rows stale):
+    "corpus_kcenter_coreset": 7,   # kcenter_select gained the d==0
+                                   # coverage-exhausted early stop (advice
+                                   # fix; non-binding on fixtures — k <<
+                                   # distinct vectors — same output)
 }
 
 

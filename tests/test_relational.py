@@ -229,6 +229,28 @@ def test_attribute_last_touch_horizon_and_ties(spark):
     assert got[9] == (None, None, None)
 
 
+def test_attribute_last_touch_tiebreak_and_id_type(spark):
+    """Two touches at the exact same (key, ts) credit the LARGEST id
+    deterministically, and non-numeric event ids survive: touch_id keeps
+    the source id type instead of silently nulling under a long cast."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    rows = [
+        ("t1", 1, 500, "click"), ("t2", 1, 500, "email"),
+        ("t9", 1, 500, "click"),
+        ("c1", 1, 600, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_ms", "event_type"])
+    got = relational.attribute_last_touch(
+        ev, "purchase", ["click", "email"], horizon=300).collect()
+    assert len(got) == 1
+    assert got[0]["conversion_id"] == "c1"
+    assert got[0]["touch_id"] == "t9"  # max id among the ts-500 ties
+    assert got[0]["touch_type"] == "click"
+    assert got[0]["lag_ms"] == 100
+
+
 def test_grouped_regression_matches_numpy_per_group(spark):
     import numpy as np
 

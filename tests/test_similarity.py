@@ -473,6 +473,22 @@ def test_kcenter_select_running_equals_rescan(spark):
     assert sorted(map(tuple, run)) == sorted(map(tuple, scan))
 
 
+def test_kcenter_select_stops_when_coverage_exhausted(spark):
+    """k larger than the number of DISTINCT vectors must stop early with
+    unique centers, not re-pick duplicates at sel_dist 0 (both
+    schedules): 3 distinct points among 6 rows, k=5 -> exactly 3 rows."""
+    pts = [[0.0, 0.0], [3.0, 0.0], [0.0, 4.0]]
+    rows = [(i, pts[i % 3]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(2)
+    for method in ("running", "rescan"):
+        got = similarity.kcenter_select(df, k=5, method=method) \
+            .orderBy("rank").collect()
+        assert len(got) == 3, method
+        assert len({r["vec_id"] for r in got}) == 3, method
+        assert all(r["sel_dist"] > 0.0 for r in got[1:]), method
+
+
 def test_kcenter_select_bad_method_raises(spark):
     import pytest
 

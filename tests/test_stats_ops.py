@@ -301,3 +301,7 @@ def test_equidepth_histogram_handles_heavy_ties(spark):
     fives = [r for r in got if r["lo"] <= 5.0 <= r["hi"]]
     assert sum(r["n_rows"] for r in fives if r["lo"] == 5.0 == r["hi"]) >= 50 or \
         any(r["n_rows"] >= 50 for r in fives)
+    # duplicate boundaries collapse: bucket ids stay DENSE 1..k' (k' <= k)
+    ids = sorted(r["bucket"] for r in got)
+    assert ids == list(range(1, len(ids) + 1))
+    assert len(ids) <= 4
