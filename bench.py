@@ -176,12 +176,22 @@ def main() -> None:
             full = None
         if (isinstance(full, dict) and isinstance(full.get("queries"), dict)
                 and full.get("sf") == headline["sf"]
-                and len(full["queries"]) > len(timings)):
+                and len(full["queries"]) >= len(timings)):
+            # >= not >: an equal-size filtered probe is still a probe —
+            # merge it; only an UNFILTERED run replaces the artifact.
             full["queries"].update(timings)
             full["remeasured_outliers"] = {
                 **full.get("remeasured_outliers", {}), **remeasured}
             full["value"] = round(sum(full["queries"].values()), 3)
             full["n_queries"] = len(full["queries"])
+            # Spot-merged rows keep the full sweep's method/notes vintage;
+            # mark which rows are probe-vintage so mixed provenance is
+            # visible in the artifact (short-session probes read 20-40%
+            # above full-sweep steady state — see docs/BACKLOG.md).
+            full.setdefault("merged_probes", []).append({
+                "queries": sorted(timings),
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            })
             sidecar = full
         elif isinstance(full, dict) and full.get("sf") != headline["sf"]:
             # A filtered probe at a DIFFERENT scale factor (scaling-curve

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,3 +39,24 @@ def py_hex_int(s: str, hex_digits: int = 15) -> int:
     LSH hyperplane weights) that both the Spark plan and the oracle SQL
     embed as literals."""
     return int(hashlib.md5(s.encode()).hexdigest()[:hex_digits], 16)
+
+
+def collided_hash_keys(vocab: DataFrame, col: str) -> DataFrame:
+    """xxhash64 values shared by more than one distinct ``col`` value of
+    ``vocab`` (ONE ROW PER VALUE expected — a term dictionary, not a
+    posting list), as a single-column frame ``h`` — normally EMPTY.
+
+    This is what turns the 8-byte-key trick of the PPJoin index
+    (operators/dedup.py::jaccard_pairs_prefix) into a PROVABLY exact
+    equi-join for operators whose joined rows feed an aggregate directly
+    (no downstream verify step to absorb collisions, e.g. the TF-IDF
+    cosine partial sums): split the postings with a broadcast anti/semi
+    join against this frame — rows whose hash is unique in the
+    vocabulary join on the 8-byte hash ALONE (hash identity == value
+    identity, so the shuffle ships no strings), while rows under a
+    collided hash (a measured-zero sliver) keep the exact string join.
+    The detection aggregate runs on the KB-scale dictionary, not the
+    postings."""
+    return (vocab.select(F.xxhash64(F.col(col)).alias("h"))
+            .groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1).select("h"))

@@ -576,6 +576,57 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str,
     )
 
 
+def table_profile(df: DataFrame, columns: list[tuple[str, str]],
+                  approx: bool = False) -> DataFrame:
+    """Single-pass long-format table profiling (the ANALYZE / trust-a-new-
+    drop report): per column null count, distinct count, and numeric
+    min/max — ALL columns in ONE aggregate over ONE scan, then a
+    driver-free stack() to long format.
+
+    ``columns`` is a list of (name, kind): kind "num" profiles min/max of
+    the value, "str" of the value LENGTH (no cross-engine string-format
+    surface), "ts" as epoch-millis.
+
+    The scale switch: ``approx=False`` uses exact count(DISTINCT), which
+    plans as Expand (xN_cols rows of one narrow column each) — the
+    documented-correct exact shape, fine to ~billions of rows.
+    ``approx=True`` swaps in approx_count_distinct (HLL++, default 5%
+    rsd): the Expand disappears and the whole profile is a single pass
+    of constant-size sketches — the 100 TB form, identical output schema
+    (tests/test_stats_ops.py pins both the plan-shape difference and the
+    sketch error bound).
+    """
+    nd = F.approx_count_distinct if approx else F.countDistinct
+    aggs: list[Column] = []
+    rows: list[str] = []
+    for i, (c, kind) in enumerate(columns):
+        if kind == "num":
+            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+        elif kind == "str":
+            mn = F.min(F.length(c)).cast("double")
+            mx = F.max(F.length(c)).cast("double")
+        elif kind == "ts":
+            mn = (F.unix_millis(F.min(F.col(c).cast("timestamp")))
+                  .cast("double"))
+            mx = (F.unix_millis(F.max(F.col(c).cast("timestamp")))
+                  .cast("double"))
+        else:
+            raise ValueError(f"table_profile: unknown kind {kind!r}")
+        aggs += [(F.count(F.lit(1)) - F.count(c)).alias(f"nn_{i}"),
+                 nd(c).alias(f"nd_{i}"),
+                 mn.alias(f"mn_{i}"), mx.alias(f"mx_{i}")]
+        rows.append(f"'{c}', nn_{i}, nd_{i}, mn_{i}, mx_{i}")
+    stacked = df.agg(*aggs).select(F.expr(
+        "stack({}, {}) AS (column_name, n_nulls, n_distinct, "
+        "min_raw, max_raw)".format(len(columns), ", ".join(rows))))
+    return stacked.select(
+        "column_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("min_raw", 4).alias("min_num"),
+        F.round("max_raw", 4).alias("max_num"))
+
+
 def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of ``value`` in ``k``
     buckets: the optimizer-statistics primitive (selectivity estimation,

@@ -4122,9 +4122,13 @@ def _q_multimodal_audio_fp_dedup(spark, sf_dir):
         "quadratic in corpus size, measured as a >15-min bench "
         "timeout at sf0.1). Norms still cover ALL terms, so reported "
         "cosines are true-cosine lower bounds restricted to "
-        "discriminative terms, not renormalized ones. At 100 TB add "
-        "the xxhash64 term-key trick from the jaccard join (8-byte "
-        "shuffle keys). Norms divide once per posting, so the join "
+        "discriminative terms, not renormalized ones. The candidate "
+        "join ships xxhash64 term keys (8-byte shuffle keys, no "
+        "strings — the jaccard join's trick), made PROVABLY exact by "
+        "a broadcast split against the vocabulary's collided hashes "
+        "(hashing.collided_hash_keys; empty on the fixtures and "
+        "astronomically rare at any scale — collided postings keep "
+        "the string join). Norms divide once per posting, so the join "
         "ships already-normalized weights.",
 )
 def _q_text_tfidf_cosine_pairs(spark, sf_dir):
@@ -4146,16 +4150,35 @@ def _q_text_tfidf_cosine_pairs(spark, sf_dir):
     wn = (w.join(norm, "doc_id").filter(F.col("nrm") > 0)
           .select("doc_id", "term", "df", "cap",
                   (F.col("w") / F.col("nrm")).alias("u")))
-    joinable = (F.col("df") >= 2) & (F.col("df") <= F.col("cap"))
-    a = wn.filter(joinable).select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua"))
-    b = wn.filter(joinable).select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("u").alias("ub"))
+    # The inverted-index self-join ships xxhash64 term keys (8-byte
+    # longs, no strings through the shuffle — the jaccard_pairs_prefix
+    # trick). Unlike the Jaccard op there is NO downstream verify to
+    # absorb a collision (the joined rows feed the cosine sum directly),
+    # so exactness comes from a broadcast split against the vocabulary's
+    # collided hashes (hashing.collided_hash_keys — normally empty):
+    # uniquely-hashed postings join on the hash alone, collided ones
+    # (if any) keep the exact string join; a pair's partials from both
+    # branches meet in the same downstream aggregate.
+    coll = hashing.collided_hash_keys(dfreq, "term")
+    joinable = wn.filter((F.col("df") >= 2) & (F.col("df") <= F.col("cap"))) \
+        .withColumn("h", F.xxhash64("term"))
+    clean = joinable.join(F.broadcast(coll), "h", "left_anti")
+    dirty = joinable.join(F.broadcast(coll), "h", "left_semi")
+
+    def _half(px, on):
+        a = px.select(F.col("doc_id").alias("doc_a"), *on,
+                      F.col("u").alias("ua"))
+        b = px.select(F.col("doc_id").alias("doc_b"), *on,
+                      F.col("u").alias("ub"))
+        return (a.join(b, list(on))
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b", (F.col("ua") * F.col("ub"))
+                        .alias("uu")))
     half = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _half(clean, ("h",))
+        .unionByName(_half(dirty, ("h", "term")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("cosine"),
+        .agg(F.round(F.sum("uu"), 4).alias("cosine"),
              F.count("*").alias("shared_terms"))
         .filter(F.col("cosine") >= 0.25)
     )
@@ -4379,3 +4402,81 @@ def _q_corpus_doremi_reweight(spark, sf_dir):
         F.round("nll", 6).alias("avg_nll"),
         F.round(F.col("raw") / F.sum("raw").over(wall), 6)
         .alias("new_weight"))
+
+
+# --- content-defined chunking (storage-dedup-stable chunk boundaries) -------
+
+def _cdc_gear_sql() -> str:
+    """The gear table as a DuckDB list literal indexed by ascii code + 1
+    (codes outside the normalized alphabet never occur; their slots are
+    0) — the same table functions/texts.py::_cdc_gear builds, so both
+    engines fold identical values."""
+    table = [0] * 123
+    for c, g in texts._cdc_gear().items():
+        table[ord(c)] = g
+    return "[" + ", ".join(str(g) for g in table) + "]"
+
+
+@_register(
+    "doc_cdc_chunks",
+    f"""
+    WITH RECURSIVE
+    c AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array({SQL_NORM}, ''),
+                            x -> CAST(ascii(x) AS BIGINT)) AS codes
+      FROM documents
+    ),
+    ga AS (SELECT {{gear}} AS garr),
+    cuts(doc_id, pos) AS (
+      SELECT doc_id, 0 FROM c WHERE len(codes) > 0
+      UNION ALL
+      SELECT s.doc_id, s.nxt FROM (
+        SELECT k.doc_id,
+               k.pos + coalesce(list_min(list_filter(
+                 list_transform(generate_series(32, 127), d -> d),
+                 d -> k.pos + d <= len(c.codes)
+                      AND list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                         c.codes[k.pos+1 : k.pos+d]),
+                            (acc, x) ->
+                              (acc * 2 + ga.garr[CAST(x + 1 AS INTEGER)])
+                              % 2147483648) % 64 = 0)), 128) AS nxt,
+               len(c.codes) AS n
+        FROM cuts k JOIN c USING (doc_id) CROSS JOIN ga
+      ) s
+      WHERE s.nxt < s.n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(max(pos) AS INTEGER) AS last_start,
+           md5(array_to_string(list_sort(list(pos)), ',')) AS bounds_md5
+    FROM cuts GROUP BY doc_id
+    """.replace("{gear}", _cdc_gear_sql()),
+    doc="content-defined chunking (FastCDC/gear): rolling gear hash "
+        "h = (2h + gear[c]) mod 2^31 over the normalized text, cut when "
+        "h % 64 == 0 past 32 chars (128 forces), boundaries re-emitted "
+        "as chunk START offsets. Unlike fixed-stride spans "
+        "(dedup_exact_spans), INSERTING text re-synchronizes within "
+        "~31 chars + min_len, so unchanged tails keep identical chunks "
+        "— the storage-dedup / incremental-crawl reuse primitive. Spark "
+        "side is ONE scan-side O(n) aggregate fold per document (no "
+        "shuffle at all until the final per-doc projection); the "
+        "bounds md5 proves the boundary SETS are byte-identical "
+        "cross-engine. The oracle replays the same fold as a recursive "
+        "chunk-frontier CTE (per-chunk re-fold, O(max_len^2) per chunk "
+        "— fixture-scale only, the measure not the plan) "
+        "(functions/texts.py::cdc_boundaries).",
+)
+def _q_doc_cdc_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = texts.normalize(F.col("text"))
+    b = (_spread(d.filter(F.length(norm) > 0))
+         .select("doc_id", texts.cdc_boundaries(F.col("text")).alias("bs")))
+    return b.select(
+        "doc_id",
+        F.size("bs").cast("int").alias("n_chunks"),
+        F.element_at("bs", -1).cast("int").alias("last_start"),
+        F.md5(F.encode(F.concat_ws(",", F.transform(
+            "bs", lambda x: x.cast("string"))), "UTF-8")).alias("bounds_md5"),
+    )

@@ -2289,60 +2289,22 @@ def _q_entity_match_fuzzy(spark, sf_dir):
         "cross-engine string-formatting surface exists). Spark computes "
         "ALL columns' stats in ONE aggregate over one scan — the "
         "multi-DISTINCT agg plans as Expand (x6 rows of one narrow "
-        "column each), the standard exact form; at 100 TB swap "
-        "count(DISTINCT) for approx_count_distinct and the Expand "
-        "collapses to a single pass of HLL sketches, same plan "
-        "otherwise. The long-format result is a driver-side stack of "
-        "the single aggregate row, not six scans (the oracle spells it "
-        "as UNION ALL because DuckDB reads the 15k-row fixture six "
-        "times for free).",
+        "column each), the standard exact form; at 100 TB call "
+        "relational.table_profile(..., approx=True) — the "
+        "count(DISTINCT) becomes approx_count_distinct, the Expand "
+        "collapses to a single pass of HLL sketches, same output "
+        "schema (plan-shape + error-bound pinned by "
+        "tests/test_stats_ops.py). The long-format result is a "
+        "driver-free stack of the single aggregate row, not six scans "
+        "(the oracle spells it as UNION ALL because DuckDB reads the "
+        "15k-row fixture six times for free).",
 )
 def _q_orders_table_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    agg = o.agg(
-        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nn_okey"),
-        F.countDistinct("o_orderkey").alias("nd_okey"),
-        F.min("o_orderkey").cast("double").alias("mn_okey"),
-        F.max("o_orderkey").cast("double").alias("mx_okey"),
-        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_ckey"),
-        F.countDistinct("o_custkey").alias("nd_ckey"),
-        F.min("o_custkey").cast("double").alias("mn_ckey"),
-        F.max("o_custkey").cast("double").alias("mx_ckey"),
-        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("nn_stat"),
-        F.countDistinct("o_orderstatus").alias("nd_stat"),
-        F.min(F.length("o_orderstatus")).cast("double").alias("mn_stat"),
-        F.max(F.length("o_orderstatus")).cast("double").alias("mx_stat"),
-        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_tp"),
-        F.countDistinct("o_totalprice").alias("nd_tp"),
-        F.min("o_totalprice").cast("double").alias("mn_tp"),
-        F.max("o_totalprice").cast("double").alias("mx_tp"),
-        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_od"),
-        F.countDistinct("o_orderdate").alias("nd_od"),
-        F.unix_millis(F.min(F.col("o_orderdate").cast("timestamp")))
-         .cast("double").alias("mn_od"),
-        F.unix_millis(F.max(F.col("o_orderdate").cast("timestamp")))
-         .cast("double").alias("mx_od"),
-        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nn_op"),
-        F.countDistinct("o_orderpriority").alias("nd_op"),
-        F.min(F.length("o_orderpriority")).cast("double").alias("mn_op"),
-        F.max(F.length("o_orderpriority")).cast("double").alias("mx_op"),
-    )
-    stacked = agg.select(F.expr("""
-        stack(6,
-          'o_orderkey',      nn_okey, nd_okey, mn_okey, mx_okey,
-          'o_custkey',       nn_ckey, nd_ckey, mn_ckey, mx_ckey,
-          'o_orderstatus',   nn_stat, nd_stat, mn_stat, mx_stat,
-          'o_totalprice',    nn_tp,   nd_tp,   mn_tp,   mx_tp,
-          'o_orderdate',     nn_od,   nd_od,   mn_od,   mx_od,
-          'o_orderpriority', nn_op,   nd_op,   mn_op,   mx_op)
-        AS (column_name, n_nulls, n_distinct, min_raw, max_raw)
-    """))
-    return stacked.select(
-        "column_name",
-        F.col("n_nulls").cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.round("min_raw", 4).alias("min_num"),
-        F.round("max_raw", 4).alias("max_num"))
+    return relational.table_profile(o, [
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num"),
+        ("o_orderdate", "ts"), ("o_orderpriority", "str")])
 
 
 @_register(
@@ -3214,6 +3176,130 @@ def _q_hll_distinct_audit(spark, sf_dir):
                         / F.col("n_exact"), 2).alias("err_pct"),
                 F.col("nz").cast("int").alias("nonzero_registers"))
     )
+
+
+@_register(
+    "orders_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT list_distinct(quantile_cont(o_totalprice,
+               [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375, 0.5,
+                0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375])) AS bs
+      FROM orders
+    ),
+    a AS (
+      SELECT o_totalprice AS v,
+             1 + len(list_filter(b.bs, x -> x < o_totalprice)) AS bucket
+      FROM orders, b
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           round(min(v), 2) AS lo,
+           round(max(v), 2) AS hi,
+           count(*) AS n_rows
+    FROM a GROUP BY bucket
+    """,
+    doc="equi-depth (equal-frequency) 16-bucket histogram of order "
+        "totals — the optimizer-statistics primitive (selectivity "
+        "estimation, skew detection) done WITHOUT a global sort: one "
+        "exact percentile aggregate yields the 15 interior boundaries "
+        "(deduped, so bucket ids stay dense under tie mass), broadcast "
+        "to a scan-side strictly-below count, then one partial+final "
+        "aggregate per bucket. The ntile formulation this avoids costs "
+        "a full-data range exchange; at 100 TB swap the boundary pass "
+        "to approx_percentile — the plan shape is unchanged "
+        "(operators/relational.py::equidepth_histogram).",
+)
+def _q_orders_equidepth_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    h = relational.equidepth_histogram(o, "o_totalprice", k=16)
+    return h.select(
+        "bucket",
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+        "n_rows")
+
+
+@_register(
+    "events_last_touch_attribution",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events),
+    conv AS (SELECT user_id, ts_ms, event_id FROM e
+             WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts_ms, event_id, event_type FROM e
+          WHERE event_type IN ('view', 'click'))
+    SELECT c.user_id,
+           c.ts_ms AS conversion_ts,
+           c.event_id AS conversion_id,
+           t.event_id AS touch_id,
+           t.event_type AS touch_type,
+           t.ts_ms AS touch_ts,
+           c.ts_ms - t.ts_ms AS lag_ms
+    FROM conv c LEFT JOIN t
+      ON t.user_id = c.user_id
+     AND t.ts_ms <= c.ts_ms AND t.ts_ms >= c.ts_ms - 3600000
+    QUALIFY row_number() OVER (
+        PARTITION BY c.event_id
+        ORDER BY t.ts_ms DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1
+    """,
+    doc="last-touch marketing attribution: every purchase credits the "
+        "most recent view/click by the same user within a 1-hour "
+        "horizon (backward-inclusive; same-instant ties credit the "
+        "largest event id — a pinned total order), unattributed "
+        "purchases keep null credit. Spark plan is the asof-join "
+        "shape — one union + ONE user-keyed shuffle/sort carrying a "
+        "running last(touch-struct, ignoreNulls) — so at 100 TB a "
+        "power user is a sorted run inside one task, never a join "
+        "fan-out; the oracle spells the same semantics as a "
+        "horizon-bounded join + QUALIFY row_number, which is only "
+        "viable at fixture scale "
+        "(operators/relational.py::attribute_last_touch).",
+)
+def _q_events_last_touch_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.attribute_last_touch(
+        ev.select("event_id", "user_id", "ts_ms", "event_type"),
+        conversion_type="purchase", touch_types=["view", "click"],
+        horizon=3_600_000)
+
+
+@_register(
+    "events_grouped_regression",
+    """
+    WITH e AS (SELECT event_type,
+                      (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24
+                          AS hour_of_day,
+                      value
+               FROM events)
+    SELECT event_type,
+           regr_count(value, hour_of_day)               AS n,
+           round(regr_slope(value, hour_of_day), 4)     AS slope,
+           round(regr_intercept(value, hour_of_day), 4) AS intercept,
+           round(regr_r2(value, hour_of_day), 6)        AS r2
+    FROM e GROUP BY event_type
+    """,
+    doc="group-wise OLS as a reusable operator (y = event value, x = "
+        "UTC hour-of-day, one fit per event type) — per-group "
+        "regression via the moment aggregates, so the shuffle carries "
+        "five running sums per group, never the points; distinct from "
+        "regression_price_qty in that it exercises the "
+        "grouped_regression OPERATOR (multi-key capable, zero-variance "
+        "groups -> null slope) rather than inline regr_* calls "
+        "(operators/relational.py::grouped_regression).",
+)
+def _q_events_grouped_regression(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "value",
+        F.expr("(ts_ms div 3600000) % 24").alias("hour_of_day"))
+    r = relational.grouped_regression(
+        e, ["event_type"], x="hour_of_day", y="value")
+    return r.select(
+        "event_type", "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"))
 
 
 # ---------------------------------------------------------------------------

@@ -386,6 +386,16 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                    # coverage-exhausted early stop (advice
                                    # fix; non-binding on fixtures — k <<
                                    # distinct vectors — same output)
+    "orders_table_profile": 7,     # builder rerouted through the shared
+                                   # relational.table_profile operator
+                                   # (the approx=True 100 TB switch now
+                                   # has a code path; exact form is the
+                                   # same expressions, same output)
+    "text_tfidf_cosine_pairs": 7,  # candidate join keys switched to
+                                   # xxhash64 longs with the collided-
+                                   # hash broadcast split (no collisions
+                                   # on fixtures — same pairs, same sums,
+                                   # same output)
 }
 
 

@@ -252,6 +252,36 @@ def test_hll_registers_merge_by_cellwise_max(spark):
 
 
 # ---------------------------------------------------------------------------
+# table_profile (exact vs approx scale switch)
+# ---------------------------------------------------------------------------
+
+def test_table_profile_approx_drops_expand_within_hll_tolerance(spark):
+    """approx=True is the 100 TB form: the multi-DISTINCT Expand
+    disappears from the plan (single pass of HLL sketches), nulls and
+    min/max stay EXACT, and the approximate distinct counts land within
+    HLL++ tolerance (default 5% rsd) of the exact ones."""
+    cols = [("o_orderkey", "num"), ("o_custkey", "num"),
+            ("o_orderstatus", "str"), ("o_totalprice", "num"),
+            ("o_orderdate", "ts"), ("o_orderpriority", "str")]
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = relational.table_profile(o, cols)
+    approx = relational.table_profile(o, cols, approx=True)
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in \
+        approx._jdf.queryExecution().executedPlan().toString()
+    ex = {r["column_name"]: r for r in exact.collect()}
+    ap = {r["column_name"]: r for r in approx.collect()}
+    assert set(ex) == set(ap) == {c for c, _ in cols}
+    for c in ex:
+        assert ap[c]["n_nulls"] == ex[c]["n_nulls"]
+        assert ap[c]["min_num"] == ex[c]["min_num"]
+        assert ap[c]["max_num"] == ex[c]["max_num"]
+        nd_ex, nd_ap = ex[c]["n_distinct"], ap[c]["n_distinct"]
+        assert abs(nd_ap - nd_ex) <= max(4 * 0.05 * nd_ex, 2), \
+            (c, nd_ex, nd_ap)
+
+
+# ---------------------------------------------------------------------------
 # equidepth_histogram
 # ---------------------------------------------------------------------------
 
