@@ -270,16 +270,29 @@ def run_split_sink(df: DataFrame, predicate_col: str, pass_dir: str,
     retries). Rejected rows are data, not garbage: quality-gate
     failures, malformed records, and PII-flagged docs all need the
     audit trail the reference pipeline loses by filtering in place.
-    Exactly-once per sink comes from the shared checkpoint; the batch id
-    is stamped on both sides so a replayed batch is identifiable."""
+
+    Delivery: foreachBatch is AT-LEAST-ONCE (a crash between a side's
+    write and the checkpoint commit replays the batch), so each side is
+    partitioned by the stamped ``batch_id`` and written with DYNAMIC
+    partition overwrite — a replayed batch rewrites its own partition
+    instead of appending duplicates, which makes the sink idempotent
+    (hence effectively exactly-once) for Structured Streaming's
+    replayable-source contract (same batch_id => same rows). The one
+    residue dynamic overwrite cannot clear: a replay whose recomputed
+    batch has ZERO rows on a side leaves that side's earlier partial
+    partition in place — unreachable under the deterministic-replay
+    contract, identifiable by batch_id if a non-deterministic source
+    breaks it."""
     def write_both(batch: DataFrame, batch_id: int) -> None:
         batch = batch.withColumn("batch_id", F.lit(batch_id)).persist()
         try:
-            batch.filter(F.col(predicate_col)) \
-                 .write.mode("append").parquet(pass_dir)
-            batch.filter(~F.col(predicate_col)
-                         | F.col(predicate_col).isNull()) \
-                 .write.mode("append").parquet(reject_dir)
+            for out_dir, pred in (
+                    (pass_dir, F.col(predicate_col)),
+                    (reject_dir, ~F.col(predicate_col)
+                     | F.col(predicate_col).isNull())):
+                batch.filter(pred).write.mode("overwrite") \
+                     .option("partitionOverwriteMode", "dynamic") \
+                     .partitionBy("batch_id").parquet(out_dir)
         finally:
             batch.unpersist()
 

@@ -642,3 +642,16 @@ def test_quality_gate_split_sink_routes_and_checkpoints(spark, tmp_path):
     drain()
     assert spark.read.parquet(str(tmp_path / "pass")).count() == len(kept)
     assert spark.read.parquet(str(tmp_path / "reject")).count() == len(rej)
+
+    # simulated REPLAY (checkpoint lost, same source): batch 0 re-executes
+    # under the same batch_id — dynamic partition overwrite rewrites the
+    # batch_id=0 partition instead of appending duplicates, so the sink
+    # is idempotent (foreachBatch alone is only at-least-once)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck_qg"))
+    drain()
+    p = spark.read.parquet(str(tmp_path / "pass"))
+    r = spark.read.parquet(str(tmp_path / "reject"))
+    assert p.count() == len(kept) and r.count() == len(rej)
+    assert {row.batch_id for row in p.select("batch_id").collect()} == {0}
