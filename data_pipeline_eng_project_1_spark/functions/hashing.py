@@ -50,13 +50,13 @@ def collided_hash_keys(vocab: DataFrame, col: str) -> DataFrame:
     (operators/dedup.py::jaccard_pairs_prefix) into a PROVABLY exact
     equi-join for operators whose joined rows feed an aggregate directly
     (no downstream verify step to absorb collisions, e.g. the TF-IDF
-    cosine partial sums): split the postings with a broadcast anti/semi
-    join against this frame — rows whose hash is unique in the
-    vocabulary join on the 8-byte hash ALONE (hash identity == value
-    identity, so the shuffle ships no strings), while rows under a
-    collided hash (a measured-zero sliver) keep the exact string join.
-    The detection aggregate runs on the KB-scale dictionary, not the
-    postings."""
+    cosine partial sums): broadcast-mark the rows under a collided hash
+    and carry the original string ONLY for those (null otherwise), then
+    join on the hash with a null-safe residual equality on the carried
+    string — a no-op for uniquely-hashed keys (hash identity == value
+    identity, zero string bytes shuffled) and exact string equality for
+    the collided sliver. The detection aggregate runs on the KB-scale
+    dictionary, not the postings."""
     return (vocab.select(F.xxhash64(F.col(col)).alias("h"))
             .groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1).select("h"))

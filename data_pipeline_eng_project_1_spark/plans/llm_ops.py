@@ -4123,13 +4123,14 @@ def _q_multimodal_audio_fp_dedup(spark, sf_dir):
         "timeout at sf0.1). Norms still cover ALL terms, so reported "
         "cosines are true-cosine lower bounds restricted to "
         "discriminative terms, not renormalized ones. The candidate "
-        "join ships xxhash64 term keys (8-byte shuffle keys, no "
-        "strings — the jaccard join's trick), made PROVABLY exact by "
-        "a broadcast split against the vocabulary's collided hashes "
-        "(hashing.collided_hash_keys; empty on the fixtures and "
-        "astronomically rare at any scale — collided postings keep "
-        "the string join). Norms divide once per posting, so the join "
-        "ships already-normalized weights.",
+        "join ships xxhash64 term keys (8-byte shuffle keys — the "
+        "jaccard join's trick), made PROVABLY exact by the vocabulary's "
+        "collided-hash frame (hashing.collided_hash_keys; empty on the "
+        "fixtures and astronomically rare at any scale): a posting "
+        "carries its term string only under a collided hash, and a "
+        "null-safe residual equality decides those rows — uniquely-"
+        "hashed postings ship zero string bytes. Norms divide once per "
+        "posting, so the join ships already-normalized weights.",
 )
 def _q_text_tfidf_cosine_pairs(spark, sf_dir):
     d = _spread(_t(spark, sf_dir, "documents"))
@@ -4154,31 +4155,30 @@ def _q_text_tfidf_cosine_pairs(spark, sf_dir):
     # longs, no strings through the shuffle — the jaccard_pairs_prefix
     # trick). Unlike the Jaccard op there is NO downstream verify to
     # absorb a collision (the joined rows feed the cosine sum directly),
-    # so exactness comes from a broadcast split against the vocabulary's
-    # collided hashes (hashing.collided_hash_keys — normally empty):
-    # uniquely-hashed postings join on the hash alone, collided ones
-    # (if any) keep the exact string join; a pair's partials from both
-    # branches meet in the same downstream aggregate.
+    # so exactness comes from the vocabulary's collided hashes
+    # (hashing.collided_hash_keys — normally EMPTY): a posting carries
+    # its term string ONLY when its hash is collided (null otherwise,
+    # zero shuffle bytes), and the join adds a null-safe residual
+    # compare that is a no-op for uniquely-hashed keys and exact string
+    # equality for collided ones.
     coll = hashing.collided_hash_keys(dfreq, "term")
-    joinable = wn.filter((F.col("df") >= 2) & (F.col("df") <= F.col("cap"))) \
+    joinable = (
+        wn.filter((F.col("df") >= 2) & (F.col("df") <= F.col("cap")))
         .withColumn("h", F.xxhash64("term"))
-    clean = joinable.join(F.broadcast(coll), "h", "left_anti")
-    dirty = joinable.join(F.broadcast(coll), "h", "left_semi")
-
-    def _half(px, on):
-        a = px.select(F.col("doc_id").alias("doc_a"), *on,
-                      F.col("u").alias("ua"))
-        b = px.select(F.col("doc_id").alias("doc_b"), *on,
-                      F.col("u").alias("ub"))
-        return (a.join(b, list(on))
-                .filter(F.col("doc_a") < F.col("doc_b"))
-                .select("doc_a", "doc_b", (F.col("ua") * F.col("ub"))
-                        .alias("uu")))
+        .join(F.broadcast(coll.withColumn("__coll", F.lit(True))),
+              "h", "left")
+        .select("doc_id", "h", "u",
+                F.when(F.col("__coll"), F.col("term")).alias("t2")))
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "h",
+                        F.col("t2").alias("ta"), F.col("u").alias("ua"))
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "h",
+                        F.col("t2").alias("tb"), F.col("u").alias("ub"))
     half = (
-        _half(clean, ("h",))
-        .unionByName(_half(dirty, ("h", "term")))
+        a.join(b, "h")
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & F.col("ta").eqNullSafe(F.col("tb")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.sum("uu"), 4).alias("cosine"),
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("cosine"),
              F.count("*").alias("shared_terms"))
         .filter(F.col("cosine") >= 0.25)
     )
