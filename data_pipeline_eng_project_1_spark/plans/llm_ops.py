@@ -3372,7 +3372,8 @@ def _q_corpus_kcenter_coreset(spark, sf_dir):
         "min-aggregate itself (a boilerplate shingle in a billion docs "
         "is one reducer AGGREGATING, never a self-join; the r7 debut "
         "shape joined firsts back on the shingle key and cost 7.2 s at "
-        "sf0.1 — this shape answers in ~2 s). Denominators are the "
+        "sf0.1 — this shape answers in ~3 s full-sweep steady state, "
+        "linear in shingle volume per docs/SCALING.md). Denominators are the "
         "precomputed sz=size(sh) column on the shared shingled frame — "
         "no second explode — and the final join is per-doc (tiny) with "
         "novel-less docs restored via coalesce(0). No windows, no "

@@ -48,156 +48,160 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.18,
-    "unpivot_part_metrics": 0.16,
-    "multimodal_meta": 0.18,
-    "array_hof_stats": 0.20,
-    "string_funcs_part": 0.22,
-    "text_fingerprint": 0.23,
-    "date_parts_orders": 0.25,
-    "filter_project_cast": 0.26,
-    "stratified_sample": 0.26,
-    "window_distribution": 0.27,
-    "rollup_status_priority": 0.29,
-    "doc_chunks": 0.30,
-    "grouping_sets_status_priority": 0.30,
-    "cube_nation_segment": 0.30,
-    "stats_agg_lineitem": 0.31,
-    "vector_norms": 0.32,
-    "stringagg_nations": 0.32,
-    "posexplode_tokens": 0.32,
-    "window_running_rank": 0.32,
-    "group_distinct_agg": 0.33,
-    "multimodal_frames": 0.33,
-    "text_token_topk": 0.33,
-    "quantiles_per_priority": 0.33,
-    "pivot_returnflag": 0.33,
-    "regression_price_qty": 0.34,
-    "events_sessionize": 0.34,
-    "pricing_summary_agg": 0.35,
-    "conditional_promo_ratio": 0.36,
-    "similarity_topk": 0.36,
-    "customer_k_anonymity": 0.37,
-    "null_conditional_agg": 0.37,
+    "sort_limit_topk": 0.15,
+    "unpivot_part_metrics": 0.18,
+    "multimodal_meta": 0.19,
+    "string_funcs_part": 0.20,
+    "text_fingerprint": 0.21,
+    "corpus_weighted_reservoir": 0.23,
+    "array_hof_stats": 0.24,
+    "filter_project_cast": 0.24,
+    "posexplode_tokens": 0.26,
+    "try_cast_dirty": 0.26,
+    "vector_norms": 0.26,
+    "customer_k_anonymity": 0.28,
+    "doc_chunks": 0.29,
+    "rollup_status_priority": 0.30,
+    "corpus_snapshot_diff": 0.32,
+    "embedding_quantize_int8": 0.33,
+    "customer_l_diversity": 0.34,
+    "events_json_extract": 0.34,
+    "events_time_weighted_avg": 0.34,
+    "quantiles_per_priority": 0.34,
+    "text_token_topk": 0.34,
+    "topk_per_priority": 0.35,
+    "embedding_random_projection": 0.36,
+    "entity_match_fuzzy": 0.37,
+    "grouping_sets_status_priority": 0.37,
     "multimodal_decode": 0.37,
-    "events_hourly_retention": 0.38,
-    "corpus_snapshot_diff": 0.38,
+    "window_range_moving_avg": 0.37,
+    "cube_nation_segment": 0.38,
     "events_asof_click": 0.38,
-    "events_json_extract": 0.38,
-    "pii_scrub": 0.38,
-    "corpus_shard_export": 0.38,
-    "window_range_moving_avg": 0.39,
-    "similarity_filtered_topk": 0.40,
-    "doc_packing": 0.40,
-    "corpus_importance_sample": 0.40,
-    "above_avg_orders": 0.40,
-    "events_scd2_history": 0.40,
-    "events_tumbling_1h": 0.41,
-    "pii_creditcard_luhn": 0.41,
-    "window_latest_per_key": 0.43,
-    "topk_per_priority": 0.43,
-    "customer_order_histogram": 0.43,
-    "disjunctive_bracket_revenue": 0.44,
-    "semi_anti_customers": 0.46,
-    "events_anomaly_zscore": 0.47,
-    "text_quality": 0.47,
-    "events_rollup_multigrain": 0.47,
-    "small_qty_part_revenue": 0.48,
-    "top_revenue_supplier": 0.49,
-    "customer_l_diversity": 0.49,
-    "skew_salted_join": 0.49,
-    "try_cast_dirty": 0.49,
-    "window_lead_lag": 0.52,
-    "scalar_subquery_share": 0.53,
-    "events_time_weighted_avg": 0.54,
-    "late_shipment_priority": 0.54,
-    "large_order_customers": 0.55,
+    "window_latest_per_key": 0.38,
+    "window_running_rank": 0.38,
+    "events_anomaly_zscore": 0.39,
+    "date_parts_orders": 0.40,
+    "corpus_negative_sampling": 0.41,
+    "corpus_shard_export": 0.41,
+    "events_sessionize": 0.41,
+    "pricing_summary_agg": 0.41,
+    "window_distribution": 0.41,
+    "pii_scrub": 0.42,
+    "quality_classifier_score": 0.42,
+    "stratified_sample": 0.43,
+    "doc_packing": 0.44,
+    "events_rollup_multigrain": 0.44,
+    "pivot_returnflag": 0.45,
+    "events_hourly_retention": 0.46,
+    "map_priority_counts": 0.46,
+    "events_tumbling_1h": 0.47,
+    "hll_distinct_audit": 0.47,
+    "orders_mad_outliers": 0.48,
+    "text_quality": 0.48,
+    "corpus_domain_cap": 0.49,
+    "corpus_importance_sample": 0.50,
+    "events_scd2_history": 0.50,
+    "parts_skyline_frontier": 0.50,
+    "similarity_filtered_topk": 0.50,
+    "stringagg_nations": 0.50,
+    "conditional_promo_ratio": 0.53,
+    "corpus_temperature_mixture": 0.53,
+    "pii_creditcard_luhn": 0.53,
+    "embedding_covariance": 0.54,
+    "events_interval_coverage": 0.55,
+    "join_topk_revenue": 0.55,
+    "stats_agg_lineitem": 0.55,
+    "above_avg_orders": 0.56,
+    "disjunctive_bracket_revenue": 0.56,
     "events_sliding_1h_15m": 0.56,
-    "corpus_mixture_sample": 0.57,
-    "dedup_exact_spans": 0.58,
-    "sole_blame_suppliers": 0.58,
-    "embedding_covariance": 0.59,
-    "join_topk_revenue": 0.59,
-    "dedup_exact": 0.59,
+    "rich_quiet_customers": 0.56,
+    "top_revenue_supplier": 0.57,
+    "dedup_exact": 0.58,
+    "events_count_min_sketch": 0.58,
+    "multimodal_phash_dedup": 0.58,
+    "late_shipment_priority": 0.59,
+    "null_conditional_agg": 0.59,
+    "set_ops_custkeys": 0.59,
+    "sole_blame_suppliers": 0.59,
+    "customer_order_histogram": 0.60,
     "dedup_exact_spans_staggered": 0.60,
-    "bloom_pruned_join": 0.62,
-    "star_join_region_revenue": 0.71,
-    "orders_incremental_rollup": 0.72,
-    "text_bigram_pmi": 0.74,
-    "parts_skyline_frontier": 0.74,
-    "rich_quiet_customers": 0.79,
-    "orders_subsample_variance": 0.81,
-    "orders_mad_outliers": 0.83,
-    "events_count_min_sketch": 0.84,
-    "events_interval_coverage": 0.85,
-    "events_markov_transitions": 0.89,
-    "lineitem_expectations_audit": 0.90,
-    "dedup_containment": 0.92,
-    "orders_table_profile": 0.94,
-    "multimodal_audio_fp_dedup": 0.97,
-    "events_chisq_independence": 0.98,
-    "corpus_temperature_mixture": 1.01,
-    "corpus_domain_cap": 1.02,
-    "parts_abc_pareto": 1.03,
-    "text_kl_drift": 1.04,
-    "text_char_entropy": 1.04,
+    "scalar_subquery_share": 0.60,
+    "text_kl_drift": 0.60,
+    "text_char_entropy": 0.61,
+    "window_lead_lag": 0.61,
+    "grouped_zscore_pandas": 0.64,
+    "corpus_mixture_sample": 0.66,
+    "orders_incremental_rollup": 0.66,
+    "dedup_exact_spans": 0.67,
+    "events_markov_transitions": 0.67,
+    "large_order_customers": 0.67,
+    "events_range_join_1h": 0.69,
+    "orders_cohort_retention": 0.69,
+    "orders_subsample_variance": 0.70,
+    "small_qty_part_revenue": 0.71,
+    "bloom_pruned_join": 0.72,
+    "text_repetition": 0.72,
+    "semi_anti_customers": 0.74,
+    "text_unigram_logprob": 0.74,
+    "text_heavy_hitters": 0.75,
+    "corpus_doremi_reweight": 0.76,
+    "star_join_region_revenue": 0.76,
+    "events_funnel_conversion": 0.77,
+    "basket_brand_lift": 0.78,
+    "similarity_knn_graph": 0.78,
+    "events_gap_fill": 0.80,
+    "regression_price_qty": 0.80,
+    "text_bigram_pmi": 0.81,
+    "corpus_curation": 0.84,
+    "dedup_embedding_cosine": 0.85,
+    "events_chisq_independence": 0.85,
+    "text_langid": 0.85,
+    "text_bigram_lm_perplexity": 0.88,
+    "dedup_containment": 0.90,
+    "text_collocation_llr": 0.90,
+    "parts_abc_pareto": 0.92,
+    "corpus_decontamination": 0.93,
+    "events_grouped_regression": 0.93,
+    "similarity_label_propagation": 0.97,
+    "similarity_ann_lsh": 0.98,
+    "text_ngram_novelty": 0.99,
     "corpus_cluster_balance": 1.09,
-    "grouped_zscore_pandas": 1.12,
-    "orders_cohort_retention": 1.16,
-    "dedup_semantic": 1.16,
-    "text_bigram_lm_perplexity": 1.17,
-    "embedding_quantize_int8": 1.18,
-    "similarity_ann_ivf": 1.18,
-    "map_priority_counts": 1.19,
-    "dedup_ngram_jaccard": 1.19,
-    "approx_distinct_custkeys": 1.20,
-    "similarity_ann_lsh": 1.21,
-    "dedup_minhash_lsh": 1.22,
-    "hll_distinct_audit": 1.23,
-    "text_ngram_novelty": 1.25,
-    "dedup_embedding_cosine": 1.25,
-    "orders_dense_index": 1.28,
-    "events_funnel_conversion": 1.28,
-    "corpus_negative_sampling": 1.29,
-    "text_collocation_llr": 1.29,
-    "corpus_curation": 1.29,
-    "corpus_doremi_reweight": 1.34,
-    "similarity_knn_graph": 1.35,
-    "text_winnow_fingerprint": 1.38,
-    "dedup_incremental": 1.38,
-    "referential_integrity_audit": 1.38,
-    "basket_brand_lift": 1.44,
-    "ntile_spend_quartiles": 1.45,
-    "set_ops_custkeys": 1.47,
-    "similarity_label_propagation": 1.51,
-    "corpus_source_overlap": 1.61,
-    "text_repetition": 1.61,
-    "text_heavy_hitters": 1.63,
-    "dedup_keep_best": 1.82,
-    "events_range_join_1h": 1.86,
-    "similarity_graph_triangles": 1.88,
-    "supplier_pagerank": 1.89,
-    "text_langid": 1.90,
-    "similarity_link_prediction": 1.93,
-    "text_tfidf_cosine_pairs": 1.93,
-    "dedup_components": 1.96,
-    "corpus_pipeline_end_to_end": 1.97,
-    "text_unigram_logprob": 2.01,
-    "embedding_random_projection": 2.02,
-    "corpus_leakage_safe_split": 2.04,
-    "text_bpe_vocab": 2.06,
-    "entity_match_fuzzy": 2.11,
-    "quality_classifier_score": 2.45,
-    "multimodal_phash_dedup": 2.63,
-    "similarity_ann_pq": 2.73,
-    "corpus_kcenter_coreset": 3.01,
-    "corpus_decontamination": 3.02,
-    "events_gap_fill": 3.18,
-    "dedup_winnow_pairs": 3.24,
-    "dedup_simhash": 3.51,
-    "corpus_weighted_reservoir": 4.96,
-    "text_tfidf_topterms": 5.32,
-    "nation_trade_volume": 6.51,
+    "ntile_spend_quartiles": 1.12,
+    "similarity_ann_ivf": 1.14,
+    "corpus_source_overlap": 1.15,
+    "referential_integrity_audit": 1.15,
+    "skew_salted_join": 1.21,
+    "approx_distinct_custkeys": 1.22,
+    "dedup_minhash_lsh": 1.25,
+    "group_distinct_agg": 1.26,
+    "text_winnow_fingerprint": 1.26,
+    "dedup_semantic": 1.28,
+    "dedup_ngram_jaccard": 1.31,
+    "multimodal_audio_fp_dedup": 1.33,
+    "similarity_link_prediction": 1.42,
+    "dedup_simhash": 1.46,
+    "orders_table_profile": 1.46,
+    "lineitem_expectations_audit": 1.48,
+    "orders_dense_index": 1.54,
+    "supplier_pagerank": 1.58,
+    "corpus_pipeline_end_to_end": 1.65,
+    "similarity_ann_pq": 1.70,
+    "dedup_incremental": 1.72,
+    "text_tfidf_topterms": 1.76,
+    "multimodal_frames": 1.81,
+    "text_bpe_vocab": 1.87,
+    "similarity_topk": 1.95,
+    "corpus_leakage_safe_split": 1.97,
+    "events_last_touch_attribution": 1.99,
+    "orders_equidepth_histogram": 2.04,
+    "similarity_graph_triangles": 2.30,
+    "dedup_components": 3.29,
+    "dedup_winnow_pairs": 3.46,
+    "corpus_kcenter_coreset": 4.20,
+    "text_tfidf_cosine_pairs": 4.31,
+    "nation_trade_volume": 4.67,
+    "doc_cdc_chunks": 4.84,
+    "dedup_keep_best": 5.15,
 }
 
 _MEDIAN_COST = 0.5
