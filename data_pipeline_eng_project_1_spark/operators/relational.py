@@ -633,10 +633,13 @@ def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
     skew detection) and the binning step before per-bucket modeling.
 
     Returns (bucket, lo, hi, n_rows) where lo/hi are the bucket's
-    actual min/max. Bucket ids are DENSE 1..k' (k' <= k): duplicate
-    percentile boundaries under heavy tie mass are collapsed before the
-    strictly-below count, so a value owning more than 1/k of the mass
-    yields fewer-but-contiguous buckets rather than unreachable ids.
+    actual min/max. Bucket ids are DENSE 1..k' (k' <= k) over the
+    non-empty buckets: duplicate percentile boundaries under heavy tie
+    mass are collapsed before the strictly-below count, and a final
+    dense_rank over the <=k-row AGGREGATE frame (bounded — never the
+    data) renumbers past empty buckets (a raw strictly-below id can
+    skip when no value falls between two interpolated boundaries, e.g.
+    sparse data or n < k — caught by the hypothesis property test).
     Scale shape: the k-1 interior boundaries come from
     ONE exact percentile aggregate (`percentile(value, array(...))` —
     a single pass + KB-scale state per group at fixture scale; swap
@@ -658,13 +661,16 @@ def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
     # bucket = 1 + number of boundaries strictly below the value
     bucket = (F.size(F.filter(F.col("__bs"),
                               lambda b: b < F.col(value))) + 1).alias("bucket")
-    return (
+    agg = (
         df.crossJoin(F.broadcast(bounds))
         .select(bucket, F.col(value).alias("__v"))
         .groupBy("bucket")
         .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"),
              F.count("*").alias("n_rows"))
     )
+    dense = Window.orderBy("bucket")  # <=k aggregate rows, not the data
+    return agg.select(
+        F.dense_rank().over(dense).alias("bucket"), "lo", "hi", "n_rows")
 
 
 def attribute_last_touch(events: DataFrame, conversion_type: str,

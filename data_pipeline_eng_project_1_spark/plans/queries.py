@@ -3191,12 +3191,17 @@ def _q_hll_distinct_audit(spark, sf_dir):
       SELECT o_totalprice AS v,
              1 + len(list_filter(b.bs, x -> x < o_totalprice)) AS bucket
       FROM orders, b
+    ),
+    g AS (
+      SELECT bucket,
+             round(min(v), 2) AS lo,
+             round(max(v), 2) AS hi,
+             count(*) AS n_rows
+      FROM a GROUP BY bucket
     )
-    SELECT CAST(bucket AS INTEGER) AS bucket,
-           round(min(v), 2) AS lo,
-           round(max(v), 2) AS hi,
-           count(*) AS n_rows
-    FROM a GROUP BY bucket
+    SELECT CAST(dense_rank() OVER (ORDER BY bucket) AS INTEGER) AS bucket,
+           lo, hi, n_rows
+    FROM g
     """,
     doc="equi-depth (equal-frequency) 16-bucket histogram of order "
         "totals — the optimizer-statistics primitive (selectivity "

@@ -347,3 +347,58 @@ def test_kl_drift_single_term_shuffle(spark):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("ReusedExchange") >= 1, final[:1500]
     assert final.count("Scan parquet") == 1, final[:1500]
+
+
+def test_equidepth_histogram_never_sorts_globally(spark):
+    """The equi-depth histogram's whole point is avoiding the ntile
+    formulation's full-data range exchange: boundaries come from one
+    percentile aggregate broadcast back, bucketing is scan-side."""
+    df = _builders()["orders_equidepth_histogram"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only Window is the dense-id renumber over the <=k-row
+    # AGGREGATE frame — its subtree must contain the bucket aggregate
+    win_at = plan.index("Window")
+    assert "HashAggregate" in plan[win_at:], plan[win_at:win_at + 400]
+
+
+def test_last_touch_attribution_single_key_shuffle_no_join(spark):
+    """Last-touch attribution is the asof union shape: ONE user-keyed
+    exchange feeding the running-last window — no join anywhere, so a
+    power user can never be a join fan-out."""
+    df = _builders()["events_last_touch_attribution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_grouped_regression_is_one_partial_final_aggregate(spark):
+    """Per-group OLS ships five running moment sums per group through
+    exactly one group-keyed exchange — never the points."""
+    df = _builders()["events_grouped_regression"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_cdc_chunks_never_shuffles_text(spark):
+    """Content-defined chunking is one scan-side O(n) fold per document:
+    no key-based exchange, no join, no window — the only allowed
+    exchange is the round-robin _spread of the single-row-group fixture
+    scan (which a many-file corpus skips)."""
+    df = _builders()["doc_cdc_chunks"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_tfidf_candidate_join_shuffles_hash_keys(spark):
+    """The r8 8-byte-key claim, pinned: the posting self-join's exchange
+    partitions on the xxhash64 long (h), and the only term-keyed
+    exchanges are the vocabulary aggregates below it."""
+    df = _builders()["text_tfidf_cosine_pairs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "hashpartitioning(h#" in plan, plan[:1200]

@@ -134,3 +134,72 @@ def test_luhn_sql_matches_reference(s):
     sql = texts.luhn_valid_sql(f"'{s}'", 16)
     got = duckdb.sql(f"SELECT {sql}").fetchone()[0]
     assert got == _luhn_reference(s), s
+
+
+@given(st.lists(st.tuples(st.integers(0, 9),          # doc
+                          st.integers(0, 11),          # term id
+                          st.integers(-5, 5)),         # weight (exact ints)
+                min_size=0, max_size=60),
+       st.lists(st.integers(0, 3), min_size=12, max_size=12))  # term->hash
+@settings(max_examples=300)
+def test_collision_split_join_identity(postings, hash_of):
+    """The r8 hashed-join trick as pure algebra: for ANY term->hash map
+    (arbitrarily colliding) and ANY posting multiset, joining on the
+    hash with 'carry the term only under a collided hash + null-safe
+    residual' yields exactly the string-keyed join's per-pair partial
+    sums (plans/llm_ops.py::text_tfidf_cosine_pairs,
+    functions/hashing.py::collided_hash_keys)."""
+    from collections import defaultdict
+
+    def pair_sums(rows, key_of, residual):
+        out = defaultdict(lambda: [0, 0])
+        for da, ta, ua in rows:
+            for db, tb, ub in rows:
+                if da < db and key_of(ta) == key_of(tb) \
+                        and residual(ta, tb):
+                    s = out[(da, db)]
+                    s[0] += ua * ub
+                    s[1] += 1
+        return {k: tuple(v) for k, v in out.items()}
+
+    vocab = {t for _, t, _ in postings}
+    collided = {h for h in set(hash_of)
+                if sum(1 for t in vocab if hash_of[t] == h) > 1}
+    want = pair_sums(postings, lambda t: t, lambda a, b: True)
+    t2 = {t: (t if hash_of[t] in collided else None) for t in vocab}
+    got = pair_sums(postings, lambda t: hash_of[t],
+                    lambda a, b: t2[a] == t2[b])
+    assert got == want
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=400),
+       st.integers(min_value=2, max_value=32))
+@settings(max_examples=200)
+def test_equidepth_bucket_rule_invariants(vals, k):
+    """The full bucket rule of
+    operators/relational.py::equidepth_histogram — strictly-below count
+    over DEDUPED percentile boundaries, then a dense re-rank of the
+    non-empty buckets: final ids are dense 1..k' with k' <= k, every
+    row lands in exactly one bucket (total preserved), and bucket
+    value-ranges never interleave. (The dense re-rank exists because
+    this test falsified the dedup-only claim: with sparse data or
+    n < k, no value falls between two distinct interpolated boundaries
+    and a raw id goes unused — e.g. vals=[0.0, 1.0], k=3.)"""
+    import numpy as np
+
+    bounds = sorted(set(
+        float(np.percentile(np.array(vals), 100 * i / k, method="linear"))
+        for i in range(1, k)))
+    raw = {v: 1 + sum(1 for b in bounds if b < v) for v in set(vals)}
+    rank = {r: i + 1 for i, r in enumerate(sorted(set(raw.values())))}
+    bucket = {v: rank[raw[v]] for v in raw}         # the dense re-rank
+    ids = sorted(set(bucket.values()))
+    assert ids == list(range(1, len(ids) + 1))      # dense from 1
+    assert len(ids) <= k
+    assert sum(1 for v in vals if bucket[v]) == len(vals)
+    # ranges ordered: max of bucket i < min of bucket i+1
+    by_id = {i: [v for v in vals if bucket[v] == i] for i in ids}
+    for lo_id, hi_id in zip(ids, ids[1:]):
+        assert max(by_id[lo_id]) < min(by_id[hi_id])

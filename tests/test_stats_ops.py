@@ -335,3 +335,13 @@ def test_equidepth_histogram_handles_heavy_ties(spark):
     ids = sorted(r["bucket"] for r in got)
     assert ids == list(range(1, len(ids) + 1))
     assert len(ids) <= 4
+
+
+def test_equidepth_histogram_renumbers_past_empty_buckets(spark):
+    """Sparse data where no value falls between two interpolated
+    boundaries (the hypothesis-found hole): ids must still come out
+    dense — the final dense_rank renumbers past the empty raw bucket."""
+    df = spark.createDataFrame([(0, 0.0), (1, 1.0)], ["id", "v"])
+    got = sorted((r["bucket"], r["lo"], r["n_rows"])
+                 for r in relational.equidepth_histogram(df, "v", 3).collect())
+    assert got == [(1, 0.0, 1), (2, 1.0, 1)]

@@ -451,3 +451,57 @@ def test_cdc_boundaries_resynchronize_after_insertion(spark):
     tail = {b for b in orig if b > 400}
     assert tail and tail <= shifted_matches, (
         f"tail boundaries failed to resync: {sorted(tail - shifted_matches)[:5]}")
+
+
+def test_hashed_join_collision_split_equals_string_join(spark):
+    """The r8 TF-IDF join trick (hashing.collided_hash_keys + carry the
+    string only under a collided hash + null-safe residual) must equal
+    the plain string-keyed join EVEN WITH collisions. Real xxhash64
+    collisions are unconstructable, so force them with a deliberately
+    colliding stand-in hash (term length): pair partial-sums must match
+    the string join exactly, and the residual must kill every
+    cross-term (collided) row."""
+    from pyspark.sql import functions as F
+
+    rows = [  # 'ab'/'xy' and 'abc'/'xyz' collide under length-hash
+        (1, "ab", 1.0), (1, "abc", 2.0), (1, "q", 3.0),
+        (2, "ab", 5.0), (2, "xyz", 7.0), (2, "q", 11.0),
+        (3, "xy", 13.0), (3, "abc", 17.0),
+    ]
+    wn = spark.createDataFrame(rows, ["doc_id", "term", "u"])
+    fake_h = F.length("term").cast("long")
+
+    def pair_sums(a, b, on, residual=None):
+        j = a.join(b, on).filter(F.col("doc_a") < F.col("doc_b"))
+        if residual is not None:
+            j = j.filter(residual)
+        return {(r["doc_a"], r["doc_b"]): (round(r["s"], 9), r["n"])
+                for r in j.groupBy("doc_a", "doc_b")
+                .agg(F.sum(F.col("ua") * F.col("ub")).alias("s"),
+                     F.count("*").alias("n")).collect()}
+
+    # reference: plain string join
+    sa = wn.select(F.col("doc_id").alias("doc_a"), "term",
+                   F.col("u").alias("ua"))
+    sb = wn.select(F.col("doc_id").alias("doc_b"), "term",
+                   F.col("u").alias("ub"))
+    want = pair_sums(sa, sb, "term")
+
+    # the split form, with the forced-collision hash standing in
+    vocab = wn.select("term").distinct()
+    coll = (vocab.select(fake_h.alias("h"))
+            .groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1).select("h"))
+    marked = (wn.withColumn("h", fake_h)
+              .join(F.broadcast(coll.withColumn("c", F.lit(True))),
+                    "h", "left")
+              .select("doc_id", "h", "u",
+                      F.when(F.col("c"), F.col("term")).alias("t2")))
+    ha = marked.select(F.col("doc_id").alias("doc_a"), "h",
+                       F.col("t2").alias("ta"), F.col("u").alias("ua"))
+    hb = marked.select(F.col("doc_id").alias("doc_b"), "h",
+                       F.col("t2").alias("tb"), F.col("u").alias("ub"))
+    got = pair_sums(ha, hb, "h", F.col("ta").eqNullSafe(F.col("tb")))
+    assert got == want
+    # sanity: the collisions were real — the unresidualed join is WRONG
+    assert pair_sums(ha, hb, "h") != want
