@@ -1149,3 +1149,64 @@ def span_stats(df: DataFrame, k: int = 16, id_col: str = "doc_id",
         F.sum("removed").alias("n_removed_spans"),
         F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_ratio"),
     )
+
+
+def vocab_growth_curve(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       checkpoints: int = 32) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: walking the corpus in id order,
+    how fast does DISTINCT vocabulary grow with cumulative tokens? The
+    tokenizer/vocab-sizing and crawl-saturation primitive (a flattening
+    curve means new data stops contributing new words; V ~ K*N^b with
+    b in (0,1) on natural text).
+
+    Sampled at ``checkpoints`` id-RANGE checkpoints so every post-scan
+    frame is bounded by ``checkpoints`` rows at any corpus size: bucket =
+    floor((id - min_id) * k / span) from one (min,max) scalar broadcast —
+    scan-side integer math, no ntile window over the corpus (an exact
+    count-quantile bucketing would range-exchange every doc; swap the
+    boundaries to approx_percentile if ids are badly clustered).
+    Cumulative vocabulary needs no prefix-distinct magic: a term joins
+    the checkpoint where its FIRST document (min id per term — one
+    term-keyed aggregate, the text_ngram_novelty trick) lands, and the
+    running sum over the <=k-row checkpoint frame does the rest.
+
+    Returns (checkpoint 1..k, hi_id, n_docs_cum, n_tokens_cum,
+    vocab_cum), one row per NON-EMPTY checkpoint. Requires integer ids
+    with |id| * checkpoints within int64 (epoch-ms or sequence ids are
+    fine).
+    """
+    from pyspark.sql import Window
+
+    if checkpoints < 1:
+        raise ValueError("vocab_growth_curve: checkpoints must be >= 1")
+    toked = tokenized(docs, id_col, text_col)
+    rng = docs.agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+
+    def bucket(id_expr):
+        span = F.col("__hi") - F.col("__lo") + 1
+        return F.expr(f"(({id_expr} - __lo) * {checkpoints}) DIV "
+                      f"(__hi - __lo + 1)").cast("int")
+
+    per_doc = (toked.crossJoin(F.broadcast(rng))
+               .select(bucket("id").alias("__b"),
+                       F.col("id").alias("__id"),
+                       F.size("__toks").alias("__nt"),
+                       F.col("__toks")))
+    tok_b = per_doc.groupBy("__b").agg(
+        F.max("__id").alias("hi_id"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("__nt").alias("nt"))
+    firsts = (per_doc.select("__id", F.explode("__toks").alias("__t"))
+              .groupBy("__t").agg(F.min("__id").alias("__fid"))
+              .crossJoin(F.broadcast(rng))
+              .select(bucket("__fid").alias("__b"))
+              .groupBy("__b").agg(F.count(F.lit(1)).alias("nv")))
+    run = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    return (tok_b.join(firsts, "__b", "left")
+            .select("__b", "hi_id", "nd", "nt",
+                    F.coalesce("nv", F.lit(0)).alias("nv"))
+            .select((F.col("__b") + 1).alias("checkpoint"), "hi_id",
+                    F.sum("nd").over(run).cast("long").alias("n_docs_cum"),
+                    F.sum("nt").over(run).cast("long").alias("n_tokens_cum"),
+                    F.sum("nv").over(run).cast("long").alias("vocab_cum")))

@@ -737,6 +737,66 @@ def attribute_last_touch(events: DataFrame, conversion_type: str,
         F.when(in_horizon, F.col("__ts") - F.col("__m.s")).alias("lag_ms"))
 
 
+def attribute_multi_touch(events: DataFrame, conversion_type: str,
+                          touch_types: list[str], horizon: int,
+                          model: str = "linear",
+                          key: str = "user_id", ts: str = "ts_ms",
+                          type_col: str = "event_type",
+                          id_col: str = "event_id") -> DataFrame:
+    """Multi-touch attribution: every touch within
+    ``[conversion_ts - horizon, conversion_ts]`` (backward-inclusive, the
+    attribute_last_touch convention) splits the conversion's credit —
+    ``model="linear"`` gives each of the n touches 1/n;
+    ``model="u_shaped"`` gives 40% to the first touch, 40% to the last,
+    and 20%/(n-2) to each middle one (n=1 -> 1.0, n=2 -> 0.5 each; the
+    standard position-based rule). Complements attribute_last_touch the
+    way marketing teams actually compare models: same horizon, same tie
+    convention (same-instant ties order by id — first = smallest,
+    last = largest), different credit curve.
+
+    Plan: the (conversion x in-horizon touch) pairs come from
+    ``binned_range_join`` — a plain shuffled equi-join on
+    (key, time-bucket) with <=2x replication, never the O(n*m)
+    BroadcastNestedLoopJoin Spark would plan for the raw inequality —
+    then two conversion-keyed windows (count + position rank) over the
+    PAIR frame, whose per-conversion fan-out the horizon bounds.
+    Credits per attributed conversion sum to exactly 1 up to float
+    rounding (tested); unattributed conversions don't appear (inner
+    join) — use attribute_last_touch for the null-credit accounting.
+
+    Returns (key, conversion_id, conversion_ts, touch_id, touch_type,
+    touch_ts, n_touches, credit).
+    """
+    if model not in ("linear", "u_shaped"):
+        raise ValueError(f"attribute_multi_touch: unknown model {model!r}")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(key), F.col(ts).alias("__cts"),
+        F.col(id_col).alias("conversion_id"))
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(key), F.col(ts).alias("__tts"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"))
+    pairs = binned_range_join(conv, touch, key, "__cts", "__tts",
+                              -horizon, 1)
+    w = Window.partitionBy("conversion_id")
+    asc = w.orderBy("__tts", "touch_id")
+    n = F.count(F.lit(1)).over(w)
+    pos = F.row_number().over(asc)
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    else:
+        first, last = pos == 1, pos == n
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when(first | last, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2)))
+    return pairs.select(
+        key, "conversion_id", F.col("__cts").alias("conversion_ts"),
+        "touch_id", "touch_type", F.col("__tts").alias("touch_ts"),
+        n.cast("int").alias("n_touches"), credit.alias("credit"))
+
+
 def grouped_regression(df: DataFrame, keys: list[str], x: str,
                        y: str) -> DataFrame:
     """Per-group OLS of y on x via Spark's moment aggregates — one

@@ -203,3 +203,37 @@ def test_equidepth_bucket_rule_invariants(vals, k):
     by_id = {i: [v for v in vals if bucket[v] == i] for i in ids}
     for lo_id, hi_id in zip(ids, ids[1:]):
         assert max(by_id[lo_id]) < min(by_id[hi_id])
+
+
+@given(st.text(alphabet="abcdef 01", min_size=0, max_size=700))
+@settings(max_examples=200)
+def test_cdc_gear_fold_chunk_invariants(text):
+    """Structural invariants of the CDC cut rule
+    (functions/texts.py::cdc_boundaries, mirrored sequentially the way
+    tests/test_text_ops.py does): boundaries start at 0, are strictly
+    increasing, every interior chunk length lands in [min_len, max_len],
+    and the trailing chunk never exceeds max_len (a forced cut would
+    have fired inside it)."""
+    import re
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+
+    norm = re.sub(" +", " ",
+                  re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+    gear = texts._cdc_gear()
+    h, run, bounds = 0, 0, [0] if norm else []
+    for i, c in enumerate(norm):
+        h = (2 * h + gear[c]) % 2147483648
+        run += 1
+        if (run >= 32 and h % 64 == 0) or run >= 128:
+            if i + 1 < len(norm):
+                bounds.append(i + 1)
+            h, run = 0, 0
+    if not norm:
+        assert bounds == []
+        return
+    assert bounds[0] == 0
+    assert bounds == sorted(set(bounds))
+    gaps = [b2 - b1 for b1, b2 in zip(bounds, bounds[1:])]
+    assert all(32 <= g <= 128 for g in gaps), gaps
+    assert 1 <= len(norm) - bounds[-1] <= 128

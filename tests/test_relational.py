@@ -251,6 +251,53 @@ def test_attribute_last_touch_tiebreak_and_id_type(spark):
     assert got[0]["lag_ms"] == 100
 
 
+def test_attribute_multi_touch_linear_and_u_shaped(spark):
+    """Linear splits 1/n across in-horizon touches; u-shaped gives
+    40/20.../40 with the n=1 and n=2 degenerate cases; horizon and
+    backward-inclusiveness match attribute_last_touch; credits per
+    conversion sum to 1."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    rows = [
+        # user 1: touches at 100, 500, 900 + one out-of-horizon at 10;
+        # purchase@1000, horizon 900 -> three in-horizon touches
+        (1, 1, 10, "click"), (2, 1, 100, "click"), (3, 1, 500, "email"),
+        (4, 1, 900, "click"), (5, 1, 1000, "purchase"),
+        # user 2: single touch exactly at the instant (inclusive)
+        (6, 2, 700, "click"), (7, 2, 700, "purchase"),
+        # user 3: two touches -> 0.5/0.5 under u_shaped
+        (8, 3, 300, "click"), (9, 3, 400, "email"), (10, 3, 450, "purchase"),
+        # user 4: no in-horizon touch -> absent from output
+        (11, 4, 100, "click"), (12, 4, 9999, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_ms", "event_type"])
+
+    lin = relational.attribute_multi_touch(
+        ev, "purchase", ["click", "email"], horizon=900, model="linear")
+    got = {(r["conversion_id"], r["touch_id"]): (r["n_touches"], r["credit"])
+           for r in lin.collect()}
+    assert set(got) == {(5, 2), (5, 3), (5, 4), (7, 6), (10, 8), (10, 9)}
+    assert all(abs(c - 1.0 / n) < 1e-12 for n, c in got.values())
+
+    u = relational.attribute_multi_touch(
+        ev, "purchase", ["click", "email"], horizon=900, model="u_shaped")
+    cred = {(r["conversion_id"], r["touch_id"]): r["credit"]
+            for r in u.collect()}
+    assert cred[(5, 2)] == pytest.approx(0.4)   # first
+    assert cred[(5, 3)] == pytest.approx(0.2)   # middle
+    assert cred[(5, 4)] == pytest.approx(0.4)   # last
+    assert cred[(7, 6)] == pytest.approx(1.0)   # n=1
+    assert cred[(10, 8)] == pytest.approx(0.5)  # n=2
+    assert cred[(10, 9)] == pytest.approx(0.5)
+    # credits sum to 1 per conversion in both models
+    for frame in (lin, u):
+        from pyspark.sql import functions as F
+        sums = frame.groupBy("conversion_id").agg(
+            F.sum("credit").alias("s")).collect()
+        assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
 def test_grouped_regression_matches_numpy_per_group(spark):
     import numpy as np
 

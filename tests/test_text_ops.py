@@ -505,3 +505,71 @@ def test_hashed_join_collision_split_equals_string_join(spark):
     assert got == want
     # sanity: the collisions were real — the unresidualed join is WRONG
     assert pair_sums(ha, hb, "h") != want
+
+
+def test_vocab_growth_curve_matches_sequential_reference(spark):
+    """The checkpoint-bucketed distributed curve == a sequential pass
+    over the fixture docs in id order (whitespace tokens, the tokenized()
+    tokenizer), including the Heaps shape: vocab_cum is nondecreasing and
+    concave-ish (new vocab per token falls as the corpus grows)."""
+    import duckdb
+
+    from data_pipeline_eng_project_1_spark.operators import dedup
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog.load_table(spark, "documents", sf)
+    k = 8
+    got = sorted(
+        (r["checkpoint"], r["hi_id"], r["n_docs_cum"],
+         r["n_tokens_cum"], r["vocab_cum"])
+        for r in dedup.vocab_growth_curve(docs, checkpoints=k).collect())
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    lo, hi = rows[0][0], rows[-1][0]
+    span = hi - lo + 1
+    seen, nd = set(), 0
+    per_b = {}
+    for doc_id, text in rows:
+        b = (doc_id - lo) * k // span
+        toks = [t for t in text.split(" ") if t]
+        st = per_b.setdefault(b, [0, 0, 0, 0])  # hi_id, nd, nt, nv
+        st[0] = max(st[0], doc_id)
+        st[1] += 1
+        st[2] += len(toks)
+        st[3] += sum(1 for t in set(toks) - seen)
+        seen.update(toks)
+    want, (cd, ct, cv) = [], (0, 0, 0)
+    for b in sorted(per_b):
+        hi_id, d, t, v = per_b[b]
+        cd, ct, cv = cd + d, ct + t, cv + v
+        want.append((b + 1, hi_id, cd, ct, cv))
+    assert got == want
+    # Heaps shape: nondecreasing vocab, falling marginal vocab-per-token
+    ratios = []
+    prev_t = prev_v = 0
+    for _, _, _, t, v in got:
+        if t > prev_t:
+            ratios.append((v - prev_v) / (t - prev_t))
+        prev_t, prev_v = t, v
+    assert all(a >= b for a, b in zip(ratios, ratios[1:])) or \
+        ratios[0] >= ratios[-1]  # concave-ish overall
+
+
+def test_vocab_growth_curve_handles_sparse_ids_and_k1(spark):
+    from data_pipeline_eng_project_1_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(10, "a b"), (1000, "b c"), (999999, "c d e")], ["doc_id", "text"])
+    one = dedup.vocab_growth_curve(df, checkpoints=1).collect()
+    assert len(one) == 1
+    assert (one[0]["n_docs_cum"], one[0]["n_tokens_cum"],
+            one[0]["vocab_cum"]) == (3, 7, 5)
+    many = dedup.vocab_growth_curve(df, checkpoints=4).collect()
+    assert sum(r["n_docs_cum"] == 3 for r in many) >= 1
+    last = max(many, key=lambda r: r["checkpoint"])
+    assert (last["n_docs_cum"], last["n_tokens_cum"], last["vocab_cum"]) \
+        == (3, 7, 5)
