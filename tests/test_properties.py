@@ -237,3 +237,37 @@ def test_cdc_gear_fold_chunk_invariants(text):
     gaps = [b2 - b1 for b1, b2 in zip(bounds, bounds[1:])]
     assert all(32 <= g <= 128 for g in gaps), gaps
     assert 1 <= len(norm) - bounds[-1] <= 128
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3000),
+                min_size=1, max_size=25),
+       st.lists(st.integers(min_value=0, max_value=3000),
+                min_size=1, max_size=25),
+       st.integers(min_value=-900, max_value=900),
+       st.integers(min_value=1, max_value=900))
+@settings(max_examples=300)
+def test_binned_range_join_bucket_rule_is_complete(lts, rts, lower, width):
+    """operators/relational.py::binned_range_join's bucket algebra,
+    mirrored in pure Python with Spark's truncating integer DIV: for any
+    non-negative timestamps and any window [lower, lower+width) —
+    including the NEGATIVE lower the multi-touch attribution uses — the
+    (bucket-match then exact filter) pipeline finds exactly the
+    brute-force pair set. Truncation toward zero on a negative left
+    endpoint can only add already-empty buckets, never drop one."""
+    upper = lower + width
+
+    def spark_div(a, b):  # Spark's integer DIV truncates toward zero
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    want = {(l, r) for l in lts for r in rts
+            if l + lower <= r < l + upper}
+    got = set()
+    for l in lts:
+        b_lo = spark_div(l + lower, width)
+        b_hi = spark_div(l + upper - 1, width)
+        buckets = set(range(min(b_lo, b_hi), max(b_lo, b_hi) + 1))
+        for r in rts:
+            if spark_div(r, width) in buckets and l + lower <= r < l + upper:
+                got.add((l, r))
+    assert got == want

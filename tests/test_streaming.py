@@ -655,3 +655,42 @@ def test_quality_gate_split_sink_routes_and_checkpoints(spark, tmp_path):
     r = spark.read.parquet(str(tmp_path / "reject"))
     assert p.count() == len(kept) and r.count() == len(rej)
     assert {row.batch_id for row in p.select("batch_id").collect()} == {0}
+
+
+def test_split_sink_multi_batch_partitions_are_isolated(spark, tmp_path):
+    """Multiple micro-batches (maxFilesPerTrigger=1) land in distinct
+    batch_id partitions, and a replay of the WHOLE stream only ever
+    rewrites per-batch partitions — later batches' data survives a
+    batch-0 rewrite untouched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "docs_mb"
+    src.mkdir()
+    good = "the cat sat on the mat and the dog ran to the park in town"
+    (src / "f0.json").write_text(json.dumps({"doc_id": 1, "text": good}))
+    (src / "f1.json").write_text(json.dumps({"doc_id": 2, "text": good}))
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = sp.run_split_sink(
+            sp.quality_gate_stream(stream), "keep",
+            str(tmp_path / "mb_pass"), str(tmp_path / "mb_reject"),
+            str(tmp_path / "ck_mb"))
+        q.awaitTermination()
+
+    drain()
+    p = spark.read.parquet(str(tmp_path / "mb_pass"))
+    got = {(r.doc_id, r.batch_id) for r in p.collect()}
+    assert {b for _, b in got} == {0, 1}  # one file per micro-batch
+    assert {d for d, _ in got} == {1, 2}
+    # full replay: same per-batch partitions, still no duplication
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck_mb"))
+    drain()
+    p2 = spark.read.parquet(str(tmp_path / "mb_pass"))
+    assert {(r.doc_id, r.batch_id) for r in p2.collect()} == got
