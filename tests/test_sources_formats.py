@@ -89,3 +89,51 @@ def test_read_text_corpus_whole_and_line_modes(spark, tmp_path):
 
     lines = src.read_text_corpus(spark, str(d), whole=False, glob="*.txt")
     assert lines.count() == 4  # 2 files x 2 lines
+
+
+def test_normalize_events_unifies_all_timestamp_layouts(spark, tmp_path):
+    """Fixture-regeneration insurance: the driver's events.parquet has
+    shipped as TIMESTAMP(NANOS) in some generations and TIMESTAMP
+    (MICROS, NTZ) in others. catalog.load_table must surface identical
+    (ts, ts_ms) for the same logical instants whichever layout arrives
+    (and for the UTC-adjusted micros variant for good measure)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants = [
+        datetime.datetime(2024, 1, 1, 0, 0, 7, 179000),
+        datetime.datetime(2024, 1, 30, 23, 57, 12, 194000),
+        datetime.datetime(2024, 6, 15, 12, 30, 45, 500000),
+    ]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    layouts = {
+        "ns": pa.array(instants, pa.timestamp("ns")),
+        "us_ntz": pa.array(instants, pa.timestamp("us")),
+        "us_utc": pa.array(instants, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in layouts.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({**base, "ts": ts_arr}), str(d / "events.parquet"))
+        df = catalog.load_table(spark, "events", str(d))
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert dict(df.dtypes)["ts_ms"] == "bigint"
+        got[name] = sorted(
+            (r["event_id"], r["ts"], r["ts_ms"])
+            for r in df.select("event_id", "ts", "ts_ms").collect())
+    assert got["ns"] == got["us_ntz"] == got["us_utc"]
+    # ts_ms is the exact epoch-millis integer of each instant
+    want_ms = sorted(
+        (i + 1, int(dt.replace(tzinfo=datetime.timezone.utc).timestamp()
+                    * 1000))
+        for i, dt in enumerate(instants))
+    assert [(e, ms) for e, _, ms in got["ns"]] == want_ms
