@@ -152,15 +152,19 @@ def transform_all(df: DataFrame) -> dict[str, DataFrame]:
 
 
 def run_pipeline(spark: SparkSession, json_paths: str | list[str],
-                 out_dir: str, mode: str = "append") -> dict[str, DataFrame]:
+                 out_dir: str, mode: str = "append",
+                 source_format: str = "json") -> dict[str, DataFrame]:
     """ETL_pipeline (dags/utils.py:350-365), batch form: one scan, four bulk
-    parquet sinks. Returns the table DataFrames (lazy) for inspection."""
-    return run_pipeline_observed(spark, json_paths, out_dir, mode)[0]
+    parquet sinks. Returns the table DataFrames (lazy) for inspection.
+    ``source_format="xml"`` reads the same dumps published as XML
+    (sources/xml_source.py) through the identical downstream plan."""
+    return run_pipeline_observed(spark, json_paths, out_dir, mode,
+                                 source_format)[0]
 
 
 def run_pipeline_observed(
     spark: SparkSession, json_paths: str | list[str], out_dir: str,
-    mode: str = "append",
+    mode: str = "append", source_format: str = "json",
 ) -> tuple[dict[str, DataFrame], dict[str, dict]]:
     """run_pipeline + per-table load metrics via ``df.observe``.
 
@@ -172,7 +176,17 @@ def run_pipeline_observed(
     """
     from pyspark.sql import Observation
 
-    src = read_matches(spark, json_paths)
+    if source_format == "json":
+        src = read_matches(spark, json_paths)
+    elif source_format == "xml":
+        from data_pipeline_eng_project_1_spark.sources.xml_source import (
+            read_matches_xml,
+        )
+
+        src = read_matches_xml(spark, json_paths)
+    else:
+        raise ValueError(f"run_pipeline: unknown source_format"
+                         f" {source_format!r}")
     tables = transform_all(src)
     metrics: dict[str, dict] = {}
     observed: dict[str, DataFrame] = {}

@@ -85,3 +85,14 @@ def test_generic_read_xml_respects_explicit_schema(spark, tmp_path):
     # recovery — downstream na.drop/filters handle it the same way
     assert rows == {2.5: 1, None: None}
     assert len(rows) == 2  # no row was dropped
+
+
+def test_run_pipeline_from_xml_writes_four_tables(spark, dumps, tmp_path):
+    _, xp = dumps
+    tables = flashscore.run_pipeline(
+        spark, xp, str(tmp_path / "out_xml"), mode="overwrite",
+        source_format="xml")
+    assert set(tables) == {"MATCH_FINISHED", "HOME_STARTING_LINEUP",
+                           "AWAY_STARTING_LINEUP", "ODDS"}
+    mf = spark.read.parquet(str(tmp_path / "out_xml" / "MATCH_FINISHED"))
+    assert mf.count() > 0
