@@ -56,8 +56,11 @@ EVENT_SCHEMA = T.StructType([
 
 def stream_matches(spark: SparkSession, src_dir: str,
                    max_files_per_trigger: int | None = None,
-                   archive_dir: str | None = None) -> DataFrame:
-    """Streaming source over a directory of flashscore JSON dumps.
+                   archive_dir: str | None = None,
+                   source_format: str = "json") -> DataFrame:
+    """Streaming source over a directory of flashscore dumps (JSON, or
+    the same records published as XML — sources/xml_source.py's batch
+    contract, streamed).
 
     `archive_dir` enables cleanSource=archive — the exact observable
     behavior of the reference's move_file, but applied only after the
@@ -65,7 +68,6 @@ def stream_matches(spark: SparkSession, src_dir: str,
     """
     reader = (
         spark.readStream.schema(MATCH_SCHEMA)
-        .option("multiLine", "true")
         .option("mode", "PERMISSIVE")
     )
     if max_files_per_trigger:
@@ -73,12 +75,18 @@ def stream_matches(spark: SparkSession, src_dir: str,
     if archive_dir:
         reader = (reader.option("cleanSource", "archive")
                   .option("sourceArchiveDir", archive_dir))
-    return reader.json(src_dir)
+    if source_format == "json":
+        return reader.option("multiLine", "true").json(src_dir)
+    if source_format == "xml":
+        return reader.format("xml").option("rowTag", "match").load(src_dir)
+    raise ValueError(f"stream_matches: unknown source_format"
+                     f" {source_format!r}")
 
 
 def run_matches_pipeline(spark: SparkSession, src_dir: str, out_dir: str,
                          checkpoint_dir: str,
-                         archive_dir: str | None = None) -> StreamingQuery:
+                         archive_dir: str | None = None,
+                         source_format: str = "json") -> StreamingQuery:
     """Drain all new files into the four output tables, then stop
     (availableNow ≙ one scheduled run of the reference DAG).
 
@@ -87,7 +95,8 @@ def run_matches_pipeline(spark: SparkSession, src_dir: str, out_dir: str,
     keeps parent/child keys consistent across sinks AND across retries —
     a replayed batch overwrites itself instead of duplicating.
     """
-    src = stream_matches(spark, src_dir, archive_dir=archive_dir)
+    src = stream_matches(spark, src_dir, archive_dir=archive_dir,
+                         source_format=source_format)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         tables = flashscore.transform_all(batch_df)

@@ -96,3 +96,31 @@ def test_run_pipeline_from_xml_writes_four_tables(spark, dumps, tmp_path):
                            "AWAY_STARTING_LINEUP", "ODDS"}
     mf = spark.read.parquet(str(tmp_path / "out_xml" / "MATCH_FINISHED"))
     assert mf.count() > 0
+
+
+def test_streaming_intake_drains_xml_dumps(spark, dumps, tmp_path):
+    """The incremental intake (the reference's 8h drain) works on XML
+    dumps unchanged: one availableNow drain writes the four tables, a
+    re-drain with no new files appends nothing."""
+    import shutil
+
+    from data_pipeline_eng_project_1_spark.streaming import pipeline as sp
+
+    _, xp = dumps
+    src = tmp_path / "xml_in"
+    src.mkdir()
+    shutil.copy(xp, src / "dump.xml")
+
+    def drain():
+        q = sp.run_matches_pipeline(
+            spark, str(src), str(tmp_path / "xml_out"),
+            str(tmp_path / "xml_ck"), source_format="xml")
+        q.awaitTermination()
+
+    drain()
+    mf = spark.read.parquet(str(tmp_path / "xml_out" / "MATCH_FINISHED"))
+    n = mf.count()
+    assert n > 0
+    drain()  # checkpointed: no new files -> no new rows
+    assert spark.read.parquet(
+        str(tmp_path / "xml_out" / "MATCH_FINISHED")).count() == n
