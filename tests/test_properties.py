@@ -4,8 +4,6 @@ mis-buckets rows at scale. Pure-Python properties run hundreds of cases;
 Spark-backed checks stay in the example-based suites (per-example Spark
 jobs are too slow for hypothesis)."""
 
-import math
-
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

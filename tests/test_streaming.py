@@ -662,7 +662,6 @@ def test_split_sink_multi_batch_partitions_are_isolated(spark, tmp_path):
     batch_id partitions, and a replay of the WHOLE stream only ever
     rewrites per-batch partitions — later batches' data survives a
     batch-0 rewrite untouched."""
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     src = tmp_path / "docs_mb"
