@@ -693,3 +693,52 @@ def test_split_sink_multi_batch_partitions_are_isolated(spark, tmp_path):
     drain()
     p2 = spark.read.parquet(str(tmp_path / "mb_pass"))
     assert {(r.doc_id, r.batch_id) for r in p2.collect()} == got
+
+
+def test_split_sink_accounting_matches_batch_twin(spark, tmp_path):
+    """Pre-validation of the r9 corpus_split_accounting oracle spec
+    (docs/BACKLOG.md): the batch-side quality-gate accounting — per side
+    n_docs + md5 of the comma-joined sorted doc_id list — must equal
+    what the streaming split sink actually wrote. Membership proof, not
+    just counts: the SAME weight map scores both paths."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+
+    src = tmp_path / "docs_acct"
+    src.mkdir()
+    good = "the cat sat on the mat and the dog ran to the park in town"
+    docs = [{"doc_id": i,
+             "text": good if i % 3 else "zzzqqq!!! ###&&& @@@***"}
+            for i in range(1, 13)] + [{"doc_id": 99, "text": ""}]
+    (src / "d.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = sp.run_split_sink(
+        sp.quality_gate_stream(stream), "keep",
+        str(tmp_path / "acct_pass"), str(tmp_path / "acct_reject"),
+        str(tmp_path / "acct_ck"))
+    q.awaitTermination()
+
+    # batch twin: same weights, same routing predicate (null -> reject)
+    bdf = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], ["doc_id", "text"])
+    toks = texts.tokens(F.col("text"))
+    score = F.when(F.size(toks) > 0, texts.quality_score_of(F.col("text"), toks))
+    batch = bdf.withColumn("keep", F.coalesce(score >= 0.5, F.lit(False)))
+    acct = {r["keep"]: (r["n"], r["ids_md5"]) for r in
+            batch.groupBy("keep").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.md5(F.encode(F.concat_ws(",", F.sort_array(
+                    F.collect_list(F.col("doc_id").cast("string")))),
+                    "UTF-8")).alias("ids_md5")).collect()}
+
+    for side, keep in (("acct_pass", True), ("acct_reject", False)):
+        ids = sorted(str(r["doc_id"]) for r in
+                     spark.read.parquet(str(tmp_path / side)).collect())
+        md5 = hashlib.md5(",".join(sorted(ids)).encode()).hexdigest()
+        assert (len(ids), md5) == acct[keep], side
