@@ -911,3 +911,73 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
             prev.unpersist()
     return spark.createDataFrame(picked, "rank int, vec_id long, "
                                          "sel_dist double")
+
+
+def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None,
+                 round_dp: int = 6) -> tuple[list[tuple[int, list[float]]],
+                                             DataFrame]:
+    """Fully DISTRIBUTED Lloyd's k-means (squared L2 on raw vectors):
+    the scale path past ivf_train_kmeans's driver-sample trainer — when
+    the corpus distribution can't be captured by a bounded sample (very
+    large k, heavy tails, multi-tenant corpora), BOTH the assignment and
+    the mean update run on the cluster; the driver only ever holds the
+    k x dim centroid floats between iterations (bounded metadata — the
+    kcenter_select / BPE-loop precedent).
+
+    Deterministic and oracle-ready by construction: init = the k
+    smallest-id vectors; assignment = argmin over k scan-side literal
+    squared-L2 folds (array_min over (dist, idx) structs — ties take the
+    smallest centroid index); every new centroid coordinate is the
+    per-cell mean ROUNDED to ``round_dp`` before it is re-broadcast, so
+    each iteration's handoff is a short exact decimal that a SQL twin
+    can replay verbatim (the supplier_pagerank unrolled-CTE precedent —
+    an r9 oracle unrolls ``iters`` assignment+mean CTE pairs). Empty
+    cells keep their previous centroid. Plan per iteration: one scan +
+    ONE cell-keyed partial+final aggregate carrying (count, dim sums) —
+    never the vectors; the k-literal fold expressions are built as one
+    SQL string (the r6 ANN-IVF py4j lesson).
+
+    Returns (centroids, assignments): centroids as [(cell, coords)],
+    assignments (id, cell, dist) under the FINAL centroids with dist
+    rounded to ``round_dp``.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("kmeans_lloyd: k >= 1 and iters >= 0 required")
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("kmeans_lloyd: empty corpus")
+        dim = len(first[0])
+    init = base.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans_lloyd: k={k} but only {len(init)} vectors")
+    cents = [[round(float(x), round_dp) for x in r["v"]] for r in init]
+
+    def best(cent_list):
+        scores = F.array(*[
+            F.struct(_sq_l2_to_literal("v", c).alias("d"),
+                     F.lit(i).alias("i"))
+            for i, c in enumerate(cent_list)])
+        return F.array_min(scores).alias("m")
+
+    for _ in range(iters):
+        assigned = base.select("v", best(cents))
+        sums = assigned.groupBy(F.col("m.i").alias("cell")).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}")
+              for j in range(dim)])
+        got = {r["cell"]: r for r in sums.collect()}  # <= k rows
+        cents = [
+            [round(got[c][f"s{j}"] / got[c]["n"], round_dp)
+             for j in range(dim)] if c in got else cents[c]
+            for c in range(k)]
+    assignments = base.select(
+        "id", best(cents)).select(
+        "id", F.col("m.i").alias("cell"),
+        F.round(F.col("m.d"), round_dp).alias("dist"))
+    return [(c, cents[c]) for c in range(k)], assignments

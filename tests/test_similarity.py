@@ -504,3 +504,59 @@ def test_kcenter_select_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.kcenter_select(df, k=3)
+
+
+def test_kmeans_lloyd_matches_sequential_reference(spark):
+    """The distributed trainer == a sequential Lloyd's pass replaying the
+    exact conventions (smallest-id init, L2 argmin with smallest-index
+    ties, per-coordinate mean ROUNDED to 6dp before the next round,
+    empty cells keep their centroid) on well-separated clusters."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    centers = np.array([[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 0.0, 0.0],
+                        [0.0, 0.0, 10.0, 10.0]])
+    pts = np.vstack([c + rng.normal(0, 0.3, size=(20, 4)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>").repartition(4)
+    # float32 storage: the reference must read the same float32 values
+    pts32 = pts.astype(np.float32).astype(np.float64)
+
+    k, iters = 3, 3
+    cents = [[round(float(x), 6) for x in pts32[i]] for i in range(k)]
+    for _ in range(iters):
+        d = ((pts32[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(2)
+        assign = d.argmin(1)  # argmin ties -> smallest index, as array_min
+        new = []
+        for c in range(k):
+            sel = pts32[assign == c]
+            new.append([round(float(x), 6) for x in sel.mean(0)]
+                       if len(sel) else cents[c])
+        cents = new
+    d = ((pts32[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(2)
+    want_assign = {i: int(a) for i, a in enumerate(d.argmin(1))}
+
+    got_cents, got_assign = similarity.kmeans_lloyd(df, k=k, iters=iters)
+    for (cell, coords), ref in zip(got_cents, cents):
+        assert coords == pytest.approx(ref, abs=2e-6), cell
+    rows = {r["id"]: r["cell"] for r in got_assign.collect()}
+    assert rows == want_assign
+    # distances are true squared L2 to the final centroid
+    one = got_assign.filter("id = 0").collect()[0]
+    ref_d = sum((pts32[0][j] - cents[one["cell"]][j]) ** 2 for j in range(4))
+    assert one["dist"] == pytest.approx(ref_d, abs=1e-5)
+
+
+def test_kmeans_lloyd_validates_and_bounds_driver_state(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="only 2 vectors"):
+        similarity.kmeans_lloyd(df, k=5)
+    cents, assign = similarity.kmeans_lloyd(df, k=2, iters=0)
+    # iters=0: init centroids returned as-is, assignment still computed
+    assert [c for c, _ in cents] == [0, 1]
+    assert {r["id"]: r["cell"] for r in assign.collect()} == {0: 0, 1: 1}
