@@ -402,3 +402,16 @@ def test_tfidf_candidate_join_shuffles_hash_keys(spark):
     df = _builders()["text_tfidf_cosine_pairs"](spark, SF_DIR)
     plan = _plan(df)
     assert "hashpartitioning(h#" in plan, plan[:1200]
+
+
+def test_kmeans_lloyd_assignment_is_scan_side(spark):
+    """The distributed trainer's final assignment frame must be pure
+    scan-side algebra over one pass: no join, no window, no key exchange
+    — the centroids live inside the literal fold expressions."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from data_pipeline_eng_project_1_spark.operators import similarity
+    _, assign = similarity.kmeans_lloyd(df, k=4, iters=1, dim=64)
+    plan = _plan(assign)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
