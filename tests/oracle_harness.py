@@ -75,7 +75,19 @@ def main():
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or [s.name for s in Q.specs()]
-    if names and names[0] == "--stalest":
+    if names and names[0] == "--walk":
+        # Driver-walk simulation: the first N specs in GRADING order
+        # (needy first, family-interleaved, then stalest) — exactly the
+        # rows the next CORRECTNESS_r{N}.json will hold. Run this before
+        # a round ends to pre-validate the graded walk end-to-end.
+        # Usage: python -m tests.oracle_harness [sf_dir] --walk 50
+        from data_pipeline_eng_project_1_spark.plans import registry
+
+        n = int(names[1]) if len(names) > 1 else 50
+        Q.specs()
+        names = [s.name for s in registry.all_specs()][:n]
+        print(f"walk {len(names)}: {' '.join(names)}", flush=True)
+    elif names and names[0] == "--stalest":
         # Evidence-freshness spot check: re-verify the N queries whose
         # latest green correctness row is OLDEST (the registry's own
         # stalest-first order, skipping the needs-evidence block the
