@@ -573,3 +573,51 @@ def test_vocab_growth_curve_handles_sparse_ids_and_k1(spark):
     last = max(many, key=lambda r: r["checkpoint"])
     assert (last["n_docs_cum"], last["n_tokens_cum"], last["vocab_cum"]) \
         == (3, 7, 5)
+
+
+def test_text_primitive_sql_mirrors_on_adversarial_strings(spark):
+    """Cross-engine insurance for the primitives 50+ oracles rest on:
+    Spark's normalize / tokens / tokenize_words must equal their DuckDB
+    SQL mirrors (SQL_NORM / SQL_TOKS / SQL_WTOKS) on adversarial text —
+    unicode letters/accents/emoji, tabs/newlines, digit runs, repeated
+    and leading/trailing spaces, empty-ish strings. The fixture corpora
+    are clean ASCII, so a driver fixture regeneration with richer text
+    would hit these paths first."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+    from data_pipeline_eng_project_1_spark.plans.llm_ops import (
+        SQL_NORM,
+        SQL_TOKS,
+        SQL_WTOKS,
+    )
+
+    cases = [
+        "", " ", "   ", "\t", "a", "A  B\tC",
+        "Hello, World! 123", "éàü Über naïve café",
+        "日本語 text mixed ascii", "emoji 🙂 inside",
+        "UPPER lower MiXeD", "a-b_c.d/e\\f",
+        "  leading and trailing  ", "double  space   triple",
+        "digits 007 42x9", "a" * 300, ("word " * 50).strip(),
+        "newline\nin the middle", "quote ' and \" marks",
+        "percent % and 100% done", "null\x00byte?",
+        "ACCENTS ÉÀÜ UPPER", "ßharp and Straße",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "text"])
+    got = {r["i"]: (r["n"], list(r["t"]), list(r["w"])) for r in df.select(
+        "i",
+        texts.normalize(F.col("text")).alias("n"),
+        texts.tokens(F.col("text")).alias("t"),
+        texts.tokenize_words(F.col("text")).alias("w")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)",
+                    [(i, c) for i, c in enumerate(cases)])
+    want = {i: (n, t, w) for i, n, t, w in con.execute(
+        f"SELECT i, {SQL_NORM}, {SQL_TOKS}, {SQL_WTOKS} FROM c").fetchall()}
+    for i, case in enumerate(cases):
+        assert got[i] == want[i], (i, case[:40], got[i], want[i])
