@@ -4424,8 +4424,10 @@ def _cdc_gear_sql() -> str:
     WITH RECURSIVE
     c AS (
       SELECT doc_id,
-             list_transform(regexp_split_to_array({SQL_NORM}, ''),
-                            x -> CAST(ascii(x) AS BIGINT)) AS codes
+             list_transform(
+               list_filter(regexp_split_to_array({SQL_NORM}, ''),
+                           x -> x != ''),
+               x -> CAST(ascii(x) AS BIGINT)) AS codes
       FROM documents
     ),
     ga AS (SELECT {{gear}} AS garr),

@@ -621,3 +621,68 @@ def test_text_primitive_sql_mirrors_on_adversarial_strings(spark):
         f"SELECT i, {SQL_NORM}, {SQL_TOKS}, {SQL_WTOKS} FROM c").fetchall()}
     for i, case in enumerate(cases):
         assert got[i] == want[i], (i, case[:40], got[i], want[i])
+
+
+def test_hashing_and_charcode_sql_mirrors_on_adversarial_strings(spark):
+    """hex_int / seeded_md5 / char_codes vs their DuckDB spellings —
+    the deterministic-hash layer every md5-keyed oracle (sampling,
+    sharding, LSH, fingerprints) rests on."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.functions import hashing, texts
+
+    cases = ["", "a", "0", "wres:123", "gear:z", "déjà vu", "🙂",
+             "a b  c", "UPPER", "x" * 200, "7:42", "neg:-5"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "text"])
+    got = {r["i"]: (r["h"], r["sm"], list(r["cc"])) for r in df.select(
+        "i",
+        hashing.hex_int(F.col("text")).alias("h"),
+        hashing.seeded_md5(7, F.col("text")).alias("sm"),
+        texts.char_codes(F.col("text")).alias("cc")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)",
+                    [(i, c) for i, c in enumerate(cases)])
+    # NOTE the list_filter: DuckDB's regexp_split_to_array('', '') is
+    # [''] (ascii 0), not [] — this test caught the unfiltered spelling
+    # diverging from Spark's char_codes on empty-normalized text, and
+    # the doc_cdc_chunks oracle was fixed to this filtered form.
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")
+    want = {i: (h, sm, cc) for i, h, sm, cc in con.execute(f"""
+        SELECT i,
+               CAST('0x' || substr(md5(text), 1, 15) AS BIGINT),
+               md5('7:' || text),
+               list_transform(
+                 list_filter(regexp_split_to_array({norm}, ''),
+                             x -> x != ''),
+                 x -> CAST(ascii(x) AS BIGINT))
+        FROM c""").fetchall()}
+    for i, case in enumerate(cases):
+        assert got[i] == want[i], (i, case[:30], got[i], want[i])
+
+
+def test_cdc_chunks_oracle_agrees_on_empty_normalized_doc(spark, tmp_path):
+    """The edge the adversarial mirror test caught: a doc whose text
+    normalizes to '' (punctuation-only) must be EXCLUDED by both the
+    Spark builder and the DuckDB oracle — before the r8 fix the oracle's
+    unfiltered regexp_split_to_array gave it codes [0] and a phantom
+    row."""
+    import duckdb
+
+    rows = [(1, "x", "real words here for chunking and more words"),
+            (2, "x", "!!! ??? ...")]  # normalizes to ''
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]) \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    spec = next(s for s in Q.specs() if s.name == "doc_cdc_chunks")
+    got = sorted(map(tuple, spec.builder(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    assert [r[0] for r in got] == [1]  # the punctuation doc is excluded
+    assert got == want
