@@ -14,7 +14,15 @@ Oracle-parity ground rules (beyond plans/queries.py's):
   deterministic, so the oracle mirrors the ALGORITHM (same candidates, same
   misses), not an idealized exact answer — except simhash banding, whose
   pigeonhole guarantee makes the banded result provably equal to the
-  all-pairs answer the oracle computes.
+  all-pairs answer the oracle computes;
+- round() boundary caveat (probed r8, pinned in
+  tests/test_text_ops.py::test_round_convention_agreement...): both
+  engines round half away from zero, but a double whose SHORTEST
+  DECIMAL form ends in 5 at scale+1 while the binary value sits below
+  (e.g. 1.005 at scale 2) rounds UP on Spark (BigDecimal.valueOf goes
+  through the shortest decimal) and DOWN on DuckDB (binary value).
+  Measure-zero for computed aggregates — never put such a LITERAL on a
+  rounded output path.
 """
 
 from __future__ import annotations

@@ -686,3 +686,37 @@ def test_cdc_chunks_oracle_agrees_on_empty_normalized_doc(spark, tmp_path):
     want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
     assert [r[0] for r in got] == [1]  # the punctuation doc is excluded
     assert got == want
+
+
+def test_round_convention_agreement_and_known_divergence(spark):
+    """Pin the cross-engine rounding contract the whole oracle layer
+    rests on: Spark round() and DuckDB round() agree on half-integer
+    boundaries (both half-away-from-zero) and on ordinary 2dp cases —
+    but DIVERGE on doubles whose SHORTEST DECIMAL form ends in 5 at
+    scale+1 while the binary value sits just below (round(1.005, 2):
+    Spark rounds the shortest-decimal '1.005' HALF_UP -> 1.01 via
+    BigDecimal.valueOf; DuckDB rounds the binary 1.00499... -> 1.00).
+    Measure-zero for computed aggregates (their shortest reps ~never
+    terminate at a half), which is why 154/154 oracles hash-green —
+    this test documents the boundary so a future literal-valued oracle
+    never trips it silently."""
+    import duckdb
+
+    cases = [(0.5, 0), (1.5, 0), (2.5, 0), (-0.5, 0), (-2.5, 0),
+             (0.125, 2), (0.135, 2), (2.675, 2), (-0.125, 2)]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, (v, _) in enumerate(cases)], ["i", "v"])
+    got = df.selectExpr(
+        "i", *[f"round(v, {s}) as r{i}"
+               for i, (_, s) in enumerate(cases)]).collect()
+    srows = {r["i"]: r[f"r{r['i']}"] for r in got}
+    con = duckdb.connect()
+    for i, (v, s) in enumerate(cases):
+        d = con.execute(
+            f"select round(CAST({v!r} AS DOUBLE), {s})").fetchone()[0]
+        assert abs(d - srows[i]) < 1e-12, (v, s, srows[i], d)
+    # the KNOWN divergence, pinned so a behavior change is noticed
+    sp = df.limit(1).selectExpr("round(CAST(1.005 AS DOUBLE), 2) as r") \
+        .collect()[0]["r"]
+    du = con.execute("select round(CAST(1.005 AS DOUBLE), 2)").fetchone()[0]
+    assert sp == 1.01 and du == 1.0
