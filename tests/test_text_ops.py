@@ -720,3 +720,26 @@ def test_round_convention_agreement_and_known_divergence(spark):
         .collect()[0]["r"]
     du = con.execute("select round(CAST(1.005 AS DOUBLE), 2)").fetchone()[0]
     assert sp == 1.01 and du == 1.0
+
+
+def test_string_collation_contract_for_order_sensitive_oracles(spark):
+    """Order-sensitive oracles (stringagg, sorted fingerprint lists,
+    md5-of-sorted-ids) rely on BOTH engines sorting strings by binary
+    UTF-8 — pinned here against engine upgrades (uppercase before
+    lowercase, ASCII before accents before emoji, space before letters,
+    lexicographic digits)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    arrs = [["b", "a", "B", "A"], ["é", "e", "z"], ["🙂", "a", "Z"],
+            ["ab", "a b", "a"], ["10", "2", "1"]]
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrs)],
+                               ["i", "a"])
+    got = {r["i"]: list(r["s"])
+           for r in df.select("i", F.array_sort("a").alias("s")).collect()}
+    con = duckdb.connect()
+    for i, a in enumerate(arrs):
+        lit = "[" + ",".join(f"'{x}'" for x in a) + "]"
+        want = con.execute(f"select list_sort({lit})").fetchone()[0]
+        assert got[i] == want, (a, got[i], want)
