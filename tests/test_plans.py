@@ -415,3 +415,43 @@ def test_kmeans_lloyd_assignment_is_scan_side(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Several operator docstrings lean on 'skew is AQE's problem'
+    (session.py enables skewJoin): prove the mechanism actually engages
+    in this session config — a 95%-hot key under lowered thresholds must
+    come out of the adaptive re-plan as SortMergeJoin(skew=true) with a
+    skewed AQEShuffleRead, i.e. the hot partition was SPLIT, not sent to
+    one task. (Runtime property: read the df's own QueryExecution AFTER
+    collecting it, the r6 ReusedExchange-test pattern.)"""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 128), F.col("id").cast("string"))
+            .alias("pay"))
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), F.lit(1).alias("v"))
+        j = left.join(right, "k").select(F.length("pay").alias("n"))
+        assert j.count() >= 0 and j.collect() is not None
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead" in plan and "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
