@@ -8,7 +8,6 @@ registration is a copy-paste of a proven pair, not a first draft.
 import math
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_eng_project_1_spark.operators import dedup, relational
