@@ -595,7 +595,21 @@ def table_profile(df: DataFrame, columns: list[tuple[str, str]],
     of constant-size sketches — the 100 TB form, identical output schema
     (tests/test_stats_ops.py pins both the plan-shape difference and the
     sketch error bound).
+
+    Column names are interpolated into the generated stack() expression,
+    so they are validated against a plain-identifier regex up front — a
+    name carrying a quote or comma would otherwise splice into the SQL
+    string (profile such columns by aliasing them first).
     """
+    import re
+
+    for c, _ in columns:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            raise ValueError(
+                f"table_profile: column name {c!r} is not a plain "
+                "identifier ([A-Za-z_][A-Za-z0-9_]*); alias it before "
+                "profiling — names are interpolated into a generated "
+                "stack() expression")
     nd = F.approx_count_distinct if approx else F.countDistinct
     aggs: list[Column] = []
     rows: list[str] = []
@@ -764,11 +778,25 @@ def attribute_multi_touch(events: DataFrame, conversion_type: str,
     rounding (tested); unattributed conversions don't appear (inner
     join) — use attribute_last_touch for the null-credit accounting.
 
+    ``ts`` must be INTEGER epoch units (the attribute_last_touch
+    convention, validated here): binned_range_join's bucket math uses
+    integer DIV, and backward-inclusiveness is encoded as the
+    half-open window ``(-horizon, 1)`` — i.e. [cts - horizon, cts] —
+    which is equivalent only when timestamps are integral (a
+    fractional ts would silently admit touches in (cts, cts + 1)).
+
     Returns (key, conversion_id, conversion_ts, touch_id, touch_type,
     touch_ts, n_touches, credit).
     """
     if model not in ("linear", "u_shaped"):
         raise ValueError(f"attribute_multi_touch: unknown model {model!r}")
+    ts_t = events.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"attribute_multi_touch: ts column {ts!r} must be an integer "
+            f"epoch-units type, got {ts_t} (the [cts - horizon, cts] "
+            "window is encoded as the half-open integer range "
+            "(-horizon, 1))")
     conv = events.filter(F.col(type_col) == conversion_type).select(
         F.col(key), F.col(ts).alias("__cts"),
         F.col(id_col).alias("conversion_id"))

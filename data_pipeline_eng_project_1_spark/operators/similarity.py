@@ -913,6 +913,23 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
                                          "sel_dist double")
 
 
+def _round_half_away(x: float, dp: int) -> float:
+    """Driver-side decimal rounding matching the pinned cross-engine
+    round() contract (tests/test_text_ops.py): ties at dp+1 go HALF AWAY
+    FROM ZERO, like Spark's F.round and DuckDB's round — not Python
+    round()'s banker's half-to-even. (No binary double is an exact tie
+    at 6 decimals — the denominator would need a 5^6 factor, which no
+    dyadic rational has — so this differs from round() only in
+    principle; the helper exists so the convention is uniform, not
+    input-dependent.) Rounds the EXACT binary value, Decimal(float),
+    the same value DuckDB's round sees."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-dp)
+    return float(decimal.Decimal(x).quantize(
+        q, rounding=decimal.ROUND_HALF_UP))
+
+
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int | None = None,
@@ -930,7 +947,9 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
     smallest-id vectors; assignment = argmin over k scan-side literal
     squared-L2 folds (array_min over (dist, idx) structs — ties take the
     smallest centroid index); every new centroid coordinate is the
-    per-cell mean ROUNDED to ``round_dp`` before it is re-broadcast, so
+    per-cell mean ROUNDED to ``round_dp`` (half away from zero via
+    ``_round_half_away`` — the pinned cross-engine round() convention,
+    not Python round()'s half-to-even) before it is re-broadcast, so
     each iteration's handoff is a short exact decimal that a SQL twin
     can replay verbatim (the supplier_pagerank unrolled-CTE precedent —
     an r9 oracle unrolls ``iters`` assignment+mean CTE pairs). Empty
@@ -956,7 +975,8 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
     init = base.orderBy("id").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans_lloyd: k={k} but only {len(init)} vectors")
-    cents = [[round(float(x), round_dp) for x in r["v"]] for r in init]
+    cents = [[_round_half_away(float(x), round_dp) for x in r["v"]]
+             for r in init]
 
     def best(cent_list):
         scores = F.array(*[
@@ -973,7 +993,7 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
               for j in range(dim)])
         got = {r["cell"]: r for r in sums.collect()}  # <= k rows
         cents = [
-            [round(got[c][f"s{j}"] / got[c]["n"], round_dp)
+            [_round_half_away(got[c][f"s{j}"] / got[c]["n"], round_dp)
              for j in range(dim)] if c in got else cents[c]
             for c in range(k)]
     assignments = base.select(

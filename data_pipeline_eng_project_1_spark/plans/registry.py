@@ -400,6 +400,13 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                    # hash broadcast split (no collisions
                                    # on fixtures — same pairs, same sums,
                                    # same output)
+    # changed in r9 (r8-and-earlier green rows stale):
+    "orders_table_profile": 8,     # table_profile now validates column
+                                   # names against an identifier regex
+                                   # before interpolating them into the
+                                   # generated stack() expression (advice
+                                   # fix; fixture columns all pass — same
+                                   # output)
 }
 
 

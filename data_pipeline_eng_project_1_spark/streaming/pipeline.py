@@ -291,7 +291,16 @@ def run_split_sink(df: DataFrame, predicate_col: str, pass_dir: str,
     batch has ZERO rows on a side leaves that side's earlier partial
     partition in place — unreachable under the deterministic-replay
     contract, identifiable by batch_id if a non-deterministic source
-    breaks it."""
+    breaks it.
+
+    Layout note (changed in round 8): ``batch_id`` is a PARTITION
+    directory, not a physical column — its type is re-INFERRED on read
+    (int), and a sink directory written by the pre-r8 flat-append
+    layout cannot be read together with this partitioned layout.
+    Migrate old dirs by rewriting them once through
+    ``partitionBy("batch_id")``, and read sides back with
+    ``read_split_side`` (below), which pins batch_id to BIGINT so the
+    read-back schema matches the long the writer stamped."""
     def write_both(batch: DataFrame, batch_id: int) -> None:
         batch = batch.withColumn("batch_id", F.lit(batch_id)).persist()
         try:
@@ -311,6 +320,16 @@ def run_split_sink(df: DataFrame, predicate_col: str, pass_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_split_side(spark: SparkSession, side_dir: str) -> DataFrame:
+    """Read one side (pass or reject) of a run_split_sink directory with
+    the ``batch_id`` partition column pinned back to BIGINT — partition
+    directory values are type-inferred on read (int), while the writer
+    stamped a long; the explicit cast keeps the round-trip schema
+    stable for downstream unions and joins on batch_id."""
+    df = spark.read.parquet(side_dir)
+    return df.withColumn("batch_id", F.col("batch_id").cast("long"))
 
 
 def enrich_with_dim(events: DataFrame, dim: DataFrame,

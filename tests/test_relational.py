@@ -297,6 +297,15 @@ def test_attribute_multi_touch_linear_and_u_shaped(spark):
             F.sum("credit").alias("s")).collect()
         assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
 
+    # fractional timestamps are rejected: the [cts-horizon, cts] window
+    # is encoded as the half-open integer range (-horizon, 1), and
+    # binned_range_join's bucket math needs integer DIV — a double ts
+    # would silently admit touches in (cts, cts + 1)
+    frac = ev.withColumn("ts_ms", F.col("ts_ms").cast("double"))
+    with pytest.raises(TypeError, match="integer epoch-units"):
+        relational.attribute_multi_touch(
+            frac, "purchase", ["click"], horizon=900)
+
 
 def test_grouped_regression_matches_numpy_per_group(spark):
     import numpy as np

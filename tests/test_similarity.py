@@ -548,6 +548,22 @@ def test_kmeans_lloyd_matches_sequential_reference(spark):
     assert one["dist"] == pytest.approx(ref_d, abs=1e-5)
 
 
+def test_kmeans_round_half_away_matches_engine_convention():
+    """The centroid-handoff rounding follows the pinned cross-engine
+    round() contract (ties half AWAY from zero, like Spark F.round and
+    DuckDB round) — not Python round()'s half-to-even. Exact decimal
+    ties can't arise from binary doubles at 6dp (the denominator would
+    need a 5^6 factor), so the convention is pinned at dp where ties DO
+    exist, plus agreement with round() on ordinary values."""
+    r = similarity._round_half_away
+    assert r(0.5, 0) == 1.0 and round(0.5) == 0
+    assert r(2.5, 0) == 3.0 and round(2.5) == 2
+    assert r(-0.5, 0) == -1.0
+    assert r(0.125, 2) == 0.13 and round(0.125, 2) == 0.12
+    for x in (1.0 / 3, 2.0 / 7, -13.37, 0.000001, 123.4567891):
+        assert r(x, 6) == round(x, 6), x
+
+
 def test_kmeans_lloyd_validates_and_bounds_driver_state(spark):
     import pytest as _pt
 

@@ -281,6 +281,24 @@ def test_table_profile_approx_drops_expand_within_hll_tolerance(spark):
             (c, nd_ex, nd_ap)
 
 
+def test_table_profile_rejects_non_identifier_column_names(spark):
+    """Column names are interpolated into the generated stack()
+    expression — names that could splice into the SQL string (quotes,
+    commas, spaces) are rejected up front instead of silently producing
+    a broken or injected expression."""
+    import pytest
+
+    df = spark.range(3).select(
+        F.col("id"), F.col("id").alias("o'brien"))
+    for bad in ["o'brien", "a,b", "a b", "1lead", ""]:
+        with pytest.raises(ValueError, match="not a plain identifier"):
+            relational.table_profile(df, [(bad, "num")])
+    # plain identifiers still profile fine
+    out = {r["column_name"]: r
+           for r in relational.table_profile(df, [("id", "num")]).collect()}
+    assert out["id"]["n_distinct"] == 3
+
+
 # ---------------------------------------------------------------------------
 # equidepth_histogram
 # ---------------------------------------------------------------------------

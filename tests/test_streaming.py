@@ -651,10 +651,13 @@ def test_quality_gate_split_sink_routes_and_checkpoints(spark, tmp_path):
 
     shutil.rmtree(str(tmp_path / "ck_qg"))
     drain()
-    p = spark.read.parquet(str(tmp_path / "pass"))
-    r = spark.read.parquet(str(tmp_path / "reject"))
+    p = sp.read_split_side(spark, str(tmp_path / "pass"))
+    r = sp.read_split_side(spark, str(tmp_path / "reject"))
     assert p.count() == len(kept) and r.count() == len(rej)
     assert {row.batch_id for row in p.select("batch_id").collect()} == {0}
+    # read_split_side pins the inferred batch_id partition type to the
+    # long the writer stamped
+    assert p.schema["batch_id"].dataType.simpleString() == "bigint"
 
 
 def test_split_sink_multi_batch_partitions_are_isolated(spark, tmp_path):
