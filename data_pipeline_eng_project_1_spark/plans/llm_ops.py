@@ -4491,3 +4491,200 @@ def _q_doc_cdc_chunks(spark, sf_dir):
         F.md5(F.encode(F.concat_ws(",", F.transform(
             "bs", lambda x: x.cast("string"))), "UTF-8")).alias("bounds_md5"),
     )
+
+
+@_register(
+    "corpus_vocab_growth",
+    f"""
+    WITH rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                 FROM documents),
+    d AS (
+      SELECT doc_id,
+             ((doc_id - rng.lo) * 8) // (rng.hi - rng.lo + 1) AS b,
+             {SQL_TOKS} AS toks
+      FROM documents, rng
+    ),
+    tok_b AS (
+      SELECT b, max(doc_id) AS hi_id, count(*) AS nd,
+             sum(len(toks)) AS nt
+      FROM d GROUP BY b
+    ),
+    firsts AS (
+      SELECT ((fid - rng.lo) * 8) // (rng.hi - rng.lo + 1) AS b,
+             count(*) AS nv
+      FROM (SELECT min(doc_id) AS fid
+            FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+            GROUP BY t), rng
+      GROUP BY 1
+    )
+    SELECT CAST(tok_b.b + 1 AS INTEGER) AS checkpoint,
+           CAST(hi_id AS BIGINT) AS hi_id,
+           CAST(sum(nd) OVER w AS BIGINT) AS n_docs_cum,
+           CAST(sum(nt) OVER w AS BIGINT) AS n_tokens_cum,
+           CAST(sum(coalesce(nv, 0)) OVER w AS BIGINT) AS vocab_cum
+    FROM tok_b LEFT JOIN firsts ON tok_b.b = firsts.b
+    WINDOW w AS (ORDER BY tok_b.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Heaps-law vocabulary-growth curve: walking the corpus in id "
+        "order, cumulative distinct vocabulary vs cumulative tokens at "
+        "8 id-range checkpoints — the tokenizer/vocab-sizing and "
+        "crawl-saturation primitive (a flattening curve means new data "
+        "has stopped contributing new words). Scale shape: checkpoint "
+        "= scan-side integer math from ONE broadcast (min,max) scalar "
+        "(no ntile range exchange over the corpus), cumulative vocab "
+        "via the first-occurrence trick (min doc id per term — one "
+        "term-keyed aggregate, the text_ngram_novelty precedent), and "
+        "the running sum runs over the <=8-row checkpoint frame, never "
+        "the data — every post-scan frame is bounded by the checkpoint "
+        "count at any corpus size; all-integer output, no float "
+        "surface (operators/dedup.py::vocab_growth_curve).",
+)
+def _q_corpus_vocab_growth(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return dedup.vocab_growth_curve(d, checkpoints=8)
+
+
+@_register(
+    "corpus_split_accounting",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len({SQL_TOKS}) > 0
+                  THEN 1.0 / (1.0 + exp(-({_QC_W['bias']}
+                    + {_QC_W['stop']} * (len(list_filter({SQL_TOKS},
+                        t -> list_contains({_SQL_STOPS}, t))) * 1.0
+                        / len({SQL_TOKS}))
+                    + {_QC_W['punct']} * ((length(lower(text))
+                        - length(regexp_replace(lower(text),
+                                 '[^a-z0-9 ]', '', 'g')))
+                        * 1.0 / length(text))
+                    + {_QC_W['alen']} * (length(replace(text, ' ', ''))
+                        * 1.0 / len({SQL_TOKS}))
+                    + {_QC_W['lntok']} * ln(len({SQL_TOKS})))))
+             END AS score
+      FROM documents
+    ),
+    r AS (SELECT doc_id, coalesce(score >= 0.5, FALSE) AS keep FROM s)
+    SELECT keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+    FROM r GROUP BY keep
+    """,
+    doc="dead-letter split accounting — the BATCH twin of the streaming "
+        "quality gate + split sink (streaming/pipeline.py::"
+        "quality_gate_stream -> run_split_sink): the sink's exact "
+        "routing predicate (keep = sigmoid-score >= 0.5, empty/null "
+        "docs -> reject) applied to the corpus, then per side n_docs + "
+        "an md5 over the sorted doc-id list — proving MEMBERSHIP of "
+        "each side, not just counts (a doc swapped between sides with "
+        "counts preserved still flips the hash). The builder calls the "
+        "streaming module's own gate function (batch and stream share "
+        "one code path — the batch-stream parity test's guarantee, now "
+        "with a graded row). Scan-side score algebra + ONE 2-group "
+        "aggregate; the collect_list rides the groupBy shuffle and is "
+        "bounded by the corpus id list per side — at 100 TB swap the "
+        "md5-of-list membership proof for a commutative checksum "
+        "(sum of per-id hashes) to keep state bounded; counts and "
+        "routing are scale-free as-is.",
+)
+def _q_corpus_split_accounting(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.streaming import (
+        pipeline as _streaming,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    gated = _streaming.quality_gate_stream(d)
+    return (gated.groupBy("keep")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.md5(F.encode(F.concat_ws(",", F.sort_array(
+                     F.collect_list(F.col("doc_id").cast("string")))),
+                     "UTF-8")).alias("ids_md5")))
+
+
+def _kmeans_unrolled_sql(k: int, iters: int, dim: int) -> str:
+    """The kmeans_lloyd oracle: ORDER BY id LIMIT k init, then per
+    iteration one assignment CTE (row_number argmin over the vector x
+    centroid cross join — smallest-cell ties) and one update CTE
+    (per-dim AVG rounded to 6 — the same short-decimal handoff the
+    Spark trainer re-broadcasts); empty cells carry the previous
+    centroid forward. The supplier_pagerank unrolled-CTE precedent:
+    the oracle replays the distributed trainer's iterations verbatim,
+    viable only at fixture scale (cross join), while the Spark plan is
+    one scan + one cell-keyed aggregate per iteration."""
+    dist = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(generate_series(1, {dim}), "
+            "i -> (v[i] - c[i]) * (v[i] - c[i]))), (a, x) -> a + x)"
+            .format(dim=dim))
+    sql = [f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT id, v FROM base ORDER BY id LIMIT {k})
+)"""]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        sql.append(f""",
+a{r} AS (
+  SELECT id, v, cell, d FROM (
+    SELECT b.id, b.v, {prev}.cell,
+           {dist.replace('c[i]', f'{prev}.c[i]')} AS d,
+           row_number() OVER (PARTITION BY b.id
+                              ORDER BY {dist.replace('c[i]', f'{prev}.c[i]')},
+                                       {prev}.cell) AS rn
+    FROM base b CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT cell, i, round(avg(v[i]), 6) AS m
+    FROM a{r}, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+  UNION ALL
+  SELECT p.cell, p.c FROM {prev} p
+  WHERE p.cell NOT IN (SELECT DISTINCT cell FROM a{r})
+)""")
+        prev = f"c{r}"
+    sql.append(f"""
+SELECT b.id, fin.cell, round(fin.d, 6) AS dist FROM (
+  SELECT b2.id AS id, {prev}.cell,
+         {dist.replace('v[i]', 'b2.v[i]').replace('c[i]', f'{prev}.c[i]')} AS d,
+         row_number() OVER (PARTITION BY b2.id
+                            ORDER BY {dist.replace('v[i]', 'b2.v[i]').replace('c[i]', f'{prev}.c[i]')},
+                                     {prev}.cell) AS rn
+  FROM base b2 CROSS JOIN {prev}
+) fin JOIN base b ON b.id = fin.id
+WHERE fin.rn = 1""")
+    return "".join(sql)
+
+
+@_register(
+    "embeddings_kmeans_lloyd",
+    _kmeans_unrolled_sql(k=4, iters=2, dim=64),
+    doc="fully DISTRIBUTED Lloyd's k-means over the embedding corpus "
+        "(k=4, 2 iterations, squared L2): the scale path past the "
+        "driver-sample IVF trainer — assignment is an argmin over k "
+        "scan-side literal squared-L2 folds (smallest-cell ties), the "
+        "update is ONE cell-keyed (count, dim-sums) partial+final "
+        "aggregate per iteration, and the driver only ever holds the "
+        "k x dim centroid floats, each coordinate rounded HALF AWAY "
+        "FROM ZERO to 6dp before re-broadcast so every handoff is a "
+        "short exact decimal. Output = final per-vector (id, cell, "
+        "dist) — agreement on every assignment and distance implies "
+        "the centroids. The oracle unrolls the 2 iterations as "
+        "assignment+update CTE pairs over a cross join (fixture-scale "
+        "only; the Spark plan never pairs vectors with more than the "
+        "k literal centroids) "
+        "(operators/similarity.py::kmeans_lloyd).",
+)
+def _q_embeddings_kmeans_lloyd(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = similarity.kmeans_lloyd(emb, k=4, iters=2, dim=64)
+    return assign

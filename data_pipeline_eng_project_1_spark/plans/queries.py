@@ -3270,6 +3270,64 @@ def _q_events_last_touch_attribution(spark, sf_dir):
 
 
 @_register(
+    "events_multi_touch_attribution",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events),
+    conv AS (SELECT user_id, ts_ms, event_id FROM e
+             WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts_ms, event_id, event_type FROM e
+          WHERE event_type IN ('view', 'click')),
+    p AS (
+      SELECT c.user_id,
+             c.event_id AS conversion_id, c.ts_ms AS conversion_ts,
+             t.event_id AS touch_id, t.event_type AS touch_type,
+             t.ts_ms AS touch_ts,
+             count(*) OVER (PARTITION BY c.event_id) AS n,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY t.ts_ms, t.event_id) AS pos
+      FROM conv c JOIN t
+        ON t.user_id = c.user_id
+       AND t.ts_ms <= c.ts_ms AND t.ts_ms >= c.ts_ms - 3600000
+    )
+    SELECT user_id, conversion_id, conversion_ts,
+           touch_id, touch_type, touch_ts,
+           CAST(n AS INTEGER) AS n_touches,
+           round(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN pos = 1 OR pos = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END, 6) AS credit
+    FROM p
+    """,
+    doc="multi-touch (position-based / u-shaped) attribution: every "
+        "view/click within 1 hour before a purchase by the same user "
+        "splits the credit — 40% first, 40% last, 20%/(n-2) middle "
+        "(n=1 -> 1.0, n=2 -> 0.5 each); same horizon and same-instant "
+        "tie conventions as the graded last-touch query, different "
+        "credit curve — the model-comparison pair marketing teams "
+        "actually run. Spark plan: the (conversion x in-horizon touch) "
+        "pairs come from binned_range_join — a plain shuffled equi-join "
+        "on (user, time-bucket) with <=2x replication, never the "
+        "O(n*m) BroadcastNestedLoopJoin Spark would plan for the raw "
+        "inequality — then two conversion-keyed windows over the PAIR "
+        "frame, whose per-conversion fan-out the horizon bounds; the "
+        "oracle spells the same pairs as a fixture-scale inequality "
+        "join (operators/relational.py::attribute_multi_touch).",
+)
+def _q_events_multi_touch_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = relational.attribute_multi_touch(
+        ev.select("event_id", "user_id", "ts_ms", "event_type"),
+        conversion_type="purchase", touch_types=["view", "click"],
+        horizon=3_600_000, model="u_shaped")
+    return out.select(
+        "user_id", "conversion_id", "conversion_ts", "touch_id",
+        "touch_type", "touch_ts", "n_touches",
+        F.round("credit", 6).alias("credit"))
+
+
+@_register(
     "events_grouped_regression",
     """
     WITH e AS (SELECT event_type,
