@@ -194,6 +194,29 @@ def test_frames_fanout_has_no_payload_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_last_touch_attribution_is_one_keyed_shuffle_no_join(spark):
+    """attribute_last_touch's 100 TB claim, machine-pinned: the graded
+    query is the asof-union shape — ONE Exchange hashpartitioning on the
+    user key feeding the running last(touch, ignoreNulls) window, and NO
+    join operator anywhere (a power user is one sorted run inside a
+    task, never a join fan-out; the oracle's horizon join + QUALIFY is
+    fixture-scale only). Both event-type filters must also reach the
+    parquet scan."""
+    df = _builders()["events_last_touch_attribution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("user_id")
+    assert "Exchange SinglePartition" not in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "NestedLoopJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert plan.count("PushedFilters: [IsNotNull(event_type), "
+                      "EqualTo(event_type,purchase)]") == 1
+    assert "In(event_type, [click,view])" in plan
+
+
 def test_no_query_plans_cartesian_or_row_python(spark):
     """Registry-wide lint: no registered query may compile to a cartesian
     product or a row-at-a-time Python UDF (BatchEvalPython). Exceptions
