@@ -687,6 +687,80 @@ def equidepth_histogram(df: DataFrame, value: str, k: int = 16) -> DataFrame:
         F.dense_rank().over(dense).alias("bucket"), "lo", "hi", "n_rows")
 
 
+def psi_drift(df: DataFrame, value: str, ts: str,
+              bins: int = 10) -> DataFrame:
+    """Population stability index between the first and second halves of
+    a table's time range: the tabular-drift twin of the token-level KL
+    drift monitor — THE go/no-go statistic model-ops teams gate
+    retraining and feature pipelines on (rule of thumb: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 broken).
+
+    Semantics: split at the integer midpoint of [min(ts), max(ts)]
+    (baseline = ts < mid, current = ts >= mid; ``ts`` must be integer
+    epoch units so the midpoint is exact), bin by the BASELINE's
+    ``bins``-quantile boundaries (the industry convention — drift is
+    measured against where the baseline mass sat), and per bucket
+    compute smoothed shares p (baseline) and q (current) with add-half
+    smoothing over the observed buckets (an empty current bucket must
+    not produce ln(0)), psi_term = (q - p) * ln(q / p), and the
+    summary psi_total = sum of terms.
+
+    Scale shape (the equidepth_histogram pattern, twice): ONE scalar
+    (min, max) aggregate -> 1-row broadcast; ONE percentile aggregate
+    over the baseline slice (swap to approx_percentile at 100 TB, same
+    plan) -> 1-row broadcast of <= bins-1 boundaries; then a scan-side
+    strictly-below fold and ONE partial+final (bucket) aggregate. The
+    dense_rank / share / total windows all run over the <= ``bins``-row
+    AGGREGATE frame — never the data. No global sort, no ntile range
+    exchange, no join.
+
+    Returns (bucket, n_base, n_curr, base_pct, curr_pct, psi_term,
+    psi_total) with bucket ids dense 1..k' over non-empty buckets.
+    """
+    if bins < 2:
+        raise ValueError("psi_drift: bins must be >= 2")
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"psi_drift: ts column {ts!r} must be an integer "
+                        f"epoch-units type, got {ts_t}")
+    mid = df.agg(F.expr(f"(min({ts}) + max({ts})) DIV 2").alias("__mid"))
+    with_mid = df.crossJoin(F.broadcast(mid))
+    is_base = F.col(ts) < F.col("__mid")
+    fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    bounds = (with_mid.filter(is_base)
+              .agg(F.array_distinct(
+                  F.percentile(F.col(value), fracs)).alias("__bs")))
+    bucket = (F.size(F.filter(F.col("__bs"),
+                              lambda b: b < F.col(value))) + 1)
+    agg = (
+        with_mid.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("__bucket"),
+                is_base.cast("long").alias("__b"),
+                (~is_base).cast("long").alias("__c"))
+        .groupBy("__bucket")
+        .agg(F.sum("__b").alias("n_base"), F.sum("__c").alias("n_curr"))
+    )
+    # everything below runs over the <= bins-row aggregate frame
+    whole = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    nb = F.count(F.lit(1)).over(whole)
+    p = (F.col("n_base") + 0.5) / (F.sum("n_base").over(whole) + 0.5 * nb)
+    q = (F.col("n_curr") + 0.5) / (F.sum("n_curr").over(whole) + 0.5 * nb)
+    shares = agg.select(
+        F.dense_rank().over(Window.orderBy("__bucket")).alias("bucket"),
+        "n_base", "n_curr", p.alias("__p"), q.alias("__q"))
+    term = (F.col("__q") - F.col("__p")) * \
+        F.log(F.col("__q") / F.col("__p"))
+    whole2 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return shares.select(
+        "bucket", "n_base", "n_curr",
+        F.round("__p", 6).alias("base_pct"),
+        F.round("__q", 6).alias("curr_pct"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(whole2), 6).alias("psi_total"))
+
+
 def attribute_last_touch(events: DataFrame, conversion_type: str,
                          touch_types: list[str], horizon: int,
                          key: str = "user_id", ts: str = "ts_ms",

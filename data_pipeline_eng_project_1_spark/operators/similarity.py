@@ -913,6 +913,79 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
                                          "sel_dist double")
 
 
+def pca_power(corpus: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id", dim: int = 64,
+              iters: int = 6) -> tuple[list[int], DataFrame]:
+    """Distributed top-principal-component extraction: ONE covariance
+    pass over the corpus (covariance_matrix — the map-side-combine
+    D^2 aggregate, megabytes of partials at any scale), then ``iters``
+    power-iteration steps on the collected D x D matrix (bounded driver
+    metadata — the kmeans_lloyd / kcenter precedent), then ONE more
+    scan projecting every vector onto the dominant component. The
+    whitening/compression/outlier-scoring primitive: pc1 scores feed
+    drift monitors, coreset strata, and the OPQ-style rotations the
+    covariance operator exists for.
+
+    Deterministic and oracle-ready by INTEGER construction: the
+    covariance is snapped to a 1e-6 grid (cov_int = round(cov * 1e6) as
+    int64), the iteration vector starts at [1e6] * dim, and each step
+    computes w = C_int . v (EXACT int64 arithmetic — |w| <= dim *
+    max|cov_int| * 1e6 ~ 1e14, well inside 2^53 so even the float
+    handoff sees exact operands), rescales to the grid with
+    round(w * 1e6 / max|w|) (bit-identical IEEE ops on bit-identical
+    exact-integer operands in any engine), and never normalizes in
+    float — so a SQL twin unrolling the same CTE steps reproduces the
+    weight vector EXACTLY, not just to rounding. Per-dim means are
+    computed as a 1-row broadcast (round(sum/n, 6)) and the projection
+    is a scan-side sequential zip_with fold (the _sq_l2_to_literal
+    addition-order convention). Convergence to the true PC1 depends on
+    the spectral gap as usual for power iteration; the operator
+    contract is 'iters steps from the all-ones grid vector'.
+
+    Returns (weights, scores): weights = the final integer grid vector
+    (true direction = weights / 1e6, unnormalized), scores = (id,
+    pc1_score) with pc1_score = ((x - mean) . weights) / 1e6 rounded
+    to 6dp.
+    """
+    if iters < 0 or dim < 1:
+        raise ValueError("pca_power: iters >= 0 and dim >= 1 required")
+    grid = 1_000_000
+    cov_rows = covariance_matrix(corpus, vec_col, dim).collect()
+    if not cov_rows:
+        raise ValueError("pca_power: empty corpus")
+    C = [[0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        ci = int(_round_half_away(r["cov"] * grid, 0))
+        C[r["i"]][r["j"]] = ci
+        C[r["j"]][r["i"]] = ci
+    v = [grid] * dim
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break  # zero covariance: direction is arbitrary, keep v
+        v = [int(_round_half_away(x * float(grid) / m, 0)) for x in w]
+
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
+    mu_aggs = [F.count(F.lit(1)).alias("__n")]
+    mu_aggs += [F.sum(F.element_at(
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"), j + 1))
+        .alias(f"__s{j}") for j in range(dim)]
+    mus = corpus.agg(*mu_aggs).select(F.array(
+        *[F.round(F.col(f"__s{j}") / F.col("__n"), 6)
+          for j in range(dim)]).alias("__mu"))
+    w_arr = "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
+    fold = (f"aggregate(zip_with(zip_with(v, __mu, (x, m) -> x - m), "
+            f"{w_arr}, (x, wt) -> x * wt), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scores = (base.crossJoin(F.broadcast(mus))
+              .select("id", F.round(F.expr(fold) / F.lit(1000000.0), 6)
+                      .alias("pc1_score")))
+    return v, scores
+
+
 def _round_half_away(x: float, dp: int) -> float:
     """Driver-side decimal rounding matching the pinned cross-engine
     round() contract (tests/test_text_ops.py): ties at dp+1 go HALF AWAY

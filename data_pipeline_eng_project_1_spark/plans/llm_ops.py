@@ -4688,3 +4688,82 @@ def _q_embeddings_kmeans_lloyd(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     _, assign = similarity.kmeans_lloyd(emb, k=4, iters=2, dim=64)
     return assign
+
+
+def _pca_power_unrolled_sql(dim: int, iters: int) -> str:
+    """The embedding_pca_power oracle: the covariance CTE shape shared
+    with embedding_covariance, snapped to the 1e-6 integer grid, then
+    ``iters`` EXACT-integer power-iteration CTE pairs (w = C_int . v as
+    BIGINT sums; rescale round(w * 1e6 / max|w|) — IEEE-deterministic
+    on exact-integer operands), then the per-vector centered projection
+    as an ordered list_reduce fold matching Spark's zip_with fold
+    order. Unlike the kmeans oracle (rounded-decimal handoffs), the
+    iteration here replays EXACTLY by integer construction; only the
+    initial cov/mean snapping and the final score carry the standard
+    measure-zero rounding surface."""
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS d),
+cnt AS (SELECT count(*) AS n FROM e),
+sums AS (
+  SELECT d.d AS d, sum(v[d.d + 1]) AS s
+  FROM e CROSS JOIN dims d GROUP BY d.d
+),
+mus AS (SELECT list(round(s / cnt.n, 6) ORDER BY d) AS mu
+        FROM sums CROSS JOIN cnt),
+pairs AS (SELECT a.d AS i, b.d AS j FROM dims a
+          JOIN dims b ON b.d >= a.d),
+sxy AS (
+  SELECT p.i, p.j, sum(v[p.i + 1] * v[p.j + 1]) AS sxy
+  FROM e CROSS JOIN pairs p GROUP BY p.i, p.j
+),
+covi AS (
+  SELECT x.i, x.j,
+         CAST(round((x.sxy - si.s * sj.s / cnt.n) / (cnt.n - 1)
+                    * 1000000.0) AS BIGINT) AS c
+  FROM sxy x
+  JOIN sums si ON si.d = x.i JOIN sums sj ON sj.d = x.j
+  CROSS JOIN cnt
+),
+covf AS (SELECT i, j, c FROM covi
+         UNION ALL
+         SELECT j AS i, i AS j, c FROM covi WHERE i < j),
+v0 AS (SELECT d, CAST(1000000 AS BIGINT) AS x FROM dims)""" + "".join(f""",
+w{r} AS (SELECT f.i AS d, CAST(sum(f.c * v.x) AS BIGINT) AS w
+         FROM covf f JOIN v{r - 1} v ON v.d = f.j GROUP BY f.i),
+v{r} AS (SELECT d, CAST(round(w * 1000000.0 /
+                   (SELECT max(abs(w)) FROM w{r})) AS BIGINT) AS x
+         FROM w{r})""" for r in range(1, iters + 1)) + f""",
+wl AS (SELECT list(CAST(x AS DOUBLE) ORDER BY d) AS w FROM v{iters})
+SELECT id,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, {dim}),
+                 i -> (v[i] - mu[i]) * w[i])),
+             (acc, x) -> acc + x) / 1000000.0, 6) AS pc1_score
+FROM e CROSS JOIN mus CROSS JOIN wl"""
+
+
+@_register(
+    "embedding_pca_power",
+    _pca_power_unrolled_sql(dim=64, iters=4),
+    doc="distributed top-principal-component scores over the embedding "
+        "corpus (4 power-iteration steps on the exact covariance, "
+        "squared-L2 geometry): ONE covariance pass (the map-side-"
+        "combine D^2 aggregate graded as embedding_covariance), the "
+        "64x64 matrix snapped to a 1e-6 INTEGER grid on the driver "
+        "(bounded metadata — the kmeans_lloyd precedent), power "
+        "iteration in EXACT int64 arithmetic with round(w * 1e6 / "
+        "max|w|) grid rescaling (bit-identical in any engine — the "
+        "handoff is exact by construction, not by rounding), then one "
+        "scan projecting every vector onto the learned direction via "
+        "an ordered zip_with fold against the broadcast per-dim means. "
+        "pc1 scores feed drift monitors, whitening, coreset strata, "
+        "and OPQ-style rotations; at 100 TB both passes are "
+        "scan-shaped with only D^2 partials shuffling "
+        "(operators/similarity.py::pca_power).",
+)
+def _q_embedding_pca_power(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    _, scores = similarity.pca_power(e, dim=64, iters=4)
+    return scores

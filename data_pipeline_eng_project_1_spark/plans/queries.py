@@ -3365,6 +3365,56 @@ def _q_events_grouped_regression(spark, sf_dir):
         F.round("r2", 6).alias("r2"))
 
 
+@_register(
+    "events_psi_drift",
+    """
+    WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+               FROM events),
+    m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e),
+    b AS (SELECT list_distinct(quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS bs
+          FROM e, m WHERE ts_ms < mid),
+    a AS (SELECT 1 + len(list_filter(b.bs, x -> x < value)) AS bucket,
+                 CASE WHEN ts_ms < mid THEN 1 ELSE 0 END AS isb
+          FROM e, m, b),
+    g AS (SELECT bucket, sum(isb) AS n_base, sum(1 - isb) AS n_curr
+          FROM a GROUP BY bucket),
+    s AS (SELECT bucket, n_base, n_curr,
+                 (n_base + 0.5)
+                   / (sum(n_base) OVER () + 0.5 * count(*) OVER ()) AS p,
+                 (n_curr + 0.5)
+                   / (sum(n_curr) OVER () + 0.5 * count(*) OVER ()) AS q
+          FROM g)
+    SELECT CAST(dense_rank() OVER (ORDER BY bucket) AS INTEGER) AS bucket,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_curr AS BIGINT) AS n_curr,
+           round(p, 6) AS base_pct,
+           round(q, 6) AS curr_pct,
+           round((q - p) * ln(q / p), 6) AS psi_term,
+           round(sum((q - p) * ln(q / p)) OVER (), 6) AS psi_total
+    FROM s
+    """,
+    doc="population stability index of the event value distribution "
+        "between the first and second halves of the time range — the "
+        "tabular-drift go/no-go statistic model-ops teams gate "
+        "retraining on (< 0.1 stable, 0.1-0.25 drifting, > 0.25 "
+        "broken), binned by the BASELINE's deciles with add-half "
+        "smoothing so empty current-side buckets stay finite. Scale "
+        "shape (equidepth_histogram twice over): one (min,max) scalar "
+        "aggregate -> integer midpoint broadcast, one percentile "
+        "aggregate over the baseline slice (approx_percentile at "
+        "100 TB, same plan) -> <= 9 boundaries broadcast, scan-side "
+        "strictly-below bucketing, ONE partial+final bucket aggregate; "
+        "the share/psi/total windows run over the <= 10-row AGGREGATE "
+        "frame, never the data — no sort, no ntile exchange, no join "
+        "(operators/relational.py::psi_drift).",
+)
+def _q_events_psi_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.psi_drift(
+        ev.select("ts_ms", "value"), "value", "ts_ms", bins=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -88,3 +88,17 @@ def test_kmeans_lloyd_registered_pair(spark):
     n = _compare_registered(spark, "embeddings_kmeans_lloyd")
     # every vector is assigned exactly once
     assert n == catalog.load_table(spark, "embeddings", SF).count()
+
+
+def test_psi_drift_registered_pair(spark):
+    n = _compare_registered(spark, "events_psi_drift")
+    assert 2 <= n <= 10
+
+
+def test_pca_power_registered_pair(spark):
+    """The exact-integer power iteration must agree across engines on
+    every per-vector score — the weight-vector handoff is exact by
+    integer construction, so any mismatch localizes to the cov/mean
+    snapping or the projection fold order."""
+    n = _compare_registered(spark, "embedding_pca_power")
+    assert n == catalog.load_table(spark, "embeddings", SF).count()

@@ -576,3 +576,38 @@ def test_kmeans_lloyd_validates_and_bounds_driver_state(spark):
     # iters=0: init centroids returned as-is, assignment still computed
     assert [c for c, _ in cents] == [0, 1]
     assert {r["id"]: r["cell"] for r in assign.collect()} == {0: 0, 1: 1}
+
+
+def test_pca_power_recovers_dominant_direction_and_projection(spark):
+    """On a strongly anisotropic corpus the integer power iteration's
+    direction must align with numpy's dominant covariance eigenvector
+    (cosine > 0.99), the Spark-side scores must equal the numpy
+    projection (x - mean) . (w / 1e6), and iters=0 must return the
+    all-ones grid vector untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    direction = np.array([3.0, 1.0, -2.0, 0.5])
+    direction /= np.linalg.norm(direction)
+    t = rng.normal(0, 5, 200)  # dominant axis variance >> noise
+    pts = (t[:, None] * direction[None, :]
+           + rng.normal(0, 0.2, (200, 4))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>").repartition(4)
+
+    w, scores = similarity.pca_power(df, dim=4, iters=12)
+    wv = np.array(w, dtype=np.float64) / 1e6
+    cos = abs(wv @ direction) / np.linalg.norm(wv)
+    assert cos > 0.99, cos
+
+    x = pts.astype(np.float64)
+    mu = np.array([round(m, 6) for m in x.mean(axis=0)])
+    want = (x - mu) @ (np.array(w) / 1e6)
+    got = {r["id"]: r["pc1_score"] for r in scores.collect()}
+    assert len(got) == 200
+    for i in range(200):
+        assert got[i] == pytest.approx(want[i], abs=1e-5), i
+
+    w0, _ = similarity.pca_power(df, dim=4, iters=0)
+    assert w0 == [1_000_000] * 4

@@ -363,3 +363,76 @@ def test_equidepth_histogram_renumbers_past_empty_buckets(spark):
     got = sorted((r["bucket"], r["lo"], r["n_rows"])
                  for r in relational.equidepth_histogram(df, "v", 3).collect())
     assert got == [(1, 0.0, 1), (2, 1.0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+def test_psi_drift_matches_numpy_reference(spark):
+    """PSI between the two time halves == a sequential numpy replay of
+    the same conventions (baseline-decile boundaries with linear
+    interpolation, strictly-below bucketing, add-half smoothing over
+    observed buckets)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n = 400
+    ts = np.arange(n)  # first half baseline, second half current
+    vals = np.where(ts < n // 2,
+                    rng.normal(50, 10, n),
+                    rng.normal(62, 14, n))  # shifted + widened: real drift
+    df = spark.createDataFrame(
+        [(int(t), float(v)) for t, v in zip(ts, vals)], ["ts", "v"])
+    got = {r["bucket"]: r
+           for r in relational.psi_drift(df, "v", "ts", bins=10).collect()}
+
+    mid = (0 + (n - 1)) // 2
+    base, curr = vals[ts < mid], vals[ts >= mid]
+    bs = sorted(set(np.percentile(base, [10 * i for i in range(1, 10)],
+                                  method="linear")))
+    def bucket(v):
+        return 1 + sum(1 for b in bs if b < v)
+    import collections
+    nb_c = collections.Counter(bucket(v) for v in base)
+    nc_c = collections.Counter(bucket(v) for v in curr)
+    buckets = sorted(set(nb_c) | set(nc_c))
+    k = len(buckets)
+    total = 0.0
+    dense = {b: i + 1 for i, b in enumerate(buckets)}
+    terms = {}
+    for b in buckets:
+        p = (nb_c[b] + 0.5) / (len(base) + 0.5 * k)
+        q = (nc_c[b] + 0.5) / (len(curr) + 0.5 * k)
+        t = (q - p) * math.log(q / p)
+        total += t
+        terms[dense[b]] = (nb_c[b], nc_c[b], p, q, t)
+    assert set(got) == set(terms)
+    for b, (nbase, ncurr, p, q, t) in terms.items():
+        r = got[b]
+        assert (r["n_base"], r["n_curr"]) == (nbase, ncurr)
+        assert r["base_pct"] == pytest.approx(p, abs=1e-6)
+        assert r["curr_pct"] == pytest.approx(q, abs=1e-6)
+        assert r["psi_term"] == pytest.approx(t, abs=1e-6)
+        assert r["psi_total"] == pytest.approx(total, abs=1e-5)
+    # the synthetic shift is a real drift: psi over the action threshold
+    assert total > 0.25
+
+
+def test_psi_drift_stable_distribution_and_validation(spark):
+    """Same distribution in both halves -> psi ~ 0; fractional ts and
+    bad bins are rejected."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vals = rng.normal(0, 1, 1000)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(np.concatenate(
+            [vals, vals]))], ["ts", "v"])
+    rows = relational.psi_drift(df, "v", "ts", bins=10).collect()
+    assert rows and abs(rows[0]["psi_total"]) < 0.01
+    with pytest.raises(ValueError, match="bins must be >= 2"):
+        relational.psi_drift(df, "v", "ts", bins=1)
+    frac = df.withColumn("ts", F.col("ts").cast("double"))
+    with pytest.raises(TypeError, match="integer epoch-units"):
+        relational.psi_drift(frac, "v", "ts")
