@@ -911,3 +911,201 @@ def grouped_regression(df: DataFrame, keys: list[str], x: str,
         F.regr_slope(F.col(y), F.col(x)).alias("slope"),
         F.regr_intercept(F.col(y), F.col(x)).alias("intercept"),
         F.regr_r2(F.col(y), F.col(x)).alias("r2"))
+
+
+def target_encode_loo(df: DataFrame, cat: str, target: str,
+                      m: float = 10.0) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing: the feature-
+    pipeline staple for turning a categorical column into the mean of a
+    numeric target over the OTHER rows of its category (dropping the row's
+    own contribution kills the self-leakage that makes naive mean encoding
+    overfit), plus the m-weighted blend toward the global mean that keeps
+    rare categories sane.
+
+    te_loo    = (sum_cat - own) / (n_cat - 1)          (null when n_cat = 1)
+    te_smooth = (sum_cat - own + m * global_mean) / (n_cat - 1 + m)
+
+    Scale shape: ONE partial+final (category) aggregate -> a frame bounded
+    by category cardinality, broadcast-joined back onto the scan; the
+    global mean is a 1-row broadcast. No window over the data, no shuffle
+    of the fact table at all — the encode is a scan-side projection, which
+    is what lets it run inside the same stage as downstream filters at
+    100 TB. (A partitionBy(cat) window would hash all rows onto ~k keys —
+    the exact skew this formulation avoids.)
+    """
+    stats = df.groupBy(cat).agg(
+        F.sum(target).alias("__sum"), F.count(target).alias("__n"))
+    glob = df.agg(F.avg(target).alias("__gmean"))
+    out = (df.join(F.broadcast(stats), cat)
+             .crossJoin(F.broadcast(glob)))
+    own = F.col(target)
+    loo = F.when(F.col("__n") > 1,
+                 (F.col("__sum") - own) / (F.col("__n") - 1))
+    smooth = ((F.col("__sum") - own + F.lit(m) * F.col("__gmean"))
+              / (F.col("__n") - 1 + F.lit(m)))
+    return out.select(
+        *df.columns,
+        F.col("__n").alias("cat_n"),
+        # 4 dp, the house precision for money-scale means: the category
+        # sums behind these ratios reorder under partial aggregation, and
+        # 4 dp absorbs that last-ulp drift at fixture magnitudes (~1e5).
+        F.round(loo, 4).alias("te_loo"),
+        F.round(smooth, 4).alias("te_smooth"))
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Partition-skew diagnostic for a prospective shuffle/join key: per-key
+    row counts -> the top heavy keys with their share and cumulative share,
+    plus corpus-level skew summary columns (distinct keys, max/mean count
+    ratio). THE pre-flight check before keying a 100 TB shuffle — a
+    max/mean ratio in the hundreds says salt this key or let AQE split it.
+
+    Scale shape: ONE partial+final (key) count aggregate; every window
+    below runs over the per-key AGGREGATE frame (bounded by key
+    cardinality), never the data. For key spaces too large to hold even as
+    an aggregate, the documented dial is the CMS heavy-hitter sketch
+    (plans/llm_ops.py::text_heavy_hitters) — same output contract, bounded
+    state.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    order = [F.desc("cnt"), F.col(key).asc()]
+    whole = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    run = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    total = F.sum("cnt").over(whole)
+    n_keys = F.count(F.lit(1)).over(whole)
+    ranked = counts.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        F.col(key),
+        F.col("cnt"),
+        F.round(F.col("cnt") / total, 6).alias("share"),
+        F.round(F.sum("cnt").over(run) / total, 6).alias("cum_share"),
+        n_keys.alias("n_keys"),
+        F.round(F.max("cnt").over(whole) * n_keys / total, 4)
+         .alias("skew_ratio"))
+    return ranked.filter(F.col("rank") <= top)
+
+
+def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Mutual information between two categorical columns, with per-cell
+    pointwise MI: the feature-selection / redundancy statistic that
+    quantifies what the chi-square independence test only detects. Natural
+    log; mi_total is in nats.
+
+    Scale shape: ONE partial+final (x, y) count aggregate; the marginal /
+    total / sum windows all run over the <= |X|x|Y|-cell AGGREGATE frame,
+    never the data. No join, no sort of the data path.
+    """
+    cells = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("n"))
+    whole = Window.orderBy(x, y).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    wx = Window.partitionBy(x).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    wy = Window.partitionBy(y).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = F.sum("n").over(whole)
+    pxy = F.col("n") / tot
+    px = F.sum("n").over(wx) / tot
+    py = F.sum("n").over(wy) / tot
+    pmi = F.log(pxy / (px * py))
+    scored = cells.select(
+        x, y, "n",
+        F.round(pxy, 6).alias("p_xy"),
+        F.round(pmi, 6).alias("pmi"),
+        (pxy * pmi).alias("__term"))
+    whole2 = Window.orderBy(x, y).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.select(
+        x, y, "n", "p_xy", "pmi",
+        F.round(F.col("__term"), 6).alias("mi_term"),
+        F.round(F.sum("__term").over(whole2), 6).alias("mi_total"))
+
+
+def roc_auc_binned(df: DataFrame, score: str, label: Column,
+                   bins: int = 20) -> DataFrame:
+    """Binned ROC curve + trapezoidal AUC for a numeric score against a
+    boolean label — the evaluation statistic for every quality/toxicity/
+    langid classifier a curation pipeline gates on. Thresholds are the
+    score's ``bins``-quantile boundaries (the equidepth_histogram
+    pattern), so the curve is the exact ROC evaluated at those operating
+    points and the AUC is its trapezoid integral (a lower-resolution —
+    never biased — estimate of the exact AUC; more bins converge on it).
+
+    Scale shape: ONE percentile aggregate (swap to approx_percentile at
+    100 TB, same plan) -> <= bins-1 boundaries broadcast; scan-side
+    strictly-below bucket fold; ONE partial+final (bucket) aggregate; the
+    cumulative TPR/FPR and trapezoid windows run over the <= bins-row
+    AGGREGATE frame. No global sort of the data — the thing the textbook
+    rank-sum AUC (a total order over every score) cannot avoid.
+    """
+    if bins < 2:
+        raise ValueError("roc_auc_binned: bins must be >= 2")
+    fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    bounds = df.agg(F.array_distinct(
+        F.percentile(F.col(score), fracs)).alias("__bs"))
+    bucket = (F.size(F.filter(F.col("__bs"),
+                              lambda bnd: bnd < F.col(score))) + 1)
+    agg = (df.crossJoin(F.broadcast(bounds))
+             .select(bucket.alias("__bucket"),
+                     label.cast("long").alias("__pos"))
+             .groupBy("__bucket")
+             .agg(F.sum("__pos").alias("n_pos"),
+                  (F.count(F.lit(1)) - F.sum("__pos")).alias("n_neg")))
+    # everything below runs over the <= bins-row aggregate frame
+    desc = Window.orderBy(F.desc("__bucket"))
+    run = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = desc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tpr = F.sum("n_pos").over(run) / F.sum("n_pos").over(whole)
+    fpr = F.sum("n_neg").over(run) / F.sum("n_neg").over(whole)
+    pts = agg.select(
+        F.row_number().over(desc).alias("point"),
+        "n_pos", "n_neg", tpr.alias("__tpr"), fpr.alias("__fpr"))
+    desc2 = Window.orderBy("point")
+    lag_t = F.lag("__tpr", 1, 0.0).over(desc2)
+    lag_f = F.lag("__fpr", 1, 0.0).over(desc2)
+    trap = (F.col("__fpr") - lag_f) * (F.col("__tpr") + lag_t) / 2
+    whole2 = Window.orderBy("point").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return pts.select(
+        "point", "n_pos", "n_neg",
+        F.round("__fpr", 6).alias("fpr"),
+        F.round("__tpr", 6).alias("tpr"),
+        F.round(F.sum(trap).over(whole2), 6).alias("auc_total"))
+
+
+def rolling_anomaly(df: DataFrame, key: str, ts: str, value: str,
+                    id_col: str, w: int = 20, z_thresh: float = 3.0,
+                    min_n: int = 8) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each row is scored
+    against the mean/stddev of its own trailing window of ``w`` PRIOR
+    rows (same key, (ts, id) order — strictly causal, the row never sees
+    itself), and rows with |z| >= ``z_thresh`` are flagged. The streaming-
+    shaped tabular outlier monitor (metric spikes, fraud amounts, sensor
+    glitches); ``min_n`` prior points are required before scoring so
+    cold-start rows never alert off a 2-point "distribution".
+
+    Scale shape: ONE hash shuffle on ``key`` + per-key sort — the same
+    single-exchange shape as sessionize/asof_join; the sliding frame is
+    w-bounded per row, state never exceeds w values regardless of run
+    length. Deterministic under ties via the (ts, id) total order.
+    """
+    win = (Window.partitionBy(key)
+           .orderBy(F.col(ts).asc(), F.col(id_col).asc())
+           .rowsBetween(-w, -1))
+    mean = F.avg(value).over(win)
+    sd = F.stddev_samp(value).over(win)
+    n = F.count(value).over(win)
+    z = (F.col(value) - mean) / sd
+    scored = df.select(
+        key, ts, id_col, F.col(value),
+        n.alias("n_prior"),
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(sd, 6).alias("roll_std"),
+        F.round(z, 4).alias("zscore"),
+        z.alias("__z"), sd.alias("__sd"))
+    return (scored
+            .filter((F.col("n_prior") >= min_n) & (F.col("__sd") > 1e-9)
+                    & (F.abs(F.col("__z")) >= z_thresh))
+            .drop("__z", "__sd"))

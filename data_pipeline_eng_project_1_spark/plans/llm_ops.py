@@ -4767,3 +4767,78 @@ def _q_embedding_pca_power(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     _, scores = similarity.pca_power(e, dim=64, iters=4)
     return scores
+
+
+_BM25_TERMS = ("spark", "vector", "dup", "scan")
+
+
+def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b_c="0.75", k=15) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH base AS (SELECT doc_id, len({SQL_TOKS}) AS dl FROM documents),
+    s AS (SELECT count(*) AS nd,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM base),
+    tf AS (SELECT doc_id, t AS term, count(*) AS tf, min(dl) AS dl
+           FROM (SELECT doc_id, dl, unnest({SQL_TOKS}) AS t
+                 FROM documents JOIN base USING (doc_id))
+           WHERE t IN ({tlist})
+           GROUP BY doc_id, t),
+    d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(sum(ln(1.0 + (s.nd - d.df + 0.5) / (d.df + 0.5))
+                     * tf.tf * ({k1} + 1.0)
+                     / (tf.tf + {k1} * (1.0 - {b_c}
+                                        + {b_c} * tf.dl / s.avgdl))),
+                 6) AS bm25,
+           count(*) AS n_terms
+    FROM tf JOIN d USING (term) CROSS JOIN s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {k}
+    """
+
+
+@_register(
+    "text_bm25_topk",
+    _bm25_sql(),
+    doc="BM25 top-k retrieval over the document corpus for a fixed query "
+        "term set (k1=1.2, b=0.75) — the lexical-retrieval primitive "
+        "behind decontamination probes, dedup candidate generation, and "
+        "RAG-corpus indexing. Scale shape: doc length is computed SCAN-"
+        "side and carried through the explode (no join-back to a lengths "
+        "frame); the token explode is pre-filtered to the query terms so "
+        "the (doc, term) aggregate shuffles only matching postings; df "
+        "(<= |q| rows) and the corpus stats (1 row, integer-exact "
+        "sum/count avgdl) broadcast back onto the postings; the final "
+        "per-doc score is one partial+final aggregate + TakeOrdered k. "
+        "Ordering ties break on the 6-dp ROUNDED score then doc_id, so "
+        "the k-boundary is cross-engine deterministic.",
+)
+def _q_text_bm25_topk(spark, sf_dir):
+    k1, b_c = 1.2, 0.75
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = texts.tokens(F.col("text"))
+    base = d.select("doc_id", F.size(toks).cast("long").alias("__dl"),
+                    toks.alias("__toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"))
+    tf = (base.select("doc_id", "__dl",
+                      F.explode("__toks").alias("term"))
+          .filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(1.0 + (F.col("__nd") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    score = (idf * F.col("tf") * (F.lit(k1) + 1.0)
+             / (F.col("tf")
+                + F.lit(k1) * (F.lit(1.0) - F.lit(b_c)
+                               + F.lit(b_c) * F.col("dl") / F.col("__avgdl"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum(score), 6).alias("bm25"),
+                 F.count(F.lit(1)).alias("n_terms"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(15))

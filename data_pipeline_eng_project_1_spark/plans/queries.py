@@ -3415,6 +3415,191 @@ def _q_events_psi_drift(spark, sf_dir):
         ev.select("ts_ms", "value"), "value", "ts_ms", bins=10)
 
 
+@_register(
+    "orders_target_encoding",
+    """
+    WITH s AS (SELECT o_orderpriority AS cat, sum(o_totalprice) AS cs,
+                      count(*) AS cn
+               FROM orders GROUP BY 1),
+    g AS (SELECT avg(o_totalprice) AS gm FROM orders)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           CAST(s.cn AS BIGINT) AS cat_n,
+           round(CASE WHEN s.cn > 1
+                      THEN (s.cs - o.o_totalprice) / (s.cn - 1) END,
+                 4) AS te_loo,
+           round((s.cs - o.o_totalprice + 10.0 * g.gm) / (s.cn - 1 + 10.0),
+                 4) AS te_smooth
+    FROM orders o CROSS JOIN g JOIN s ON o.o_orderpriority = s.cat
+    ORDER BY o.o_orderkey
+    LIMIT 50
+    """,
+    doc="leave-one-out target encoding of order priority against total "
+        "price with m=10 smoothing toward the global mean — the feature-"
+        "pipeline staple, self-leakage-free by construction. Scale shape: "
+        "one category aggregate broadcast back onto the scan (the encode "
+        "is a scan-side projection; no window over the data, no fact "
+        "shuffle) — operators/relational.py::target_encode_loo.",
+)
+def _q_orders_target_encoding(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    enc = relational.target_encode_loo(
+        o, "o_orderpriority", "o_totalprice", m=10.0)
+    return enc.orderBy("o_orderkey").limit(50)
+
+
+@_register(
+    "lineitem_skew_profile",
+    """
+    WITH c AS (SELECT l_suppkey, count(*) AS cnt
+               FROM lineitem GROUP BY 1),
+    w AS (SELECT l_suppkey, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank,
+                 sum(cnt) OVER () AS total,
+                 sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run,
+                 count(*) OVER () AS n_keys,
+                 max(cnt) OVER () AS mx
+          FROM c)
+    SELECT CAST(rank AS INTEGER) AS rank, l_suppkey, cnt,
+           round(cnt / total, 6) AS share,
+           round(run / total, 6) AS cum_share,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(mx * n_keys / total, 4) AS skew_ratio
+    FROM w WHERE rank <= 10
+    """,
+    doc="shuffle-key skew diagnostic on lineitem.l_suppkey: top heavy "
+        "keys with share/cumulative share plus max/mean skew ratio — the "
+        "pre-flight check before keying a 100 TB shuffle (salt or AQE-"
+        "split when the ratio blows up). One partial+final key aggregate; "
+        "all windows run over the per-key AGGREGATE frame (bounded by key "
+        "cardinality; CMS heavy-hitters is the unbounded-cardinality "
+        "dial) — operators/relational.py::key_skew_profile.",
+)
+def _q_lineitem_skew_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.key_skew_profile(li, "l_suppkey", top=10)
+
+
+@_register(
+    "orders_mutual_information",
+    """
+    WITH c AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+                      count(*) AS n
+               FROM orders GROUP BY 1, 2),
+    s AS (SELECT x, y, n,
+                 n / (sum(n) OVER ()) AS pxy,
+                 (sum(n) OVER (PARTITION BY x)) / (sum(n) OVER ()) AS px,
+                 (sum(n) OVER (PARTITION BY y)) / (sum(n) OVER ()) AS py
+          FROM c)
+    SELECT x AS o_orderpriority, y AS o_orderstatus, n,
+           round(pxy, 6) AS p_xy,
+           round(ln(pxy / (px * py)), 6) AS pmi,
+           round(pxy * ln(pxy / (px * py)), 6) AS mi_term,
+           round(sum(pxy * ln(pxy / (px * py))) OVER (), 6) AS mi_total
+    FROM s
+    """,
+    doc="mutual information (nats) between order priority and status "
+        "with per-cell pointwise MI — quantifies the dependence the "
+        "chi-square test only detects; the feature-selection/redundancy "
+        "statistic. One (x, y) count aggregate; marginal/total windows "
+        "run over the <= |X|x|Y|-cell AGGREGATE frame, never the data — "
+        "operators/relational.py::mutual_information.",
+)
+def _q_orders_mutual_information(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return relational.mutual_information(
+        o, "o_orderpriority", "o_orderstatus")
+
+
+@_register(
+    "orders_roc_auc",
+    """
+    WITH b AS (SELECT list_distinct(quantile_cont(o_totalprice,
+                 [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
+                  0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95])) AS bs
+               FROM orders),
+    a AS (SELECT 1 + len(list_filter(b.bs, x -> x < o_totalprice))
+                   AS bucket,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+          FROM orders, b),
+    g AS (SELECT bucket, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+          FROM a GROUP BY bucket),
+    p AS (SELECT row_number() OVER (ORDER BY bucket DESC) AS point,
+                 n_pos, n_neg,
+                 (sum(n_pos) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   / (sum(n_pos) OVER ()) AS tpr,
+                 (sum(n_neg) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   / (sum(n_neg) OVER ()) AS fpr
+          FROM g),
+    t AS (SELECT point, n_pos, n_neg, fpr, tpr,
+                 (fpr - lag(fpr, 1, 0.0) OVER (ORDER BY point))
+                   * (tpr + lag(tpr, 1, 0.0) OVER (ORDER BY point)) / 2
+                   AS trap
+          FROM p)
+    SELECT CAST(point AS INTEGER) AS point,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(fpr, 6) AS fpr, round(tpr, 6) AS tpr,
+           round(sum(trap) OVER (), 6) AS auc_total
+    FROM t
+    """,
+    doc="binned ROC curve + trapezoid AUC of total price as a predictor "
+        "of finished status, thresholded at the score's 20-quantile "
+        "boundaries — the curation-classifier evaluation statistic, "
+        "computed WITHOUT the textbook rank-sum's global sort: one "
+        "percentile aggregate (approx_percentile at 100 TB, same plan) "
+        "broadcast, scan-side bucket fold, one bucket aggregate; "
+        "TPR/FPR/trapezoid windows run over the <= 20-row AGGREGATE "
+        "frame — operators/relational.py::roc_auc_binned.",
+)
+def _q_orders_roc_auc(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return relational.roc_auc_binned(
+        o, "o_totalprice", F.col("o_orderstatus") == "F", bins=20)
+
+
+@_register(
+    "events_rolling_anomaly",
+    """
+    WITH w AS (SELECT user_id,
+                      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                      event_id, value,
+                      count(value) OVER f AS n_prior,
+                      avg(value) OVER f AS m,
+                      stddev_samp(value) OVER f AS sd
+               FROM events
+               WINDOW f AS (PARTITION BY user_id
+                            ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)),
+                                     event_id
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts_ms, event_id, value,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           round(m, 6) AS roll_mean,
+           round(sd, 6) AS roll_std,
+           round((value - m) / sd, 4) AS zscore
+    FROM w
+    WHERE n_prior >= 8 AND sd > 1e-9 AND abs((value - m) / sd) >= 3.0
+    """,
+    doc="per-user rolling z-score anomaly flags: each event scored "
+        "against the mean/stddev of its own trailing 20 PRIOR events "
+        "(strictly causal — the row never sees itself), |z| >= 3 with a "
+        "min_n=8 cold-start guard. One hash shuffle on user_id + per-key "
+        "sort (the sessionize/asof exchange shape); the sliding frame "
+        "bounds state at w values per key regardless of run length — "
+        "operators/relational.py::rolling_anomaly.",
+)
+def _q_events_rolling_anomaly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.rolling_anomaly(
+        ev.select("user_id", "ts_ms", "event_id", "value"),
+        key="user_id", ts="ts_ms", value="value", id_col="event_id",
+        w=20, z_thresh=3.0, min_n=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -48,160 +48,172 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.15,
-    "unpivot_part_metrics": 0.18,
-    "multimodal_meta": 0.19,
-    "string_funcs_part": 0.20,
-    "text_fingerprint": 0.21,
-    "corpus_weighted_reservoir": 0.23,
-    "array_hof_stats": 0.24,
-    "filter_project_cast": 0.24,
-    "posexplode_tokens": 0.26,
-    "try_cast_dirty": 0.26,
-    "vector_norms": 0.26,
-    "customer_k_anonymity": 0.28,
-    "doc_chunks": 0.29,
-    "rollup_status_priority": 0.30,
-    "corpus_snapshot_diff": 0.32,
-    "embedding_quantize_int8": 0.33,
-    "customer_l_diversity": 0.34,
-    "events_json_extract": 0.34,
-    "events_time_weighted_avg": 0.34,
-    "quantiles_per_priority": 0.34,
-    "text_token_topk": 0.34,
-    "topk_per_priority": 0.35,
-    "embedding_random_projection": 0.36,
-    "entity_match_fuzzy": 0.37,
-    "grouping_sets_status_priority": 0.37,
-    "multimodal_decode": 0.37,
-    "window_range_moving_avg": 0.37,
-    "cube_nation_segment": 0.38,
-    "events_asof_click": 0.38,
-    "window_latest_per_key": 0.38,
-    "window_running_rank": 0.38,
-    "events_anomaly_zscore": 0.39,
-    "date_parts_orders": 0.40,
-    "corpus_negative_sampling": 0.41,
-    "corpus_shard_export": 0.41,
-    "events_sessionize": 0.41,
-    "pricing_summary_agg": 0.41,
-    "window_distribution": 0.41,
-    "pii_scrub": 0.42,
-    "quality_classifier_score": 0.42,
-    "stratified_sample": 0.43,
-    "doc_packing": 0.44,
-    "events_rollup_multigrain": 0.44,
-    "pivot_returnflag": 0.45,
-    "events_hourly_retention": 0.46,
-    "map_priority_counts": 0.46,
-    "events_tumbling_1h": 0.47,
-    "hll_distinct_audit": 0.47,
-    "orders_mad_outliers": 0.48,
-    "text_quality": 0.48,
+    "sort_limit_topk": 0.19,
+    "unpivot_part_metrics": 0.21,
+    "vector_norms": 0.21,
+    "multimodal_meta": 0.22,
+    "posexplode_tokens": 0.23,
+    "array_hof_stats": 0.25,
+    "string_funcs_part": 0.25,
+    "try_cast_dirty": 0.25,
+    "doc_chunks": 0.26,
+    "filter_project_cast": 0.27,
+    "null_conditional_agg": 0.27,
+    "window_distribution": 0.28,
+    "date_parts_orders": 0.29,
+    "text_fingerprint": 0.30,
+    "corpus_weighted_reservoir": 0.32,
+    "customer_k_anonymity": 0.32,
+    "rollup_status_priority": 0.32,
+    "text_token_topk": 0.33,
+    "cube_nation_segment": 0.34,
+    "corpus_shard_export": 0.35,
+    "multimodal_frames": 0.35,
+    "stringagg_nations": 0.35,
+    "window_range_moving_avg": 0.35,
+    "events_tumbling_1h": 0.36,
+    "stratified_sample": 0.36,
+    "regression_price_qty": 0.37,
+    "above_avg_orders": 0.38,
+    "conditional_promo_ratio": 0.38,
+    "corpus_snapshot_diff": 0.38,
+    "pricing_summary_agg": 0.38,
+    "events_interval_coverage": 0.39,
+    "events_rollup_multigrain": 0.39,
+    "events_grouped_regression": 0.40,
+    "events_sessionize": 0.40,
+    "quantiles_per_priority": 0.40,
+    "stats_agg_lineitem": 0.40,
+    "entity_match_fuzzy": 0.41,
+    "group_distinct_agg": 0.41,
+    "topk_per_priority": 0.41,
+    "customer_l_diversity": 0.42,
+    "events_hourly_retention": 0.43,
+    "embedding_random_projection": 0.44,
+    "events_markov_transitions": 0.44,
+    "events_scd2_history": 0.44,
+    "events_time_weighted_avg": 0.44,
+    "grouping_sets_status_priority": 0.44,
+    "multimodal_decode": 0.44,
+    "window_latest_per_key": 0.45,
+    "window_running_rank": 0.45,
+    "corpus_importance_sample": 0.46,
+    "doc_packing": 0.46,
+    "events_range_join_1h": 0.46,
+    "text_quality": 0.46,
+    "pii_scrub": 0.47,
+    "similarity_filtered_topk": 0.47,
+    "events_asof_click": 0.48,
+    "events_json_extract": 0.48,
+    "events_last_touch_attribution": 0.48,
+    "parts_skyline_frontier": 0.48,
     "corpus_domain_cap": 0.49,
-    "corpus_importance_sample": 0.50,
-    "events_scd2_history": 0.50,
-    "parts_skyline_frontier": 0.50,
-    "similarity_filtered_topk": 0.50,
-    "stringagg_nations": 0.50,
-    "conditional_promo_ratio": 0.53,
-    "corpus_temperature_mixture": 0.53,
-    "pii_creditcard_luhn": 0.53,
-    "embedding_covariance": 0.54,
-    "events_interval_coverage": 0.55,
-    "join_topk_revenue": 0.55,
-    "stats_agg_lineitem": 0.55,
-    "above_avg_orders": 0.56,
-    "disjunctive_bracket_revenue": 0.56,
-    "events_sliding_1h_15m": 0.56,
+    "customer_order_histogram": 0.49,
+    "pivot_returnflag": 0.49,
+    "semi_anti_customers": 0.49,
+    "map_priority_counts": 0.50,
+    "embedding_covariance": 0.51,
+    "embedding_quantize_int8": 0.51,
+    "corpus_negative_sampling": 0.52,
+    "events_anomaly_zscore": 0.52,
+    "small_qty_part_revenue": 0.52,
+    "disjunctive_bracket_revenue": 0.53,
+    "orders_equidepth_histogram": 0.53,
+    "set_ops_custkeys": 0.53,
+    "lineitem_expectations_audit": 0.54,
+    "dedup_exact": 0.55,
+    "window_lead_lag": 0.55,
+    "hll_distinct_audit": 0.56,
+    "late_shipment_priority": 0.56,
+    "multimodal_phash_dedup": 0.56,
+    "orders_incremental_rollup": 0.56,
+    "orders_mad_outliers": 0.56,
+    "orders_subsample_variance": 0.56,
     "rich_quiet_customers": 0.56,
+    "skew_salted_join": 0.56,
+    "corpus_mixture_sample": 0.57,
+    "corpus_temperature_mixture": 0.57,
+    "dedup_exact_spans": 0.57,
+    "quality_classifier_score": 0.57,
+    "text_repetition": 0.57,
     "top_revenue_supplier": 0.57,
-    "dedup_exact": 0.58,
-    "events_count_min_sketch": 0.58,
-    "multimodal_phash_dedup": 0.58,
-    "late_shipment_priority": 0.59,
-    "null_conditional_agg": 0.59,
-    "set_ops_custkeys": 0.59,
-    "sole_blame_suppliers": 0.59,
-    "customer_order_histogram": 0.60,
-    "dedup_exact_spans_staggered": 0.60,
+    "pii_creditcard_luhn": 0.58,
     "scalar_subquery_share": 0.60,
-    "text_kl_drift": 0.60,
-    "text_char_entropy": 0.61,
-    "window_lead_lag": 0.61,
-    "grouped_zscore_pandas": 0.64,
-    "corpus_mixture_sample": 0.66,
-    "orders_incremental_rollup": 0.66,
-    "dedup_exact_spans": 0.67,
-    "events_markov_transitions": 0.67,
-    "large_order_customers": 0.67,
-    "events_range_join_1h": 0.69,
-    "orders_cohort_retention": 0.69,
-    "orders_subsample_variance": 0.70,
-    "small_qty_part_revenue": 0.71,
-    "bloom_pruned_join": 0.72,
-    "text_repetition": 0.72,
-    "semi_anti_customers": 0.74,
-    "text_unigram_logprob": 0.74,
-    "text_heavy_hitters": 0.75,
-    "corpus_doremi_reweight": 0.76,
-    "star_join_region_revenue": 0.76,
-    "events_funnel_conversion": 0.77,
-    "basket_brand_lift": 0.78,
-    "similarity_knn_graph": 0.78,
+    "sole_blame_suppliers": 0.60,
+    "text_kl_drift": 0.61,
+    "dedup_embedding_cosine": 0.62,
+    "text_char_entropy": 0.62,
+    "events_count_min_sketch": 0.64,
+    "large_order_customers": 0.64,
+    "events_chisq_independence": 0.66,
+    "join_topk_revenue": 0.67,
+    "events_sliding_1h_15m": 0.72,
+    "star_join_region_revenue": 0.72,
+    "text_unigram_logprob": 0.72,
+    "orders_cohort_retention": 0.73,
+    "corpus_doremi_reweight": 0.75,
+    "bloom_pruned_join": 0.76,
+    "grouped_zscore_pandas": 0.77,
+    "text_heavy_hitters": 0.77,
     "events_gap_fill": 0.80,
-    "regression_price_qty": 0.80,
-    "text_bigram_pmi": 0.81,
-    "corpus_curation": 0.84,
-    "dedup_embedding_cosine": 0.85,
-    "events_chisq_independence": 0.85,
-    "text_langid": 0.85,
-    "text_bigram_lm_perplexity": 0.88,
-    "dedup_containment": 0.90,
-    "text_collocation_llr": 0.90,
-    "parts_abc_pareto": 0.92,
-    "corpus_decontamination": 0.93,
-    "events_grouped_regression": 0.93,
-    "similarity_label_propagation": 0.97,
-    "similarity_ann_lsh": 0.98,
-    "text_ngram_novelty": 0.99,
-    "corpus_cluster_balance": 1.09,
-    "ntile_spend_quartiles": 1.12,
-    "similarity_ann_ivf": 1.14,
-    "corpus_source_overlap": 1.15,
-    "referential_integrity_audit": 1.15,
-    "skew_salted_join": 1.21,
-    "approx_distinct_custkeys": 1.22,
-    "dedup_minhash_lsh": 1.25,
-    "group_distinct_agg": 1.26,
-    "text_winnow_fingerprint": 1.26,
-    "dedup_semantic": 1.28,
-    "dedup_ngram_jaccard": 1.31,
-    "multimodal_audio_fp_dedup": 1.33,
-    "similarity_link_prediction": 1.42,
-    "dedup_simhash": 1.46,
-    "orders_table_profile": 1.46,
-    "lineitem_expectations_audit": 1.48,
-    "orders_dense_index": 1.54,
-    "supplier_pagerank": 1.58,
-    "corpus_pipeline_end_to_end": 1.65,
-    "similarity_ann_pq": 1.70,
-    "dedup_incremental": 1.72,
-    "text_tfidf_topterms": 1.76,
-    "multimodal_frames": 1.81,
-    "text_bpe_vocab": 1.87,
-    "similarity_topk": 1.95,
-    "corpus_leakage_safe_split": 1.97,
-    "events_last_touch_attribution": 1.99,
-    "orders_equidepth_histogram": 2.04,
-    "similarity_graph_triangles": 2.30,
-    "dedup_components": 3.29,
-    "dedup_winnow_pairs": 3.46,
-    "corpus_kcenter_coreset": 4.20,
-    "text_tfidf_cosine_pairs": 4.31,
-    "nation_trade_volume": 4.67,
-    "doc_cdc_chunks": 4.84,
-    "dedup_keep_best": 5.15,
+    "events_funnel_conversion": 0.83,
+    "text_langid": 0.83,
+    "parts_abc_pareto": 0.84,
+    "multimodal_audio_fp_dedup": 0.85,
+    "corpus_curation": 0.86,
+    "text_bigram_lm_perplexity": 0.89,
+    "basket_brand_lift": 0.90,
+    "events_rolling_anomaly": 0.92,
+    "dedup_exact_spans_staggered": 0.94,
+    "nation_trade_volume": 0.95,
+    "orders_dense_index": 0.95,
+    "text_tfidf_topterms": 0.95,
+    "orders_table_profile": 0.98,
+    "lineitem_skew_profile": 0.99,
+    "orders_mutual_information": 0.99,
+    "text_collocation_llr": 1.01,
+    "text_bigram_pmi": 1.04,
+    "dedup_containment": 1.05,
+    "text_ngram_novelty": 1.06,
+    "similarity_knn_graph": 1.09,
+    "corpus_source_overlap": 1.11,
+    "referential_integrity_audit": 1.20,
+    "corpus_cluster_balance": 1.29,
+    "corpus_decontamination": 1.30,
+    "dedup_minhash_lsh": 1.33,
+    "similarity_ann_ivf": 1.37,
+    "similarity_ann_lsh": 1.38,
+    "text_winnow_fingerprint": 1.38,
+    "similarity_topk": 1.49,
+    "dedup_semantic": 1.50,
+    "similarity_label_propagation": 1.53,
+    "corpus_kcenter_coreset": 1.57,
+    "approx_distinct_custkeys": 1.61,
+    "supplier_pagerank": 1.66,
+    "text_bm25_topk": 1.67,
+    "dedup_ngram_jaccard": 1.72,
+    "similarity_ann_pq": 1.72,
+    "orders_target_encoding": 1.82,
+    "corpus_vocab_growth": 1.85,
+    "similarity_graph_triangles": 1.87,
+    "dedup_simhash": 1.88,
+    "ntile_spend_quartiles": 1.90,
+    "orders_roc_auc": 1.96,
+    "text_tfidf_cosine_pairs": 1.96,
+    "text_bpe_vocab": 2.00,
+    "corpus_split_accounting": 2.08,
+    "similarity_link_prediction": 2.12,
+    "corpus_pipeline_end_to_end": 2.15,
+    "events_psi_drift": 2.31,
+    "events_multi_touch_attribution": 2.54,
+    "embeddings_kmeans_lloyd": 2.88,
+    "dedup_keep_best": 2.93,
+    "dedup_incremental": 3.00,
+    "doc_cdc_chunks": 3.13,
+    "dedup_components": 3.21,
+    "embedding_pca_power": 5.73,
+    "dedup_winnow_pairs": 5.93,
+    "corpus_leakage_safe_split": 6.30,
 }
 
 _MEDIAN_COST = 0.5

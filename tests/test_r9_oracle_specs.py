@@ -102,3 +102,35 @@ def test_pca_power_registered_pair(spark):
     snapping or the projection fold order."""
     n = _compare_registered(spark, "embedding_pca_power")
     assert n == catalog.load_table(spark, "embeddings", SF).count()
+
+
+# --- round-9 second wave: stats/retrieval operators registered mid-r9 ----
+
+def test_target_encoding_registered_pair(spark):
+    n = _compare_registered(spark, "orders_target_encoding")
+    assert n == 50
+
+
+def test_skew_profile_registered_pair(spark):
+    n = _compare_registered(spark, "lineitem_skew_profile")
+    assert n == 10
+
+
+def test_mutual_information_registered_pair(spark):
+    n = _compare_registered(spark, "orders_mutual_information")
+    assert n >= 6  # at least a few (priority, status) cells exist
+
+
+def test_roc_auc_registered_pair(spark):
+    n = _compare_registered(spark, "orders_roc_auc")
+    assert 2 <= n <= 20
+
+
+def test_rolling_anomaly_registered_pair(spark):
+    n = _compare_registered(spark, "events_rolling_anomaly")
+    assert n >= 1  # sf0.001 fixture has at least one 3-sigma spike
+
+
+def test_bm25_registered_pair(spark):
+    n = _compare_registered(spark, "text_bm25_topk")
+    assert n == 15

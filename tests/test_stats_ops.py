@@ -436,3 +436,125 @@ def test_psi_drift_stable_distribution_and_validation(spark):
     frac = df.withColumn("ts", F.col("ts").cast("double"))
     with pytest.raises(TypeError, match="integer epoch-units"):
         relational.psi_drift(frac, "v", "ts")
+
+
+# ---------------------------------------------------------------------------
+# target_encode_loo
+# ---------------------------------------------------------------------------
+
+def test_target_encode_loo_math(spark):
+    """LOO mean drops exactly the row's own contribution; the smoothed
+    form blends toward the global mean with weight m; a singleton
+    category yields null LOO (no other rows to average)."""
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, ["cat", "v"])
+    got = {(r["cat"], r["v"]): r for r in
+           relational.target_encode_loo(df, "cat", "v", m=2.0).collect()}
+    gm = (10 + 20 + 30 + 100) / 4
+    # a/10: others are 20,30 -> 25; smooth = (50 + 2*40)/(2+2) = 32.5
+    assert got[("a", 10.0)]["te_loo"] == pytest.approx(25.0)
+    assert got[("a", 10.0)]["te_smooth"] == pytest.approx(
+        (50 + 2 * gm) / 4)
+    assert got[("a", 20.0)]["te_loo"] == pytest.approx(20.0)
+    # singleton category: LOO undefined, smoothing pure global pull
+    assert got[("b", 100.0)]["te_loo"] is None
+    assert got[("b", 100.0)]["te_smooth"] == pytest.approx(
+        (0 + 2 * gm) / 2)
+    assert got[("b", 100.0)]["cat_n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------------
+
+def test_key_skew_profile_ranks_and_ratio(spark):
+    """Heavy key leads; shares/cumulative shares are exact fractions;
+    skew_ratio = max_cnt / mean_cnt."""
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = relational.key_skew_profile(df, "k", top=2).collect()
+    assert [(r["rank"], r["k"], r["cnt"]) for r in out] == [
+        (1, "hot", 6), (2, "warm", 3)]
+    assert out[0]["share"] == pytest.approx(0.6)
+    assert out[1]["cum_share"] == pytest.approx(0.9)
+    assert out[0]["n_keys"] == 3
+    # max/mean = 6 / (10/3) = 1.8
+    assert out[0]["skew_ratio"] == pytest.approx(1.8)
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+def test_mutual_information_independent_and_dependent(spark):
+    """Product-of-marginals cells give MI == 0; a deterministic mapping
+    x->y gives MI == H(x) (here ln 2 for a uniform binary x)."""
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)],
+        ["x", "y"])
+    got = relational.mutual_information(indep, "x", "y").collect()
+    assert all(r["mi_total"] == pytest.approx(0.0, abs=1e-6) for r in got)
+    assert all(r["pmi"] == pytest.approx(0.0, abs=1e-6) for r in got)
+
+    dep = spark.createDataFrame(
+        [("a", "c")] * 5 + [("b", "d")] * 5, ["x", "y"])
+    got2 = relational.mutual_information(dep, "x", "y").collect()
+    assert got2[0]["mi_total"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_binned
+# ---------------------------------------------------------------------------
+
+def test_roc_auc_binned_separable_and_random(spark):
+    """A perfectly separating score reaches AUC 1.0 once a bin boundary
+    falls between the classes; label-independent scores sit at ~0.5; a
+    perfect anti-predictor at ~0.0."""
+    pos = [(float(100 + i), True) for i in range(50)]
+    neg = [(float(i), False) for i in range(50)]
+    df = spark.createDataFrame(pos + neg, ["s", "y"])
+    out = relational.roc_auc_binned(df, "s", F.col("y"), bins=10).collect()
+    assert out[0]["auc_total"] == pytest.approx(1.0, abs=1e-6)
+    # curve endpoints: last cumulative point is (1, 1)
+    last = max(out, key=lambda r: r["point"])
+    assert (last["fpr"], last["tpr"]) == (1.0, 1.0)
+
+    anti = relational.roc_auc_binned(
+        df, "s", ~F.col("y"), bins=10).collect()
+    assert anti[0]["auc_total"] == pytest.approx(0.0, abs=1e-6)
+
+    flat = spark.createDataFrame(
+        [(float(i), i % 2 == 0) for i in range(200)], ["s", "y"])
+    mid = relational.roc_auc_binned(flat, "s", F.col("y"), bins=10).collect()
+    assert mid[0]["auc_total"] == pytest.approx(0.5, abs=0.05)
+
+    with pytest.raises(ValueError, match="bins must be >= 2"):
+        relational.roc_auc_binned(df, "s", F.col("y"), bins=1)
+
+
+# ---------------------------------------------------------------------------
+# rolling_anomaly
+# ---------------------------------------------------------------------------
+
+def test_rolling_anomaly_flags_spike_not_coldstart(spark):
+    """A 10-sigma spike after a stable run is flagged with the right
+    trailing stats; rows inside the min_n cold-start window and a
+    zero-variance prefix never alert."""
+    vals = [10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.0, 10.1, 9.9, 10.0,
+            50.0]  # spike at the end
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    # user 2: constant series then one repeat -> sd == 0, never flagged
+    rows += [(2, i, 100 + i, 5.0) for i in range(12)]
+    df = spark.createDataFrame(rows, ["u", "t", "eid", "v"])
+    out = relational.rolling_anomaly(
+        df, key="u", ts="t", value="v", id_col="eid",
+        w=20, z_thresh=3.0, min_n=8).collect()
+    assert [(r["u"], r["t"]) for r in out] == [(1, 10)]
+    r = out[0]
+    prior = vals[:10]
+    mean = sum(prior) / len(prior)
+    sd = math.sqrt(sum((x - mean) ** 2 for x in prior) / (len(prior) - 1))
+    assert r["roll_mean"] == pytest.approx(mean, abs=1e-6)
+    assert r["roll_std"] == pytest.approx(sd, abs=1e-6)
+    assert r["zscore"] == pytest.approx((50 - mean) / sd, abs=1e-3)
+    assert r["n_prior"] == 10
