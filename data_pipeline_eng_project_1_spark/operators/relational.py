@@ -1109,3 +1109,150 @@ def rolling_anomaly(df: DataFrame, key: str, ts: str, value: str,
             .filter((F.col("n_prior") >= min_n) & (F.col("__sd") > 1e-9)
                     & (F.abs(F.col("__z")) >= z_thresh))
             .drop("__z", "__sd"))
+
+
+def welch_ttest(df: DataFrame, variant: str, value: str) -> DataFrame:
+    """Two-sample Welch's t-test between variant 0 and variant 1 of an
+    A/B assignment column: the experiment-analysis statistic for unequal
+    variances/sizes (the default test — Student's equal-variance form is
+    the special case nobody's data satisfies). Returns ONE row:
+    (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df_welch,
+    significant_05) with df from the Welch-Satterthwaite approximation
+    and the 5% two-sided normal-approximation flag.
+
+    Scale shape: ONE partial+final (variant) aggregate carrying count/
+    mean/var moments — five running sums through the shuffle, never the
+    observations (the grouped_regression pattern); the 2-row result is
+    folded to one row with a second trivial aggregate. Nothing else
+    moves.
+    """
+    g = df.groupBy(variant).agg(
+        F.count(value).alias("__n"),
+        F.avg(value).alias("__m"),
+        F.var_samp(value).alias("__v"))
+    is_a = F.col(variant) == 0
+    row = g.agg(
+        F.max(F.when(is_a, F.col("__n"))).alias("n_a"),
+        F.max(F.when(~is_a, F.col("__n"))).alias("n_b"),
+        F.max(F.when(is_a, F.col("__m"))).alias("__ma"),
+        F.max(F.when(~is_a, F.col("__m"))).alias("__mb"),
+        F.max(F.when(is_a, F.col("__v"))).alias("__va"),
+        F.max(F.when(~is_a, F.col("__v"))).alias("__vb"))
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    t = (F.col("__ma") - F.col("__mb")) / F.sqrt(sa + sb)
+    dfw = ((sa + sb) * (sa + sb)
+           / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)))
+    return row.select(
+        "n_a", "n_b",
+        F.round("__ma", 4).alias("mean_a"),
+        F.round("__mb", 4).alias("mean_b"),
+        F.round("__va", 4).alias("var_a"),
+        F.round("__vb", 4).alias("var_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dfw, 2).alias("df_welch"),
+        (F.abs(t) > 1.96).alias("significant_05"))
+
+
+def kaplan_meier(df: DataFrame, duration: str, observed: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over per-subject
+    (``duration``, ``observed``) rows (observed = 1 event, 0 censored):
+    the churn/retention/time-to-failure curve. Standard product-limit
+    semantics — censored subjects leave the risk set without moving the
+    curve; S drops only at observed-event times; if every subject at
+    risk fails at once S hits 0 and stays there.
+
+    Scale shape: ONE partial+final (duration) aggregate -> a frame
+    bounded by distinct duration values (day-binned in any sane use);
+    the risk-set and product-limit windows (the product computed as
+    exp of a running ln-sum, zero-guarded) run over that AGGREGATE
+    frame, never the subjects.
+    """
+    per_t = df.groupBy(duration).agg(
+        F.sum(F.col(observed).cast("long")).alias("n_event"),
+        F.sum(F.lit(1) - F.col(observed).cast("long")).alias("n_censor"))
+    ordw = Window.orderBy(duration)
+    prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
+    whole = ordw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = F.sum(F.col("n_event") + F.col("n_censor")).over(whole)
+    n_risk = total - F.coalesce(
+        F.sum(F.col("n_event") + F.col("n_censor")).over(prior), F.lit(0))
+    staged = per_t.select(
+        duration, "n_event", "n_censor", n_risk.alias("n_risk"))
+    # product via exp(sum(ln)): ln terms only where S actually moves.
+    # The all-at-risk-fail row would be ln(0) — Spark yields null there
+    # and DuckDB -inf, so it is excluded from the sum on BOTH engines
+    # and the `dead` latch pins S to exactly 0.0 from that row on.
+    dead = F.max((F.col("n_event") >= F.col("n_risk")).cast("int")).over(cum)
+    term = F.when((F.col("n_event") > 0)
+                  & (F.col("n_event") < F.col("n_risk")),
+                  F.log(F.lit(1.0) - F.col("n_event") / F.col("n_risk"))
+                  ).otherwise(F.lit(0.0))
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(cum)))
+    return staged.select(
+        duration, "n_risk", "n_event", "n_censor",
+        F.round(surv, 6).alias("survival"))
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive money-scale
+    column against Benford's law, with the chi-square goodness-of-fit
+    distance — the forensic-accounting / synthetic-data smell test.
+    The digit is extracted through INTEGER string math (value -> exact
+    cents -> leading digit of the BIGINT), never log10 floors, so the
+    bucketing is bit-identical on any engine.
+
+    Scale shape: scan-side digit algebra + ONE partial+final (digit)
+    aggregate; shares/expected/chi-square run over the <= 9-row
+    AGGREGATE frame.
+    """
+    cents = F.round(F.col(col) * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    agg = (df.select(cents.alias("__c"), digit.alias("digit"))
+             .filter(F.col("__c") > 0)
+             .groupBy("digit")
+             .agg(F.count(F.lit(1)).alias("n")))
+    whole = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n").over(whole)
+    obs = F.col("n") / total
+    exp_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    chi_term = (obs - exp_p) * (obs - exp_p) / exp_p * total
+    return agg.select(
+        "digit", "n",
+        F.round(obs, 6).alias("obs_pct"),
+        F.round(exp_p, 6).alias("exp_pct"),
+        F.round(F.sum(chi_term).over(whole), 4).alias("chisq_total"))
+
+
+def fd_violations(df: DataFrame, lhs: str, rhs: str,
+                  top: int = 10) -> DataFrame:
+    """Functional-dependency profiling: does ``lhs`` determine ``rhs``?
+    Reports the top violating left-hand-side values (those mapping to
+    more than one distinct rhs) plus corpus-level FD health columns —
+    the schema-discovery / data-contract audit (Metanome-style FD
+    checking, the single-dependency case).
+
+    Scale shape: ONE partial+final (lhs) aggregate with an exact
+    DISTINCT rhs count (Expand on two columns only); the summary is a
+    second aggregate over the per-lhs frame, broadcast back; top
+    violators ship via TakeOrdered — no window over the per-key frame,
+    no global sort.
+    """
+    per = df.groupBy(lhs).agg(
+        F.countDistinct(rhs).alias("n_rhs"),
+        F.count(F.lit(1)).alias("n_rows"))
+    summary = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating"))
+    out = (per.crossJoin(F.broadcast(summary))
+              .filter(F.col("n_rhs") > 1)
+              .select(
+                  lhs, "n_rhs", "n_rows", "n_keys", "n_violating",
+                  F.round(F.lit(1.0) - F.col("n_violating") / F.col("n_keys"),
+                          6).alias("fd_holds_pct")))
+    return out.orderBy(F.desc("n_rhs"), F.desc("n_rows"),
+                       F.col(lhs).asc()).limit(top)

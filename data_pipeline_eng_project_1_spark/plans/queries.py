@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_eng_project_1_spark.functions import texts, vectors
+from data_pipeline_eng_project_1_spark.functions import hashing, texts, vectors
 from data_pipeline_eng_project_1_spark.operators import relational
 from data_pipeline_eng_project_1_spark.plans.registry import (
     QuerySpec,
@@ -3598,6 +3598,169 @@ def _q_events_rolling_anomaly(spark, sf_dir):
         ev.select("user_id", "ts_ms", "event_id", "value"),
         key="user_id", ts="ts_ms", value="value", id_col="event_id",
         w=20, z_thresh=3.0, min_n=8)
+
+
+@_register(
+    "events_ab_welch_ttest",
+    """
+    WITH v AS (SELECT CAST('0x' || substr(md5('ab9:' ||
+                   CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                 AS variant,
+               value
+               FROM events),
+    g AS (SELECT variant, count(value) AS n, avg(value) AS m,
+                 var_samp(value) AS vv
+          FROM v GROUP BY 1),
+    r AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+                 max(CASE WHEN variant <> 0 THEN n END) AS n_b,
+                 max(CASE WHEN variant = 0 THEN m END) AS ma,
+                 max(CASE WHEN variant <> 0 THEN m END) AS mb,
+                 max(CASE WHEN variant = 0 THEN vv END) AS va,
+                 max(CASE WHEN variant <> 0 THEN vv END) AS vb
+          FROM g)
+    SELECT n_a, n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round(va, 4) AS var_a, round(vb, 4) AS var_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat,
+           round((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                 / ((va / n_a) * (va / n_a) / (n_a - 1)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) AS df_welch,
+           abs((ma - mb) / sqrt(va / n_a + vb / n_b)) > 1.96
+             AS significant_05
+    FROM r
+    """,
+    doc="Welch's two-sample t-test on event value between the two arms "
+        "of a deterministic md5 user-level A/B assignment (the "
+        "experiment-analysis primitive; unequal-variance form with "
+        "Welch-Satterthwaite df). ONE variant-keyed moment aggregate "
+        "(count/mean/var running sums — observations never move), folded "
+        "to one row — operators/relational.py::welch_ttest.",
+)
+def _q_events_ab_welch_ttest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    variant = (hashing.hex_int(
+        F.concat(F.lit("ab9:"), F.col("user_id").cast("string"))) % 2)
+    return relational.welch_ttest(
+        ev.select(variant.alias("variant"), "value"), "variant", "value")
+
+
+@_register(
+    "events_kaplan_meier",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST((max(epoch_ms(CAST(ts AS TIMESTAMP)))
+                            - min(epoch_ms(CAST(ts AS TIMESTAMP))))
+                           // 3600000 AS INTEGER) AS duration_h,
+                      max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS observed
+               FROM events GROUP BY 1),
+    t AS (SELECT duration_h,
+                 CAST(sum(observed) AS BIGINT) AS n_event,
+                 CAST(sum(1 - observed) AS BIGINT) AS n_censor
+          FROM u GROUP BY 1),
+    s AS (SELECT duration_h, n_event, n_censor,
+                 sum(n_event + n_censor) OVER ()
+                   - coalesce(sum(n_event + n_censor) OVER
+                       (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_risk
+          FROM t),
+    k AS (SELECT duration_h, n_event, n_censor, n_risk,
+                 max(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+                   OVER cum AS dead,
+                 sum(CASE WHEN n_event > 0 AND n_event < n_risk
+                          THEN ln(1.0 - n_event / n_risk)
+                          ELSE 0.0 END) OVER cum AS lsum
+          FROM s
+          WINDOW cum AS (ORDER BY duration_h
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+    SELECT duration_h, n_risk, n_event, n_censor,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(lsum), 6) END AS survival
+    FROM k
+    """,
+    doc="Kaplan-Meier product-limit survival curve over per-user "
+        "observation spans (event = the user ever purchases, censored "
+        "otherwise; duration = hours between first and last activity) — "
+        "the churn/time-to-event estimator. One user-keyed aggregate -> "
+        "one duration-keyed aggregate; risk-set and exp(running ln-sum) "
+        "product windows run over the <= distinct-durations AGGREGATE "
+        "frame — operators/relational.py::kaplan_meier.",
+)
+def _q_events_kaplan_meier(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST((max(ts_ms) - min(ts_ms)) DIV 3600000 AS INT)")
+         .alias("duration_h"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+         .alias("observed"))
+    return relational.kaplan_meier(per_user, "duration_h", "observed")
+
+
+@_register(
+    "orders_benford_audit",
+    """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders),
+    a AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+                 count(*) AS n
+          FROM c WHERE cents > 0 GROUP BY 1),
+    p AS (SELECT digit, n,
+                 n / (sum(n) OVER ()) AS obs,
+                 ln(1.0 + 1.0 / digit) / ln(10.0) AS expp,
+                 sum(n) OVER () AS total
+          FROM a)
+    SELECT digit, n,
+           round(obs, 6) AS obs_pct,
+           round(expp, 6) AS exp_pct,
+           round(sum((obs - expp) * (obs - expp) / expp * total) OVER (),
+                 4) AS chisq_total
+    FROM p
+    """,
+    doc="Benford first-digit audit of order totals: observed vs expected "
+        "leading-digit shares + chi-square distance — the forensic/"
+        "synthetic-data smell test. Digit extracted via integer string "
+        "math (exact cents -> leading digit), never log10 floors; one "
+        "digit aggregate, all shares over the <= 9-row frame — "
+        "operators/relational.py::benford_audit.",
+)
+def _q_orders_benford_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return relational.benford_audit(o, "o_totalprice")
+
+
+@_register(
+    "lineitem_fd_violations",
+    """
+    WITH per AS (SELECT l_partkey,
+                        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_rhs,
+                        count(*) AS n_rows
+                 FROM lineitem GROUP BY 1),
+    s AS (SELECT count(*) AS n_keys,
+                 CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating
+          FROM per)
+    SELECT l_partkey, n_rhs, n_rows,
+           CAST(s.n_keys AS BIGINT) AS n_keys, s.n_violating,
+           round(1.0 - s.n_violating / s.n_keys, 6) AS fd_holds_pct
+    FROM per CROSS JOIN s
+    WHERE n_rhs > 1
+    ORDER BY n_rhs DESC, n_rows DESC, l_partkey
+    LIMIT 10
+    """,
+    doc="functional-dependency audit: does l_partkey determine "
+        "l_suppkey? Top violating keys plus corpus FD-health columns "
+        "(Metanome-style single-dependency profiling — the data-contract "
+        "check). One lhs aggregate with an exact two-column DISTINCT, a "
+        "1-row summary broadcast back, TakeOrdered top violators — no "
+        "window, no global sort — "
+        "operators/relational.py::fd_violations.",
+)
+def _q_lineitem_fd_violations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.fd_violations(li, "l_partkey", "l_suppkey", top=10)
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,7 @@ _MEASURED_COST_S = {
     "corpus_curation": 0.86,
     "text_bigram_lm_perplexity": 0.89,
     "basket_brand_lift": 0.90,
+    "orders_benford_audit": 0.91,
     "events_rolling_anomaly": 0.92,
     "dedup_exact_spans_staggered": 0.94,
     "nation_trade_volume": 0.95,
@@ -178,6 +179,7 @@ _MEASURED_COST_S = {
     "similarity_knn_graph": 1.09,
     "corpus_source_overlap": 1.11,
     "referential_integrity_audit": 1.20,
+    "lineitem_fd_violations": 1.26,
     "corpus_cluster_balance": 1.29,
     "corpus_decontamination": 1.30,
     "dedup_minhash_lsh": 1.33,
@@ -195,6 +197,7 @@ _MEASURED_COST_S = {
     "similarity_ann_pq": 1.72,
     "orders_target_encoding": 1.82,
     "corpus_vocab_growth": 1.85,
+    "events_kaplan_meier": 1.86,
     "similarity_graph_triangles": 1.87,
     "dedup_simhash": 1.88,
     "ntile_spend_quartiles": 1.90,
@@ -205,6 +208,7 @@ _MEASURED_COST_S = {
     "similarity_link_prediction": 2.12,
     "corpus_pipeline_end_to_end": 2.15,
     "events_psi_drift": 2.31,
+    "events_ab_welch_ttest": 2.51,
     "events_multi_touch_attribution": 2.54,
     "embeddings_kmeans_lloyd": 2.88,
     "dedup_keep_best": 2.93,

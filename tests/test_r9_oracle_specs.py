@@ -134,3 +134,23 @@ def test_rolling_anomaly_registered_pair(spark):
 def test_bm25_registered_pair(spark):
     n = _compare_registered(spark, "text_bm25_topk")
     assert n == 15
+
+
+def test_welch_ttest_registered_pair(spark):
+    n = _compare_registered(spark, "events_ab_welch_ttest")
+    assert n == 1
+
+
+def test_kaplan_meier_registered_pair(spark):
+    n = _compare_registered(spark, "events_kaplan_meier")
+    assert n >= 5  # an actual curve, not a degenerate point
+
+
+def test_benford_registered_pair(spark):
+    n = _compare_registered(spark, "orders_benford_audit")
+    assert n == 9
+
+
+def test_fd_violations_registered_pair(spark):
+    n = _compare_registered(spark, "lineitem_fd_violations")
+    assert n == 10

@@ -558,3 +558,108 @@ def test_rolling_anomaly_flags_spike_not_coldstart(spark):
     assert r["roll_std"] == pytest.approx(sd, abs=1e-6)
     assert r["zscore"] == pytest.approx((50 - mean) / sd, abs=1e-3)
     assert r["n_prior"] == 10
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+def test_welch_ttest_matches_manual_computation(spark):
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0]
+    df = spark.createDataFrame(
+        [(0, v) for v in a] + [(1, v) for v in b], ["variant", "v"])
+    r = relational.welch_ttest(df, "variant", "v").collect()[0]
+    import statistics as st
+    ma, mb = st.mean(a), st.mean(b)
+    va, vb = st.variance(a), st.variance(b)
+    sa, sb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(sa + sb)
+    dfw = (sa + sb) ** 2 / (sa ** 2 / (len(a) - 1) + sb ** 2 / (len(b) - 1))
+    assert (r["n_a"], r["n_b"]) == (5, 6)
+    assert r["mean_a"] == pytest.approx(ma, abs=1e-4)
+    assert r["var_b"] == pytest.approx(vb, abs=1e-4)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-4)
+    assert r["df_welch"] == pytest.approx(dfw, abs=0.01)
+    assert r["significant_05"] == (abs(t) > 1.96)
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_textbook_curve(spark):
+    """10 subjects: 2 fail at t=1, 1 censored at t=2, 3 fail at t=3,
+    4 censored at t=5. S(1)=0.8, S(3)=0.8*(1-3/7), censoring rows keep
+    the prior S."""
+    rows = ([(1, 1)] * 2 + [(2, 0)] + [(3, 1)] * 3 + [(5, 0)] * 4)
+    df = spark.createDataFrame(rows, ["t", "obs"])
+    got = {r["t"]: r for r in
+           relational.kaplan_meier(df, "t", "obs").collect()}
+    assert got[1]["n_risk"] == 10 and got[1]["n_event"] == 2
+    assert got[1]["survival"] == pytest.approx(0.8, abs=1e-6)
+    assert got[2]["survival"] == pytest.approx(0.8, abs=1e-6)  # censor only
+    assert got[2]["n_risk"] == 8
+    assert got[3]["n_risk"] == 7
+    assert got[3]["survival"] == pytest.approx(0.8 * (1 - 3 / 7), abs=1e-6)
+    assert got[5]["survival"] == pytest.approx(0.8 * (1 - 3 / 7), abs=1e-6)
+
+
+def test_kaplan_meier_total_failure_pins_zero(spark):
+    """When everyone at risk fails at once, S hits exactly 0.0 and stays
+    there (the ln(0) row is excluded from the sum, the dead latch rules)."""
+    rows = [(1, 1)] * 3 + [(2, 1)] * 2  # all 5 observed, none survive t=2
+    df = spark.createDataFrame(rows, ["t", "obs"])
+    got = {r["t"]: r["survival"] for r in
+           relational.kaplan_meier(df, "t", "obs").collect()}
+    assert got[1] == pytest.approx(0.4, abs=1e-6)
+    assert got[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+def test_benford_audit_digits_and_chi(spark):
+    """Digit extraction survives sub-1.00 values (cents math); a corpus
+    drawn exactly from the Benford pmf has chi-square ~0; a uniform-
+    digit corpus is far from it."""
+    # 100 values whose leading digits follow Benford counts 30,18,12,...
+    counts = {1: 30, 2: 18, 3: 12, 4: 10, 5: 8, 6: 7, 7: 6, 8: 5, 9: 4}
+    rows = [(float(d * 10 + 1) + 0.25,) for d, c in counts.items()
+            for _ in range(c)]
+    df = spark.createDataFrame(rows, ["x"])
+    out = {r["digit"]: r for r in
+           relational.benford_audit(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n"] == 30
+    assert out[1]["obs_pct"] == pytest.approx(0.30, abs=1e-6)
+    assert out[1]["exp_pct"] == pytest.approx(
+        math.log10(2), abs=1e-6)
+    assert out[1]["chisq_total"] < 1.0  # near-Benford
+
+    sub = spark.createDataFrame([(0.07,), (0.4,), (123.45,)], ["x"])
+    digs = sorted(r["digit"] for r in
+                  relational.benford_audit(sub, "x").collect())
+    assert digs == [1, 4, 7]
+
+    uni = spark.createDataFrame(
+        [(float(d) ,) for d in range(1, 10) for _ in range(20)], ["x"])
+    chi = relational.benford_audit(uni, "x").collect()[0]["chisq_total"]
+    assert chi > 20  # uniform digits are nothing like Benford
+
+
+# ---------------------------------------------------------------------------
+# fd_violations
+# ---------------------------------------------------------------------------
+
+def test_fd_violations_ranks_and_summary(spark):
+    rows = [("p1", "s1"), ("p1", "s2"), ("p1", "s3"),   # 3 distinct rhs
+            ("p2", "s1"), ("p2", "s1"), ("p2", "s2"),   # 2 distinct rhs
+            ("p3", "s9"), ("p3", "s9")]                 # FD holds
+    df = spark.createDataFrame(rows, ["p", "s"])
+    out = relational.fd_violations(df, "p", "s", top=5).collect()
+    assert [(r["p"], r["n_rhs"], r["n_rows"]) for r in out] == [
+        ("p1", 3, 3), ("p2", 2, 3)]
+    assert out[0]["n_keys"] == 3 and out[0]["n_violating"] == 2
+    assert out[0]["fd_holds_pct"] == pytest.approx(1 / 3, abs=1e-6)
