@@ -1074,3 +1074,59 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
         "id", F.col("m.i").alias("cell"),
         F.round(F.col("m.d"), round_dp).alias("dist"))
     return [(c, cents[c]) for c in range(k)], assignments
+
+
+def silhouette_by_label(corpus: DataFrame, vec_col: str = "embedding",
+                        label_col: str = "label",
+                        dim: int = 64) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster label: for each
+    vector a = squared-L2 to its OWN label centroid, b = min squared-L2
+    to any OTHER label centroid, s = (b - a) / max(a, b) — the standard
+    clustering-quality audit at the price the exact silhouette can never
+    pay (exact needs all-pairs distances; the centroid form is the
+    accepted large-scale surrogate, e.g. scikit-learn's discussion of
+    silhouette cost). Returns per-label (n, avg_sil) plus the corpus
+    average.
+
+    Scale shape (the kmeans_lloyd choreography): ONE (label)-keyed
+    (count, dim-sums) aggregate; the driver holds only k x dim floats,
+    each mean rounded HALF AWAY FROM ZERO to 6dp (the pinned cross-
+    engine handoff) and re-inlined as literal scan-side squared-L2
+    folds — scoring is a pure projection on the corpus scan, no join,
+    no second shuffle; the final per-label aggregate is the only other
+    exchange, and the corpus-average windows run over its <= k-row
+    frame.
+    """
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(F.col(label_col).alias("__lbl"), dbl.alias("__v"))
+    sums = base.groupBy("__lbl").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+          for i in range(dim)])
+    rows = sums.collect()  # <= k label rows: bounded metadata
+    if len(rows) < 2:
+        raise ValueError("silhouette_by_label: need >= 2 distinct labels")
+    cents = {r["__lbl"]: [_round_half_away(r[f"__s{i}"] / r["__n"], 6)
+                          for i in range(dim)]
+             for r in rows}
+    labels = sorted(cents)
+    dist = {l: _sq_l2_to_literal("__v", cents[l]) for l in labels}
+    a = F.lit(None).cast("double")
+    b = F.lit(None).cast("double")
+    for l in labels:
+        others = [dist[m] for m in labels if m != l]
+        nearest = others[0] if len(others) == 1 else F.least(*others)
+        a = F.when(F.col("__lbl") == l, dist[l]).otherwise(a)
+        b = F.when(F.col("__lbl") == l, nearest).otherwise(b)
+    sil = F.when(F.greatest(a, b) > 0,
+                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    per = (base.select("__lbl", sil.alias("__s"))
+           .groupBy("__lbl")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("__s").alias("__sum")))
+    whole = Window.orderBy("__lbl").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return per.select(
+        F.col("__lbl").alias(label_col), "n",
+        F.round(F.col("__sum") / F.col("n"), 6).alias("avg_sil"),
+        F.round(F.sum("__sum").over(whole) / F.sum("n").over(whole), 6)
+         .alias("avg_sil_overall"))

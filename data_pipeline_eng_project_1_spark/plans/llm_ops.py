@@ -4772,10 +4772,11 @@ def _q_embedding_pca_power(spark, sf_dir):
 _BM25_TERMS = ("spark", "vector", "dup", "scan")
 
 
-def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b_c="0.75", k=15) -> str:
+def _bm25_scores_cte(terms=_BM25_TERMS, k1="1.2", b_c="0.75") -> str:
+    """CTE chain ending in ``bm25s(doc_id, bm25, n_terms)`` — shared by
+    the plain top-k query and the RRF hybrid fusion."""
     tlist = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-    WITH base AS (SELECT doc_id, len({SQL_TOKS}) AS dl FROM documents),
+    return f"""base AS (SELECT doc_id, len({SQL_TOKS}) AS dl FROM documents),
     s AS (SELECT count(*) AS nd,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
           FROM base),
@@ -4784,8 +4785,8 @@ def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b_c="0.75", k=15) -> str:
                  FROM documents JOIN base USING (doc_id))
            WHERE t IN ({tlist})
            GROUP BY doc_id, t),
-    d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-    SELECT tf.doc_id,
+    d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm25s AS (SELECT tf.doc_id,
            round(sum(ln(1.0 + (s.nd - d.df + 0.5) / (d.df + 0.5))
                      * tf.tf * ({k1} + 1.0)
                      / (tf.tf + {k1} * (1.0 - {b_c}
@@ -4793,8 +4794,15 @@ def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b_c="0.75", k=15) -> str:
                  6) AS bm25,
            count(*) AS n_terms
     FROM tf JOIN d USING (term) CROSS JOIN s
-    GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, tf.doc_id
+    GROUP BY tf.doc_id)"""
+
+
+def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b_c="0.75", k=15) -> str:
+    return f"""
+    WITH {_bm25_scores_cte(terms, k1, b_c)}
+    SELECT doc_id, bm25, n_terms
+    FROM bm25s
+    ORDER BY bm25 DESC, doc_id
     LIMIT {k}
     """
 
@@ -4816,8 +4824,15 @@ def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b_c="0.75", k=15) -> str:
         "the k-boundary is cross-engine deterministic.",
 )
 def _q_text_bm25_topk(spark, sf_dir):
-    k1, b_c = 1.2, 0.75
     d = _spread(_t(spark, sf_dir, "documents"))
+    return (_bm25_scored(d)
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(15))
+
+
+def _bm25_scored(d, k1: float = 1.2, b_c: float = 0.75):
+    """(doc_id, bm25, n_terms) for every doc matching >= 1 query term —
+    the Spark twin of the ``bm25s`` CTE."""
     toks = texts.tokens(F.col("text"))
     base = d.select("doc_id", F.size(toks).cast("long").alias("__dl"),
                     toks.alias("__toks"))
@@ -4839,6 +4854,136 @@ def _q_text_bm25_topk(spark, sf_dir):
                                + F.lit(b_c) * F.col("dl") / F.col("__avgdl"))))
     return (scored.groupBy("doc_id")
             .agg(F.round(F.sum(score), 6).alias("bm25"),
-                 F.count(F.lit(1)).alias("n_terms"))
-            .orderBy(F.desc("bm25"), "doc_id")
+                 F.count(F.lit(1)).alias("n_terms")))
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@_register(
+    "text_rrf_hybrid",
+    f"""
+    WITH {_bm25_scores_cte()},
+    f AS (
+      SELECT doc_id,
+             len({SQL_TOKS}) AS n_tokens,
+             len(list_filter({SQL_TOKS},
+                 t -> list_contains({_SQL_STOPS}, t))) * 1.0
+               / len({SQL_TOKS}) AS stop_r,
+             (length(lower(text))
+              - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+               * 1.0 / length(text) AS punct_r,
+             length(replace(text, ' ', '')) * 1.0
+               / len({SQL_TOKS}) AS alen
+      FROM documents WHERE len({SQL_TOKS}) > 0
+    ),
+    q AS (SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-({_QC_W['bias']}
+                       + {_QC_W['stop']} * stop_r
+                       + {_QC_W['punct']} * punct_r
+                       + {_QC_W['alen']} * alen
+                       + {_QC_W['lntok']} * ln(n_tokens)))), 4) AS score
+          FROM f),
+    br AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS INTEGER) AS rank_bm25
+           FROM (SELECT * FROM bm25s ORDER BY bm25 DESC, doc_id LIMIT 50)),
+    qr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS INTEGER) AS rank_quality
+           FROM (SELECT * FROM q ORDER BY score DESC, doc_id LIMIT 50))
+    SELECT doc_id, rank_bm25, rank_quality,
+           round(coalesce(1.0 / ({_RRF_K} + rank_bm25), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + rank_quality), 0.0), 6) AS rrf
+    FROM br FULL OUTER JOIN qr USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 15
+    """,
+    doc="reciprocal-rank fusion of two retrieval rankings (BM25 lexical "
+        "top-50 for the fixed query x linear quality-classifier top-50), "
+        "k=60 — the standard hybrid-search combiner (lexical + prior "
+        "here; lexical + ANN cosine is the same plan with the vector "
+        "ranking swapped in). Scale shape: each ranking is TakeOrdered "
+        "50 then row_number over its own 50-row frame; the fusion is a "
+        "full outer join of two <= 50-row frames + TakeOrdered 15 — "
+        "every post-scan frame is candidate-bounded. Rank ties break on "
+        "the ROUNDED scores then doc_id, so both lists and the fused "
+        "k-boundary are cross-engine deterministic.",
+)
+def _q_text_rrf_hybrid(spark, sf_dir):
+    d = _spread(_t(spark, sf_dir, "documents"))
+    bm50 = (_bm25_scored(d)
+            .orderBy(F.desc("bm25"), "doc_id").limit(50)
+            .select("doc_id",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("bm25"), "doc_id"))
+                     .alias("rank_bm25")))
+    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
+    score = F.round(
+        texts.quality_score_of(F.col("text"), F.col("__toks")), 4)
+    q50 = (toked.filter(F.size("__toks") > 0)
+           .select(F.col("id").alias("doc_id"), score.alias("__score"))
+           .orderBy(F.desc("__score"), "doc_id").limit(50)
+           .select("doc_id",
+                   F.row_number().over(
+                       Window.orderBy(F.desc("__score"), "doc_id"))
+                    .alias("rank_quality")))
+    fused = bm50.join(q50, "doc_id", "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_quality")),
+                        F.lit(0.0)))
+    return (fused.select("doc_id", "rank_bm25", "rank_quality",
+                         F.round(rrf, 6).alias("rrf"))
+            .orderBy(F.desc("rrf"), "doc_id")
             .limit(15))
+
+
+def _silhouette_sql(dim: int = 64) -> str:
+    sq = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+          f"list_transform(generate_series(1, {dim}), "
+          "i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i]))), (a, x) -> a + x)")
+    return f"""
+    WITH base AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS v
+                  FROM embeddings),
+    c AS (SELECT label AS clbl, list(m ORDER BY i) AS c FROM (
+            SELECT label, i, round(avg(v[i]), 6) AS m
+            FROM base, unnest(generate_series(1, {dim})) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+    d AS (SELECT b.vec_id, b.label, c.clbl, {sq} AS dist
+          FROM base b CROSS JOIN c),
+    p AS (SELECT vec_id, label,
+                 max(CASE WHEN clbl = label THEN dist END) AS a,
+                 min(CASE WHEN clbl <> label THEN dist END) AS bd
+          FROM d GROUP BY vec_id, label),
+    s AS (SELECT label, CASE WHEN greatest(a, bd) > 0
+                             THEN (bd - a) / greatest(a, bd)
+                             ELSE 0.0 END AS sil
+          FROM p),
+    g AS (SELECT label, count(*) AS n, sum(sil) AS ssum
+          FROM s GROUP BY label)
+    SELECT label, n, round(ssum / n, 6) AS avg_sil,
+           round(sum(ssum) OVER () / sum(n) OVER (), 6) AS avg_sil_overall
+    FROM g
+    """
+
+
+@_register(
+    "embedding_silhouette",
+    _silhouette_sql(dim=64),
+    doc="simplified (centroid) silhouette of the labeled embedding "
+        "corpus: per vector a = squared-L2 to its own label centroid, "
+        "b = min to any other, s = (b - a)/max(a, b); per-label and "
+        "corpus averages — the cluster-quality audit at linear cost "
+        "(exact silhouette is all-pairs). kmeans_lloyd choreography: "
+        "ONE (label)-keyed dim-sums aggregate -> k x dim driver floats "
+        "rounded half-away to 6dp -> literal scan-side folds, scoring "
+        "is a pure projection; the oracle recomputes the same rounded "
+        "centroids in SQL and replays the fold order exactly "
+        "(operators/similarity.py::silhouette_by_label).",
+)
+def _q_embedding_silhouette(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.silhouette_by_label(emb, dim=64)

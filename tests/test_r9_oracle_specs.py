@@ -154,3 +154,13 @@ def test_benford_registered_pair(spark):
 def test_fd_violations_registered_pair(spark):
     n = _compare_registered(spark, "lineitem_fd_violations")
     assert n == 10
+
+
+def test_rrf_hybrid_registered_pair(spark):
+    n = _compare_registered(spark, "text_rrf_hybrid")
+    assert n == 15
+
+
+def test_silhouette_registered_pair(spark):
+    n = _compare_registered(spark, "embedding_silhouette")
+    assert n == 10  # one row per fixture label

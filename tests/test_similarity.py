@@ -611,3 +611,31 @@ def test_pca_power_recovers_dominant_direction_and_projection(spark):
 
     w0, _ = similarity.pca_power(df, dim=4, iters=0)
     assert w0 == [1_000_000] * 4
+
+
+def test_silhouette_separated_vs_mixed(spark):
+    """Two tight, well-separated label clusters score avg_sil ~1; the
+    same points with labels scrambled across the clusters score ~<=0;
+    a single label raises."""
+    import pytest as _pt
+    a = [[0.0, 0.0, 0.0, 0.0], [0.1, 0.0, 0.0, 0.0], [0.0, 0.1, 0.0, 0.0]]
+    b = [[9.0, 9.0, 9.0, 9.0], [9.1, 9.0, 9.0, 9.0], [9.0, 9.1, 9.0, 9.0]]
+    rows = [(i, v, 0) for i, v in enumerate(a)] + \
+           [(10 + i, v, 1) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["label"]: r for r in
+           similarity.silhouette_by_label(df, dim=4).collect()}
+    assert out[0]["n"] == 3 and out[1]["n"] == 3
+    assert out[0]["avg_sil"] > 0.99
+    assert out[0]["avg_sil_overall"] > 0.99
+
+    mixed = [(i, v, i % 2) for i, v in enumerate(a + b)]
+    df2 = spark.createDataFrame(mixed, ["vec_id", "embedding", "label"])
+    out2 = similarity.silhouette_by_label(df2, dim=4).collect()
+    # labels no longer track the geometry: far below the separated 0.99
+    assert out2[0]["avg_sil_overall"] < 0.5
+
+    one = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0], 7)], ["vec_id", "embedding", "label"])
+    with _pt.raises(ValueError, match=">= 2 distinct labels"):
+        similarity.silhouette_by_label(one, dim=4)
