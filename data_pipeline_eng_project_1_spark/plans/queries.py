@@ -3764,6 +3764,228 @@ def _q_lineitem_fd_violations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Flashscore intake format parity (SURVEY.md §2.1: JSON + XML twins)
+# ---------------------------------------------------------------------------
+
+#: The six-record adversarial dump of tests/test_flashscore.py::_record —
+#: clean row, non-Finished (filtered), null country (na.drop on MATCH,
+#: kept by the lineup/odds branches), non-numeric score (try_cast null),
+#: 10-player home lineup (skipped), and a short-arity + off-roster
+#: bookmaker list (null odds cells).
+_PARITY_RECORDS = [
+    {
+        "current_status": st, "current_country": co,
+        "current_tournament": "Ligue 1",
+        "participant_home": ho, "participant_away": "OM",
+        "participant_home_current_score": hs,
+        "participant_away_current_score": "1",
+        "year": 2023, "month": 11, "day": 4, "hour": 18, "minute": 38,
+        "match_hour": "18:38",
+        "lineups_data": {
+            "Team1": [{"name": f"H{i}"} for i in range(1, hn + 1)],
+            "Team2": [{"name": f"A{i}"} for i in range(1, 12)],
+        },
+        "bookmakers_data": bm if bm is not None else [
+            {"bookmaker": "Betclic.fr", "odds": ["1.5", "3.2", "5.0"]},
+            {"bookmaker": "bet365", "odds": ["1.4", "3.5", "5.5"]},
+        ],
+    }
+    for st, co, ho, hs, hn, bm in [
+        ("Finished", "France", "PSG", "2", 11, None),
+        ("Scheduled", "France", "Lyon", "2", 11, None),
+        ("Finished", None, "Lille", "2", 11, None),
+        ("Finished", "France", "Nantes", "abc", 11, None),
+        ("Finished", "France", "Brest", "2", 10, None),
+        ("Finished", "France", "Nice", "2", 11, [
+            {"bookmaker": "Betclic.fr", "odds": ["1.1", "2.2"]},
+            {"bookmaker": "Winamax", "odds": ["2.0", "3.0", "4.0"]},
+        ]),
+    ]
+]
+
+
+def _parity_xml_of(tag, val):
+    # the tests/test_xml_source.py::_xml_of convention: None -> omitted
+    # element (the JSON-null twin), list -> repeated elements
+    if val is None:
+        return ""
+    if isinstance(val, dict):
+        return (f"<{tag}>"
+                + "".join(_parity_xml_of(k, v) for k, v in val.items())
+                + f"</{tag}>")
+    if isinstance(val, list):
+        return "".join(_parity_xml_of(tag, v) for v in val)
+    return f"<{tag}>{val}</{tag}>"
+
+
+def _write_parity_dumps() -> tuple[str, str]:
+    import json as _json
+    import os
+
+    d = "/tmp/spark_graft_format_parity"
+    os.makedirs(d, exist_ok=True)
+    jp, xp = f"{d}/dump.json", f"{d}/dump.xml"
+    with open(jp, "w") as f:
+        _json.dump(_PARITY_RECORDS, f)
+    body = "".join(_parity_xml_of("match", r) for r in _PARITY_RECORDS)
+    with open(xp, "w") as f:
+        f.write(f"<matches>{body}</matches>")
+    return jp, xp
+
+
+def _fingerprint_frame(tdf: DataFrame, fmt: str, table: str) -> DataFrame:
+    """(source_format, table_name, n_rows, content_md5) for one pipeline
+    table: md5 over the sorted canonical row strings. DATE_LOAD (wall
+    clock) is excluded; float cells canonicalize as round(x*1000) BIGINT
+    milli-units (cross-engine string rendering of doubles is not pinned;
+    integer strings are); nulls as a '~null~' marker so concat_ws's
+    null-skip can never alias two different rows."""
+    cells = []
+    for c, t in tdf.dtypes:
+        if c == "DATE_LOAD":
+            continue
+        col = F.col(c)
+        if t in ("float", "double"):
+            col = F.round(col.cast("double") * 1000, 0).cast("long")
+        cells.append(F.coalesce(col.cast("string"), F.lit("~null~")))
+    row = F.concat_ws("|", *cells)
+    agg = tdf.select(row.alias("__r")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("__r")), "\n"))
+         .alias("content_md5"))
+    return agg.select(
+        F.lit(fmt).alias("source_format"),
+        F.lit(table).alias("table_name"),
+        "n_rows", "content_md5")
+
+
+def _format_parity_sql() -> str:
+    """The oracle rebuilds all four pipeline tables IN SQL from the same
+    literal input records (filter -> na.drop -> try_cast -> sha256 id ->
+    lineup arity guard -> bookmaker probe + odds widening), fingerprints
+    them identically, and expects BOTH intake formats to match that
+    derivation — an independent replay of the whole flashscore
+    transform, not an echo of Spark's output."""
+    from data_pipeline_eng_project_1_spark.operators.nested import (
+        BOOKMAKERS,
+    )
+
+    def lit_rec(r):
+        co = ("NULL" if r["current_country"] is None
+              else f"'{r['current_country']}'")
+        t1 = ", ".join(f"'{p['name']}'" for p in r["lineups_data"]["Team1"])
+        t2 = ", ".join(f"'{p['name']}'" for p in r["lineups_data"]["Team2"])
+        bms = ", ".join(
+            "{'bookmaker': '%s', 'odds': [%s]}"
+            % (b["bookmaker"], ", ".join(f"'{o}'" for o in b["odds"]))
+            for b in r["bookmakers_data"])
+        return (f"('{r['current_status']}', {co}, "
+                f"'{r['current_tournament']}', "
+                f"'{r['participant_home']}', '{r['participant_away']}', "
+                f"'{r['participant_home_current_score']}', "
+                f"'{r['participant_away_current_score']}', "
+                f"{r['year']}, {r['month']}, {r['day']}, {r['hour']}, "
+                f"{r['minute']}, [{t1}], [{t2}], [{bms}])")
+
+    values = ",\n      ".join(lit_rec(r) for r in _PARITY_RECORDS)
+    odd_cells = []
+    for name in BOOKMAKERS:
+        trip = (f"(CASE WHEN len(list_filter(bms, b -> b.bookmaker = "
+                f"'{name}')[1].odds) = 3 THEN list_filter(bms, "
+                f"b -> b.bookmaker = '{name}')[1].odds END)")
+        for i in (1, 2, 3):
+            odd_cells.append(
+                f"coalesce(CAST(CAST(round(TRY_CAST({trip}[{i}] AS DOUBLE)"
+                f" * 1000, 0) AS BIGINT) AS VARCHAR), '~null~')")
+    odds_concat = ",\n             ".join(odd_cells)
+    p11 = ", ".join(f"team1[{i}]" for i in range(1, 12))
+    p11b = ", ".join(f"team2[{i}]" for i in range(1, 12))
+    return f"""
+    WITH raw(status, country, tournament, home, away, hs, ascore,
+             yy, mm, dd, hh, mi, team1, team2, bms) AS (VALUES
+      {values}
+    ),
+    fin AS (SELECT *, sha256(concat_ws('|', country, tournament, home,
+                                       away, yy, mm, dd, hh, mi)) AS id
+            FROM raw WHERE status = 'Finished'),
+    mrows AS (
+      SELECT concat_ws('|', id, yy, mm, dd, hh, mi, country, tournament,
+                       home,
+                       coalesce(CAST(TRY_CAST(hs AS INTEGER) AS VARCHAR),
+                                '~null~'),
+                       away,
+                       coalesce(CAST(TRY_CAST(ascore AS INTEGER)
+                                     AS VARCHAR), '~null~')) AS r
+      FROM fin
+      WHERE country IS NOT NULL AND tournament IS NOT NULL
+        AND home IS NOT NULL AND away IS NOT NULL
+        AND hs IS NOT NULL AND ascore IS NOT NULL
+        AND yy IS NOT NULL AND mm IS NOT NULL AND dd IS NOT NULL
+        AND hh IS NOT NULL AND mi IS NOT NULL),
+    hrows AS (SELECT concat_ws('|', id, {p11}) AS r
+              FROM fin WHERE len(team1) = 11),
+    arows AS (SELECT concat_ws('|', id, {p11b}) AS r
+              FROM fin WHERE len(team2) = 11),
+    orows AS (
+      SELECT concat_ws('|', id,
+             {odds_concat}) AS r
+      FROM fin),
+    exp AS (
+      SELECT 'MATCH_FINISHED' AS table_name, count(*) AS n_rows,
+             md5(string_agg(r, chr(10) ORDER BY r)) AS content_md5
+      FROM mrows
+      UNION ALL
+      SELECT 'HOME_STARTING_LINEUP', count(*),
+             md5(string_agg(r, chr(10) ORDER BY r)) FROM hrows
+      UNION ALL
+      SELECT 'AWAY_STARTING_LINEUP', count(*),
+             md5(string_agg(r, chr(10) ORDER BY r)) FROM arows
+      UNION ALL
+      SELECT 'ODDS', count(*),
+             md5(string_agg(r, chr(10) ORDER BY r)) FROM orows)
+    SELECT f.fmt AS source_format, e.table_name, e.n_rows, e.content_md5
+    FROM (VALUES ('json'), ('xml')) f(fmt) CROSS JOIN exp e
+    ORDER BY source_format, table_name
+    """
+
+
+@_register(
+    "flashscore_format_parity",
+    _format_parity_sql(),
+    doc="JSON-vs-XML intake parity as a GRADED invariant: the six-record "
+        "adversarial dump is published in both formats, both flow through "
+        "the UNCHANGED downstream plan, and each of the four pipeline "
+        "tables is fingerprinted (n_rows + md5 of sorted canonical rows, "
+        "DATE_LOAD excluded, float cells as milli-unit BIGINTs). The "
+        "oracle REBUILDS all four tables in SQL from the same literal "
+        "records — filter, na.drop, try_cast coercion, sha256 match id, "
+        "lineup arity guard, bookmaker probe with odds widening — so a "
+        "divergence in either intake OR any transform rule "
+        "hash-mismatches. Format is an intake option, not a pipeline "
+        "fork (sources/xml_source.py; plans/flashscore.py).",
+)
+def _q_flashscore_format_parity(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.plans import flashscore
+    from data_pipeline_eng_project_1_spark.sources.json_source import (
+        read_matches,
+    )
+    from data_pipeline_eng_project_1_spark.sources.xml_source import (
+        read_matches_xml,
+    )
+
+    jp, xp = _write_parity_dumps()
+    frames = []
+    for fmt, src in (("json", read_matches(spark, jp)),
+                     ("xml", read_matches_xml(spark, xp))):
+        for name, tdf in flashscore.transform_all(src).items():
+            frames.append(_fingerprint_frame(tdf, fmt, name))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("source_format", "table_name")
+
+
+# ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------
 

@@ -220,6 +220,7 @@ _MEASURED_COST_S = {
     "dedup_winnow_pairs": 5.93,
     "corpus_leakage_safe_split": 6.30,
     "text_rrf_hybrid": 6.37,
+    "flashscore_format_parity": 6.77,
 }
 
 _MEDIAN_COST = 0.5

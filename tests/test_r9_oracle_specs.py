@@ -164,3 +164,11 @@ def test_rrf_hybrid_registered_pair(spark):
 def test_silhouette_registered_pair(spark):
     n = _compare_registered(spark, "embedding_silhouette")
     assert n == 10  # one row per fixture label
+
+
+def test_format_parity_registered_pair(spark):
+    """The graded parity invariant: 2 formats x 4 tables, every
+    fingerprint equal to the oracle's independent SQL rebuild of the
+    pipeline from the same literal records."""
+    n = _compare_registered(spark, "flashscore_format_parity")
+    assert n == 8
