@@ -478,3 +478,62 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_target_encoding_fact_path_never_shuffles(spark):
+    """target_encode_loo's 100 TB claim, machine-pinned: the ONLY
+    hash-partitioned Exchange is the tiny category aggregate (keyed on
+    the category column); the fact table joins it via broadcast and the
+    global mean via a constant-size broadcast nested loop — the encode
+    is a scan-side projection. The top-k ships as TakeOrdered, never a
+    global sort."""
+    df = _builders()["orders_target_encoding"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("o_orderpriority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_anomaly_single_keyed_exchange_no_join(spark):
+    """rolling_anomaly's scale shape: ONE Exchange hashpartitioning on
+    the user key feeding the sliding window — no join operator, no
+    single-partition window over the data."""
+    df = _builders()["events_rolling_anomaly"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("user_id")
+    assert "Exchange SinglePartition" not in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "NestedLoopJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+
+
+def test_roc_auc_no_rank_sum_sort(spark):
+    """roc_auc_binned's claim that it avoids the textbook rank-sum
+    global sort: the only data-path exchange is the bucket aggregate;
+    every Sort node sits above a SinglePartition exchange of the
+    <= bins-row AGGREGATE frame, and no sort-merge join appears."""
+    df = _builders()["orders_roc_auc"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("__bucket")
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_joins_are_broadcast_topk_is_takeordered(spark):
+    """text_bm25_topk's scale shape: the df and corpus-stats frames
+    reach the postings via broadcast (no sort-merge/shuffled hash join
+    of the postings), and the top-k ships as TakeOrdered."""
+    df = _builders()["text_bm25_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
