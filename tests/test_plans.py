@@ -537,3 +537,34 @@ def test_bm25_joins_are_broadcast_topk_is_takeordered(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_silhouette_scoring_is_scan_side(spark):
+    """silhouette_by_label's scale claim: after the (collected, bounded)
+    centroid aggregate, the returned frame's plan is scoring-projection
+    -> ONE label-keyed aggregate exchange — no join operator anywhere
+    (the centroids ride as literals, the kmeans assignment shape)."""
+    df = _builders()["embedding_silhouette"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("__lbl")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "NestedLoopJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+
+
+def test_welch_ttest_moments_only_exchange(spark):
+    """welch_ttest's scale claim: one variant-keyed moment aggregate
+    (observations never shuffle raw) + the 2-row -> 1-row fold; no join
+    operator."""
+    df = _builders()["events_ab_welch_ttest"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("variant")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "NestedLoopJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op

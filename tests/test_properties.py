@@ -269,3 +269,143 @@ def test_binned_range_join_bucket_rule_is_complete(lts, rts, lower, width):
             if spark_div(r, width) in buckets and l + lower <= r < l + upper:
                 got.add((l, r))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier: the exp(running ln-sum) + dead-latch formulation must equal
+# the textbook iterative product-limit on any (duration, observed) multiset
+# ---------------------------------------------------------------------------
+
+def _km_operator_algebra(rows):
+    """Python twin of relational.kaplan_meier's window algebra: per-t
+    aggregate, risk set via prior-row sums, survival as exp of the
+    running ln-sum with the all-at-risk-fail latch."""
+    import math as m
+    from collections import Counter
+    ev, cn = Counter(), Counter()
+    for t, obs in rows:
+        (ev if obs else cn)[t] += 1
+    ts = sorted(set(ev) | set(cn))
+    total = len(rows)
+    out, seen, lsum, dead = {}, 0, 0.0, False
+    for t in ts:
+        n_risk = total - seen
+        ne = ev[t]
+        if ne >= n_risk:
+            dead = True
+        elif ne > 0:
+            lsum += m.log(1.0 - ne / n_risk)
+        out[t] = 0.0 if dead else m.exp(lsum)
+        seen += ne + cn[t]
+    return out
+
+
+def _km_textbook(rows):
+    """Independent reference: classic iterative product limit."""
+    from collections import Counter
+    ev, cn = Counter(), Counter()
+    for t, obs in rows:
+        (ev if obs else cn)[t] += 1
+    ts = sorted(set(ev) | set(cn))
+    total, s, out = len(rows), 1.0, {}
+    at_risk = total
+    for t in ts:
+        if ev[t]:
+            s *= 1.0 - ev[t] / at_risk
+        out[t] = s
+        at_risk -= ev[t] + cn[t]
+    return out
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                          st.booleans()),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_kaplan_meier_algebra_matches_textbook_product(rows):
+    got, ref = _km_operator_algebra(rows), _km_textbook(rows)
+    assert set(got) == set(ref)
+    prev = 1.0
+    for t in sorted(got):
+        assert abs(got[t] - ref[t]) < 1e-12
+        assert -1e-12 <= got[t] <= prev + 1e-12  # monotone in [0, 1]
+        prev = got[t]
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_binned: trapezoid algebra invariants — AUC in [0, 1], and
+# reversing the bucket order (an anti-scoring) reflects it to 1 - AUC
+# ---------------------------------------------------------------------------
+
+def _trapezoid_auc(buckets):
+    """Python twin of the operator's cumulative TPR/FPR + trapezoid
+    windows over (n_pos, n_neg) rows ordered score-descending."""
+    tp = sum(p for p, _ in buckets)
+    fp = sum(n for _, n in buckets)
+    auc, ct, cf, lt, lf = 0.0, 0, 0, 0.0, 0.0
+    for p, n in buckets:
+        ct += p
+        cf += n
+        tpr, fpr = ct / tp, cf / fp
+        auc += (fpr - lf) * (tpr + lt) / 2
+        lt, lf = tpr, fpr
+    return auc
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                min_size=1, max_size=25).filter(
+                    lambda b: sum(p for p, _ in b) > 0
+                    and sum(n for _, n in b) > 0))
+@settings(max_examples=300)
+def test_roc_trapezoid_bounds_and_reflection(buckets):
+    auc = _trapezoid_auc(buckets)
+    assert -1e-12 <= auc <= 1 + 1e-12
+    assert abs(_trapezoid_auc(buckets[::-1]) - (1.0 - auc)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# mutual_information: empirical MI of ANY contingency table is >= 0
+# (Jensen); zero exactly when the table is a product of its marginals
+# ---------------------------------------------------------------------------
+
+def _mi_total(cells):
+    import math as m
+    tot = sum(cells.values())
+    px, py = {}, {}
+    for (x, y), n in cells.items():
+        px[x] = px.get(x, 0) + n
+        py[y] = py.get(y, 0) + n
+    return sum((n / tot) * m.log((n / tot) / ((px[x] / tot) * (py[y] / tot)))
+               for (x, y), n in cells.items())
+
+
+@given(st.dictionaries(
+    st.tuples(st.integers(0, 3), st.integers(0, 3)),
+    st.integers(min_value=1, max_value=40),
+    min_size=1, max_size=16))
+@settings(max_examples=300)
+def test_mutual_information_nonnegative_and_product_zero(cells):
+    assert _mi_total(cells) >= -1e-12
+    # product table from the same marginals -> exactly independent
+    xs = sorted({x for x, _ in cells})
+    ys = sorted({y for _, y in cells})
+    prod = {(x, y): 1 + 2 * xi + 3 * yi  # any rank-1 n_x * n_y pattern
+            for xi, x in enumerate(xs) for yi, y in enumerate(ys)}
+    rank1 = {(x, y): (1 + xi) * (1 + yi)
+             for xi, x in enumerate(xs) for yi, y in enumerate(ys)}
+    del prod
+    assert abs(_mi_total(rank1)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# benford_audit: the integer-string digit rule == the first significant
+# digit for any cents-representable positive amount
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=300)
+def test_benford_cents_digit_is_first_significant(cents):
+    via_string = int(str(cents)[0])
+    c = cents
+    while c >= 10:
+        c //= 10
+    assert via_string == c
