@@ -587,6 +587,87 @@ def user_activity_stateful(events: DataFrame,
     )
 
 
+def anomaly_stream(events: DataFrame, w: int = 20,
+                   z_thresh: float = 3.0, min_n: int = 8,
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Live twin of ``relational.rolling_anomaly`` (the graded batch
+    query): per-user rolling z-score anomaly flags with BOUNDED state —
+    applyInPandasWithState keeps only the last ``w`` values per user
+    (a true O(w) ring, not the user's history), scores each arriving
+    event against the trailing window of PRIOR values (strictly causal),
+    and appends flagged rows.
+
+    Ordering contract: rows are scored in (ts_ms, event_id) order WITHIN
+    each micro-batch and in arrival order across batches — identical to
+    the batch operator whenever a batch drains in-order data (pinned by
+    the parity test); late rows inside the watermark are scored on
+    arrival against the state as-of arrival, the standard
+    streaming-vs-batch divergence every stateful op here documents.
+    State is per-key and partitioned by the groupBy, so it scales
+    horizontally; w bounds each key's state regardless of run length.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("roll_mean", T.DoubleType()),
+        T.StructField("roll_std", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        vals = list(state.get[0]) if state.exists else []
+        hits = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "event_id"])
+            for ts_ms, event_id, value in zip(
+                    pdf["ts_ms"], pdf["event_id"], pdf["value"]):
+                if value is not None and not pd.isna(value):
+                    n = len(vals)
+                    if n >= min_n:
+                        mean = sum(vals) / n
+                        var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+                        sd = math.sqrt(var)
+                        if sd > 1e-9:
+                            z = (float(value) - mean) / sd
+                            if abs(z) >= z_thresh:
+                                hits.append({
+                                    "user_id": user_id,
+                                    "ts_ms": int(ts_ms),
+                                    "event_id": int(event_id),
+                                    "value": float(value),
+                                    "n_prior": n,
+                                    "roll_mean": round(mean, 6),
+                                    "roll_std": round(sd, 6),
+                                    "zscore": round(z, 4),
+                                })
+                    vals.append(float(value))
+                    if len(vals) > w:
+                        vals.pop(0)
+        state.update((vals,))
+        if hits:
+            yield pd.DataFrame(hits)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
 def user_totals_tws(events: DataFrame) -> DataFrame:
     """Per-user running totals via ``transformWithStateInPandas`` — the
     Spark 4 arbitrary-state API (StatefulProcessor + typed state handles)

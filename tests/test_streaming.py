@@ -745,3 +745,89 @@ def test_split_sink_accounting_matches_batch_twin(spark, tmp_path):
                      spark.read.parquet(str(tmp_path / side)).collect())
         md5 = hashlib.md5(",".join(sorted(ids)).encode()).hexdigest()
         assert (len(ids), md5) == acct[keep], side
+
+
+def test_anomaly_stream_matches_batch_rolling_anomaly(spark, tmp_path):
+    """The live anomaly detector == the graded batch operator on an
+    in-order drain: same spike flagged with identical trailing stats,
+    cold-start rows suppressed, constant-series (sd=0) users silent.
+    State is the O(w) value ring, never the user's history."""
+    import json as _json
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    vals = [10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.0, 10.1, 9.9, 10.0,
+            50.0, 10.05]
+    rows = [{"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": 1,
+             "event_type": "view", "value": v}
+            for i, v in enumerate(vals)]
+    rows += [{"event_id": 100 + i, "ts_ms": 60_000 * (i + 1), "user_id": 2,
+              "event_type": "view", "value": 5.0} for i in range(12)]
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    q = sp.run_to_memory(
+        sp.anomaly_stream(sp.stream_events(spark, str(src)),
+                          w=20, z_thresh=3.0, min_n=8),
+        "anoms", str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = [tuple(r) for r in
+           spark.table("anoms")
+           .select("user_id", "ts_ms", "event_id", "value", "n_prior",
+                   "roll_mean", "roll_std", "zscore")
+           .orderBy("user_id", "ts_ms").collect()]
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts_ms"], r["event_id"], r["value"])
+         for r in rows], ["user_id", "ts_ms", "event_id", "value"])
+    want = [tuple(r) for r in
+            relational.rolling_anomaly(
+                batch_df, key="user_id", ts="ts_ms", value="value",
+                id_col="event_id", w=20, z_thresh=3.0, min_n=8)
+            .orderBy("user_id", "ts_ms").collect()]
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 1  # exactly the spike row
+
+
+def test_anomaly_stream_state_survives_restart(spark, tmp_path):
+    """The value ring persists in the checkpoint: a spike arriving in a
+    LATER drain is scored against state built by the earlier one
+    (n_prior counts the first file's events), and the ring stays
+    w-bounded."""
+    import json as _json
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    stable = [{"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": 7,
+               "event_type": "view", "value": 20.0 + (i % 3) * 0.1}
+              for i in range(10)]
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in stable))
+    ck, out_dir = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and checkpoint recovery IS what this test exercises
+        q = sp.run_to_parquet(
+            sp.anomaly_stream(sp.stream_events(spark, str(src)),
+                              w=5, z_thresh=3.0, min_n=4),
+            out_dir, ck)
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == 0  # stable, no alerts
+
+    (src / "e2.json").write_text(_json.dumps(
+        {"event_id": 99, "ts_ms": 60_000 * 20, "user_id": 7,
+         "event_type": "view", "value": 90.0}))
+    drain()
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 99
+    # w=5 bounds the ring: only the LAST 5 stable values are the window
+    assert r["n_prior"] == 5
+    import statistics as st
+    tail = [20.0 + (i % 3) * 0.1 for i in range(5, 10)]
+    assert abs(r["roll_mean"] - round(st.mean(tail), 6)) < 1e-9
+    assert abs(r["roll_std"] - round(st.stdev(tail), 6)) < 1e-9
