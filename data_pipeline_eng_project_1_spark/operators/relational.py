@@ -1256,3 +1256,53 @@ def fd_violations(df: DataFrame, lhs: str, rhs: str,
                           6).alias("fd_holds_pct")))
     return out.orderBy(F.desc("n_rhs"), F.desc("n_rows"),
                        F.col(lhs).asc()).limit(top)
+
+
+def cusum_changepoint(df: DataFrame, ts: str, value: str,
+                      bin_ms: int = 3_600_000) -> DataFrame:
+    """CUSUM change-point detection over a time-binned series: bin the
+    stream, take each bin's mean, and accumulate S_t = sum_{i<=t}
+    (x_i - x_bar); the bin where |S| peaks is the classic CUSUM
+    change-point estimate — it LOCALIZES the shift the drift monitors
+    (psi_drift, text_kl_drift) only detect. Returns one row per bin:
+    (bin_idx, n, bin_mean, cusum, max_abs_cusum, changepoint_bin,
+    is_changepoint).
+
+    ``ts`` must be integer epoch units (integer DIV binning, exact).
+
+    Scale shape: ONE partial+final (bin) aggregate -> a frame bounded by
+    the time range over ``bin_ms``; the series mean / running CUSUM /
+    arg-peak windows all run over that AGGREGATE frame, never the
+    events. No global sort of the data, no join.
+    """
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"cusum_changepoint: ts column {ts!r} must be an "
+                        f"integer epoch-units type, got {ts_t}")
+    binned = (df.select(F.expr(f"{ts} DIV {bin_ms}").alias("__bin"),
+                        F.col(value).alias("__v"))
+              .groupBy("__bin")
+              .agg(F.count("__v").alias("n"), F.avg("__v").alias("__m")))
+    ordw = Window.orderBy("__bin")
+    whole = ordw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xbar = F.avg("__m").over(whole)
+    staged = binned.select(
+        "__bin", "n", "__m",
+        F.sum(F.col("__m") - xbar).over(cum).alias("__s"))
+    peak = Window.orderBy(F.abs(F.col("__s")).desc(), F.col("__bin").asc())
+    arg = F.first("__bin").over(
+        peak.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    whole2 = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return staged.select(
+        F.col("__bin").cast("long").alias("bin_idx"),
+        "n",
+        F.round("__m", 6).alias("bin_mean"),
+        F.round("__s", 6).alias("cusum"),
+        F.round(F.max(F.abs(F.col("__s"))).over(whole2), 6)
+         .alias("max_abs_cusum"),
+        arg.cast("long").alias("changepoint_bin"),
+        (F.col("__bin") == arg).alias("is_changepoint"))

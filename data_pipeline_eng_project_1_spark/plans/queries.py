@@ -3763,6 +3763,50 @@ def _q_lineitem_fd_violations(spark, sf_dir):
     return relational.fd_violations(li, "l_partkey", "l_suppkey", top=10)
 
 
+@_register(
+    "events_cusum_changepoint",
+    """
+    WITH b AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS bin,
+                      value
+               FROM events),
+    g AS (SELECT bin, count(value) AS n, avg(value) AS m
+          FROM b GROUP BY 1),
+    g2 AS (SELECT bin, n, m, avg(m) OVER () AS xbar FROM g),
+    s AS (SELECT bin, n, m,
+                 sum(m - xbar) OVER
+                   (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cs
+          FROM g2),
+    p AS (SELECT *, first_value(bin) OVER
+                      (ORDER BY abs(cs) DESC, bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS cp,
+                 max(abs(cs)) OVER () AS mx
+          FROM s)
+    SELECT CAST(bin AS BIGINT) AS bin_idx,
+           CAST(n AS BIGINT) AS n,
+           round(m, 6) AS bin_mean,
+           round(cs, 6) AS cusum,
+           round(mx, 6) AS max_abs_cusum,
+           CAST(cp AS BIGINT) AS changepoint_bin,
+           bin = cp AS is_changepoint
+    FROM p
+    """,
+    doc="CUSUM change-point detection over hourly event-value means: "
+        "S_t = running sum of (bin mean - series mean), peak |S| "
+        "localizes the level shift the drift monitors only detect — "
+        "the classic sequential-monitoring estimator. One bin-keyed "
+        "partial+final aggregate; series-mean / running-CUSUM / "
+        "arg-peak windows all run over the <= #bins AGGREGATE frame — "
+        "operators/relational.py::cusum_changepoint.",
+)
+def _q_events_cusum_changepoint(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.cusum_changepoint(
+        ev.select("ts_ms", "value"), ts="ts_ms", value="value",
+        bin_ms=3_600_000)
+
+
 # ---------------------------------------------------------------------------
 # Flashscore intake format parity (SURVEY.md §2.1: JSON + XML twins)
 # ---------------------------------------------------------------------------

@@ -208,6 +208,7 @@ _MEASURED_COST_S = {
     "similarity_link_prediction": 2.12,
     "corpus_pipeline_end_to_end": 2.15,
     "events_psi_drift": 2.31,
+    "events_cusum_changepoint": 2.34,
     "events_ab_welch_ttest": 2.51,
     "events_multi_touch_attribution": 2.54,
     "embeddings_kmeans_lloyd": 2.88,

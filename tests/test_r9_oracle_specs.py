@@ -172,3 +172,8 @@ def test_format_parity_registered_pair(spark):
     pipeline from the same literal records."""
     n = _compare_registered(spark, "flashscore_format_parity")
     assert n == 8
+
+
+def test_cusum_registered_pair(spark):
+    n = _compare_registered(spark, "events_cusum_changepoint")
+    assert n >= 24  # at least a day of hourly bins

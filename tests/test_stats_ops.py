@@ -663,3 +663,36 @@ def test_fd_violations_ranks_and_summary(spark):
         ("p1", 3, 3), ("p2", 2, 3)]
     assert out[0]["n_keys"] == 3 and out[0]["n_violating"] == 2
     assert out[0]["fd_holds_pct"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------------
+
+def test_cusum_changepoint_localizes_step(spark):
+    """A clean level shift: |CUSUM| peaks at the last pre-shift bin, the
+    per-bin means and running sums match a sequential replay, and the
+    integer-ts guard rejects fractional timestamps."""
+    # 6 bins at mean 10, then 6 bins at mean 30 (bin_ms = 100)
+    rows = [(b * 100 + o, 10.0 if b < 6 else 30.0)
+            for b in range(12) for o in (5, 50)]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    out = {r["bin_idx"]: r for r in relational.cusum_changepoint(
+        df, ts="t", value="v", bin_ms=100).collect()}
+    assert len(out) == 12
+    xbar = 20.0
+    run, peak_bin, peak = 0.0, None, -1.0
+    for b in range(12):
+        run += (10.0 if b < 6 else 30.0) - xbar
+        if abs(run) > peak:
+            peak, peak_bin = abs(run), b
+        assert out[b]["cusum"] == pytest.approx(run, abs=1e-6)
+        assert out[b]["n"] == 2
+    assert peak_bin == 5  # last pre-shift bin
+    assert all(r["changepoint_bin"] == 5 for r in out.values())
+    assert out[5]["is_changepoint"] and not out[4]["is_changepoint"]
+    assert out[0]["max_abs_cusum"] == pytest.approx(peak, abs=1e-6)
+
+    frac = df.withColumn("t", F.col("t").cast("double"))
+    with pytest.raises(TypeError, match="integer epoch-units"):
+        relational.cusum_changepoint(frac, ts="t", value="v")
