@@ -1306,3 +1306,104 @@ def cusum_changepoint(df: DataFrame, ts: str, value: str,
          .alias("max_abs_cusum"),
         arg.cast("long").alias("changepoint_bin"),
         (F.col("__bin") == arg).alias("is_changepoint"))
+
+
+def ecdf_drift(df: DataFrame, value: str, ts: str,
+               bins: int = 20) -> DataFrame:
+    """Kolmogorov-Smirnov-style ecdf drift between the first and second
+    halves of a table's time range: the NONPARAMETRIC companion to
+    psi_drift — instead of binned mass ratios it compares the two
+    cumulative distributions at the baseline's quantile boundaries and
+    reports the max gap (a lower bound of the exact two-sample KS D
+    that converges as bins grow; exact D needs a total order over every
+    distinct value, which is precisely the sort this formulation
+    avoids). Same split/binning conventions as psi_drift (integer-ts
+    midpoint, baseline quantile boundaries, strictly-below fold).
+
+    Returns per non-empty bucket: (bucket, n_base, n_curr, f_base,
+    f_curr, gap, ks_stat) where f_* are the cumulative shares at the
+    bucket's upper boundary and ks_stat = max gap over all buckets.
+
+    Scale shape (psi_drift verbatim): ONE (min, max) scalar aggregate,
+    ONE baseline percentile aggregate (approx_percentile at 100 TB),
+    scan-side bucket fold, ONE partial+final bucket aggregate; the
+    cumulative/max windows run over the <= bins-row AGGREGATE frame.
+    """
+    if bins < 2:
+        raise ValueError("ecdf_drift: bins must be >= 2")
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"ecdf_drift: ts column {ts!r} must be an integer "
+                        f"epoch-units type, got {ts_t}")
+    mid = df.agg(F.expr(f"(min({ts}) + max({ts})) DIV 2").alias("__mid"))
+    with_mid = df.crossJoin(F.broadcast(mid))
+    is_base = F.col(ts) < F.col("__mid")
+    fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    bounds = (with_mid.filter(is_base)
+              .agg(F.array_distinct(
+                  F.percentile(F.col(value), fracs)).alias("__bs")))
+    bucket = (F.size(F.filter(F.col("__bs"),
+                              lambda b: b < F.col(value))) + 1)
+    agg = (
+        with_mid.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("__bucket"),
+                is_base.cast("long").alias("__b"),
+                (~is_base).cast("long").alias("__c"))
+        .groupBy("__bucket")
+        .agg(F.sum("__b").alias("n_base"), F.sum("__c").alias("n_curr"))
+    )
+    # everything below runs over the <= bins-row aggregate frame
+    ordw = Window.orderBy("__bucket")
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = ordw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    f_base = F.sum("n_base").over(cum) / F.sum("n_base").over(whole)
+    f_curr = F.sum("n_curr").over(cum) / F.sum("n_curr").over(whole)
+    gap = F.abs(f_base - f_curr)
+    staged = agg.select(
+        F.dense_rank().over(ordw).alias("bucket"),
+        "n_base", "n_curr",
+        F.round(f_base, 6).alias("f_base"),
+        F.round(f_curr, 6).alias("f_curr"),
+        gap.alias("__gap"))
+    whole2 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return staged.select(
+        "bucket", "n_base", "n_curr", "f_base", "f_curr",
+        F.round(F.col("__gap"), 6).alias("gap"),
+        F.round(F.max("__gap").over(whole2), 6).alias("ks_stat"))
+
+
+def conversion_latency(events: DataFrame, conversion_type: str,
+                       touch_types: list[str], horizon: int,
+                       key: str = "user_id", ts: str = "ts_ms",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id") -> DataFrame:
+    """Conversion-latency distribution: quantiles and mean of
+    (conversion_ts - last_touch_ts) over attributed conversions — the
+    'how long after the ad do people buy' funnel-velocity statistic,
+    built ON the attribute_last_touch semantics (same horizon and tie
+    conventions, unattributed conversions counted but excluded from the
+    latency aggregates). Returns ONE row: (n_conversions, n_attributed,
+    p25_ms, p50_ms, p75_ms, p90_ms, mean_latency_ms).
+
+    Scale shape: the attribution union-sort (one key-keyed exchange) +
+    ONE global percentile aggregate over the per-conversion latencies
+    (exact here; approx_percentile is the 100 TB dial, same plan).
+    """
+    att = attribute_last_touch(events, conversion_type, touch_types,
+                               horizon, key, ts, type_col, id_col)
+    lat = F.col("conversion_ts") - F.col("touch_ts")
+    fr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    agg = att.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.count("touch_ts").alias("n_attributed"),
+        F.percentile(lat, fr).alias("__q"),
+        F.round(F.avg(lat), 4).alias("mean_latency_ms"))
+    return agg.select(
+        "n_conversions", "n_attributed",
+        F.round(F.element_at("__q", 1), 4).alias("p25_ms"),
+        F.round(F.element_at("__q", 2), 4).alias("p50_ms"),
+        F.round(F.element_at("__q", 3), 4).alias("p75_ms"),
+        F.round(F.element_at("__q", 4), 4).alias("p90_ms"),
+        "mean_latency_ms")
