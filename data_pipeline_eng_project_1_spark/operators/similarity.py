@@ -1110,14 +1110,26 @@ def silhouette_by_label(corpus: DataFrame, vec_col: str = "embedding",
                           for i in range(dim)]
              for r in rows}
     labels = sorted(cents)
-    dist = {l: _sq_l2_to_literal("__v", cents[l]) for l in labels}
-    a = F.lit(None).cast("double")
-    b = F.lit(None).cast("double")
-    for l in labels:
-        others = [dist[m] for m in labels if m != l]
-        nearest = others[0] if len(others) == 1 else F.least(*others)
-        a = F.when(F.col("__lbl") == l, dist[l]).otherwise(a)
-        b = F.when(F.col("__lbl") == l, nearest).otherwise(b)
+
+    # One SQL string per expression instead of k x k py4j Column builds:
+    # the similarity_ann_ivf lesson — ~100 sq-L2 sub-expressions built
+    # through when()/least() Column algebra cost ~2 s of pure driver
+    # py4j round-trips per plan; two F.expr parses are milliseconds.
+    def _sq(center: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in center) + ")"
+        return (f"aggregate(zip_with(__v, {arr}, (x, y) -> (x - y) * (x - y)),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    a_sql = "CASE __lbl " + " ".join(
+        f"WHEN {l} THEN {_sq(cents[l])}" for l in labels) + " END"
+    b_sql = "CASE __lbl " + " ".join(
+        "WHEN {l} THEN {near}".format(
+            l=l,
+            near=(lambda os: os[0] if len(os) == 1
+                  else "least(" + ", ".join(os) + ")")(
+                [_sq(cents[m]) for m in labels if m != l]))
+        for l in labels) + " END"
+    a, b = F.expr(a_sql), F.expr(b_sql)
     sil = F.when(F.greatest(a, b) > 0,
                  (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
     per = (base.select("__lbl", sil.alias("__s"))

@@ -216,12 +216,12 @@ _MEASURED_COST_S = {
     "dedup_incremental": 3.00,
     "doc_cdc_chunks": 3.13,
     "dedup_components": 3.21,
-    "embedding_silhouette": 5.56,
     "embedding_pca_power": 5.73,
     "dedup_winnow_pairs": 5.93,
     "corpus_leakage_safe_split": 6.30,
     "text_rrf_hybrid": 6.37,
     "flashscore_format_parity": 6.77,
+    "embedding_silhouette": 6.90,
 }
 
 _MEDIAN_COST = 0.5
