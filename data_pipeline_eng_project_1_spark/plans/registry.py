@@ -48,180 +48,180 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.19,
-    "unpivot_part_metrics": 0.21,
+    "sort_limit_topk": 0.14,
+    "unpivot_part_metrics": 0.15,
+    "filter_project_cast": 0.17,
+    "multimodal_meta": 0.17,
+    "string_funcs_part": 0.17,
+    "array_hof_stats": 0.18,
+    "date_parts_orders": 0.19,
+    "doc_chunks": 0.19,
+    "text_fingerprint": 0.19,
+    "corpus_weighted_reservoir": 0.20,
+    "posexplode_tokens": 0.21,
     "vector_norms": 0.21,
-    "multimodal_meta": 0.22,
-    "posexplode_tokens": 0.23,
-    "array_hof_stats": 0.25,
-    "string_funcs_part": 0.25,
-    "try_cast_dirty": 0.25,
-    "doc_chunks": 0.26,
-    "filter_project_cast": 0.27,
-    "null_conditional_agg": 0.27,
-    "window_distribution": 0.28,
-    "date_parts_orders": 0.29,
-    "text_fingerprint": 0.30,
-    "corpus_weighted_reservoir": 0.32,
-    "customer_k_anonymity": 0.32,
-    "rollup_status_priority": 0.32,
-    "text_token_topk": 0.33,
-    "cube_nation_segment": 0.34,
-    "corpus_shard_export": 0.35,
+    "cube_nation_segment": 0.22,
+    "customer_k_anonymity": 0.22,
+    "rollup_status_priority": 0.22,
+    "grouping_sets_status_priority": 0.23,
+    "null_conditional_agg": 0.23,
+    "stratified_sample": 0.23,
+    "topk_per_priority": 0.23,
+    "corpus_snapshot_diff": 0.24,
+    "try_cast_dirty": 0.24,
+    "window_running_rank": 0.24,
+    "corpus_shard_export": 0.25,
+    "customer_l_diversity": 0.25,
+    "window_range_moving_avg": 0.25,
+    "quantiles_per_priority": 0.26,
+    "pii_scrub": 0.27,
+    "stringagg_nations": 0.27,
+    "events_rollup_multigrain": 0.28,
+    "text_token_topk": 0.28,
+    "window_latest_per_key": 0.28,
+    "conditional_promo_ratio": 0.29,
+    "events_interval_coverage": 0.29,
+    "events_sessionize": 0.29,
+    "pivot_returnflag": 0.29,
+    "similarity_topk": 0.29,
+    "window_distribution": 0.29,
+    "above_avg_orders": 0.30,
+    "pricing_summary_agg": 0.30,
+    "regression_price_qty": 0.30,
+    "stats_agg_lineitem": 0.30,
+    "corpus_importance_sample": 0.31,
+    "multimodal_decode": 0.31,
+    "entity_match_fuzzy": 0.32,
+    "events_anomaly_zscore": 0.32,
+    "events_time_weighted_avg": 0.32,
+    "similarity_filtered_topk": 0.32,
+    "doc_packing": 0.33,
+    "group_distinct_agg": 0.33,
+    "quality_classifier_score": 0.33,
+    "embedding_quantize_int8": 0.34,
+    "events_grouped_regression": 0.34,
+    "events_json_extract": 0.34,
+    "corpus_negative_sampling": 0.35,
+    "embedding_random_projection": 0.35,
+    "events_tumbling_1h": 0.35,
     "multimodal_frames": 0.35,
-    "stringagg_nations": 0.35,
-    "window_range_moving_avg": 0.35,
-    "events_tumbling_1h": 0.36,
-    "stratified_sample": 0.36,
-    "regression_price_qty": 0.37,
-    "above_avg_orders": 0.38,
-    "conditional_promo_ratio": 0.38,
-    "corpus_snapshot_diff": 0.38,
-    "pricing_summary_agg": 0.38,
-    "events_interval_coverage": 0.39,
-    "events_rollup_multigrain": 0.39,
-    "events_grouped_regression": 0.40,
-    "events_sessionize": 0.40,
-    "quantiles_per_priority": 0.40,
-    "stats_agg_lineitem": 0.40,
-    "entity_match_fuzzy": 0.41,
-    "group_distinct_agg": 0.41,
-    "topk_per_priority": 0.41,
-    "customer_l_diversity": 0.42,
-    "events_hourly_retention": 0.43,
-    "embedding_random_projection": 0.44,
-    "events_markov_transitions": 0.44,
-    "events_scd2_history": 0.44,
-    "events_time_weighted_avg": 0.44,
-    "grouping_sets_status_priority": 0.44,
-    "multimodal_decode": 0.44,
-    "window_latest_per_key": 0.45,
-    "window_running_rank": 0.45,
-    "corpus_importance_sample": 0.46,
-    "doc_packing": 0.46,
-    "events_range_join_1h": 0.46,
-    "text_quality": 0.46,
-    "pii_scrub": 0.47,
-    "similarity_filtered_topk": 0.47,
-    "events_asof_click": 0.48,
-    "events_json_extract": 0.48,
-    "events_last_touch_attribution": 0.48,
-    "parts_skyline_frontier": 0.48,
-    "corpus_domain_cap": 0.49,
-    "customer_order_histogram": 0.49,
-    "pivot_returnflag": 0.49,
-    "semi_anti_customers": 0.49,
-    "map_priority_counts": 0.50,
-    "embedding_covariance": 0.51,
-    "embedding_quantize_int8": 0.51,
-    "corpus_negative_sampling": 0.52,
-    "events_anomaly_zscore": 0.52,
-    "small_qty_part_revenue": 0.52,
-    "disjunctive_bracket_revenue": 0.53,
-    "orders_equidepth_histogram": 0.53,
-    "set_ops_custkeys": 0.53,
-    "lineitem_expectations_audit": 0.54,
-    "dedup_exact": 0.55,
-    "window_lead_lag": 0.55,
-    "hll_distinct_audit": 0.56,
-    "late_shipment_priority": 0.56,
-    "multimodal_phash_dedup": 0.56,
-    "orders_incremental_rollup": 0.56,
-    "orders_mad_outliers": 0.56,
-    "orders_subsample_variance": 0.56,
+    "pii_creditcard_luhn": 0.35,
+    "disjunctive_bracket_revenue": 0.36,
+    "events_scd2_history": 0.36,
+    "hll_distinct_audit": 0.36,
+    "customer_order_histogram": 0.37,
+    "events_asof_click": 0.37,
+    "events_markov_transitions": 0.38,
+    "parts_skyline_frontier": 0.38,
+    "semi_anti_customers": 0.38,
+    "top_revenue_supplier": 0.38,
+    "corpus_temperature_mixture": 0.39,
+    "events_hourly_retention": 0.39,
+    "orders_mad_outliers": 0.39,
+    "corpus_domain_cap": 0.40,
+    "embedding_covariance": 0.41,
+    "text_quality": 0.42,
+    "events_range_join_1h": 0.43,
+    "window_lead_lag": 0.43,
+    "small_qty_part_revenue": 0.44,
+    "events_count_min_sketch": 0.45,
+    "late_shipment_priority": 0.45,
+    "orders_incremental_rollup": 0.45,
+    "lineitem_expectations_audit": 0.46,
+    "skew_salted_join": 0.46,
+    "set_ops_custkeys": 0.47,
+    "text_char_entropy": 0.47,
+    "corpus_mixture_sample": 0.48,
+    "events_last_touch_attribution": 0.49,
+    "join_topk_revenue": 0.49,
+    "map_priority_counts": 0.49,
+    "orders_equidepth_histogram": 0.49,
+    "dedup_exact": 0.50,
+    "grouped_zscore_pandas": 0.50,
+    "multimodal_phash_dedup": 0.50,
+    "orders_subsample_variance": 0.50,
+    "scalar_subquery_share": 0.50,
+    "text_repetition": 0.50,
+    "events_cusum_changepoint": 0.52,
+    "text_kl_drift": 0.52,
+    "events_chisq_independence": 0.54,
+    "dedup_exact_spans_staggered": 0.55,
+    "large_order_customers": 0.55,
     "rich_quiet_customers": 0.56,
-    "skew_salted_join": 0.56,
-    "corpus_mixture_sample": 0.57,
-    "corpus_temperature_mixture": 0.57,
-    "dedup_exact_spans": 0.57,
-    "quality_classifier_score": 0.57,
-    "text_repetition": 0.57,
-    "top_revenue_supplier": 0.57,
-    "pii_creditcard_luhn": 0.58,
-    "scalar_subquery_share": 0.60,
-    "sole_blame_suppliers": 0.60,
-    "text_kl_drift": 0.61,
-    "dedup_embedding_cosine": 0.62,
-    "text_char_entropy": 0.62,
-    "events_count_min_sketch": 0.64,
-    "large_order_customers": 0.64,
-    "events_chisq_independence": 0.66,
-    "join_topk_revenue": 0.67,
-    "events_sliding_1h_15m": 0.72,
-    "star_join_region_revenue": 0.72,
-    "text_unigram_logprob": 0.72,
-    "orders_cohort_retention": 0.73,
-    "corpus_doremi_reweight": 0.75,
-    "bloom_pruned_join": 0.76,
-    "grouped_zscore_pandas": 0.77,
-    "text_heavy_hitters": 0.77,
-    "events_gap_fill": 0.80,
-    "events_funnel_conversion": 0.83,
-    "text_langid": 0.83,
-    "parts_abc_pareto": 0.84,
-    "multimodal_audio_fp_dedup": 0.85,
-    "corpus_curation": 0.86,
-    "text_bigram_lm_perplexity": 0.89,
-    "basket_brand_lift": 0.90,
+    "sole_blame_suppliers": 0.58,
+    "text_unigram_logprob": 0.58,
+    "orders_cohort_retention": 0.59,
+    "events_ab_welch_ttest": 0.60,
+    "events_funnel_conversion": 0.60,
+    "events_sliding_1h_15m": 0.60,
+    "dedup_embedding_cosine": 0.61,
+    "star_join_region_revenue": 0.63,
+    "dedup_exact_spans": 0.65,
+    "events_kaplan_meier": 0.67,
+    "bloom_pruned_join": 0.68,
+    "orders_target_encoding": 0.68,
+    "text_bigram_pmi": 0.68,
+    "text_bigram_lm_perplexity": 0.69,
+    "text_langid": 0.70,
+    "corpus_doremi_reweight": 0.71,
+    "lineitem_skew_profile": 0.71,
+    "parts_abc_pareto": 0.71,
+    "text_heavy_hitters": 0.71,
+    "events_gap_fill": 0.74,
+    "basket_brand_lift": 0.75,
+    "corpus_curation": 0.75,
+    "events_multi_touch_attribution": 0.76,
+    "multimodal_audio_fp_dedup": 0.76,
+    "similarity_knn_graph": 0.80,
+    "text_ngram_novelty": 0.81,
+    "nation_trade_volume": 0.88,
+    "orders_mutual_information": 0.88,
+    "dedup_containment": 0.90,
+    "text_tfidf_topterms": 0.90,
     "orders_benford_audit": 0.91,
-    "events_rolling_anomaly": 0.92,
-    "dedup_exact_spans_staggered": 0.94,
-    "nation_trade_volume": 0.95,
-    "orders_dense_index": 0.95,
-    "text_tfidf_topterms": 0.95,
-    "orders_table_profile": 0.98,
-    "lineitem_skew_profile": 0.99,
-    "orders_mutual_information": 0.99,
-    "text_collocation_llr": 1.01,
-    "text_bigram_pmi": 1.04,
-    "dedup_containment": 1.05,
-    "text_ngram_novelty": 1.06,
-    "similarity_knn_graph": 1.09,
-    "corpus_source_overlap": 1.11,
-    "referential_integrity_audit": 1.20,
-    "lineitem_fd_violations": 1.26,
-    "corpus_cluster_balance": 1.29,
-    "corpus_decontamination": 1.30,
-    "dedup_minhash_lsh": 1.33,
-    "similarity_ann_ivf": 1.37,
-    "similarity_ann_lsh": 1.38,
-    "text_winnow_fingerprint": 1.38,
-    "similarity_topk": 1.49,
-    "dedup_semantic": 1.50,
-    "similarity_label_propagation": 1.53,
-    "corpus_kcenter_coreset": 1.57,
-    "approx_distinct_custkeys": 1.61,
-    "supplier_pagerank": 1.66,
-    "text_bm25_topk": 1.67,
-    "dedup_ngram_jaccard": 1.72,
-    "similarity_ann_pq": 1.72,
-    "orders_target_encoding": 1.82,
-    "corpus_vocab_growth": 1.85,
-    "events_kaplan_meier": 1.86,
-    "similarity_graph_triangles": 1.87,
-    "dedup_simhash": 1.88,
-    "ntile_spend_quartiles": 1.90,
-    "orders_roc_auc": 1.96,
-    "text_tfidf_cosine_pairs": 1.96,
-    "text_bpe_vocab": 2.00,
-    "corpus_split_accounting": 2.08,
-    "similarity_link_prediction": 2.12,
-    "corpus_pipeline_end_to_end": 2.15,
-    "events_psi_drift": 2.31,
-    "events_cusum_changepoint": 2.34,
-    "events_ab_welch_ttest": 2.51,
-    "events_multi_touch_attribution": 2.54,
-    "embeddings_kmeans_lloyd": 2.88,
-    "dedup_keep_best": 2.93,
-    "dedup_incremental": 3.00,
-    "doc_cdc_chunks": 3.13,
-    "dedup_components": 3.21,
-    "embedding_pca_power": 5.73,
-    "dedup_winnow_pairs": 5.93,
-    "corpus_leakage_safe_split": 6.30,
-    "text_rrf_hybrid": 6.37,
-    "flashscore_format_parity": 6.77,
-    "embedding_silhouette": 6.90,
+    "similarity_label_propagation": 0.92,
+    "corpus_cluster_balance": 0.93,
+    "text_collocation_llr": 0.94,
+    "ntile_spend_quartiles": 0.95,
+    "similarity_ann_ivf": 0.95,
+    "events_psi_drift": 0.98,
+    "referential_integrity_audit": 0.98,
+    "corpus_source_overlap": 0.99,
+    "lineitem_fd_violations": 1.02,
+    "dedup_semantic": 1.05,
+    "similarity_ann_lsh": 1.08,
+    "orders_roc_auc": 1.09,
+    "dedup_ngram_jaccard": 1.11,
+    "text_winnow_fingerprint": 1.12,
+    "approx_distinct_custkeys": 1.14,
+    "corpus_decontamination": 1.15,
+    "events_rolling_anomaly": 1.19,
+    "dedup_incremental": 1.22,
+    "dedup_minhash_lsh": 1.25,
+    "text_rrf_hybrid": 1.28,
+    "similarity_link_prediction": 1.29,
+    "corpus_vocab_growth": 1.34,
+    "text_tfidf_cosine_pairs": 1.41,
+    "corpus_kcenter_coreset": 1.43,
+    "orders_dense_index": 1.46,
+    "supplier_pagerank": 1.46,
+    "dedup_simhash": 1.47,
+    "text_bm25_topk": 1.50,
+    "corpus_leakage_safe_split": 1.51,
+    "dedup_components": 1.55,
+    "similarity_graph_triangles": 1.65,
+    "orders_table_profile": 1.68,
+    "similarity_ann_pq": 1.69,
+    "text_bpe_vocab": 1.70,
+    "corpus_pipeline_end_to_end": 1.74,
+    "corpus_split_accounting": 1.87,
+    "embeddings_kmeans_lloyd": 2.33,
+    "doc_cdc_chunks": 2.63,
+    "dedup_keep_best": 2.71,
+    "flashscore_format_parity": 2.83,
+    "embedding_silhouette": 2.90,
+    "dedup_winnow_pairs": 2.99,
+    "embedding_pca_power": 4.38,
 }
 
 _MEDIAN_COST = 0.5
