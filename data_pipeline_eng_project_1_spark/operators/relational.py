@@ -19,8 +19,23 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _require_plain_identifier(op: str, name: str) -> None:
+    """Guard for operators that interpolate a column NAME into a generated
+    SQL string (``F.expr(f"min({name}) ..."``): a name needing backticks
+    (space, dot, quote) would break or splice the generated expression.
+    Same contract as table_profile's stack() guard — alias the column to a
+    plain identifier before calling."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"{op}: column name {name!r} is not a plain identifier "
+            "([A-Za-z_][A-Za-z0-9_]*); alias it first — the name is "
+            "interpolated into a generated SQL expression")
 
 
 def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
@@ -719,6 +734,7 @@ def psi_drift(df: DataFrame, value: str, ts: str,
     """
     if bins < 2:
         raise ValueError("psi_drift: bins must be >= 2")
+    _require_plain_identifier("psi_drift", ts)
     ts_t = df.schema[ts].dataType.simpleString()
     if ts_t not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(f"psi_drift: ts column {ts!r} must be an integer "
@@ -1086,11 +1102,20 @@ def rolling_anomaly(df: DataFrame, key: str, ts: str, value: str,
     glitches); ``min_n`` prior points are required before scoring so
     cold-start rows never alert off a 2-point "distribution".
 
+    Null ``value`` rows are dropped BEFORE the window, so the trailing
+    frame spans the last ``w`` non-null OBSERVATIONS — the same
+    semantics as the live streaming twin's O(w) value ring
+    (streaming/pipeline.py::anomaly_stream); without the filter a null
+    row would occupy a frame slot and silently shrink n_prior, and the
+    two forms would diverge on data containing nulls. (A null-value row
+    can never be scored anyway — its z-score is null.)
+
     Scale shape: ONE hash shuffle on ``key`` + per-key sort — the same
     single-exchange shape as sessionize/asof_join; the sliding frame is
     w-bounded per row, state never exceeds w values regardless of run
     length. Deterministic under ties via the (ts, id) total order.
     """
+    df = df.filter(F.col(value).isNotNull())
     win = (Window.partitionBy(key)
            .orderBy(F.col(ts).asc(), F.col(id_col).asc())
            .rowsBetween(-w, -1))
@@ -1120,6 +1145,14 @@ def welch_ttest(df: DataFrame, variant: str, value: str) -> DataFrame:
     significant_05) with df from the Welch-Satterthwaite approximation
     and the 5% two-sided normal-approximation flag.
 
+    The variant column must be a binary {0, 1} assignment: the fold
+    below takes per-moment maxima across the non-zero groups, so a third
+    variant value would silently mix moments from DIFFERENT groups into
+    one incoherent t-statistic. Validated inside the plan (the per-
+    variant aggregate is the only frame that sees the distinct values —
+    a raise_error fires on the first non-{0,1}/null variant) rather than
+    with a driver-side pre-pass that would cost a second scan.
+
     Scale shape: ONE partial+final (variant) aggregate carrying count/
     mean/var moments — five running sums through the shuffle, never the
     observations (the grouped_regression pattern); the 2-row result is
@@ -1137,14 +1170,23 @@ def welch_ttest(df: DataFrame, variant: str, value: str) -> DataFrame:
         F.max(F.when(is_a, F.col("__m"))).alias("__ma"),
         F.max(F.when(~is_a, F.col("__m"))).alias("__mb"),
         F.max(F.when(is_a, F.col("__v"))).alias("__va"),
-        F.max(F.when(~is_a, F.col("__v"))).alias("__vb"))
+        F.max(F.when(~is_a, F.col("__v"))).alias("__vb"),
+        F.sum(F.when(F.col(variant).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bad"))
     sa = F.col("__va") / F.col("n_a")
     sb = F.col("__vb") / F.col("n_b")
     t = (F.col("__ma") - F.col("__mb")) / F.sqrt(sa + sb)
     dfw = ((sa + sb) * (sa + sb)
            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)))
+    n_a_guarded = F.when(
+        F.col("__bad") > 0,
+        F.raise_error(F.lit(
+            "welch_ttest: variant column must be a binary {0, 1} "
+            "assignment — found other/null variant values; the two-"
+            "group moment fold is undefined for 3+ variants"))
+    ).otherwise(F.col("n_a"))
     return row.select(
-        "n_a", "n_b",
+        n_a_guarded.alias("n_a"), "n_b",
         F.round("__ma", 4).alias("mean_a"),
         F.round("__mb", 4).alias("mean_b"),
         F.round("__va", 4).alias("var_a"),
@@ -1205,9 +1247,16 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     cents -> leading digit of the BIGINT), never log10 floors, so the
     bucketing is bit-identical on any engine.
 
+    The output always carries all NINE digit rows: a digit that never
+    occurs still contributes its (0 - E)^2 / E * N term to the textbook
+    goodness-of-fit statistic (omitting absent digits understates
+    chi-square exactly when the distribution is most broken), so the
+    observed counts are left-joined onto the 1..9 domain before the
+    chi-square fold.
+
     Scale shape: scan-side digit algebra + ONE partial+final (digit)
-    aggregate; shares/expected/chi-square run over the <= 9-row
-    AGGREGATE frame.
+    aggregate; the 9-row domain join and the shares/expected/chi-square
+    windows run over the <= 9-row AGGREGATE frame.
     """
     cents = F.round(F.col(col) * 100, 0).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
@@ -1215,13 +1264,17 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
              .filter(F.col("__c") > 0)
              .groupBy("digit")
              .agg(F.count(F.lit(1)).alias("n")))
+    domain = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    full = domain.join(agg, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
     whole = Window.orderBy("digit").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     total = F.sum("n").over(whole)
     obs = F.col("n") / total
     exp_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
     chi_term = (obs - exp_p) * (obs - exp_p) / exp_p * total
-    return agg.select(
+    return full.select(
         "digit", "n",
         F.round(obs, 6).alias("obs_pct"),
         F.round(exp_p, 6).alias("exp_pct"),
@@ -1275,6 +1328,7 @@ def cusum_changepoint(df: DataFrame, ts: str, value: str,
     arg-peak windows all run over that AGGREGATE frame, never the
     events. No global sort of the data, no join.
     """
+    _require_plain_identifier("cusum_changepoint", ts)
     ts_t = df.schema[ts].dataType.simpleString()
     if ts_t not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(f"cusum_changepoint: ts column {ts!r} must be an "
@@ -1331,6 +1385,7 @@ def ecdf_drift(df: DataFrame, value: str, ts: str,
     """
     if bins < 2:
         raise ValueError("ecdf_drift: bins must be >= 2")
+    _require_plain_identifier("ecdf_drift", ts)
     ts_t = df.schema[ts].dataType.simpleString()
     if ts_t not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(f"ecdf_drift: ts column {ts!r} must be an integer "

@@ -1096,7 +1096,19 @@ def silhouette_by_label(corpus: DataFrame, vec_col: str = "embedding",
     no second shuffle; the final per-label aggregate is the only other
     exchange, and the corpus-average windows run over its <= k-row
     frame.
+
+    ``label_col`` must be an integral type: label VALUES are
+    interpolated into the generated ``CASE __lbl WHEN {l}`` SQL, which
+    only parses for numeric literals — a string label would yield
+    invalid SQL or unintended splicing, so it is rejected up front
+    (dense-rank string labels to ints first).
     """
+    lbl_t = corpus.schema[label_col].dataType.simpleString()
+    if lbl_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"silhouette_by_label: label column {label_col!r} must be an "
+            f"integral type (label values are interpolated into a "
+            f"generated CASE expression), got {lbl_t}")
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = corpus.select(F.col(label_col).alias("__lbl"), dbl.alias("__v"))
     sums = base.groupBy("__lbl").agg(

@@ -3328,6 +3328,55 @@ def _q_events_multi_touch_attribution(spark, sf_dir):
 
 
 @_register(
+    "events_conversion_latency",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events),
+    conv AS (SELECT user_id, ts_ms, event_id FROM e
+             WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts_ms, event_id FROM e
+          WHERE event_type IN ('view', 'click')),
+    att AS (
+      SELECT c.event_id, c.ts_ms - t.ts_ms AS lag_ms
+      FROM conv c LEFT JOIN t
+        ON t.user_id = c.user_id
+       AND t.ts_ms <= c.ts_ms AND t.ts_ms >= c.ts_ms - 3600000
+      QUALIFY row_number() OVER (
+          PARTITION BY c.event_id
+          ORDER BY t.ts_ms DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1)
+    SELECT count(*) AS n_conversions,
+           count(lag_ms) AS n_attributed,
+           round(quantile_cont(lag_ms, 0.25), 4) AS p25_ms,
+           round(quantile_cont(lag_ms, 0.50), 4) AS p50_ms,
+           round(quantile_cont(lag_ms, 0.75), 4) AS p75_ms,
+           round(quantile_cont(lag_ms, 0.90), 4) AS p90_ms,
+           round(avg(lag_ms), 4) AS mean_latency_ms
+    FROM att
+    """,
+    doc="conversion-latency distribution: quantiles and mean of "
+        "(purchase ts - last view/click ts) over attributed conversions "
+        "— the 'how long after the ad do people buy' funnel-velocity "
+        "statistic, built ON the graded last-touch semantics (same "
+        "1-hour horizon and same-instant tie conventions; unattributed "
+        "purchases counted but excluded from the latency aggregates). "
+        "Spark plan: the attribution union-sort (ONE user-keyed "
+        "exchange, the asof shape — never a join fan-out) + ONE global "
+        "percentile aggregate over the per-conversion latencies (exact "
+        "here; approx_percentile is the 100 TB dial, same plan); the "
+        "oracle spells the same semantics as the fixture-scale "
+        "horizon-bounded join + QUALIFY "
+        "(operators/relational.py::conversion_latency).",
+)
+def _q_events_conversion_latency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.conversion_latency(
+        ev.select("event_id", "user_id", "ts_ms", "event_type"),
+        conversion_type="purchase", touch_types=["view", "click"],
+        horizon=3_600_000)
+
+
+@_register(
     "events_grouped_regression",
     """
     WITH e AS (SELECT event_type,
@@ -3413,6 +3462,60 @@ def _q_events_psi_drift(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return relational.psi_drift(
         ev.select("ts_ms", "value"), "value", "ts_ms", bins=10)
+
+
+@_register(
+    "events_ecdf_drift",
+    """
+    WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+               FROM events),
+    m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e),
+    b AS (SELECT list_distinct(quantile_cont(value,
+            [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
+             0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95])) AS bs
+          FROM e, m WHERE ts_ms < mid),
+    a AS (SELECT 1 + len(list_filter(b.bs, x -> x < value)) AS bucket,
+                 CASE WHEN ts_ms < mid THEN 1 ELSE 0 END AS isb
+          FROM e, m, b),
+    g AS (SELECT bucket, sum(isb) AS n_base, sum(1 - isb) AS n_curr
+          FROM a GROUP BY bucket),
+    s AS (SELECT bucket, n_base, n_curr,
+                 (sum(n_base) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   * 1.0 / (sum(n_base) OVER ()) AS fb,
+                 (sum(n_curr) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   * 1.0 / (sum(n_curr) OVER ()) AS fc
+          FROM g),
+    s2 AS (SELECT *, abs(fb - fc) AS gap FROM s)
+    SELECT CAST(dense_rank() OVER (ORDER BY bucket) AS INTEGER) AS bucket,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_curr AS BIGINT) AS n_curr,
+           round(fb, 6) AS f_base,
+           round(fc, 6) AS f_curr,
+           round(gap, 6) AS gap,
+           round(max(gap) OVER (), 6) AS ks_stat
+    FROM s2
+    """,
+    doc="Kolmogorov-Smirnov-style ecdf drift of the event value between "
+        "the first and second halves of the time range: the "
+        "NONPARAMETRIC companion to the graded PSI monitor — cumulative "
+        "shares of both halves compared at the baseline's 20-quantile "
+        "boundaries, ks_stat = max gap (a lower bound of exact "
+        "two-sample D that converges as bins grow; exact D needs the "
+        "total order this formulation exists to avoid). Scale shape "
+        "(psi_drift verbatim): one (min,max) scalar aggregate -> integer "
+        "midpoint broadcast, one baseline percentile aggregate "
+        "(approx_percentile at 100 TB, same plan) -> boundary broadcast, "
+        "scan-side strictly-below bucketing, ONE partial+final bucket "
+        "aggregate; the cumulative/max windows run over the <= 20-row "
+        "AGGREGATE frame — no sort of the data, no join "
+        "(operators/relational.py::ecdf_drift).",
+)
+def _q_events_ecdf_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.ecdf_drift(
+        ev.select("ts_ms", "value"), "value", "ts_ms", bins=20)
 
 
 @_register(
@@ -3572,6 +3675,7 @@ def _q_orders_roc_auc(spark, sf_dir):
                       avg(value) OVER f AS m,
                       stddev_samp(value) OVER f AS sd
                FROM events
+               WHERE value IS NOT NULL
                WINDOW f AS (PARTITION BY user_id
                             ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)),
                                      event_id
@@ -3585,8 +3689,11 @@ def _q_orders_roc_auc(spark, sf_dir):
     WHERE n_prior >= 8 AND sd > 1e-9 AND abs((value - m) / sd) >= 3.0
     """,
     doc="per-user rolling z-score anomaly flags: each event scored "
-        "against the mean/stddev of its own trailing 20 PRIOR events "
-        "(strictly causal — the row never sees itself), |z| >= 3 with a "
+        "against the mean/stddev of its own trailing 20 PRIOR non-null "
+        "observations (null values are dropped before the window, the "
+        "same trailing-value semantics as the live streaming twin's "
+        "O(w) ring; strictly causal — the row never sees itself), "
+        "|z| >= 3 with a "
         "min_n=8 cold-start guard. One hash shuffle on user_id + per-key "
         "sort (the sessionize/asof exchange shape); the sliding frame "
         "bounds state at w values per key regardless of run length — "
@@ -3659,11 +3766,16 @@ def _q_events_ab_welch_ttest(spark, sf_dir):
                  CAST(sum(1 - observed) AS BIGINT) AS n_censor
           FROM u GROUP BY 1),
     s AS (SELECT duration_h, n_event, n_censor,
-                 sum(n_event + n_censor) OVER ()
+                 -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT
+                 -- (int128); the driver's value-hash is type-sensitive,
+                 -- so an uncasted window sum hash-mismatches Spark's
+                 -- int64 even when values are bit-exact (r9 lesson —
+                 -- the registry-wide type lint now pins this).
+                 CAST(sum(n_event + n_censor) OVER ()
                    - coalesce(sum(n_event + n_censor) OVER
                        (ORDER BY duration_h
                         ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) AS n_risk
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
           FROM t),
     k AS (SELECT duration_h, n_event, n_censor, n_risk,
                  max(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
@@ -3707,11 +3819,14 @@ def _q_events_kaplan_meier(spark, sf_dir):
                    AS digit,
                  count(*) AS n
           FROM c WHERE cents > 0 GROUP BY 1),
+    d AS (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)),
+    j AS (SELECT d.digit, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+          FROM d LEFT JOIN a USING (digit)),
     p AS (SELECT digit, n,
                  n / (sum(n) OVER ()) AS obs,
                  ln(1.0 + 1.0 / digit) / ln(10.0) AS expp,
                  sum(n) OVER () AS total
-          FROM a)
+          FROM j)
     SELECT digit, n,
            round(obs, 6) AS obs_pct,
            round(expp, 6) AS exp_pct,
@@ -3722,9 +3837,11 @@ def _q_events_kaplan_meier(spark, sf_dir):
     doc="Benford first-digit audit of order totals: observed vs expected "
         "leading-digit shares + chi-square distance — the forensic/"
         "synthetic-data smell test. Digit extracted via integer string "
-        "math (exact cents -> leading digit), never log10 floors; one "
-        "digit aggregate, all shares over the <= 9-row frame — "
-        "operators/relational.py::benford_audit.",
+        "math (exact cents -> leading digit), never log10 floors; the "
+        "counts are left-joined onto the full 1..9 domain so an absent "
+        "digit still contributes its (0-E)^2/E*N chi term (the textbook "
+        "goodness-of-fit); one digit aggregate, all shares over the "
+        "9-row frame — operators/relational.py::benford_audit.",
 )
 def _q_orders_benford_audit(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

@@ -184,7 +184,9 @@ _MEASURED_COST_S = {
     "text_collocation_llr": 0.94,
     "ntile_spend_quartiles": 0.95,
     "similarity_ann_ivf": 0.95,
+    "events_conversion_latency": 0.70,  # est: last_touch + one agg
     "events_psi_drift": 0.98,
+    "events_ecdf_drift": 1.00,  # est: psi_drift plan shape, 20 bins
     "referential_integrity_audit": 0.98,
     "corpus_source_overlap": 0.99,
     "lineitem_fd_violations": 1.02,
@@ -427,6 +429,33 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                    # generated stack() expression (advice
                                    # fix; fixture columns all pass — same
                                    # output)
+    # changed in r10 (r9-and-earlier green rows stale) — the five r9
+    # ADVICE fixes; each is output-identical on the fixtures (verified
+    # by the registered-pair tests) but the definition changed, so the
+    # r9 green rows are stale evidence:
+    "events_ab_welch_ttest": 9,    # welch_ttest now raises inside the
+                                   # plan on non-{0,1}/null variant
+                                   # values (graded variant is md5 % 2 —
+                                   # same output)
+    "orders_benford_audit": 9,     # chi-square now includes absent
+                                   # digits' (0-E)^2/E*N terms via a
+                                   # 9-row domain join, oracle updated
+                                   # identically (all 9 digits occur on
+                                   # fixtures — same output)
+    "events_psi_drift": 9,         # plain-identifier guard on the ts
+                                   # name interpolated into F.expr
+                                   # (advice fix; same output)
+    "events_cusum_changepoint": 9,  # same identifier guard (same output)
+    "embedding_silhouette": 9,     # label column now validated integral
+                                   # before label VALUES are interpolated
+                                   # into the generated CASE (same
+                                   # output)
+    "events_rolling_anomaly": 9,   # null values now dropped BEFORE the
+                                   # trailing window so batch matches the
+                                   # streaming twin's value-ring
+                                   # semantics; oracle mirrors the filter
+                                   # (fixtures have no null values —
+                                   # same output)
 }
 
 

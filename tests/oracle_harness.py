@@ -23,6 +23,24 @@ from data_pipeline_eng_project_1_spark.sources.catalog import TABLES
 
 FLOAT_TOL = 1e-9
 
+#: DuckDB output types whose pandas/arrow serialization diverges from the
+#: Spark-side type even when values are numerically identical — the
+#: driver's value-hash is TYPE-SENSITIVE, so any oracle emitting one of
+#: these passes the canonicalized compare below yet fails the driver's
+#: typed hash (r9: events_kaplan_meier's uncasted window sum came back
+#: HUGEINT/int128 vs Spark's int64 — rows/schema matched, hash failed).
+#: Wrap the offending expression in CAST(... AS BIGINT/DOUBLE).
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def banned_oracle_types(con, oracle_sql: str) -> list[str]:
+    """Return ``col:TYPE`` for every oracle output column whose DuckDB
+    type is in the typed-hash-unsafe set (empty list == safe). Planning
+    only — the query is not executed."""
+    rel = con.sql(oracle_sql)
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if str(t).upper().startswith(_BANNED_DUCK_TYPES)]
+
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -57,6 +75,11 @@ def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     scols = sdf.columns
     if spec.oracle is None:
         return True, f"rows-only: {len(srows)} rows"
+    bad = banned_oracle_types(con, spec.oracle)
+    if bad:
+        return False, (f"ORACLE TYPE {bad}: driver's typed value-hash "
+                       f"will mismatch even on bit-exact values — CAST "
+                       f"the expression (r9 kaplan lesson)")
     ddf = con.execute(spec.oracle).fetchall()
     dcols = [d[0] for d in con.description]
     if sorted(scols) != sorted(dcols):

@@ -1,0 +1,65 @@
+"""Registry-wide oracle OUTPUT-TYPE lint.
+
+The driver's value-hash is TYPE-SENSITIVE: an oracle column whose DuckDB
+type serializes differently from the Spark-side type fails the driver's
+hash even when every value is bit-exact, while every local layer
+(harness, walk simulations, registered-pair tests) canonicalizes to
+Python values and is structurally blind to it. Round 9's only red row
+was exactly this class: events_kaplan_meier's uncasted window
+``sum(BIGINT)`` came back HUGEINT (int128) — the registry's single
+int128 output column — vs Spark's int64 (rows and schema matched, hash
+failed). DuckDB rules that make this easy to trip:
+
+- ``sum(INTEGER/BIGINT)`` (plain AND windowed) returns HUGEINT;
+- integer ``avg``-free arithmetic on a HUGEINT stays HUGEINT;
+- decimal literals / ``round(DECIMAL, n)`` can return DECIMAL, which
+  pandas materializes as ``decimal.Decimal`` objects.
+
+The fix is always a one-line ``CAST(... AS BIGINT/DOUBLE)`` at the
+output (or on the offending intermediate). This lint sweeps EVERY
+registered oracle through DuckDB's binder (planning only — nothing
+executes) and fails with the offending column list, so the class can
+never again pass local verification. The same check runs inside
+tests/oracle_harness.py's per-query compare (banned_oracle_types).
+"""
+
+from data_pipeline_eng_project_1_spark.plans import queries as Q
+
+from tests.oracle_harness import banned_oracle_types, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_typed_hash_unsafe_oracle_output_columns():
+    con = duck_connection(SF)
+    offenders = {}
+    for spec in Q.specs():
+        if spec.oracle is None:
+            continue
+        bad = banned_oracle_types(con, spec.oracle)
+        if bad:
+            offenders[spec.name] = bad
+    assert not offenders, (
+        f"oracles with HUGEINT/UHUGEINT/DECIMAL output columns — the "
+        f"driver's typed value-hash will fail them even on bit-exact "
+        f"values; CAST the expressions: {offenders}")
+
+
+def test_lint_actually_detects_the_kaplan_class():
+    """The lint must flag the exact expression shape that slipped
+    through in r9 (an uncasted windowed integer sum) — guards against
+    the lint itself regressing into a no-op."""
+    con = duck_connection(SF)
+    uncasted = """
+    SELECT o_custkey,
+           sum(o_orderkey) OVER (ORDER BY o_custkey) AS running
+    FROM orders LIMIT 5
+    """
+    bad = banned_oracle_types(con, uncasted)
+    assert bad and "running" in bad[0] and "HUGEINT" in bad[0].upper()
+    casted = uncasted.replace("sum(o_orderkey) OVER (ORDER BY o_custkey)",
+                              "CAST(sum(o_orderkey) OVER (ORDER BY "
+                              "o_custkey) AS BIGINT)")
+    assert banned_oracle_types(con, casted) == []
+    decimal_out = "SELECT round(CAST(1.5 AS DECIMAL(10, 2)), 1) AS d"
+    assert banned_oracle_types(con, decimal_out)

@@ -1,11 +1,11 @@
-"""Pre-proven oracle specs for the operators BANKED for round 10
-(docs/BACKLOG.md): each test runs the live operator on Spark AND the
-candidate DuckDB oracle over the same fixture parquet with the harness's
-canonicalization — the same r8->r9 banking pattern, so round 10 can
-register the pairs copy-paste with the parity already machine-checked.
-
-NOT registered yet by design: round 9 pushed the stale-spill guard to
-28/30; these wait for round 10's walk capacity.
+"""Pytest-level parity for the two queries registered in round 10
+(docs/BACKLOG.md: ecdf_drift and conversion_latency, banked in round 9
+with pre-proven specs): each test runs the REGISTERED builder on Spark
+AND the REGISTERED oracle SQL on DuckDB over the same fixture parquet,
+comparing with the harness's canonicalization — the same pairs the
+driver hash-grades (pre-registration these were the proof the specs
+were copy-paste-ready; post-registration they pin the registered pair
+against drift). Semantic tests beyond parity ride along.
 """
 
 import math
@@ -14,9 +14,14 @@ import duckdb
 import pytest
 
 from data_pipeline_eng_project_1_spark.operators import relational
+from data_pipeline_eng_project_1_spark.plans import queries as Q
 from data_pipeline_eng_project_1_spark.sources import catalog
 
 SF = "/root/testdata/sf0.001"
+
+
+def _spec(name):
+    return next(s for s in Q.specs() if s.name == name)
 
 
 def _duck(sf=SF):
@@ -42,10 +47,12 @@ def _canon(rows, cols):
     return out
 
 
-def _compare(spark, sdf, oracle_sql, sf=SF):
+def _compare_registered(spark, name, sf=SF):
+    spec = _spec(name)
+    sdf = spec.builder(spark, sf)
     srows = [tuple(r) for r in sdf.collect()]
     con = _duck(sf)
-    drows = con.execute(oracle_sql).fetchall()
+    drows = con.execute(spec.oracle).fetchall()
     dcols = [d[0] for d in con.description]
     assert sorted(sdf.columns) == sorted(dcols), (sdf.columns, dcols)
     assert len(srows) == len(drows), (len(srows), len(drows))
@@ -55,86 +62,13 @@ def _compare(spark, sdf, oracle_sql, sf=SF):
     return len(a)
 
 
-#: Candidate oracle for `events_ecdf_drift` (relational.ecdf_drift over
-#: events.value, bins=20) — the psi_drift CTE shape plus cumulative-share
-#: and max-gap windows.
-ECDF_DRIFT_SQL = """
-WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
-           FROM events),
-m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e),
-b AS (SELECT list_distinct(quantile_cont(value,
-        [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
-         0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95])) AS bs
-      FROM e, m WHERE ts_ms < mid),
-a AS (SELECT 1 + len(list_filter(b.bs, x -> x < value)) AS bucket,
-             CASE WHEN ts_ms < mid THEN 1 ELSE 0 END AS isb
-      FROM e, m, b),
-g AS (SELECT bucket, sum(isb) AS n_base, sum(1 - isb) AS n_curr
-      FROM a GROUP BY bucket),
-s AS (SELECT bucket, n_base, n_curr,
-             (sum(n_base) OVER (ORDER BY bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-               * 1.0 / (sum(n_base) OVER ()) AS fb,
-             (sum(n_curr) OVER (ORDER BY bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-               * 1.0 / (sum(n_curr) OVER ()) AS fc
-      FROM g),
-s2 AS (SELECT *, abs(fb - fc) AS gap FROM s)
-SELECT CAST(dense_rank() OVER (ORDER BY bucket) AS INTEGER) AS bucket,
-       CAST(n_base AS BIGINT) AS n_base,
-       CAST(n_curr AS BIGINT) AS n_curr,
-       round(fb, 6) AS f_base,
-       round(fc, 6) AS f_curr,
-       round(gap, 6) AS gap,
-       round(max(gap) OVER (), 6) AS ks_stat
-FROM s2
-"""
-
-#: Candidate oracle for `events_conversion_latency`
-#: (relational.conversion_latency, purchase <- view/click, 1 h horizon) —
-#: the graded last-touch QUALIFY oracle + one quantile/mean aggregate.
-CONVERSION_LATENCY_SQL = """
-WITH e AS (SELECT event_id, user_id, event_type,
-                  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
-           FROM events),
-conv AS (SELECT user_id, ts_ms, event_id FROM e
-         WHERE event_type = 'purchase'),
-t AS (SELECT user_id, ts_ms, event_id FROM e
-      WHERE event_type IN ('view', 'click')),
-att AS (
-  SELECT c.event_id, c.ts_ms - t.ts_ms AS lag_ms
-  FROM conv c LEFT JOIN t
-    ON t.user_id = c.user_id
-   AND t.ts_ms <= c.ts_ms AND t.ts_ms >= c.ts_ms - 3600000
-  QUALIFY row_number() OVER (
-      PARTITION BY c.event_id
-      ORDER BY t.ts_ms DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1)
-SELECT count(*) AS n_conversions,
-       count(lag_ms) AS n_attributed,
-       round(quantile_cont(lag_ms, 0.25), 4) AS p25_ms,
-       round(quantile_cont(lag_ms, 0.50), 4) AS p50_ms,
-       round(quantile_cont(lag_ms, 0.75), 4) AS p75_ms,
-       round(quantile_cont(lag_ms, 0.90), 4) AS p90_ms,
-       round(avg(lag_ms), 4) AS mean_latency_ms
-FROM att
-"""
-
-
-def test_ecdf_drift_spec_proven(spark):
-    ev = catalog.load_table(spark, "events", SF)
-    sdf = relational.ecdf_drift(
-        ev.select("ts_ms", "value"), "value", "ts_ms", bins=20)
-    n = _compare(spark, sdf, ECDF_DRIFT_SQL)
+def test_ecdf_drift_registered_pair(spark):
+    n = _compare_registered(spark, "events_ecdf_drift")
     assert 2 <= n <= 20
 
 
-def test_conversion_latency_spec_proven(spark):
-    ev = catalog.load_table(spark, "events", SF)
-    sdf = relational.conversion_latency(
-        ev.select("event_id", "user_id", "ts_ms", "event_type"),
-        conversion_type="purchase", touch_types=["view", "click"],
-        horizon=3_600_000)
-    n = _compare(spark, sdf, CONVERSION_LATENCY_SQL)
+def test_conversion_latency_registered_pair(spark):
+    n = _compare_registered(spark, "events_conversion_latency")
     assert n == 1
 
 

@@ -639,3 +639,12 @@ def test_silhouette_separated_vs_mixed(spark):
         [(1, [0.0, 0.0, 0.0, 0.0], 7)], ["vec_id", "embedding", "label"])
     with _pt.raises(ValueError, match=">= 2 distinct labels"):
         similarity.silhouette_by_label(one, dim=4)
+
+    # r9-advice fix: label VALUES are interpolated into a generated CASE
+    # expression, so a non-integral label column is rejected up front
+    # (a string like 'cluster_a' would yield invalid SQL or splicing)
+    strs = spark.createDataFrame(
+        [(1, [0.0] * 4, "cluster_a"), (2, [9.0] * 4, "cluster_b")],
+        ["vec_id", "embedding", "label"])
+    with _pt.raises(TypeError, match="integral type"):
+        similarity.silhouette_by_label(strs, dim=4)

@@ -584,6 +584,24 @@ def test_welch_ttest_matches_manual_computation(spark):
     assert r["significant_05"] == (abs(t) > 1.96)
 
 
+def test_welch_ttest_rejects_non_binary_variant(spark):
+    """The r9-advice fix: a third variant value would silently mix
+    moments from DIFFERENT groups through the non-zero max fold, so the
+    plan raises on the first non-{0,1} (or null) variant."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    three = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (0, 4.0), (1, 5.0), (2, 6.0)],
+        ["variant", "v"])
+    with pytest.raises(SparkRuntimeException, match="binary"):
+        relational.welch_ttest(three, "variant", "v").collect()
+
+    withnull = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (None, 3.0), (0, 4.0)], ["variant", "v"])
+    with pytest.raises(SparkRuntimeException, match="binary"):
+        relational.welch_ttest(withnull, "variant", "v").collect()
+
+
 # ---------------------------------------------------------------------------
 # kaplan_meier
 # ---------------------------------------------------------------------------
@@ -639,14 +657,36 @@ def test_benford_audit_digits_and_chi(spark):
     assert out[1]["chisq_total"] < 1.0  # near-Benford
 
     sub = spark.createDataFrame([(0.07,), (0.4,), (123.45,)], ["x"])
-    digs = sorted(r["digit"] for r in
-                  relational.benford_audit(sub, "x").collect())
-    assert digs == [1, 4, 7]
+    out = {r["digit"]: r["n"] for r in
+           relational.benford_audit(sub, "x").collect()}
+    # all NINE domain rows always present; absent digits carry n = 0
+    assert set(out) == set(range(1, 10))
+    assert sorted(d for d, n in out.items() if n > 0) == [1, 4, 7]
 
     uni = spark.createDataFrame(
         [(float(d) ,) for d in range(1, 10) for _ in range(20)], ["x"])
     chi = relational.benford_audit(uni, "x").collect()[0]["chisq_total"]
     assert chi > 20  # uniform digits are nothing like Benford
+
+
+def test_benford_audit_absent_digit_contributes_chi_term(spark):
+    """The r9-advice fix: a digit with ZERO occurrences still contributes
+    its (0 - E)^2 / E * N term — the textbook goodness-of-fit. Verified
+    against a full manual chi-square over all nine digits."""
+    # digits 1..8 present (20 each), digit 9 absent entirely
+    df = spark.createDataFrame(
+        [(float(d),) for d in range(1, 9) for _ in range(20)], ["x"])
+    out = {r["digit"]: r for r in
+           relational.benford_audit(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[9]["n"] == 0 and out[9]["obs_pct"] == 0.0
+    n_total = 160
+    chi = sum((((20 if d < 9 else 0) / n_total - math.log10(1 + 1 / d)) ** 2
+               / math.log10(1 + 1 / d)) * n_total for d in range(1, 10))
+    assert out[1]["chisq_total"] == pytest.approx(chi, abs=1e-3)
+    # dropping digit 9's term (the pre-fix statistic) must NOT match
+    chi_missing = chi - math.log10(1 + 1 / 9) * n_total
+    assert abs(out[1]["chisq_total"] - chi_missing) > 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -696,3 +736,47 @@ def test_cusum_changepoint_localizes_step(spark):
     frac = df.withColumn("t", F.col("t").cast("double"))
     with pytest.raises(TypeError, match="integer epoch-units"):
         relational.cusum_changepoint(frac, ts="t", value="v")
+
+
+def test_ts_name_interpolating_ops_reject_non_identifier(spark):
+    """The r9-advice fix: psi_drift / ecdf_drift / cusum_changepoint
+    interpolate the ts column NAME into a generated F.expr string, so a
+    name needing backticks is rejected up front (same contract as
+    table_profile's stack() guard) instead of breaking or splicing the
+    expression."""
+    df = (spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)],
+                                ["t", "v"])
+          .withColumnRenamed("t", "t s"))
+    for op, kw in ((relational.psi_drift, {"bins": 2}),
+                   (relational.ecdf_drift, {"bins": 2}),
+                   (relational.cusum_changepoint, {"bin_ms": 100})):
+        with pytest.raises(ValueError, match="plain identifier"):
+            op(df, value="v", ts="t s", **kw)
+
+
+def test_rolling_anomaly_null_values_skip_frame_slots(spark):
+    """The r9-advice fix: null values are dropped BEFORE the trailing
+    window (the streaming twin's value-ring semantics), so with w=4 a
+    null between observations does NOT shrink n_prior — the spike is
+    scored against the last 4 non-null values, exactly as if the null
+    rows were never there."""
+    vals = [10.0, None, 10.2, None, 9.8, 10.0, 10.1, None, 9.9, 10.0,
+            50.0]
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "u int, t int, eid int, v double")
+    out = relational.rolling_anomaly(
+        df, key="u", ts="t", value="v", id_col="eid",
+        w=4, z_thresh=3.0, min_n=4).collect()
+    dense = [(1, i, i, v) for i, v in
+             enumerate([x for x in vals if x is not None])]
+    want = relational.rolling_anomaly(
+        spark.createDataFrame(dense, ["u", "t", "eid", "v"]),
+        key="u", ts="t", value="v", id_col="eid",
+        w=4, z_thresh=3.0, min_n=4).collect()
+    assert [(r["u"], r["v"], r["n_prior"], r["roll_mean"],
+             r["roll_std"], r["zscore"]) for r in out] == \
+        [(r["u"], r["v"], r["n_prior"], r["roll_mean"],
+          r["roll_std"], r["zscore"]) for r in want]
+    assert len(out) == 1 and out[0]["v"] == 50.0
+    assert out[0]["n_prior"] == 4  # nulls never occupied frame slots

@@ -750,7 +750,12 @@ def test_split_sink_accounting_matches_batch_twin(spark, tmp_path):
 def test_anomaly_stream_matches_batch_rolling_anomaly(spark, tmp_path):
     """The live anomaly detector == the graded batch operator on an
     in-order drain: same spike flagged with identical trailing stats,
-    cold-start rows suppressed, constant-series (sd=0) users silent.
+    cold-start rows suppressed, constant-series (sd=0) users silent,
+    and NULL values skip frame slots on BOTH sides (user 3's 15 nulls
+    sit between the stable run and the spike — under the pre-r10
+    physical-rows batch frame they would crowd n_prior below min_n and
+    the two forms would diverge; with the shared trailing-VALUE
+    semantics both flag the spike against all 10 prior observations).
     State is the O(w) value ring, never the user's history."""
     import json as _json
 
@@ -765,6 +770,11 @@ def test_anomaly_stream_matches_batch_rolling_anomaly(spark, tmp_path):
             for i, v in enumerate(vals)]
     rows += [{"event_id": 100 + i, "ts_ms": 60_000 * (i + 1), "user_id": 2,
               "event_type": "view", "value": 5.0} for i in range(12)]
+    vals3 = ([10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.0, 10.1, 9.9, 10.0]
+             + [None] * 15 + [50.0])
+    rows += [{"event_id": 200 + i, "ts_ms": 60_000 * (i + 1), "user_id": 3,
+              "event_type": "view", "value": v}
+             for i, v in enumerate(vals3)]
     (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in rows))
 
     q = sp.run_to_memory(
@@ -780,14 +790,18 @@ def test_anomaly_stream_matches_batch_rolling_anomaly(spark, tmp_path):
 
     batch_df = spark.createDataFrame(
         [(r["user_id"], r["ts_ms"], r["event_id"], r["value"])
-         for r in rows], ["user_id", "ts_ms", "event_id", "value"])
+         for r in rows],
+        "user_id long, ts_ms long, event_id long, value double")
     want = [tuple(r) for r in
             relational.rolling_anomaly(
                 batch_df, key="user_id", ts="ts_ms", value="value",
                 id_col="event_id", w=20, z_thresh=3.0, min_n=8)
             .orderBy("user_id", "ts_ms").collect()]
     assert got == want
-    assert len(got) == 1 and got[0][0] == 1  # exactly the spike row
+    # exactly the two spike rows; user 3's n_prior counts all 10 stable
+    # observations — the 15 nulls never occupied frame slots
+    assert [(g[0], g[3]) for g in got] == [(1, 50.0), (3, 50.0)]
+    assert got[1][4] == 10  # n_prior
 
 
 def test_anomaly_stream_state_survives_restart(spark, tmp_path):
