@@ -1462,3 +1462,285 @@ def conversion_latency(events: DataFrame, conversion_type: str,
         F.round(F.element_at("__q", 3), 4).alias("p75_ms"),
         F.round(F.element_at("__q", 4), 4).alias("p90_ms"),
         "mean_latency_ms")
+
+
+def seasonal_outliers(df: DataFrame, ts: str, value: str, id_col: str,
+                      period_ms: int = 3_600_000, cycle: int = 24,
+                      z_thresh: float = 3.0, min_n: int = 8) -> DataFrame:
+    """Seasonal-profile residual outliers: each row is scored against the
+    mean/stddev of its own SEASONAL bucket (``(ts DIV period_ms) %
+    cycle`` — hour-of-day with the defaults), and rows with |z| >=
+    ``z_thresh`` are flagged. The profile-based complement of
+    rolling_anomaly: that one asks "is this high vs the key's RECENT
+    history", this one asks "is this high FOR A TUESDAY 3 AM" — a
+    nightly batch spike that is normal at noon alerts here and not
+    there, and vice versa. Buckets with fewer than ``min_n`` non-null
+    observations never alert (cold-profile guard); null values can never
+    score and are excluded from both the profile and the output.
+
+    Scale shape: ONE partial+final (bucket) aggregate -> a <= ``cycle``-
+    row profile frame BROADCAST back onto the scan — scoring is a
+    scan-side projection, no window over the data, no data-sized
+    shuffle (the target_encode_loo choreography).
+    """
+    _require_plain_identifier("seasonal_outliers", ts)
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"seasonal_outliers: ts column {ts!r} must be an "
+                        f"integer epoch-units type, got {ts_t}")
+    df = df.filter(F.col(value).isNotNull())
+    bucket = F.expr(f"({ts} DIV {period_ms}) % {cycle}").cast("int")
+    based = df.select(F.col(id_col), F.col(ts), F.col(value),
+                      bucket.alias("__bucket"))
+    prof = based.groupBy("__bucket").agg(
+        F.count(value).alias("n_bucket"),
+        F.avg(value).alias("__m"),
+        F.stddev_samp(value).alias("__sd"))
+    z = (F.col(value) - F.col("__m")) / F.col("__sd")
+    scored = based.join(F.broadcast(prof), "__bucket").select(
+        id_col, ts, F.col("__bucket").alias("bucket"), value,
+        F.col("n_bucket"),
+        F.round("__m", 6).alias("base_mean"),
+        F.round("__sd", 6).alias("base_std"),
+        F.round(z, 4).alias("zscore"),
+        z.alias("__z"), F.col("__sd").alias("__s"))
+    return (scored
+            .filter((F.col("n_bucket") >= min_n) & (F.col("__s") > 1e-9)
+                    & (F.abs(F.col("__z")) >= z_thresh))
+            .drop("__z", "__s"))
+
+
+def kfold_assignment_audit(df: DataFrame, id_col: str, stratum: str,
+                           k: int = 5, seed: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment + balance audit: every row gets
+    fold = md5-hash(``seed``:id) mod ``k`` (stable across runs, engines,
+    and partitionings — the same hex-int trick as the graded A/B
+    assignment), then the audit reports, per (fold, stratum) cell, the
+    stratum's share WITHIN the fold against its global share — the
+    cross-validation hygiene check that a hash-based split really is
+    stratum-balanced (a skewed id space or tiny stratum shows up as a
+    large share_gap; max_abs_gap is the corpus-level verdict).
+
+    Scale shape: scan-side fold algebra + ONE partial+final
+    (fold, stratum) aggregate; every share/gap/max window runs over the
+    <= k * |strata| AGGREGATE frame, never the rows.
+    """
+    from data_pipeline_eng_project_1_spark.functions import hashing
+
+    if k < 2:
+        raise ValueError("kfold_assignment_audit: k must be >= 2")
+    fold = (hashing.hex_int(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % k)
+    agg = (df.select(fold.cast("int").alias("fold"), F.col(stratum))
+             .groupBy("fold", stratum)
+             .agg(F.count(F.lit(1)).alias("n")))
+    whole = Window.orderBy("fold", stratum).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    fold_w = Window.partitionBy("fold")
+    strat_w = Window.partitionBy(stratum)
+    share = F.col("n") / F.sum("n").over(fold_w)
+    gshare = F.sum("n").over(strat_w) / F.sum("n").over(whole)
+    gap = share - gshare
+    staged = agg.select(
+        "fold", stratum, "n",
+        F.sum("n").over(fold_w).alias("fold_total"),
+        F.round(share, 6).alias("stratum_share"),
+        F.round(gshare, 6).alias("global_share"),
+        F.round(gap, 6).alias("share_gap"),
+        F.abs(gap).alias("__ag"))
+    whole2 = Window.orderBy("fold", stratum).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return staged.select(
+        "fold", stratum, "n", "fold_total", "stratum_share",
+        "global_share", "share_gap",
+        F.round(F.max("__ag").over(whole2), 6).alias("max_abs_gap"))
+
+
+def calibration_bins(df: DataFrame, score: str, label: Column,
+                     bins: int = 10) -> DataFrame:
+    """Classifier calibration audit: bin a [0, 1] ``score`` at its own
+    equi-depth quantile boundaries, and per bin compare the OBSERVED
+    positive rate of ``label`` against the mean predicted score —
+    the reliability-diagram companion to the graded ROC/AUC evaluation
+    (AUC measures ranking; this measures whether 0.8 MEANS 80%).
+    Summary columns: ece_total = sum over bins of (n_b/N)*|obs - mean
+    score| (expected calibration error) and brier_total = mean squared
+    error of score vs label.
+
+    Scale shape (roc_auc_binned verbatim): ONE percentile aggregate
+    (swap in approx_percentile at 100 TB, same plan) broadcast as
+    boundaries, scan-side strictly-below bucket fold, ONE partial+final
+    bucket aggregate (count / score sum / positive count / squared-error
+    sum ride together); the ECE/Brier windows run over the <= bins-row
+    AGGREGATE frame. No global sort, no rank pass.
+    """
+    if bins < 2:
+        raise ValueError("calibration_bins: bins must be >= 2")
+    fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    bounds = df.agg(F.array_distinct(
+        F.percentile(F.col(score), fracs)).alias("__bs"))
+    bucket = (F.size(F.filter(F.col("__bs"),
+                              lambda b: b < F.col(score))) + 1)
+    y = label.cast("int")
+    agg = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("__bucket"), F.col(score).alias("__s"),
+                y.alias("__y"))
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("__s").alias("__ssum"),
+             F.sum("__y").cast("long").alias("n_pos"),
+             F.sum((F.col("__s") - F.col("__y"))
+                   * (F.col("__s") - F.col("__y"))).alias("__sq"))
+    )
+    # everything below runs over the <= bins-row aggregate frame
+    whole = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n").over(whole)
+    avg_s = F.col("__ssum") / F.col("n")
+    obs = F.col("n_pos") / F.col("n")
+    ece = F.sum(F.abs(obs - avg_s) * F.col("n")).over(whole) / total
+    brier = F.sum("__sq").over(whole) / total
+    return agg.select(
+        F.dense_rank().over(Window.orderBy("__bucket")).alias("bucket"),
+        "n", "n_pos",
+        F.round(avg_s, 6).alias("avg_score"),
+        F.round(obs, 6).alias("obs_rate"),
+        F.round(obs - avg_s, 6).alias("gap"),
+        F.round(ece, 6).alias("ece_total"),
+        F.round(brier, 6).alias("brier_total"))
+
+
+def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
+               max_lag: int = 24) -> DataFrame:
+    """Autocorrelation function of the event-COUNT series: bin the
+    stream, gap-fill empty bins with zero counts (an hour with no events
+    is a real zero of the series, not a missing observation), and report
+    the sample ACF at lags 1..``max_lag`` — the periodicity/seasonality
+    diagnostic that tells you WHICH cycle (hourly? daily?) the seasonal
+    profile and the drift monitors should be conditioned on. Standard
+    sample-ACF convention: one global mean, denominator = full-series
+    sum of squares, lag-ℓ numerator over the n-ℓ overlapping pairs.
+    A constant series has zero variance -> null acf (documented).
+
+    ``ts`` must be integer epoch units (integer DIV binning, exact).
+
+    Scale shape: ONE partial+final (bin) aggregate -> a frame bounded by
+    the time range over ``bin_ms``; the gap-fill sequence, the centering
+    window, the ``max_lag`` lead windows, and the final products
+    aggregate ALL run over that <= #bins AGGREGATE frame — the events
+    are touched exactly once.
+    """
+    _require_plain_identifier("acf_binned", ts)
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"acf_binned: ts column {ts!r} must be an integer "
+                        f"epoch-units type, got {ts_t}")
+    if max_lag < 1:
+        raise ValueError("acf_binned: max_lag must be >= 1")
+    binned = (df.select(F.expr(f"{ts} DIV {bin_ms}").alias("__bin"))
+                .groupBy("__bin").agg(F.count(F.lit(1)).alias("__n")))
+    rng = binned.agg(F.min("__bin").alias("__lo"),
+                     F.max("__bin").alias("__hi"))
+    filled = (rng.select(F.explode(F.sequence("__lo", "__hi"))
+                         .alias("__bin"))
+              .join(binned, "__bin", "left")
+              .select("__bin",
+                      F.coalesce(F.col("__n"), F.lit(0))
+                       .cast("double").alias("__x")))
+    whole = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    centered = filled.select(
+        "__bin", (F.col("__x") - F.avg("__x").over(whole)).alias("__c"))
+    ordw = Window.orderBy("__bin")
+    leads = centered.select(
+        "__c", *[F.lead("__c", lag).over(ordw).alias(f"__l{lag}")
+                 for lag in range(1, max_lag + 1)])
+    agg = leads.agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        *[F.sum(F.col("__c") * F.col(f"__l{lag}")).alias(f"__num{lag}")
+          for lag in range(1, max_lag + 1)])
+    rows = ", ".join(
+        f"{lag}, __nb - {lag}, __num{lag}" for lag in range(1, max_lag + 1))
+    stacked = agg.select(
+        F.col("__ss"),
+        F.expr(f"stack({max_lag}, {rows}) AS (lag, n_pairs, __num)"))
+    return stacked.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        # try_divide: a constant series has zero variance -> null acf
+        # (ANSI mode would otherwise throw on the 0/0)
+        F.round(F.try_divide(F.col("__num"), F.col("__ss")), 6).alias("acf"))
+
+
+def gini_by_group(df: DataFrame, group: str, value: str,
+                  id_col: str) -> DataFrame:
+    """Per-group Gini concentration coefficient of a nonnegative
+    ``value`` over member rows (0 = perfectly even, -> 1 = one member
+    holds everything): the revenue/volume concentration audit behind
+    'how dependent is this nation on its top customers'. Computed with
+    the rank identity G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n over the
+    (value, id)-ordered members — deterministic under ties via the id
+    tiebreak; a zero-total group has no defined concentration -> null;
+    negative values make G meaningless, so the plan raises on the first
+    one (the welch_ttest in-plan validation pattern).
+
+    Scale shape: ``df`` is expected to be an AGGREGATE frame (e.g. one
+    row per customer) — the rank window partitions by ``group`` over
+    that frame, never the raw facts, and the final (group) aggregate
+    folds each partition to one row. One exchange on ``group``.
+    """
+    rnk = Window.partitionBy(group).orderBy(
+        F.col(value).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(group), F.col(value).alias("__x"),
+        F.row_number().over(rnk).alias("__i"))
+    agg = ranked.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("__x").alias("__tot"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__iw"),
+        F.min("__x").alias("__mn"))
+    n = F.col("n_members")
+    gini = (F.lit(2.0) * F.col("__iw") / (n * F.col("__tot"))
+            - (n + F.lit(1.0)) / n)
+    guarded = F.when(
+        F.col("__mn") < 0,
+        F.raise_error(F.lit(
+            "gini_by_group: value column must be nonnegative — the Gini "
+            "rank identity is undefined for negative values"))
+    ).otherwise(F.when(F.col("__tot") > 0, F.round(gini, 6)))
+    return agg.select(
+        group, "n_members",
+        F.round("__tot", 4).alias("total_value"),
+        guarded.alias("gini"))
+
+
+def wilson_pass_rate(df: DataFrame, group: str, passed: Column,
+                     z: float = 1.96) -> DataFrame:
+    """Per-group pass rate with the Wilson score interval's LOWER bound:
+    the statistically honest way to rank or gate groups on a boolean
+    outcome when group sizes differ wildly — a 3/3 source does NOT
+    outrank a 950/1000 one (the plain rate says it does; the Wilson
+    lower bound at z=1.96 says 0.44 vs 0.936). The curation use: gate
+    sources/domains on their quality-pass rate without tiny sources
+    free-riding on noise.
+
+    Scale shape: scan-side predicate + ONE partial+final (group)
+    aggregate; the Wilson algebra is a projection over the per-group
+    frame. Nothing else moves.
+    """
+    agg = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(passed.cast("long")).cast("long").alias("n_pass"))
+    p = F.col("n_pass") / F.col("n")
+    nn = F.col("n").cast("double")
+    z2 = F.lit(float(z) * float(z))
+    lower = ((p + z2 / (2 * nn)
+              - F.lit(float(z)) * F.sqrt(p * (1 - p) / nn
+                                         + z2 / (4 * nn * nn)))
+             / (1 + z2 / nn))
+    return agg.select(
+        group, "n", "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round(lower, 6).alias("wilson_lower"))

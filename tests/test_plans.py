@@ -568,3 +568,60 @@ def test_welch_ttest_moments_only_exchange(spark):
                     "ShuffledHashJoin", "NestedLoopJoin",
                     "CartesianProduct"):
         assert join_op not in plan, join_op
+
+
+def test_seasonal_outliers_profile_broadcast_no_fact_shuffle(spark):
+    """seasonal_outliers' 100 TB claim (the target_encode_loo
+    choreography): the ONLY hash-partitioned Exchange is the <= cycle-row
+    bucket-profile aggregate; the fact scan receives the profile via
+    broadcast and scoring is a scan-side projection — no sort-merge/
+    shuffled-hash join, no window over the data."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    ev = catalog.load_table(spark, "events", SF_DIR)
+    df = relational.seasonal_outliers(
+        ev.select("event_id", "ts_ms", "value"),
+        ts="ts_ms", value="value", id_col="event_id")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("__bucket")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_acf_events_touched_once_windows_on_aggregate_frame(spark):
+    """acf_binned's scale claim: the events reach exactly ONE
+    hash-partitioned exchange (the bin aggregate); the gap-fill,
+    centering window, and lead windows all run over SinglePartition
+    exchanges of the <= #bins AGGREGATE frame."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    ev = catalog.load_table(spark, "events", SF_DIR)
+    df = relational.acf_binned(ev.select("ts_ms"), ts="ts_ms")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # bin agg + fill join
+    keys = [seg.split(",")[0] for seg in
+            plan.split("Exchange hashpartitioning(")[1:]]
+    assert all(k.startswith("__bin") for k in keys), keys
+    assert "SortMergeJoin" not in plan
+
+
+def test_calibration_bins_single_bucket_exchange(spark):
+    """calibration_bins inherits roc_auc_binned's no-rank-sum shape: one
+    percentile broadcast, one bucket-keyed exchange, ECE/Brier windows
+    over the aggregate frame."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i / 100, i % 3 == 0) for i in range(100)], ["score", "y"])
+    out = relational.calibration_bins(df, "score", F.col("y"), bins=10)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
+    assert key.startswith("__bucket")
+    assert "SortMergeJoin" not in plan

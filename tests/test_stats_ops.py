@@ -780,3 +780,203 @@ def test_rolling_anomaly_null_values_skip_frame_slots(spark):
           r["roll_std"], r["zscore"]) for r in want]
     assert len(out) == 1 and out[0]["v"] == 50.0
     assert out[0]["n_prior"] == 4  # nulls never occupied frame slots
+
+
+# ---------------------------------------------------------------------------
+# round-10 banked operators (registration targets for round 11 —
+# oracle specs pre-proven in tests/test_r11_oracle_specs.py)
+# ---------------------------------------------------------------------------
+
+def test_seasonal_outliers_flags_against_bucket_profile(spark):
+    """A value normal at noon but 10-sigma for 3 AM alerts; rolling
+    history is irrelevant (the profile is per hour-of-day, not causal).
+    Cold buckets (< min_n) and constant buckets (sd=0) never alert."""
+    rows = []
+    eid = 0
+    # 10 days of hour-0 values ~10, hour-12 values ~100
+    for day in range(10):
+        for hour, base in ((0, 10.0), (12, 100.0)):
+            ts = (day * 24 + hour) * 3_600_000
+            rows.append((eid, ts, base + (day % 3) * 0.1))
+            eid += 1
+    # the outlier: a 100-scale value at hour 0 (normal for hour 12)
+    rows.append((999, 10 * 24 * 3_600_000, 100.0))
+    # a cold bucket: 2 observations at hour 5, wildly spread
+    rows += [(1000, 5 * 3_600_000, 1.0), (1001, 29 * 3_600_000, 500.0)]
+    df = spark.createDataFrame(rows, "eid long, t long, v double")
+    out = relational.seasonal_outliers(
+        df, ts="t", value="v", id_col="eid",
+        period_ms=3_600_000, cycle=24, z_thresh=3.0, min_n=8).collect()
+    assert [(r["eid"], r["bucket"]) for r in out] == [(999, 0)]
+    r = out[0]
+    prior = [10.0 + (d % 3) * 0.1 for d in range(10)] + [100.0]
+    mean = sum(prior) / len(prior)
+    sd = math.sqrt(sum((x - mean) ** 2 for x in prior) / (len(prior) - 1))
+    assert r["n_bucket"] == 11  # profile INCLUDES the outlier row
+    assert r["base_mean"] == pytest.approx(mean, abs=1e-6)
+    assert r["base_std"] == pytest.approx(sd, abs=1e-6)
+    assert r["zscore"] == pytest.approx((100.0 - mean) / sd, abs=1e-3)
+
+    with pytest.raises(ValueError, match="plain identifier"):
+        relational.seasonal_outliers(
+            df.withColumnRenamed("t", "t s"), ts="t s", value="v",
+            id_col="eid")
+    frac = df.withColumn("t", F.col("t").cast("double"))
+    with pytest.raises(TypeError, match="integer epoch-units"):
+        relational.seasonal_outliers(frac, ts="t", value="v", id_col="eid")
+
+
+def test_kfold_audit_counts_and_shares(spark):
+    """Fold assignment is the deterministic md5 hash (replayed here in
+    Python), shares and gaps match a manual tally, and max_abs_gap is
+    corpus-wide."""
+    from data_pipeline_eng_project_1_spark.functions.hashing import (
+        py_hex_int,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = relational.kfold_assignment_audit(
+        df, id_col="id", stratum="s", k=3, seed="fold").collect()
+    # replay the assignment
+    from collections import Counter
+    cells = Counter((py_hex_int(f"fold:{i}") % 3, s) for i, s in rows)
+    folds = Counter(f for f, _ in cells.elements())
+    strata = Counter(s for _, s in cells.elements())
+    got = {(r["fold"], r["s"]): r for r in out}
+    assert set(got) == set(cells)
+    gaps = []
+    for (f, s), r in got.items():
+        assert r["n"] == cells[(f, s)]
+        assert r["fold_total"] == folds[f]
+        share = cells[(f, s)] / folds[f]
+        gshare = strata[s] / 300
+        assert r["stratum_share"] == pytest.approx(share, abs=1e-6)
+        assert r["global_share"] == pytest.approx(gshare, abs=1e-6)
+        assert r["share_gap"] == pytest.approx(share - gshare, abs=1e-6)
+        gaps.append(abs(share - gshare))
+    assert out[0]["max_abs_gap"] == pytest.approx(max(gaps), abs=1e-6)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        relational.kfold_assignment_audit(df, "id", "s", k=1)
+
+
+def test_calibration_bins_perfect_vs_overconfident(spark):
+    """A perfectly calibrated score (label drawn to match the score in
+    expectation, constructed deterministically) has small ECE; the same
+    scores with inverted labels have large ECE. Brier matches the manual
+    mean squared error."""
+    rows = []
+    # scores 0.05..0.95; label = 1 for exactly round(20*s) of each
+    # score's 20 copies -> observed rate == score in every bucket
+    for j, s in enumerate([i / 20 + 0.025 for i in range(20)]):
+        n_pos = round(20 * s)
+        for c in range(20):
+            rows.append((float(s), 1 if c < n_pos else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = relational.calibration_bins(
+        df, "score", F.col("y") == 1, bins=10).collect()
+    assert sum(r["n"] for r in out) == len(rows)
+    ece = out[0]["ece_total"]
+    assert ece < 0.03
+    brier = sum((s - y) ** 2 for s, y in rows) / len(rows)
+    assert out[0]["brier_total"] == pytest.approx(brier, abs=1e-6)
+
+    inv = spark.createDataFrame(
+        [(s, 1 - y) for s, y in rows], "score double, y int")
+    out2 = relational.calibration_bins(
+        inv, "score", F.col("y") == 1, bins=10).collect()
+    assert out2[0]["ece_total"] > 0.3
+    with pytest.raises(ValueError, match="bins must be >= 2"):
+        relational.calibration_bins(df, "score", F.col("y") == 1, bins=1)
+
+
+def test_acf_binned_periodic_series(spark):
+    """A period-4 count series has ACF ~ +1 at lag 4 and negative at lag
+    2; the values match a NumPy reference computed over the gap-FILLED
+    series (empty bins are real zeros)."""
+    import numpy as np
+
+    # counts per bin: 5,1,1,1 repeating, 40 bins; bin 1 of each cycle is
+    # EMPTY (count would be 0 -> no rows) in cycles 3 and 7 -> gap-fill
+    counts = []
+    for cyc in range(10):
+        counts += [5, 0 if cyc in (3, 7) else 1, 1, 1]
+    rows = []
+    eid = 0
+    for b, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, b * 100 + 3),)
+            eid += 1
+    df = spark.createDataFrame(rows, "eid long, t long")
+    out = {r["lag"]: r for r in relational.acf_binned(
+        df, ts="t", bin_ms=100, max_lag=8).collect()}
+    x = np.array(counts, dtype=float)
+    c = x - x.mean()
+    ss = float((c * c).sum())
+    for lag in range(1, 9):
+        want = float((c[:-lag] * c[lag:]).sum()) / ss
+        assert out[lag]["acf"] == pytest.approx(want, abs=1e-6), lag
+        assert out[lag]["n_pairs"] == len(counts) - lag
+    assert out[4]["acf"] > 0.8 and out[2]["acf"] < 0
+    with pytest.raises(ValueError, match="max_lag must be >= 1"):
+        relational.acf_binned(df, ts="t", bin_ms=100, max_lag=0)
+
+
+def test_acf_binned_constant_series_null(spark):
+    df = spark.createDataFrame(
+        [(i, b * 100) for b in range(10) for i in range(2)],
+        "eid long, t long")
+    out = relational.acf_binned(df, ts="t", bin_ms=100, max_lag=3).collect()
+    assert all(r["acf"] is None for r in out)  # zero variance
+
+
+def test_gini_by_group_textbook_values(spark):
+    """Perfect equality -> 0; total concentration -> (n-1)/n; a known
+    4-member split matches the rank-identity hand computation; zero-total
+    group -> null; a negative value raises in-plan."""
+    rows = ([("eq", f"m{i}", 10.0) for i in range(5)]
+            + [("conc", "m0", 0.0), ("conc", "m1", 0.0),
+               ("conc", "m2", 0.0), ("conc", "m3", 100.0)]
+            + [("mix", "a", 1.0), ("mix", "b", 2.0),
+               ("mix", "c", 3.0), ("mix", "d", 14.0)]
+            + [("zero", "z1", 0.0), ("zero", "z2", 0.0)])
+    df = spark.createDataFrame(rows, ["g", "id", "x"])
+    out = {r["g"]: r for r in
+           relational.gini_by_group(df, "g", "x", "id").collect()}
+    assert out["eq"]["gini"] == pytest.approx(0.0, abs=1e-6)
+    assert out["conc"]["gini"] == pytest.approx(3 / 4, abs=1e-6)
+    # mix: sorted x = 1,2,3,14; G = 2*(1*1+2*2+3*3+4*14)/(4*20) - 5/4
+    assert out["mix"]["gini"] == pytest.approx(
+        2 * (1 + 4 + 9 + 56) / (4 * 20) - 5 / 4, abs=1e-6)
+    assert out["zero"]["gini"] is None
+    assert out["mix"]["n_members"] == 4
+    assert out["mix"]["total_value"] == pytest.approx(20.0)
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    neg = spark.createDataFrame(
+        [("g", "a", 5.0), ("g", "b", -1.0)], ["g", "id", "x"])
+    with pytest.raises(SparkRuntimeException, match="nonnegative"):
+        relational.gini_by_group(neg, "g", "x", "id").collect()
+
+
+def test_wilson_pass_rate_small_n_ranks_below_large_n(spark):
+    """3/3 has a HIGHER raw rate but a LOWER Wilson bound than 950/1000
+    — the whole point of the operator; bounds match the closed form."""
+    rows = ([("tiny", True)] * 3
+            + [("big", True)] * 950 + [("big", False)] * 50)
+    df = spark.createDataFrame(rows, ["src", "ok"])
+    out = {r["src"]: r for r in relational.wilson_pass_rate(
+        df, "src", F.col("ok"), z=1.96).collect()}
+
+    def wilson(p, n, z=1.96):
+        return ((p + z * z / (2 * n)
+                 - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                / (1 + z * z / n))
+
+    assert out["tiny"]["pass_rate"] == 1.0
+    assert out["tiny"]["wilson_lower"] == pytest.approx(
+        wilson(1.0, 3), abs=1e-6)
+    assert out["big"]["wilson_lower"] == pytest.approx(
+        wilson(0.95, 1000), abs=1e-6)
+    assert out["tiny"]["pass_rate"] > out["big"]["pass_rate"]
+    assert out["tiny"]["wilson_lower"] < out["big"]["wilson_lower"]
