@@ -409,3 +409,94 @@ def test_benford_cents_digit_is_first_significant(cents):
     while c >= 10:
         c //= 10
     assert via_string == c
+
+
+# ---------------------------------------------------------------------------
+# round-10 banked operators: the pure arithmetic mirrored in Python
+# ---------------------------------------------------------------------------
+
+def _gini_rank_identity(xs: list[float]) -> float | None:
+    """gini_by_group's closed form: x sorted ascending, 1-based ranks."""
+    n, tot = len(xs), sum(xs)
+    if tot <= 0:
+        return None
+    s = sorted(xs)
+    iw = sum(i * x for i, x in enumerate(s, start=1))
+    return 2.0 * iw / (n * tot) - (n + 1.0) / n
+
+
+@given(st.lists(st.floats(min_value=0, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_gini_rank_identity_matches_mean_abs_difference(xs):
+    """The rank identity used by gini_by_group equals the textbook
+    mean-absolute-difference definition G = sum|xi-xj| / (2 n sum x),
+    is bounded by [0, (n-1)/n], and is scale-invariant."""
+    g = _gini_rank_identity(xs)
+    n, tot = len(xs), sum(xs)
+    if g is None:
+        assert tot <= 0
+        return
+    mad = sum(abs(a - b) for a in xs for b in xs)
+    want = mad / (2.0 * n * tot)
+    assert abs(g - want) < 1e-9 * max(1.0, abs(want))
+    assert -1e-12 <= g <= (n - 1) / n + 1e-12
+    g2 = _gini_rank_identity([x * 7.5 for x in xs])
+    assert abs(g - g2) < 1e-9
+
+
+def _wilson_lower(p: float, n: int, z: float = 1.96) -> float:
+    import math as m
+    return ((p + z * z / (2 * n)
+             - z * m.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
+            / (1 + z * z / n))
+
+
+@given(st.integers(min_value=0, max_value=500),
+       st.integers(min_value=1, max_value=500))
+@settings(max_examples=300)
+def test_wilson_lower_bounds_and_monotonicity(k, n):
+    """wilson_pass_rate's algebra: 0 <= lower <= p-hat always, exact 0
+    at zero successes, and more evidence at the SAME rate tightens the
+    bound upward (the small-n humility the operator exists for)."""
+    if k > n:
+        k = k % (n + 1)
+    p = k / n
+    lo = _wilson_lower(p, n)
+    assert -1e-12 <= lo <= p + 1e-12
+    if k == 0:
+        assert abs(lo) < 1e-12
+    lo10 = _wilson_lower(p, n * 10)
+    assert lo10 >= lo - 1e-12
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=3, max_size=80),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=300)
+def test_acf_bounds_and_shift_scale_invariance(counts, lag):
+    """acf_binned's sample-ACF arithmetic: |acf| <= 1 (Cauchy-Schwarz
+    on the centered series), and the value is invariant under shifting
+    or positively scaling the series."""
+    if lag >= len(counts):
+        lag = len(counts) - 1
+    if lag < 1:
+        return
+
+    def acf(xs, lg):
+        m = sum(xs) / len(xs)
+        c = [x - m for x in xs]
+        ss = sum(v * v for v in c)
+        if ss == 0:
+            return None
+        return sum(c[i] * c[i + lg] for i in range(len(c) - lg)) / ss
+
+    a = acf([float(x) for x in counts], lag)
+    if a is None:
+        return
+    assert -1.0 - 1e-9 <= a <= 1.0 + 1e-9
+    a_shift = acf([x + 123.0 for x in counts], lag)
+    a_scale = acf([x * 4.0 for x in counts], lag)
+    assert abs(a - a_shift) < 1e-7
+    assert abs(a - a_scale) < 1e-7
