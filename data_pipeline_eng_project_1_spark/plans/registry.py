@@ -48,182 +48,182 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.14,
-    "unpivot_part_metrics": 0.15,
-    "filter_project_cast": 0.17,
-    "multimodal_meta": 0.17,
-    "string_funcs_part": 0.17,
-    "array_hof_stats": 0.18,
-    "date_parts_orders": 0.19,
-    "doc_chunks": 0.19,
+    "sort_limit_topk": 0.16,
     "text_fingerprint": 0.19,
-    "corpus_weighted_reservoir": 0.20,
-    "posexplode_tokens": 0.21,
-    "vector_norms": 0.21,
-    "cube_nation_segment": 0.22,
-    "customer_k_anonymity": 0.22,
-    "rollup_status_priority": 0.22,
-    "grouping_sets_status_priority": 0.23,
-    "null_conditional_agg": 0.23,
-    "stratified_sample": 0.23,
-    "topk_per_priority": 0.23,
-    "corpus_snapshot_diff": 0.24,
-    "try_cast_dirty": 0.24,
-    "window_running_rank": 0.24,
-    "corpus_shard_export": 0.25,
-    "customer_l_diversity": 0.25,
-    "window_range_moving_avg": 0.25,
-    "quantiles_per_priority": 0.26,
-    "pii_scrub": 0.27,
-    "stringagg_nations": 0.27,
-    "events_rollup_multigrain": 0.28,
+    "unpivot_part_metrics": 0.20,
+    "array_hof_stats": 0.21,
+    "string_funcs_part": 0.21,
+    "posexplode_tokens": 0.22,
+    "vector_norms": 0.22,
+    "multimodal_meta": 0.23,
+    "cube_nation_segment": 0.24,
+    "filter_project_cast": 0.24,
+    "stratified_sample": 0.25,
+    "date_parts_orders": 0.26,
+    "doc_chunks": 0.26,
+    "corpus_weighted_reservoir": 0.27,
+    "customer_k_anonymity": 0.27,
+    "null_conditional_agg": 0.27,
+    "try_cast_dirty": 0.27,
+    "quantiles_per_priority": 0.28,
     "text_token_topk": 0.28,
-    "window_latest_per_key": 0.28,
-    "conditional_promo_ratio": 0.29,
-    "events_interval_coverage": 0.29,
-    "events_sessionize": 0.29,
-    "pivot_returnflag": 0.29,
-    "similarity_topk": 0.29,
-    "window_distribution": 0.29,
-    "above_avg_orders": 0.30,
-    "pricing_summary_agg": 0.30,
-    "regression_price_qty": 0.30,
-    "stats_agg_lineitem": 0.30,
-    "corpus_importance_sample": 0.31,
-    "multimodal_decode": 0.31,
-    "entity_match_fuzzy": 0.32,
-    "events_anomaly_zscore": 0.32,
-    "events_time_weighted_avg": 0.32,
-    "similarity_filtered_topk": 0.32,
-    "doc_packing": 0.33,
-    "group_distinct_agg": 0.33,
-    "quality_classifier_score": 0.33,
-    "embedding_quantize_int8": 0.34,
-    "events_grouped_regression": 0.34,
-    "events_json_extract": 0.34,
-    "corpus_negative_sampling": 0.35,
-    "embedding_random_projection": 0.35,
-    "events_tumbling_1h": 0.35,
-    "multimodal_frames": 0.35,
-    "pii_creditcard_luhn": 0.35,
-    "disjunctive_bracket_revenue": 0.36,
-    "events_scd2_history": 0.36,
-    "hll_distinct_audit": 0.36,
-    "customer_order_histogram": 0.37,
-    "events_asof_click": 0.37,
-    "events_markov_transitions": 0.38,
-    "parts_skyline_frontier": 0.38,
-    "semi_anti_customers": 0.38,
-    "top_revenue_supplier": 0.38,
-    "corpus_temperature_mixture": 0.39,
-    "events_hourly_retention": 0.39,
-    "orders_mad_outliers": 0.39,
-    "corpus_domain_cap": 0.40,
-    "embedding_covariance": 0.41,
-    "text_quality": 0.42,
-    "events_range_join_1h": 0.43,
-    "window_lead_lag": 0.43,
-    "small_qty_part_revenue": 0.44,
-    "events_count_min_sketch": 0.45,
-    "late_shipment_priority": 0.45,
-    "orders_incremental_rollup": 0.45,
-    "lineitem_expectations_audit": 0.46,
-    "skew_salted_join": 0.46,
-    "set_ops_custkeys": 0.47,
-    "text_char_entropy": 0.47,
-    "corpus_mixture_sample": 0.48,
-    "events_last_touch_attribution": 0.49,
-    "join_topk_revenue": 0.49,
-    "map_priority_counts": 0.49,
-    "orders_equidepth_histogram": 0.49,
-    "dedup_exact": 0.50,
-    "grouped_zscore_pandas": 0.50,
-    "multimodal_phash_dedup": 0.50,
-    "orders_subsample_variance": 0.50,
-    "scalar_subquery_share": 0.50,
-    "text_repetition": 0.50,
-    "events_cusum_changepoint": 0.52,
-    "text_kl_drift": 0.52,
-    "events_chisq_independence": 0.54,
-    "dedup_exact_spans_staggered": 0.55,
-    "large_order_customers": 0.55,
-    "rich_quiet_customers": 0.56,
-    "sole_blame_suppliers": 0.58,
-    "text_unigram_logprob": 0.58,
-    "orders_cohort_retention": 0.59,
-    "events_ab_welch_ttest": 0.60,
-    "events_funnel_conversion": 0.60,
-    "events_sliding_1h_15m": 0.60,
-    "dedup_embedding_cosine": 0.61,
-    "star_join_region_revenue": 0.63,
-    "dedup_exact_spans": 0.65,
-    "events_kaplan_meier": 0.67,
-    "bloom_pruned_join": 0.68,
-    "orders_target_encoding": 0.68,
-    "text_bigram_pmi": 0.68,
-    "text_bigram_lm_perplexity": 0.69,
-    "text_langid": 0.70,
-    "corpus_doremi_reweight": 0.71,
-    "lineitem_skew_profile": 0.71,
-    "parts_abc_pareto": 0.71,
-    "text_heavy_hitters": 0.71,
-    "events_gap_fill": 0.74,
-    "basket_brand_lift": 0.75,
-    "corpus_curation": 0.75,
-    "events_multi_touch_attribution": 0.76,
-    "multimodal_audio_fp_dedup": 0.76,
-    "similarity_knn_graph": 0.80,
-    "text_ngram_novelty": 0.81,
-    "nation_trade_volume": 0.88,
-    "orders_mutual_information": 0.88,
-    "dedup_containment": 0.90,
-    "text_tfidf_topterms": 0.90,
-    "orders_benford_audit": 0.91,
-    "similarity_label_propagation": 0.92,
-    "corpus_cluster_balance": 0.93,
-    "text_collocation_llr": 0.94,
-    "ntile_spend_quartiles": 0.95,
-    "similarity_ann_ivf": 0.95,
-    "events_conversion_latency": 0.70,  # est: last_touch + one agg
-    "events_psi_drift": 0.98,
-    "events_ecdf_drift": 1.00,  # est: psi_drift plan shape, 20 bins
-    "referential_integrity_audit": 0.98,
-    "corpus_source_overlap": 0.99,
-    "lineitem_fd_violations": 1.02,
-    "dedup_semantic": 1.05,
-    "similarity_ann_lsh": 1.08,
-    "orders_roc_auc": 1.09,
-    "dedup_ngram_jaccard": 1.11,
-    "text_winnow_fingerprint": 1.12,
-    "approx_distinct_custkeys": 1.14,
-    "corpus_decontamination": 1.15,
-    "events_rolling_anomaly": 1.19,
-    "dedup_incremental": 1.22,
-    "dedup_minhash_lsh": 1.25,
-    "text_rrf_hybrid": 1.28,
-    "similarity_link_prediction": 1.29,
-    "corpus_vocab_growth": 1.34,
-    "text_tfidf_cosine_pairs": 1.41,
-    "corpus_kcenter_coreset": 1.43,
-    "orders_dense_index": 1.46,
-    "supplier_pagerank": 1.46,
-    "dedup_simhash": 1.47,
-    "text_bm25_topk": 1.50,
-    "corpus_leakage_safe_split": 1.51,
-    "dedup_components": 1.55,
-    "similarity_graph_triangles": 1.65,
-    "orders_table_profile": 1.68,
-    "similarity_ann_pq": 1.69,
-    "text_bpe_vocab": 1.70,
-    "corpus_pipeline_end_to_end": 1.74,
-    "corpus_split_accounting": 1.87,
-    "embeddings_kmeans_lloyd": 2.33,
-    "doc_cdc_chunks": 2.63,
-    "dedup_keep_best": 2.71,
-    "flashscore_format_parity": 2.83,
-    "embedding_silhouette": 2.90,
-    "dedup_winnow_pairs": 2.99,
-    "embedding_pca_power": 4.38,
+    "topk_per_priority": 0.28,
+    "grouping_sets_status_priority": 0.30,
+    "pii_scrub": 0.30,
+    "pivot_returnflag": 0.30,
+    "conditional_promo_ratio": 0.31,
+    "events_tumbling_1h": 0.31,
+    "doc_packing": 0.32,
+    "events_sessionize": 0.32,
+    "above_avg_orders": 0.33,
+    "window_latest_per_key": 0.33,
+    "corpus_snapshot_diff": 0.34,
+    "lineitem_skew_profile": 0.34,
+    "corpus_shard_export": 0.35,
+    "pricing_summary_agg": 0.35,
+    "events_asof_click": 0.36,
+    "events_hourly_retention": 0.36,
+    "window_running_rank": 0.36,
+    "customer_l_diversity": 0.37,
+    "stringagg_nations": 0.37,
+    "window_distribution": 0.37,
+    "window_range_moving_avg": 0.37,
+    "events_grouped_regression": 0.38,
+    "events_json_extract": 0.38,
+    "customer_order_histogram": 0.39,
+    "events_rollup_multigrain": 0.39,
+    "events_time_weighted_avg": 0.39,
+    "text_quality": 0.39,
+    "corpus_split_accounting": 0.40,
+    "multimodal_decode": 0.40,
+    "events_interval_coverage": 0.41,
+    "events_range_join_1h": 0.41,
+    "orders_target_encoding": 0.41,
+    "events_ab_welch_ttest": 0.42,
+    "events_anomaly_zscore": 0.42,
+    "orders_mutual_information": 0.42,
+    "set_ops_custkeys": 0.42,
+    "events_scd2_history": 0.43,
+    "multimodal_frames": 0.43,
+    "entity_match_fuzzy": 0.44,
+    "embedding_quantize_int8": 0.46,
+    "stats_agg_lineitem": 0.46,
+    "group_distinct_agg": 0.48,
+    "quality_classifier_score": 0.48,
+    "window_lead_lag": 0.48,
+    "corpus_negative_sampling": 0.49,
+    "events_markov_transitions": 0.49,
+    "regression_price_qty": 0.49,
+    "corpus_importance_sample": 0.50,
+    "hll_distinct_audit": 0.50,
+    "events_multi_touch_attribution": 0.51,
+    "similarity_filtered_topk": 0.52,
+    "parts_skyline_frontier": 0.53,
+    "map_priority_counts": 0.54,
+    "orders_mad_outliers": 0.54,
+    "events_last_touch_attribution": 0.55,
+    "orders_incremental_rollup": 0.55,
+    "rollup_status_priority": 0.55,
+    "corpus_domain_cap": 0.56,
+    "corpus_mixture_sample": 0.56,
+    "lineitem_fd_violations": 0.57,
+    "events_count_min_sketch": 0.61,
+    "embedding_covariance": 0.62,
+    "corpus_temperature_mixture": 0.63,
+    "orders_subsample_variance": 0.64,
+    "text_repetition": 0.65,
+    "dedup_exact": 0.66,
+    "dedup_exact_spans_staggered": 0.66,
+    "lineitem_expectations_audit": 0.66,
+    "orders_cohort_retention": 0.67,
+    "orders_roc_auc": 0.67,
+    "pii_creditcard_luhn": 0.67,
+    "disjunctive_bracket_revenue": 0.68,
+    "events_chisq_independence": 0.68,
+    "grouped_zscore_pandas": 0.69,
+    "text_langid": 0.69,
+    "embedding_random_projection": 0.70,
+    "rich_quiet_customers": 0.70,
+    "text_kl_drift": 0.72,
+    "top_revenue_supplier": 0.72,
+    "dedup_exact_spans": 0.73,
+    "text_char_entropy": 0.73,
+    "semi_anti_customers": 0.74,
+    "similarity_topk": 0.74,
+    "events_funnel_conversion": 0.75,
+    "multimodal_phash_dedup": 0.75,
+    "orders_dense_index": 0.75,
+    "dedup_embedding_cosine": 0.78,
+    "events_cusum_changepoint": 0.78,
+    "text_bm25_topk": 0.78,
+    "late_shipment_priority": 0.81,
+    "nation_trade_volume": 0.81,
+    "events_rolling_anomaly": 0.82,
+    "text_tfidf_topterms": 0.82,
+    "corpus_vocab_growth": 0.83,
+    "text_heavy_hitters": 0.83,
+    "scalar_subquery_share": 0.84,
+    "orders_table_profile": 0.85,
+    "join_topk_revenue": 0.86,
+    "skew_salted_join": 0.88,
+    "corpus_doremi_reweight": 0.89,
+    "orders_equidepth_histogram": 0.89,
+    "bloom_pruned_join": 0.91,
+    "basket_brand_lift": 0.92,
+    "large_order_customers": 0.92,
+    "text_unigram_logprob": 0.92,
+    "corpus_decontamination": 0.94,
+    "sole_blame_suppliers": 0.94,
+    "events_sliding_1h_15m": 0.95,
+    "star_join_region_revenue": 0.97,
+    "parts_abc_pareto": 1.00,
+    "ntile_spend_quartiles": 1.01,
+    "corpus_curation": 1.07,
+    "text_bigram_lm_perplexity": 1.07,
+    "text_rrf_hybrid": 1.14,
+    "similarity_ann_lsh": 1.16,
+    "text_collocation_llr": 1.16,
+    "events_gap_fill": 1.17,
+    "text_ngram_novelty": 1.18,
+    "small_qty_part_revenue": 1.27,
+    "events_ecdf_drift": 1.28,
+    "text_bigram_pmi": 1.28,
+    "orders_benford_audit": 1.29,
+    "corpus_pipeline_end_to_end": 1.36,
+    "similarity_label_propagation": 1.37,
+    "dedup_simhash": 1.46,
+    "dedup_minhash_lsh": 1.47,
+    "similarity_ann_ivf": 1.50,
+    "dedup_containment": 1.51,
+    "referential_integrity_audit": 1.53,
+    "text_winnow_fingerprint": 1.53,
+    "events_kaplan_meier": 1.55,
+    "corpus_source_overlap": 1.58,
+    "dedup_semantic": 1.59,
+    "embeddings_kmeans_lloyd": 1.64,
+    "dedup_ngram_jaccard": 1.65,
+    "similarity_ann_pq": 1.65,
+    "supplier_pagerank": 1.68,
+    "dedup_incremental": 1.71,
+    "approx_distinct_custkeys": 1.73,
+    "events_conversion_latency": 1.80,
+    "corpus_cluster_balance": 1.85,
+    "dedup_components": 1.89,
+    "events_psi_drift": 1.90,
+    "similarity_knn_graph": 2.02,
+    "multimodal_audio_fp_dedup": 2.11,
+    "corpus_kcenter_coreset": 2.36,
+    "similarity_graph_triangles": 2.39,
+    "text_bpe_vocab": 2.42,
+    "dedup_keep_best": 2.56,
+    "text_tfidf_cosine_pairs": 2.62,
+    "similarity_link_prediction": 2.90,
+    "embedding_pca_power": 2.92,
+    "flashscore_format_parity": 3.11,
+    "corpus_leakage_safe_split": 3.35,
+    "doc_cdc_chunks": 3.51,
+    "dedup_winnow_pairs": 4.09,
+    "embedding_silhouette": 4.96,
 }
 
 _MEDIAN_COST = 0.5
