@@ -412,11 +412,10 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                    # coverage-exhausted early stop (advice
                                    # fix; non-binding on fixtures — k <<
                                    # distinct vectors — same output)
-    "orders_table_profile": 7,     # builder rerouted through the shared
-                                   # relational.table_profile operator
-                                   # (the approx=True 100 TB switch now
-                                   # has a code path; exact form is the
-                                   # same expressions, same output)
+    # (orders_table_profile also changed in r8 — builder rerouted through
+    # the shared relational.table_profile operator, same output; that
+    # entry is subsumed by its r9 row below, which a dict literal would
+    # otherwise silently shadow — test_registry pins no-duplicate-keys)
     "text_tfidf_cosine_pairs": 7,  # candidate join keys switched to
                                    # xxhash64 longs with the collided-
                                    # hash broadcast split (no collisions

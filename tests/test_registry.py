@@ -103,3 +103,39 @@ def test_stale_refresh_fits_budget_now():
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
         f"budget — more than {BUDGET - reserve} cannot re-converge on "
         "the next walk alongside the observed-max new-operator load")
+
+
+def test_changed_since_green_literal_has_no_duplicate_keys():
+    """A duplicate key in the _CHANGED_SINCE_GREEN dict LITERAL is
+    silently shadowed by Python (last wins) — which can mark stale
+    evidence green if the later entry carries a smaller round. Parse the
+    source and assert every literal key appears exactly once (r10 found
+    orders_table_profile recorded in both its r8 and r9 change rounds;
+    the r9 value happened to win correctly, but only by luck of entry
+    order)."""
+    import ast
+    import collections
+    import inspect
+
+    from data_pipeline_eng_project_1_spark.plans import registry
+
+    tree = ast.parse(inspect.getsource(registry))
+    lit = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.AnnAssign)
+                and getattr(node.target, "id", "") == "_CHANGED_SINCE_GREEN"):
+            lit = node.value
+        if (isinstance(node, ast.Assign)
+                and any(getattr(t, "id", "") == "_CHANGED_SINCE_GREEN"
+                        for t in node.targets)):
+            lit = node.value
+    assert isinstance(lit, ast.Dict), "literal dict not found"
+    keys = [k.value for k in lit.keys if isinstance(k, ast.Constant)]
+    dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+    assert not dupes, f"shadowed _CHANGED_SINCE_GREEN keys: {dupes}"
+    # every key must name a registered query (a typo'd key re-needies
+    # nothing and silently does NOT refresh the intended row)
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+    names = {s.name for s in Q.specs()}
+    unknown = [k for k in keys if k not in names]
+    assert not unknown, f"_CHANGED_SINCE_GREEN keys not in registry: {unknown}"
