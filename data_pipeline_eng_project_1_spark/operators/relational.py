@@ -1483,27 +1483,62 @@ def seasonal_outliers(df: DataFrame, ts: str, value: str, id_col: str,
     scan-side projection, no window over the data, no data-sized
     shuffle (the target_encode_loo choreography).
     """
-    _require_plain_identifier("seasonal_outliers", ts)
+    prof = seasonal_profile(df, ts, value, period_ms, cycle)
+    return score_against_seasonal_profile(
+        df, prof, ts=ts, value=value, id_col=id_col, period_ms=period_ms,
+        cycle=cycle, z_thresh=z_thresh, min_n=min_n)
+
+
+def seasonal_profile(df: DataFrame, ts: str, value: str,
+                     period_ms: int = 3_600_000,
+                     cycle: int = 24) -> DataFrame:
+    """The <= ``cycle``-row seasonal profile frame (bucket, n_bucket,
+    mean, sd) that seasonal scoring runs against — computed in batch
+    over history, applied in batch by seasonal_outliers or LIVE by
+    streaming.pipeline.seasonal_gate_stream (the precompute-offline /
+    score-online ops split). ONE partial+final (bucket) aggregate over
+    the non-null values."""
+    _require_plain_identifier("seasonal_profile", ts)
     ts_t = df.schema[ts].dataType.simpleString()
     if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"seasonal_outliers: ts column {ts!r} must be an "
+        raise TypeError(f"seasonal_profile: ts column {ts!r} must be an "
                         f"integer epoch-units type, got {ts_t}")
-    df = df.filter(F.col(value).isNotNull())
     bucket = F.expr(f"({ts} DIV {period_ms}) % {cycle}").cast("int")
-    based = df.select(F.col(id_col), F.col(ts), F.col(value),
-                      bucket.alias("__bucket"))
-    prof = based.groupBy("__bucket").agg(
-        F.count(value).alias("n_bucket"),
-        F.avg(value).alias("__m"),
-        F.stddev_samp(value).alias("__sd"))
-    z = (F.col(value) - F.col("__m")) / F.col("__sd")
-    scored = based.join(F.broadcast(prof), "__bucket").select(
-        id_col, ts, F.col("__bucket").alias("bucket"), value,
+    return (df.filter(F.col(value).isNotNull())
+              .select(bucket.alias("bucket"), F.col(value).alias("__v"))
+              .groupBy("bucket")
+              .agg(F.count("__v").alias("n_bucket"),
+                   F.avg("__v").alias("mean"),
+                   F.stddev_samp("__v").alias("sd")))
+
+
+def score_against_seasonal_profile(df: DataFrame, profile: DataFrame,
+                                   ts: str, value: str, id_col: str,
+                                   period_ms: int = 3_600_000,
+                                   cycle: int = 24, z_thresh: float = 3.0,
+                                   min_n: int = 8) -> DataFrame:
+    """Score rows against a (possibly pre-computed) seasonal profile
+    from ``seasonal_profile`` and keep the |z| >= ``z_thresh`` outliers.
+    Pure column algebra + a broadcast join of the <= cycle-row profile,
+    so it works unchanged on a STREAMING ``df`` (stream-static join,
+    stateless append) — the live gate wraps exactly this function."""
+    _require_plain_identifier("seasonal_scoring", ts)
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"seasonal_scoring: ts column {ts!r} must be an "
+                        f"integer epoch-units type, got {ts_t}")
+    bucket = F.expr(f"({ts} DIV {period_ms}) % {cycle}").cast("int")
+    based = (df.filter(F.col(value).isNotNull())
+               .select(F.col(id_col), F.col(ts), F.col(value),
+                       bucket.alias("bucket")))
+    z = (F.col(value) - F.col("mean")) / F.col("sd")
+    scored = based.join(F.broadcast(profile), "bucket").select(
+        id_col, ts, "bucket", value,
         F.col("n_bucket"),
-        F.round("__m", 6).alias("base_mean"),
-        F.round("__sd", 6).alias("base_std"),
+        F.round("mean", 6).alias("base_mean"),
+        F.round("sd", 6).alias("base_std"),
         F.round(z, 4).alias("zscore"),
-        z.alias("__z"), F.col("__sd").alias("__s"))
+        z.alias("__z"), F.col("sd").alias("__s"))
     return (scored
             .filter((F.col("n_bucket") >= min_n) & (F.col("__s") > 1e-9)
                     & (F.abs(F.col("__z")) >= z_thresh))

@@ -668,6 +668,35 @@ def anomaly_stream(events: DataFrame, w: int = 20,
     )
 
 
+def seasonal_gate_stream(events: DataFrame, profile: DataFrame,
+                         period_ms: int = 3_600_000, cycle: int = 24,
+                         z_thresh: float = 3.0, min_n: int = 8) -> DataFrame:
+    """Live twin of ``relational.seasonal_outliers``: score an event
+    stream against a PRECOMPUTED seasonal profile (the <= ``cycle``-row
+    frame from ``relational.seasonal_profile``, built in batch over
+    history) — the precompute-offline / score-online ops split every
+    seasonality-aware monitor runs in production: the profile refreshes
+    on a batch cadence, the gate applies it to events as they arrive.
+
+    Plan shape: a STREAM-STATIC broadcast join + scan-side projection —
+    completely STATELESS (append mode, no watermark, no state store), so
+    a restart loses nothing and throughput is bound by the scan, unlike
+    the stateful rolling detector (``anomaly_stream``) whose per-key
+    ring must persist. The scoring is literally the batch operator's
+    column algebra (``relational.score_against_seasonal_profile``) run
+    on the streaming frame, so batch-stream parity holds by construction
+    WHEN the same profile is passed; passing yesterday's profile to
+    today's stream is the intended production use (and the semantic
+    difference from the batch op, which profiles the frame it scores).
+    """
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    return relational.score_against_seasonal_profile(
+        events.select("event_id", "ts_ms", "value"),
+        profile, ts="ts_ms", value="value", id_col="event_id",
+        period_ms=period_ms, cycle=cycle, z_thresh=z_thresh, min_n=min_n)
+
+
 def user_totals_tws(events: DataFrame) -> DataFrame:
     """Per-user running totals via ``transformWithStateInPandas`` — the
     Spark 4 arbitrary-state API (StatefulProcessor + typed state handles)

@@ -586,7 +586,7 @@ def test_seasonal_outliers_profile_broadcast_no_fact_shuffle(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
-    assert key.startswith("__bucket")
+    assert key.startswith("bucket")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan

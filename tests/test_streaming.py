@@ -845,3 +845,76 @@ def test_anomaly_stream_state_survives_restart(spark, tmp_path):
     tail = [20.0 + (i % 3) * 0.1 for i in range(5, 10)]
     assert abs(r["roll_mean"] - round(st.mean(tail), 6)) < 1e-9
     assert abs(r["roll_std"] - round(st.stdev(tail), 6)) < 1e-9
+
+
+def test_seasonal_gate_stream_matches_batch_with_same_profile(spark, tmp_path):
+    """The live seasonal gate == the batch seasonal_outliers when scored
+    against the SAME profile (parity by construction — the stream runs
+    the batch operator's column algebra through a stream-static
+    broadcast join). Stateless: no watermark, no state store."""
+    import json as _json
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = []
+    eid = 0
+    for day in range(10):                      # hour-0 ~10, hour-12 ~100
+        for hour, base in ((0, 10.0), (12, 100.0)):
+            rows.append({"event_id": eid, "user_id": 1,
+                         "ts_ms": ((day * 24 + hour) * 3_600_000),
+                         "event_type": "view",
+                         "value": base + (day % 3) * 0.1})
+            eid += 1
+    rows.append({"event_id": 999, "user_id": 1,
+                 "ts_ms": 10 * 24 * 3_600_000, "event_type": "view",
+                 "value": 100.0})              # hour-0 spike
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts_ms"], r["value"]) for r in rows],
+        "event_id long, ts_ms long, value double")
+    profile = relational.seasonal_profile(batch_df, "ts_ms", "value")
+
+    q = sp.run_to_memory(
+        sp.seasonal_gate_stream(sp.stream_events(spark, str(src)), profile),
+        "seasonal_gate", str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("seasonal_gate").collect())
+
+    want = sorted(tuple(r) for r in relational.seasonal_outliers(
+        batch_df, ts="ts_ms", value="value", id_col="event_id").collect())
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 999  # exactly the hour-0 spike
+
+
+def test_seasonal_gate_stream_scores_against_stale_profile(spark, tmp_path):
+    """The production semantics: the gate scores TODAY's stream against
+    YESTERDAY's profile — a level shift the profile has not seen flags
+    every shifted event, which the self-profiling batch operator would
+    partially absorb into its own mean."""
+    import json as _json
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    hist = spark.createDataFrame(
+        [(i, (d * 24) * 3_600_000, 10.0 + (i % 5) * 0.1)
+         for d in range(10) for i in (d,)],
+        "event_id long, ts_ms long, value double")
+    profile = relational.seasonal_profile(hist, "ts_ms", "value")
+
+    src = tmp_path / "ev2"
+    src.mkdir()
+    live = [{"event_id": 100 + d, "user_id": 1,
+             "ts_ms": ((10 + d) * 24) * 3_600_000, "event_type": "view",
+             "value": 50.0} for d in range(3)]
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in live))
+
+    q = sp.run_to_memory(
+        sp.seasonal_gate_stream(sp.stream_events(spark, str(src)), profile),
+        "seasonal_gate2", str(tmp_path / "ck2"))
+    q.awaitTermination()
+    got = spark.table("seasonal_gate2").collect()
+    assert sorted(r["event_id"] for r in got) == [100, 101, 102]
+    assert all(r["n_bucket"] == 10 for r in got)  # profile is history's
