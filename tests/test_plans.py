@@ -625,3 +625,27 @@ def test_calibration_bins_single_bucket_exchange(spark):
     key = plan.split("Exchange hashpartitioning(")[1].split(",")[0]
     assert key.startswith("__bucket")
     assert "SortMergeJoin" not in plan
+
+
+def test_session_top_paths_single_key_exchange(spark):
+    """session_top_paths' scale claim: sessionize AND the path leads ride
+    ONE hash exchange on the key (the leads run over the key partition
+    with session-id equality filters — no second exchange on
+    (key, session)); the top-k ships as TakeOrdered."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    ev = catalog.load_table(spark, "events", SF_DIR)
+    df = relational.session_top_paths(
+        ev.select("user_id", "ts_ms", "event_id", "event_type"),
+        key="user_id", ts="ts_ms", type_col="event_type",
+        id_col="event_id", gap=86_400_000)
+    plan = _plan(df)
+    datapath = plan.split("Exchange hashpartitioning")
+    keys = [seg.split(",")[0].lstrip("(") for seg in datapath[1:]]
+    user_keyed = [k for k in keys if k.startswith("user_id")]
+    path_keyed = [k for k in keys if k.startswith("path")]
+    assert len(user_keyed) == 1, keys   # sessionize + leads share it
+    assert len(keys) == len(user_keyed) + len(path_keyed), keys
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

@@ -8,7 +8,7 @@ NOT registered yet by design: the round-10 walk carries 9 needy rows +
 the 28-row r6 freshness tail; these wait for round 11's capacity
 (tests/test_registry.py's spill guard is the arbiter).
 
-All six candidate oracles pass the typed-hash output lint
+All seven candidate oracles pass the typed-hash output lint
 (tests/test_oracle_types.py's banned_oracle_types) — asserted per spec
 below, so the r9 kaplan HUGEINT class can't hide in a banked spec.
 """
@@ -316,3 +316,53 @@ def test_wilson_quality_spec_proven(spark):
     sdf = relational.wilson_pass_rate(base, "source", F.col("ok"), z=1.96)
     n = _compare(spark, sdf, WILSON_QUALITY_SQL)
     assert n == 20  # 20 sources in the fixture
+
+
+#: Candidate oracle for `events_session_top_paths`
+#: (relational.session_top_paths: top event-type trigram journeys within
+#: DAILY sessions — the 30-minute gap of the graded sessionize query
+#: leaves almost no 3-event runs at fixture time-density, so the path
+#: query sessionizes at a 24 h gap: 791 trigram runs at sf0.001). Nested-window-free: the lag,
+#: the running session-id sum, and the leads are staged in separate CTEs
+#: (DuckDB rejects nested window calls).
+SESSION_TOP_PATHS_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                  event_id, event_type
+           FROM events),
+l AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                     (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                     > 86400000 THEN 1 ELSE 0 END AS nw
+      FROM e),
+s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+                              ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+t AS (SELECT event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             sid,
+             lead(sid, 1) OVER w AS sid1,
+             lead(sid, 2) OVER w AS sid2
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+g AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+      FROM t
+      WHERE sid1 = sid AND sid2 = sid
+        AND t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+      GROUP BY 1)
+SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+       round(n / (sum(n) OVER ()), 6) AS share
+FROM g
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
+def test_session_top_paths_spec_proven(spark):
+    ev = catalog.load_table(spark, "events", SF)
+    sdf = relational.session_top_paths(
+        ev.select("user_id", "ts_ms", "event_id", "event_type"),
+        key="user_id", ts="ts_ms", type_col="event_type",
+        id_col="event_id", gap=86_400_000, path_len=3, top=20)
+    n = _compare(spark, sdf, SESSION_TOP_PATHS_SQL)
+    assert n == 20  # 5 event types -> plenty of distinct trigrams

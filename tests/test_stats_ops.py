@@ -980,3 +980,27 @@ def test_wilson_pass_rate_small_n_ranks_below_large_n(spark):
         wilson(0.95, 1000), abs=1e-6)
     assert out["tiny"]["pass_rate"] > out["big"]["pass_rate"]
     assert out["tiny"]["wilson_lower"] < out["big"]["wilson_lower"]
+
+
+def test_session_top_paths_counts_within_sessions_only(spark):
+    """Trigram runs count only inside a session: user 1's unbroken run
+    yields overlapping trigrams with a known multiset; user 2's two
+    2-event sessions yield none (no run crosses the gap)."""
+    rows = [(1, t * 100, t, ty) for t, ty in
+            enumerate(["A", "B", "C", "A", "B", "C"])]
+    rows += [(2, 0, 100, "A"), (2, 100, 101, "B"),
+             (2, 10_000_000, 102, "C"), (2, 10_000_100, 103, "D")]
+    df = spark.createDataFrame(rows, ["u", "t", "eid", "ty"])
+    out = relational.session_top_paths(
+        df, key="u", ts="t", type_col="ty", id_col="eid",
+        gap=1_000, path_len=3, top=10).collect()
+    assert [(r["path"], r["n_occurrences"]) for r in out] == [
+        ("A>B>C", 2), ("B>C>A", 1), ("C>A>B", 1)]
+    assert out[0]["share"] == pytest.approx(0.5, abs=1e-6)
+    # deterministic k-boundary: ties break by path text
+    top2 = relational.session_top_paths(
+        df, key="u", ts="t", type_col="ty", id_col="eid",
+        gap=1_000, path_len=3, top=2).collect()
+    assert [r["path"] for r in top2] == ["A>B>C", "B>C>A"]
+    with pytest.raises(ValueError, match="path_len must be >= 2"):
+        relational.session_top_paths(df, "u", "t", "ty", "eid", path_len=1)
