@@ -649,3 +649,32 @@ def test_session_top_paths_single_key_exchange(spark):
     assert len(keys) == len(user_keyed) + len(path_keyed), keys
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_conversion_latency_inherits_last_touch_single_exchange(spark):
+    """The graded events_conversion_latency rides the attribution's ONE
+    user-keyed exchange; the latency percentile fold adds only the
+    1-row SinglePartition final aggregate — no join of the events, no
+    second data-sized stage."""
+    df = _builders()["events_conversion_latency"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+    # the only SinglePartition funnel is the partial-aggregated
+    # percentile state (metadata), never the events
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        first_op = seg.splitlines()[1] if "\n" in seg else seg
+        assert "partial_" in first_op, first_op
+
+
+def test_ecdf_drift_shares_psi_no_data_window_shape(spark):
+    """The graded events_ecdf_drift keeps psi_drift's shape: the only
+    data-path hash exchange is the bucket aggregate; the midpoint and
+    boundary frames arrive via broadcast; no sort-merge join."""
+    df = _builders()["events_ecdf_drift"](spark, SF_DIR)
+    plan = _plan(df)
+    keys = [seg.split(",")[0] for seg in
+            plan.split("Exchange hashpartitioning(")[1:]]
+    assert all(k.startswith("__bucket") for k in keys), keys
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
