@@ -1498,6 +1498,10 @@ def seasonal_profile(df: DataFrame, ts: str, value: str,
     streaming.pipeline.seasonal_gate_stream (the precompute-offline /
     score-online ops split). ONE partial+final (bucket) aggregate over
     the non-null values."""
+    if period_ms < 1 or cycle < 1:
+        raise ValueError("seasonal_profile: period_ms and cycle must be "
+                         ">= 1 (cycle = 0 would divide by zero in the "
+                         "bucket fold)")
     _require_plain_identifier("seasonal_profile", ts)
     ts_t = df.schema[ts].dataType.simpleString()
     if ts_t not in ("tinyint", "smallint", "int", "bigint"):
@@ -1522,6 +1526,9 @@ def score_against_seasonal_profile(df: DataFrame, profile: DataFrame,
     Pure column algebra + a broadcast join of the <= cycle-row profile,
     so it works unchanged on a STREAMING ``df`` (stream-static join,
     stateless append) — the live gate wraps exactly this function."""
+    if period_ms < 1 or cycle < 1:
+        raise ValueError("seasonal_scoring: period_ms and cycle must be "
+                         ">= 1")
     _require_plain_identifier("seasonal_scoring", ts)
     ts_t = df.schema[ts].dataType.simpleString()
     if ts_t not in ("tinyint", "smallint", "int", "bigint"):
@@ -1558,7 +1565,9 @@ def kfold_assignment_audit(df: DataFrame, id_col: str, stratum: str,
 
     Scale shape: scan-side fold algebra + ONE partial+final
     (fold, stratum) aggregate; every share/gap/max window runs over the
-    <= k * |strata| AGGREGATE frame, never the rows.
+    <= k * |strata| AGGREGATE frame, never the rows. A NULL stratum
+    value audits as its own stratum group (you usually want to know a
+    fold is over-weighted in unlabeled rows too).
     """
     from data_pipeline_eng_project_1_spark.functions import hashing
 
@@ -1626,7 +1635,12 @@ def calibration_bins(df: DataFrame, score: str, label: Column,
              F.sum("__s").alias("__ssum"),
              F.sum("__y").cast("long").alias("n_pos"),
              F.sum((F.col("__s") - F.col("__y"))
-                   * (F.col("__s") - F.col("__y"))).alias("__sq"))
+                   * (F.col("__s") - F.col("__y"))).alias("__sq"),
+             # null labels/scores would silently drop out of n_pos and
+             # the Brier sum while still counting in n, skewing every
+             # rate — raise in-plan instead (the welch_ttest pattern)
+             F.sum(F.when(F.col("__y").isNull() | F.col("__s").isNull(),
+                          1).otherwise(0)).alias("__badl"))
     )
     # everything below runs over the <= bins-row aggregate frame
     whole = Window.orderBy("__bucket").rowsBetween(
@@ -1636,9 +1650,16 @@ def calibration_bins(df: DataFrame, score: str, label: Column,
     obs = F.col("n_pos") / F.col("n")
     ece = F.sum(F.abs(obs - avg_s) * F.col("n")).over(whole) / total
     brier = F.sum("__sq").over(whole) / total
+    n_guarded = F.when(
+        F.sum("__badl").over(whole) > 0,
+        F.raise_error(F.lit(
+            "calibration_bins: null score/label values found — a null "
+            "drops out of the rate and Brier sums while still counting "
+            "in n; filter or impute them explicitly first"))
+    ).otherwise(F.col("n"))
     return agg.select(
         F.dense_rank().over(Window.orderBy("__bucket")).alias("bucket"),
-        "n", "n_pos",
+        n_guarded.alias("n"), "n_pos",
         F.round(avg_s, 6).alias("avg_score"),
         F.round(obs, 6).alias("obs_rate"),
         F.round(obs - avg_s, 6).alias("gap"),
@@ -1673,6 +1694,8 @@ def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
                         f"epoch-units type, got {ts_t}")
     if max_lag < 1:
         raise ValueError("acf_binned: max_lag must be >= 1")
+    if bin_ms < 1:
+        raise ValueError("acf_binned: bin_ms must be >= 1")
     binned = (df.select(F.expr(f"{ts} DIV {bin_ms}").alias("__bin"))
                 .groupBy("__bin").agg(F.count(F.lit(1)).alias("__n")))
     rng = binned.agg(F.min("__bin").alias("__lo"),
@@ -1773,6 +1796,8 @@ def session_top_paths(df: DataFrame, key: str, ts: str, type_col: str,
     """
     if path_len < 2:
         raise ValueError("session_top_paths: path_len must be >= 2")
+    if gap < 1:
+        raise ValueError("session_top_paths: gap must be >= 1")
     sess = sessionize(df, key, ts, gap, order_tiebreak=id_col)
     w = Window.partitionBy(key).orderBy(ts, id_col)
     steps = [F.col(type_col)] + [
@@ -1809,13 +1834,21 @@ def wilson_pass_rate(df: DataFrame, group: str, passed: Column,
     sources/domains on their quality-pass rate without tiny sources
     free-riding on noise.
 
+    Null semantics: a NULL ``passed`` value counts in ``n`` but not in
+    ``n_pass`` — i.e. "not provably passing" is treated as a failure,
+    the conservative reading for a gate (coalesce the predicate first
+    for a different policy).
+
     Scale shape: scan-side predicate + ONE partial+final (group)
     aggregate; the Wilson algebra is a projection over the per-group
     frame. Nothing else moves.
     """
+    if z <= 0:
+        raise ValueError("wilson_pass_rate: z must be > 0")
     agg = df.groupBy(group).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(passed.cast("long")).cast("long").alias("n_pass"))
+        F.coalesce(F.sum(passed.cast("long")), F.lit(0))
+         .cast("long").alias("n_pass"))
     p = F.col("n_pass") / F.col("n")
     nn = F.col("n").cast("double")
     z2 = F.lit(float(z) * float(z))

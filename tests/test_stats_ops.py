@@ -1004,3 +1004,41 @@ def test_session_top_paths_counts_within_sessions_only(spark):
     assert [r["path"] for r in top2] == ["A>B>C", "B>C>A"]
     with pytest.raises(ValueError, match="path_len must be >= 2"):
         relational.session_top_paths(df, "u", "t", "ty", "eid", path_len=1)
+
+
+def test_banked_ops_guard_degenerate_params_and_nulls(spark):
+    """Edge hardening for the round-11 bank: degenerate cycle/period/
+    bin/gap values are rejected up front (cycle=0 would divide by zero
+    in the bucket fold); calibration raises in-plan on null scores/
+    labels (they silently skew every rate otherwise); the Wilson gate
+    counts null flags as failures (n_pass coalesces to 0)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ev = spark.createDataFrame(
+        [(i, i * 1000, 1.0) for i in range(10)], "eid long, t long, v double")
+    for bad in ({"period_ms": 0}, {"cycle": 0}):
+        with pytest.raises(ValueError, match=">= 1"):
+            relational.seasonal_outliers(
+                ev, ts="t", value="v", id_col="eid", **bad)
+    with pytest.raises(ValueError, match="bin_ms must be >= 1"):
+        relational.acf_binned(ev.select("t"), ts="t", bin_ms=0)
+    with pytest.raises(ValueError, match="gap must be >= 1"):
+        relational.session_top_paths(
+            ev.withColumn("ty", F.lit("A")), "eid", "t", "ty", "eid", gap=0)
+    with pytest.raises(ValueError, match="z must be > 0"):
+        relational.wilson_pass_rate(
+            ev.withColumn("ok", F.lit(True)), "eid", F.col("ok"), z=0.0)
+
+    nulled = spark.createDataFrame(
+        [(0.5, 1), (0.7, None), (0.2, 0)], "score double, y int")
+    with pytest.raises(SparkRuntimeException, match="null score/label"):
+        relational.calibration_bins(
+            nulled, "score", F.col("y") == 1, bins=2).collect()
+
+    flags = spark.createDataFrame(
+        [("a", True), ("a", None), ("b", None)], "src string, ok boolean")
+    out = {r["src"]: r for r in relational.wilson_pass_rate(
+        flags, "src", F.col("ok")).collect()}
+    assert (out["a"]["n"], out["a"]["n_pass"]) == (2, 1)
+    assert (out["b"]["n"], out["b"]["n_pass"]) == (1, 0)  # all-null -> 0
+    assert out["b"]["pass_rate"] == 0.0
