@@ -918,3 +918,40 @@ def test_seasonal_gate_stream_scores_against_stale_profile(spark, tmp_path):
     got = spark.table("seasonal_gate2").collect()
     assert sorted(r["event_id"] for r in got) == [100, 101, 102]
     assert all(r["n_bucket"] == 10 for r in got)  # profile is history's
+
+
+def test_seasonal_gate_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """Statelessness in practice: a restart from the checkpoint with no
+    new files emits nothing (no reprocessing), and a new file is scored
+    against the SAME static profile — only its rows append."""
+    import json as _json
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    hist = spark.createDataFrame(
+        [(i, (d * 24) * 3_600_000, 10.0 + (i % 5) * 0.1)
+         for d in range(10) for i in (d,)],
+        "event_id long, ts_ms long, value double")
+    profile = relational.seasonal_profile(hist, "ts_ms", "value")
+
+    src, out, ck = tmp_path / "ev", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    (src / "a.json").write_text(_json.dumps(
+        {"event_id": 1, "user_id": 1, "ts_ms": 10 * 24 * 3_600_000,
+         "event_type": "view", "value": 50.0}))
+
+    def drain():
+        q = sp.run_to_parquet(
+            sp.seasonal_gate_stream(sp.stream_events(spark, str(src)),
+                                    profile),
+            str(out), str(ck))
+        q.awaitTermination()
+        return sorted(r["event_id"] for r in
+                      spark.read.parquet(str(out)).collect())
+
+    assert drain() == [1]
+    assert drain() == [1]          # restart, no new files: no reprocess
+    (src / "b.json").write_text(_json.dumps(
+        {"event_id": 2, "user_id": 1, "ts_ms": 11 * 24 * 3_600_000,
+         "event_type": "view", "value": 55.0}))
+    assert drain() == [1, 2]       # only the new file scored
