@@ -38,6 +38,17 @@ def _require_plain_identifier(op: str, name: str) -> None:
             "interpolated into a generated SQL expression")
 
 
+def _require_integer_epoch_ts(op: str, df: DataFrame, ts: str) -> None:
+    """Shared guard for time-binning operators: ``ts`` must be integer
+    epoch units so the DIV binning / midpoint arithmetic is exact (a
+    fractional timestamp silently floors). One definition for the six
+    call sites (psi/ecdf/cusum/seasonal x2/acf)."""
+    ts_t = df.schema[ts].dataType.simpleString()
+    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"{op}: ts column {ts!r} must be an integer "
+                        f"epoch-units type, got {ts_t}")
+
+
 def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
     """Keep the first row per key under `order` (the distributed form of the
     reference's ORDER BY … DESC LIMIT 1 read-back, dags/utils.py:215-217).
@@ -735,10 +746,7 @@ def psi_drift(df: DataFrame, value: str, ts: str,
     if bins < 2:
         raise ValueError("psi_drift: bins must be >= 2")
     _require_plain_identifier("psi_drift", ts)
-    ts_t = df.schema[ts].dataType.simpleString()
-    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"psi_drift: ts column {ts!r} must be an integer "
-                        f"epoch-units type, got {ts_t}")
+    _require_integer_epoch_ts("psi_drift", df, ts)
     mid = df.agg(F.expr(f"(min({ts}) + max({ts})) DIV 2").alias("__mid"))
     with_mid = df.crossJoin(F.broadcast(mid))
     is_base = F.col(ts) < F.col("__mid")
@@ -1329,10 +1337,7 @@ def cusum_changepoint(df: DataFrame, ts: str, value: str,
     events. No global sort of the data, no join.
     """
     _require_plain_identifier("cusum_changepoint", ts)
-    ts_t = df.schema[ts].dataType.simpleString()
-    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"cusum_changepoint: ts column {ts!r} must be an "
-                        f"integer epoch-units type, got {ts_t}")
+    _require_integer_epoch_ts("cusum_changepoint", df, ts)
     binned = (df.select(F.expr(f"{ts} DIV {bin_ms}").alias("__bin"),
                         F.col(value).alias("__v"))
               .groupBy("__bin")
@@ -1386,10 +1391,7 @@ def ecdf_drift(df: DataFrame, value: str, ts: str,
     if bins < 2:
         raise ValueError("ecdf_drift: bins must be >= 2")
     _require_plain_identifier("ecdf_drift", ts)
-    ts_t = df.schema[ts].dataType.simpleString()
-    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"ecdf_drift: ts column {ts!r} must be an integer "
-                        f"epoch-units type, got {ts_t}")
+    _require_integer_epoch_ts("ecdf_drift", df, ts)
     mid = df.agg(F.expr(f"(min({ts}) + max({ts})) DIV 2").alias("__mid"))
     with_mid = df.crossJoin(F.broadcast(mid))
     is_base = F.col(ts) < F.col("__mid")
@@ -1503,10 +1505,7 @@ def seasonal_profile(df: DataFrame, ts: str, value: str,
                          ">= 1 (cycle = 0 would divide by zero in the "
                          "bucket fold)")
     _require_plain_identifier("seasonal_profile", ts)
-    ts_t = df.schema[ts].dataType.simpleString()
-    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"seasonal_profile: ts column {ts!r} must be an "
-                        f"integer epoch-units type, got {ts_t}")
+    _require_integer_epoch_ts("seasonal_profile", df, ts)
     bucket = F.expr(f"({ts} DIV {period_ms}) % {cycle}").cast("int")
     return (df.filter(F.col(value).isNotNull())
               .select(bucket.alias("bucket"), F.col(value).alias("__v"))
@@ -1530,10 +1529,7 @@ def score_against_seasonal_profile(df: DataFrame, profile: DataFrame,
         raise ValueError("seasonal_scoring: period_ms and cycle must be "
                          ">= 1")
     _require_plain_identifier("seasonal_scoring", ts)
-    ts_t = df.schema[ts].dataType.simpleString()
-    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"seasonal_scoring: ts column {ts!r} must be an "
-                        f"integer epoch-units type, got {ts_t}")
+    _require_integer_epoch_ts("seasonal_scoring", df, ts)
     bucket = F.expr(f"({ts} DIV {period_ms}) % {cycle}").cast("int")
     based = (df.filter(F.col(value).isNotNull())
                .select(F.col(id_col), F.col(ts), F.col(value),
@@ -1567,7 +1563,10 @@ def kfold_assignment_audit(df: DataFrame, id_col: str, stratum: str,
     (fold, stratum) aggregate; every share/gap/max window runs over the
     <= k * |strata| AGGREGATE frame, never the rows. A NULL stratum
     value audits as its own stratum group (you usually want to know a
-    fold is over-weighted in unlabeled rows too).
+    fold is over-weighted in unlabeled rows too) — but a NULL id has no
+    fold at all (the hash of null is null), so the plan raises on the
+    first one instead of silently parking those rows in a NULL fold
+    that skews every share (the welch_ttest validation pattern).
     """
     from data_pipeline_eng_project_1_spark.functions import hashing
 
@@ -1592,12 +1591,16 @@ def kfold_assignment_audit(df: DataFrame, id_col: str, stratum: str,
         F.round(gshare, 6).alias("global_share"),
         F.round(gap, 6).alias("share_gap"),
         F.abs(gap).alias("__ag"))
-    whole2 = Window.orderBy("fold", stratum).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+    fold_guarded = F.when(
+        F.max(F.col("fold").isNull().cast("int")).over(whole) > 0,
+        F.raise_error(F.lit(
+            "kfold_assignment_audit: null id values found — a null id "
+            "has no fold; filter or impute ids first"))
+    ).otherwise(F.col("fold"))
     return staged.select(
-        "fold", stratum, "n", "fold_total", "stratum_share",
-        "global_share", "share_gap",
-        F.round(F.max("__ag").over(whole2), 6).alias("max_abs_gap"))
+        fold_guarded.alias("fold"), stratum, "n", "fold_total",
+        "stratum_share", "global_share", "share_gap",
+        F.round(F.max("__ag").over(whole), 6).alias("max_abs_gap"))
 
 
 def calibration_bins(df: DataFrame, score: str, label: Column,
@@ -1677,7 +1680,9 @@ def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
     profile and the drift monitors should be conditioned on. Standard
     sample-ACF convention: one global mean, denominator = full-series
     sum of squares, lag-ℓ numerator over the n-ℓ overlapping pairs.
-    A constant series has zero variance -> null acf (documented).
+    A constant series has zero variance -> null acf (documented); lags
+    with NO overlapping pair (lag >= #bins) are OMITTED from the output
+    rather than emitted with a meaningless non-positive n_pairs.
 
     ``ts`` must be integer epoch units (integer DIV binning, exact).
 
@@ -1688,10 +1693,7 @@ def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
     are touched exactly once.
     """
     _require_plain_identifier("acf_binned", ts)
-    ts_t = df.schema[ts].dataType.simpleString()
-    if ts_t not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(f"acf_binned: ts column {ts!r} must be an integer "
-                        f"epoch-units type, got {ts_t}")
+    _require_integer_epoch_ts("acf_binned", df, ts)
     if max_lag < 1:
         raise ValueError("acf_binned: max_lag must be >= 1")
     if bin_ms < 1:
@@ -1724,12 +1726,15 @@ def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
     stacked = agg.select(
         F.col("__ss"),
         F.expr(f"stack({max_lag}, {rows}) AS (lag, n_pairs, __num)"))
-    return stacked.select(
-        F.col("lag").cast("int").alias("lag"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        # try_divide: a constant series has zero variance -> null acf
-        # (ANSI mode would otherwise throw on the 0/0)
-        F.round(F.try_divide(F.col("__num"), F.col("__ss")), 6).alias("acf"))
+    return (stacked
+            .filter(F.col("n_pairs") >= 1)  # lag >= #bins: no pairs
+            .select(
+                F.col("lag").cast("int").alias("lag"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                # try_divide: a constant series has zero variance -> null
+                # acf (ANSI mode would otherwise throw on the 0/0)
+                F.round(F.try_divide(F.col("__num"), F.col("__ss")), 6)
+                 .alias("acf")))
 
 
 def gini_by_group(df: DataFrame, group: str, value: str,
@@ -1742,13 +1747,18 @@ def gini_by_group(df: DataFrame, group: str, value: str,
     (value, id)-ordered members — deterministic under ties via the id
     tiebreak; a zero-total group has no defined concentration -> null;
     negative values make G meaningless, so the plan raises on the first
-    one (the welch_ttest in-plan validation pattern).
+    one (the welch_ttest in-plan validation pattern). NULL values carry
+    no concentration information and are dropped BEFORE ranking (they
+    would otherwise take the lowest ranks and inflate n_members while
+    escaping the sums — a silently corrupted statistic); a group whose
+    values are all null disappears entirely.
 
     Scale shape: ``df`` is expected to be an AGGREGATE frame (e.g. one
     row per customer) — the rank window partitions by ``group`` over
     that frame, never the raw facts, and the final (group) aggregate
     folds each partition to one row. One exchange on ``group``.
     """
+    df = df.filter(F.col(value).isNotNull())
     rnk = Window.partitionBy(group).orderBy(
         F.col(value).asc(), F.col(id_col).asc())
     ranked = df.select(
@@ -1768,9 +1778,12 @@ def gini_by_group(df: DataFrame, group: str, value: str,
             "gini_by_group: value column must be nonnegative — the Gini "
             "rank identity is undefined for negative values"))
     ).otherwise(F.when(F.col("__tot") > 0, F.round(gini, 6)))
+    # total_value at 2dp: per-group money SUMS reorder under partial
+    # aggregation, and at large n the float drift approaches the 0.5e-4
+    # boundary a 4dp round would need — 2dp (cents) keeps 50x margin
     return agg.select(
         group, "n_members",
-        F.round("__tot", 4).alias("total_value"),
+        F.round("__tot", 2).alias("total_value"),
         guarded.alias("gini"))
 
 
@@ -1810,10 +1823,9 @@ def session_top_paths(df: DataFrame, key: str, ts: str, type_col: str,
                 *[c.alias(f"__ok{i}") for i, c in enumerate(same_session)],
                 *[s.isNotNull().alias(f"__nn{i}")
                   for i, s in enumerate(steps)])
-            .filter(F.lit(True)
-                    & F.expr(" AND ".join(
-                        [f"__ok{i}" for i in range(len(same_session))]
-                        + [f"__nn{i}" for i in range(path_len)]))))
+            .filter(F.expr(" AND ".join(
+                [f"__ok{i}" for i in range(len(same_session))]
+                + [f"__nn{i}" for i in range(path_len)]))))
     agg = runs.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
     whole = Window.orderBy("path").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)

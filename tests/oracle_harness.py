@@ -36,10 +36,18 @@ _BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 def banned_oracle_types(con, oracle_sql: str) -> list[str]:
     """Return ``col:TYPE`` for every oracle output column whose DuckDB
     type is in the typed-hash-unsafe set (empty list == safe). Planning
-    only — the query is not executed."""
+    only — the query is not executed. Matched as word-bounded tokens
+    ANYWHERE in the type string, so a HUGEINT nested inside a STRUCT or
+    LIST is caught too (a prefix check would pass
+    ``STRUCT(cnt HUGEINT)`` — the exact class the lint exists for),
+    while a struct FIELD merely named e.g. ``decimal_x`` is not
+    (underscore continues the word, so no boundary)."""
+    import re as _re
+
+    pat = _re.compile(r"\b(" + "|".join(_BANNED_DUCK_TYPES) + r")\b")
     rel = con.sql(oracle_sql)
     return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
-            if str(t).upper().startswith(_BANNED_DUCK_TYPES)]
+            if pat.search(str(t).upper())]
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:

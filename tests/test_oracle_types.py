@@ -63,3 +63,14 @@ def test_lint_actually_detects_the_kaplan_class():
     assert banned_oracle_types(con, casted) == []
     decimal_out = "SELECT round(CAST(1.5 AS DECIMAL(10, 2)), 1) AS d"
     assert banned_oracle_types(con, decimal_out)
+    # nested inside a STRUCT or LIST is the same driver-hash hazard —
+    # a type-string PREFIX check would miss both of these
+    nested = ("SELECT {'cnt': sum(o_orderkey) OVER ()} AS s "
+              "FROM orders LIMIT 1")
+    assert banned_oracle_types(con, nested)
+    listed = ("SELECT [sum(o_orderkey) OVER ()] AS l "
+              "FROM orders LIMIT 1")
+    assert banned_oracle_types(con, listed)
+    # ...but a struct FIELD merely NAMED like a banned type is fine
+    named = "SELECT {'decimal_x': 1} AS s"
+    assert banned_oracle_types(con, named) == []

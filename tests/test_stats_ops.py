@@ -1042,3 +1042,33 @@ def test_banked_ops_guard_degenerate_params_and_nulls(spark):
     assert (out["a"]["n"], out["a"]["n_pass"]) == (2, 1)
     assert (out["b"]["n"], out["b"]["n_pass"]) == (1, 0)  # all-null -> 0
     assert out["b"]["pass_rate"] == 0.0
+
+
+def test_banked_ops_review_fixes(spark):
+    """Round-10 self-review fixes, pinned: (1) gini drops null values
+    before ranking (a null would take rank 1 and inflate n_members while
+    escaping the sums — verified corruption pre-fix); (2) acf omits lags
+    with no overlapping pair instead of emitting negative n_pairs;
+    (3) kfold raises in-plan on null ids (a null id has no fold)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    g = spark.createDataFrame(
+        [("g", "a", None), ("g", "b", 100.0),
+         ("allnull", "c", None)], "g string, id string, x double")
+    out = {r["g"]: r for r in
+           relational.gini_by_group(g, "g", "x", "id").collect()}
+    assert set(out) == {"g"}  # the all-null group disappears
+    assert out["g"]["n_members"] == 1
+    assert out["g"]["gini"] == pytest.approx(0.0, abs=1e-9)
+
+    short = spark.createDataFrame(
+        [(i, b * 100) for b in range(10) for i in (b,)], "eid long, t long")
+    rows = relational.acf_binned(short, ts="t", bin_ms=100,
+                                 max_lag=24).collect()
+    assert sorted(r["lag"] for r in rows) == list(range(1, 10))
+    assert all(r["n_pairs"] >= 1 for r in rows)
+
+    nid = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "b")], "id int, s string")
+    with pytest.raises(SparkRuntimeException, match="null id"):
+        relational.kfold_assignment_audit(nid, "id", "s", k=2).collect()
