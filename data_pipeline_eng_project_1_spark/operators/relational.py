@@ -1159,7 +1159,11 @@ def welch_ttest(df: DataFrame, variant: str, value: str) -> DataFrame:
     one incoherent t-statistic. Validated inside the plan (the per-
     variant aggregate is the only frame that sees the distinct values —
     a raise_error fires on the first non-{0,1}/null variant) rather than
-    with a driver-side pre-pass that would cost a second scan.
+    with a driver-side pre-pass that would cost a second scan. The guard
+    rides a FILTER predicate, not an output column: a column-wrapped
+    raise is silently removed by Catalyst column pruning the moment a
+    consumer selects a subset (verified), while a filter decides row
+    membership and can never be pruned.
 
     Scale shape: ONE partial+final (variant) aggregate carrying count/
     mean/var moments — five running sums through the shuffle, never the
@@ -1186,15 +1190,15 @@ def welch_ttest(df: DataFrame, variant: str, value: str) -> DataFrame:
     t = (F.col("__ma") - F.col("__mb")) / F.sqrt(sa + sb)
     dfw = ((sa + sb) * (sa + sb)
            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)))
-    n_a_guarded = F.when(
+    guard = F.when(
         F.col("__bad") > 0,
         F.raise_error(F.lit(
             "welch_ttest: variant column must be a binary {0, 1} "
             "assignment — found other/null variant values; the two-"
             "group moment fold is undefined for 3+ variants"))
-    ).otherwise(F.col("n_a"))
-    return row.select(
-        n_a_guarded.alias("n_a"), "n_b",
+    ).otherwise(F.lit(True))
+    return row.filter(guard).select(
+        "n_a", "n_b",
         F.round("__ma", 4).alias("mean_a"),
         F.round("__mb", 4).alias("mean_b"),
         F.round("__va", 4).alias("var_a"),
@@ -1279,7 +1283,10 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     whole = Window.orderBy("digit").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     total = F.sum("n").over(whole)
-    obs = F.col("n") / total
+    # degenerate input (no positive values at all): total = 0 would be
+    # 0/0 — ANSI Spark throws and DuckDB yields NaN, so both sides
+    # guard the share to NULL explicitly (rows stay, shares/chi null)
+    obs = F.when(total > 0, F.col("n") / total)
     exp_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
     chi_term = (obs - exp_p) * (obs - exp_p) / exp_p * total
     return full.select(
@@ -1526,10 +1533,10 @@ def score_against_seasonal_profile(df: DataFrame, profile: DataFrame,
     so it works unchanged on a STREAMING ``df`` (stream-static join,
     stateless append) — the live gate wraps exactly this function."""
     if period_ms < 1 or cycle < 1:
-        raise ValueError("seasonal_scoring: period_ms and cycle must be "
-                         ">= 1")
-    _require_plain_identifier("seasonal_scoring", ts)
-    _require_integer_epoch_ts("seasonal_scoring", df, ts)
+        raise ValueError("score_against_seasonal_profile: period_ms "
+                         "and cycle must be >= 1")
+    _require_plain_identifier("score_against_seasonal_profile", ts)
+    _require_integer_epoch_ts("score_against_seasonal_profile", df, ts)
     bucket = F.expr(f"({ts} DIV {period_ms}) % {cycle}").cast("int")
     based = (df.filter(F.col(value).isNotNull())
                .select(F.col(id_col), F.col(ts), F.col(value),
@@ -1591,14 +1598,16 @@ def kfold_assignment_audit(df: DataFrame, id_col: str, stratum: str,
         F.round(gshare, 6).alias("global_share"),
         F.round(gap, 6).alias("share_gap"),
         F.abs(gap).alias("__ag"))
-    fold_guarded = F.when(
-        F.max(F.col("fold").isNull().cast("int")).over(whole) > 0,
+    # guard as a FILTER (prune-proof — the welch_ttest lesson): the
+    # NULL-fold group only exists when some id hashed to null
+    staged = staged.filter(F.when(
+        F.col("fold").isNull(),
         F.raise_error(F.lit(
             "kfold_assignment_audit: null id values found — a null id "
             "has no fold; filter or impute ids first"))
-    ).otherwise(F.col("fold"))
+    ).otherwise(F.lit(True)))
     return staged.select(
-        fold_guarded.alias("fold"), stratum, "n", "fold_total",
+        "fold", stratum, "n", "fold_total",
         "stratum_share", "global_share", "share_gap",
         F.round(F.max("__ag").over(whole), 6).alias("max_abs_gap"))
 
@@ -1645,6 +1654,15 @@ def calibration_bins(df: DataFrame, score: str, label: Column,
              F.sum(F.when(F.col("__y").isNull() | F.col("__s").isNull(),
                           1).otherwise(0)).alias("__badl"))
     )
+    # guard as a FILTER (prune-proof — the welch_ttest lesson): any
+    # bucket holding a null score/label raises
+    agg = agg.filter(F.when(
+        F.col("__badl") > 0,
+        F.raise_error(F.lit(
+            "calibration_bins: null score/label values found — a null "
+            "drops out of the rate and Brier sums while still counting "
+            "in n; filter or impute them explicitly first"))
+    ).otherwise(F.lit(True)))
     # everything below runs over the <= bins-row aggregate frame
     whole = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1653,16 +1671,9 @@ def calibration_bins(df: DataFrame, score: str, label: Column,
     obs = F.col("n_pos") / F.col("n")
     ece = F.sum(F.abs(obs - avg_s) * F.col("n")).over(whole) / total
     brier = F.sum("__sq").over(whole) / total
-    n_guarded = F.when(
-        F.sum("__badl").over(whole) > 0,
-        F.raise_error(F.lit(
-            "calibration_bins: null score/label values found — a null "
-            "drops out of the rate and Brier sums while still counting "
-            "in n; filter or impute them explicitly first"))
-    ).otherwise(F.col("n"))
     return agg.select(
         F.dense_rank().over(Window.orderBy("__bucket")).alias("bucket"),
-        n_guarded.alias("n"), "n_pos",
+        "n", "n_pos",
         F.round(avg_s, 6).alias("avg_score"),
         F.round(obs, 6).alias("obs_rate"),
         F.round(obs - avg_s, 6).alias("gap"),
@@ -1772,19 +1783,20 @@ def gini_by_group(df: DataFrame, group: str, value: str,
     n = F.col("n_members")
     gini = (F.lit(2.0) * F.col("__iw") / (n * F.col("__tot"))
             - (n + F.lit(1.0)) / n)
-    guarded = F.when(
+    # guard as a FILTER (prune-proof — the welch_ttest lesson)
+    agg = agg.filter(F.when(
         F.col("__mn") < 0,
         F.raise_error(F.lit(
             "gini_by_group: value column must be nonnegative — the Gini "
             "rank identity is undefined for negative values"))
-    ).otherwise(F.when(F.col("__tot") > 0, F.round(gini, 6)))
+    ).otherwise(F.lit(True)))
     # total_value at 2dp: per-group money SUMS reorder under partial
     # aggregation, and at large n the float drift approaches the 0.5e-4
     # boundary a 4dp round would need — 2dp (cents) keeps 50x margin
     return agg.select(
         group, "n_members",
         F.round("__tot", 2).alias("total_value"),
-        guarded.alias("gini"))
+        F.when(F.col("__tot") > 0, F.round(gini, 6)).alias("gini"))
 
 
 def session_top_paths(df: DataFrame, key: str, ts: str, type_col: str,

@@ -3823,7 +3823,8 @@ def _q_events_kaplan_meier(spark, sf_dir):
     j AS (SELECT d.digit, CAST(coalesce(a.n, 0) AS BIGINT) AS n
           FROM d LEFT JOIN a USING (digit)),
     p AS (SELECT digit, n,
-                 n / (sum(n) OVER ()) AS obs,
+                 CASE WHEN sum(n) OVER () > 0
+                      THEN n / (sum(n) OVER ()) END AS obs,
                  ln(1.0 + 1.0 / digit) / ln(10.0) AS expp,
                  sum(n) OVER () AS total
           FROM j)

@@ -21,6 +21,13 @@ registered oracle through DuckDB's binder (planning only — nothing
 executes) and fails with the offending column list, so the class can
 never again pass local verification. The same check runs inside
 tests/oracle_harness.py's per-query compare (banned_oracle_types).
+
+Since the r10 review the check is an ALLOWLIST of driver-green-proven
+type ids with container recursion, not a blacklist of observed
+failures: ubigint (DuckDB hash()), float32, time/interval/blob are
+flagged too until some oracle proves them hash-safe, and a HUGEINT
+nested inside a STRUCT/LIST is caught while struct field NAMES are
+never inspected.
 """
 
 from data_pipeline_eng_project_1_spark.plans import queries as Q
@@ -74,3 +81,11 @@ def test_lint_actually_detects_the_kaplan_class():
     # ...but a struct FIELD merely NAMED like a banned type is fine
     named = "SELECT {'decimal_x': 1} AS s"
     assert banned_oracle_types(con, named) == []
+    # allowlist form: classes the old blacklist silently admitted
+    assert banned_oracle_types(con, "SELECT hash(1) AS h")      # UBIGINT
+    assert banned_oracle_types(con, "SELECT CAST(1.5 AS FLOAT) AS f")
+    assert banned_oracle_types(con, "SELECT INTERVAL 1 DAY AS i")
+    # ...while the proven-green uinteger (regr_count) stays legal
+    assert banned_oracle_types(
+        con, "SELECT regr_count(o_totalprice, o_custkey) AS n "
+             "FROM orders") == []

@@ -8,14 +8,12 @@ were copy-paste-ready; post-registration they pin the registered pair
 against drift). Semantic tests beyond parity ride along.
 """
 
-import math
-
-import duckdb
 import pytest
 
 from data_pipeline_eng_project_1_spark.operators import relational
 from data_pipeline_eng_project_1_spark.plans import queries as Q
-from data_pipeline_eng_project_1_spark.sources import catalog
+
+from tests.oracle_harness import compare_df_vs_sql
 
 SF = "/root/testdata/sf0.001"
 
@@ -24,42 +22,9 @@ def _spec(name):
     return next(s for s in Q.specs() if s.name == name)
 
 
-def _duck(sf=SF):
-    con = duckdb.connect()
-    for t in catalog.TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
-                    f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-    return con
-
-
-def _canon_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
-    return v
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
-
-
 def _compare_registered(spark, name, sf=SF):
     spec = _spec(name)
-    sdf = spec.builder(spark, sf)
-    srows = [tuple(r) for r in sdf.collect()]
-    con = _duck(sf)
-    drows = con.execute(spec.oracle).fetchall()
-    dcols = [d[0] for d in con.description]
-    assert sorted(sdf.columns) == sorted(dcols), (sdf.columns, dcols)
-    assert len(srows) == len(drows), (len(srows), len(drows))
-    a, b = _canon(srows, sdf.columns), _canon(drows, dcols)
-    mism = [(x, y) for x, y in zip(a, b) if x != y]
-    assert not mism, mism[:3]
-    return len(a)
+    return compare_df_vs_sql(spec.builder(spark, sf), spec.oracle, sf)
 
 
 def test_ecdf_drift_registered_pair(spark):

@@ -13,10 +13,6 @@ All seven candidate oracles pass the typed-hash output lint
 below, so the r9 kaplan HUGEINT class can't hide in a banked spec.
 """
 
-import math
-
-import duckdb
-
 from data_pipeline_eng_project_1_spark.functions import texts
 from data_pipeline_eng_project_1_spark.operators import dedup, relational
 from data_pipeline_eng_project_1_spark.plans.llm_ops import (
@@ -26,46 +22,13 @@ from data_pipeline_eng_project_1_spark.plans.llm_ops import (
 from data_pipeline_eng_project_1_spark.sources import catalog
 from pyspark.sql import functions as F
 
-from tests.oracle_harness import banned_oracle_types
+from tests.oracle_harness import compare_df_vs_sql
 
 SF = "/root/testdata/sf0.001"
 
 
-def _duck(sf=SF):
-    con = duckdb.connect()
-    for t in catalog.TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
-                    f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-    return con
-
-
-def _canon_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
-    return v
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
-
-
 def _compare(spark, sdf, oracle_sql, sf=SF):
-    srows = [tuple(r) for r in sdf.collect()]
-    con = _duck(sf)
-    assert banned_oracle_types(con, oracle_sql) == []
-    drows = con.execute(oracle_sql).fetchall()
-    dcols = [d[0] for d in con.description]
-    assert sorted(sdf.columns) == sorted(dcols), (sdf.columns, dcols)
-    assert len(srows) == len(drows), (len(srows), len(drows))
-    a, b = _canon(srows, sdf.columns), _canon(drows, dcols)
-    mism = [(x, y) for x, y in zip(a, b) if x != y]
-    assert not mism, mism[:3]
-    return len(a)
+    return compare_df_vs_sql(sdf, oracle_sql, sf)
 
 
 #: Candidate oracle for `events_seasonal_outliers`
