@@ -1579,6 +1579,17 @@ def kfold_assignment_audit(df: DataFrame, id_col: str, stratum: str,
 
     if k < 2:
         raise ValueError("kfold_assignment_audit: k must be >= 2")
+    # the stratum column passes through to the output NEXT TO the fixed
+    # output names — a stratum literally named "fold" or "n" would make
+    # the groupBy/select ambiguous (sibling operators namespace their
+    # internals with __; here fold/n ARE the outputs, so reject instead)
+    reserved = ("fold", "n", "fold_total", "stratum_share",
+                "global_share", "share_gap", "max_abs_gap")
+    if stratum in reserved:
+        raise ValueError(
+            f"kfold_assignment_audit: stratum column {stratum!r} collides "
+            f"with an output column of this audit {reserved}; alias it "
+            "first")
     fold = (hashing.hex_int(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % k)
     agg = (df.select(fold.cast("int").alias("fold"), F.col(stratum))
@@ -1682,7 +1693,7 @@ def calibration_bins(df: DataFrame, score: str, label: Column,
 
 
 def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
-               max_lag: int = 24) -> DataFrame:
+               max_lag: int = 24, max_bins: int = 1_000_000) -> DataFrame:
     """Autocorrelation function of the event-COUNT series: bin the
     stream, gap-fill empty bins with zero counts (an hour with no events
     is a real zero of the series, not a missing observation), and report
@@ -1701,7 +1712,14 @@ def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
     the time range over ``bin_ms``; the gap-fill sequence, the centering
     window, the ``max_lag`` lead windows, and the final products
     aggregate ALL run over that <= #bins AGGREGATE frame — the events
-    are touched exactly once.
+    are touched exactly once. ``max_bins`` is the explicit contract on
+    that frame: the series windows are GLOBALLY ordered, so the filled
+    frame lands on one task regardless of how the gap-fill is produced
+    (a distributed spark.range fill would need a driver collect of
+    lo/hi — a second job over the events — only to re-exchange into the
+    same single-task window); a tiny ``bin_ms`` over a wide ts range is
+    a caller error, and the plan raises in-plan before exploding the
+    fill sequence rather than materializing an arbitrarily long array.
     """
     _require_plain_identifier("acf_binned", ts)
     _require_integer_epoch_ts("acf_binned", df, ts)
@@ -1709,10 +1727,25 @@ def acf_binned(df: DataFrame, ts: str, bin_ms: int = 3_600_000,
         raise ValueError("acf_binned: max_lag must be >= 1")
     if bin_ms < 1:
         raise ValueError("acf_binned: bin_ms must be >= 1")
+    if max_bins < max_lag + 1:
+        raise ValueError("acf_binned: max_bins must be >= max_lag + 1")
     binned = (df.select(F.expr(f"{ts} DIV {bin_ms}").alias("__bin"))
                 .groupBy("__bin").agg(F.count(F.lit(1)).alias("__n")))
     rng = binned.agg(F.min("__bin").alias("__lo"),
                      F.max("__bin").alias("__hi"))
+    # bound guard as a FILTER (prune-proof): the fill sequence explodes
+    # from this one row — an unbounded range would materialize a
+    # near-2^31 array on one executor before any window even runs
+    rng = rng.filter(F.when(
+        F.col("__hi") - F.col("__lo") + 1 > max_bins,
+        F.raise_error(F.concat(
+            F.lit(f"acf_binned: gap-fill range exceeds max_bins="
+                  f"{max_bins} bins ("),
+            (F.col("__hi") - F.col("__lo") + 1).cast("string"),
+            F.lit(" needed) — the filled series is a single-task frame "
+                  "by construction (globally ordered windows); raise "
+                  "bin_ms or max_bins")))
+    ).otherwise(F.lit(True)))
     filled = (rng.select(F.explode(F.sequence("__lo", "__hi"))
                          .alias("__bin"))
               .join(binned, "__bin", "left")
@@ -1811,6 +1844,13 @@ def session_top_paths(df: DataFrame, key: str, ts: str, type_col: str,
     for the ``top`` most frequent paths, ties broken by path text so the
     k-boundary is deterministic.
 
+    Path strings join the steps with ``>``; a type VALUE containing the
+    delimiter would make distinct journeys collide into one path string
+    (``['A>B','C']`` vs ``['A','B>C']``) and silently merge their
+    counts, so the plan raises on the first offending value (the
+    welch_ttest in-plan validation pattern, riding a filter so column
+    pruning can't remove it).
+
     Scale shape: ONE hash exchange on ``key`` carries sessionize AND the
     path leads — the leads run over the key partition (sessions are
     contiguous in its (ts, id) order) and cross-session runs are dropped
@@ -1824,6 +1864,15 @@ def session_top_paths(df: DataFrame, key: str, ts: str, type_col: str,
     if gap < 1:
         raise ValueError("session_top_paths: gap must be >= 1")
     sess = sessionize(df, key, ts, gap, order_tiebreak=id_col)
+    # delimiter guard as a FILTER (prune-proof): a '>' inside a type
+    # value would splice into the path string and merge distinct paths
+    sess = sess.filter(F.when(
+        F.col(type_col).contains(">"),
+        F.raise_error(F.concat(
+            F.lit("session_top_paths: event type value contains the "
+                  "'>' path delimiter and would corrupt path strings: "),
+            F.col(type_col)))
+    ).otherwise(F.lit(True)))
     w = Window.partitionBy(key).orderBy(ts, id_col)
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, path_len)]

@@ -36,6 +36,12 @@ FLOAT_TOL = 1e-9
 #: until an oracle proves it green; extending this set is a conscious
 #: decision, not a default (an r10-review lesson: the blacklist form
 #: silently admitted every type nobody had thought about).
+#: DATE and TIMESTAMP are DELIBERATELY absent: every registered oracle
+#: projects time as epoch-millis BIGINT (the registry convention — raw
+#: temporal columns differ in unit/tz representation between engines),
+#: so no driver-green row has ever proven their hash behavior. An
+#: oracle that wants a raw DATE/TIMESTAMP output column must first
+#: prove the pair green through a driver round, then add the id here.
 _SAFE_DUCK_TYPE_IDS = frozenset({
     "bigint", "integer", "smallint", "tinyint", "uinteger",
     "double", "varchar", "boolean",

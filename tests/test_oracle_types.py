@@ -47,9 +47,10 @@ def test_no_typed_hash_unsafe_oracle_output_columns():
         if bad:
             offenders[spec.name] = bad
     assert not offenders, (
-        f"oracles with HUGEINT/UHUGEINT/DECIMAL output columns — the "
+        f"oracle output columns outside the driver-green-proven type "
+        f"allowlist (tests/oracle_harness._SAFE_DUCK_TYPE_IDS) — the "
         f"driver's typed value-hash will fail them even on bit-exact "
-        f"values; CAST the expressions: {offenders}")
+        f"values; CAST the expressions to a proven type: {offenders}")
 
 
 def test_lint_actually_detects_the_kaplan_class():

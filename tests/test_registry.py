@@ -79,30 +79,43 @@ def test_stale_refresh_fits_budget_now():
     assert all(i < BUDGET for i in needy), (
         f"{len(needy)} needs-evidence queries but some fall outside "
         f"the {BUDGET}-row budget — new operators would go ungraded")
+    # HARD freshness ceiling: every green row >= 3 rounds behind the
+    # newest artifact must sit inside the budgeted prefix — stalest-
+    # first ordering puts the oldest evidence right after the needy
+    # block, so this guarantees no row is ever 4+ rounds old at grading
+    # time (the registry's 183 queries against a 50-row budget make a
+    # bounded 2-rounds-behind spill STRUCTURAL — full refresh cycle is
+    # ~ceil(Q / (BUDGET - load)) walks — but a 3-rounds-behind row
+    # must never miss its walk).
+    aged = [i for i, s in enumerate(specs)
+            if not _needs_evidence(s.name)
+            and _green_round(s.name) <= latest - 3]
+    assert all(i < BUDGET for i in aged), (
+        f"{sum(1 for i in aged if i >= BUDGET)} rows with evidence >= 3 "
+        f"rounds old spill past the {BUDGET}-row budget — their next "
+        "grading would read 4+-round-old definitions")
     stale = [i for i, s in enumerate(specs)
              if not _needs_evidence(s.name)
              and _green_round(s.name) <= latest - 2]
     spilled = sum(1 for i in stale if i >= BUDGET)
-    # Spilled stale rows lead the NEXT walk (stalest-first tail), which
-    # must also absorb that round's new operators: reserve room for
-    # those, so re-convergence within one extra round needs
-    # spilled <= BUDGET - reserve. The reserve is calibrated to the
-    # OBSERVED per-round needy load, not the half-budget worst case the
-    # r7 guard assumed: steady-state rounds have introduced 7 (r8) and
-    # 13 (r9) simultaneously-needy definitions. r10 recalibration
-    # 20 -> 16: the r9 verdict prescribed NINE simultaneous needy rows
-    # (the kaplan oracle fix, five advice-fix re-needies, two banked
-    # registrations) on top of the 28-row r6 spill it also prescribed
-    # retiring — 9 + 41 graded greens absorbs the whole r6 tail while
-    # spilling 34 of the 47 r7 rows; 16 still covers the observed-max
-    # organic load (13) and r11's planned load (banked registrations +
-    # advice fixes, historically <= 9) with headroom, and the spilled
-    # r7 rows are ONE round old at that point, not an evidence risk.
-    reserve = 16
+    # Soft forward bound: the 2-rounds-behind greens that spill past
+    # THIS walk lead the next one (they will be 3 rounds behind then,
+    # i.e. at the hard ceiling), so together with the next round's
+    # planned definition load they must fit the next budget. The
+    # reserve is re-derived each round from the PLANNED load, not a
+    # historical heuristic (the r10 advice): r11's walk carries 13
+    # needy rows (7 banked registrations + 6 identifier-guard
+    # re-needies) + the 34-row r7 tail = 47 of 50, leaving 3 slots for
+    # r8 refreshes, so ~46 r8 rows spill here and cap r12's definition
+    # load at BUDGET - 46 = 4 — docs/BACKLOG.md records r12 as a
+    # tail-retirement round (bank <= 2 specs, advice re-needies <= 2).
+    reserve = 4
     assert spilled <= BUDGET - reserve, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
         f"budget — more than {BUDGET - reserve} cannot re-converge on "
-        "the next walk alongside the observed-max new-operator load")
+        "the next walk alongside the planned next-round load "
+        "(re-derive the reserve from the actual plan in "
+        "docs/BACKLOG.md before registering more)")
 
 
 def test_changed_since_green_literal_has_no_duplicate_keys():

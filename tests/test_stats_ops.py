@@ -1072,3 +1072,47 @@ def test_banked_ops_review_fixes(spark):
         [(None, "a"), (1, "a"), (2, "b")], "id int, s string")
     with pytest.raises(SparkRuntimeException, match="null id"):
         relational.kfold_assignment_audit(nid, "id", "s", k=2).collect()
+
+
+def test_banked_ops_r10_advice_fixes(spark):
+    """Round-10 ADVICE fixes on the bank, pinned BEFORE registration:
+    (1) kfold rejects a stratum column whose name collides with an
+    output column (a stratum literally named 'fold' or 'n' made the
+    groupBy/select ambiguous); (2) session_top_paths raises in-plan on
+    an event type containing the '>' path delimiter (distinct journeys
+    would merge into one path string); (3) acf_binned raises in-plan
+    when the gap-fill range exceeds max_bins (the fill sequence
+    explodes from ONE row — an unbounded range materializes a near-2^31
+    array on one executor) and validates max_bins >= max_lag + 1."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, fold string")
+    with pytest.raises(ValueError, match="collides with an output"):
+        relational.kfold_assignment_audit(df, "id", "fold", k=2)
+    with pytest.raises(ValueError, match="collides with an output"):
+        relational.kfold_assignment_audit(
+            df.withColumnRenamed("fold", "n"), "id", "n", k=2)
+
+    ev = spark.createDataFrame(
+        [(1, 0, "A"), (1, 10, "B>C"), (1, 20, "D")],
+        "u int, t long, ty string")
+    with pytest.raises(SparkRuntimeException, match="path delimiter"):
+        relational.session_top_paths(
+            ev, "u", "t", "ty", "u", gap=1000, path_len=2).collect()
+    clean = ev.withColumn("ty", F.regexp_replace("ty", ">", "-"))
+    rows = relational.session_top_paths(
+        clean, "u", "t", "ty", "u", gap=1000, path_len=2).collect()
+    assert {r["path"] for r in rows} == {"A>B-C", "B-C>D"}
+
+    wide = spark.createDataFrame(
+        [(0,), (10_000_000,)], "t long")  # 100k bins at bin_ms=100
+    with pytest.raises(SparkRuntimeException,
+                       match="exceeds max_bins"):
+        relational.acf_binned(wide, ts="t", bin_ms=100, max_lag=2,
+                              max_bins=1000).collect()
+    ok = relational.acf_binned(wide, ts="t", bin_ms=10_000_000,
+                               max_lag=1, max_bins=2).collect()
+    assert len(ok) == 1  # 2 bins, lag 1 has one pair
+    with pytest.raises(ValueError, match="max_bins must be >="):
+        relational.acf_binned(wide, ts="t", bin_ms=100, max_lag=5,
+                              max_bins=3)
