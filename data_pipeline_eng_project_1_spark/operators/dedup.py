@@ -30,6 +30,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_eng_project_1_spark.functions import hashing, texts, vectors
+from data_pipeline_eng_project_1_spark.operators.relational import (
+    _require_plain_identifier,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1184,7 +1187,10 @@ def vocab_growth_curve(docs: DataFrame, id_col: str = "doc_id",
     rng = docs.agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
 
     def bucket(id_expr):
-        span = F.col("__hi") - F.col("__lo") + 1
+        # both call sites pass internal aliases today, but the argument
+        # IS interpolated into a generated SQL expression — guard it
+        # (the psi/ecdf/cusum identifier-guard convention)
+        _require_plain_identifier("vocab_growth_curve", id_expr)
         return F.expr(f"(({id_expr} - __lo) * {checkpoints}) DIV "
                       f"(__hi - __lo + 1)").cast("int")
 

@@ -133,6 +133,8 @@ def binned_range_join(left: DataFrame, right: DataFrame, on: str,
     Timestamps must be non-negative integers (epoch ms): bucket math uses
     integer DIV (exact; a double division could mis-floor near bucket edges).
     """
+    _require_plain_identifier("binned_range_join", left_ts)
+    _require_plain_identifier("binned_range_join", right_ts)
     w = int(upper - lower)
     l = left.withColumn(
         "__b",

@@ -28,6 +28,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_eng_project_1_spark.functions import hashing, vectors
+from data_pipeline_eng_project_1_spark.operators.relational import (
+    _require_plain_identifier,
+)
 
 #: Hyperplane weights are small signed ints derived from md5("p:d") — the
 #: same literals are embedded in the DuckDB oracle (plans/llm_ops.py).
@@ -864,6 +867,7 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
     """
     if method not in ("running", "rescan"):
         raise ValueError(f"kcenter_select: unknown method {method!r}")
+    _require_plain_identifier("kcenter_select", vec_col)
     spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("id"),
@@ -949,6 +953,7 @@ def pca_power(corpus: DataFrame, vec_col: str = "embedding",
     """
     if iters < 0 or dim < 1:
         raise ValueError("pca_power: iters >= 0 and dim >= 1 required")
+    _require_plain_identifier("pca_power", vec_col)
     grid = 1_000_000
     cov_rows = covariance_matrix(corpus, vec_col, dim).collect()
     if not cov_rows:
@@ -1037,6 +1042,7 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans_lloyd: k >= 1 and iters >= 0 required")
+    _require_plain_identifier("kmeans_lloyd", vec_col)
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))

@@ -407,11 +407,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "supplier_pagerank": 6,        # edge derivation drops the redundant
                                    # pre-distinct before collect_set
                                    # (same edge set, same output)
-    # changed in r8 (r7-and-earlier green rows stale):
-    "corpus_kcenter_coreset": 7,   # kcenter_select gained the d==0
-                                   # coverage-exhausted early stop (advice
-                                   # fix; non-binding on fixtures — k <<
-                                   # distinct vectors — same output)
+    # (corpus_kcenter_coreset changed in r8 — kcenter_select's d==0
+    # coverage-exhausted early stop, re-graded green r9; that entry is
+    # subsumed by its r11 guard row below — the duplicate-key lint)
     # (orders_table_profile also changed in r8 — builder rerouted through
     # the shared relational.table_profile operator, same output; that
     # entry is subsumed by its r9 row below, which a dict literal would
@@ -455,6 +453,21 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                    # semantics; oracle mirrors the filter
                                    # (fixtures have no null values —
                                    # same output)
+    # changed in r11 (r10-and-earlier green rows stale) — the deferred
+    # identifier-guard sweep (docs/BACKLOG.md): each operator now
+    # validates caller-supplied column names before interpolating them
+    # into a generated F.expr string; fixture names all pass — same
+    # output on every row:
+    "events_range_join_1h": 10,           # binned_range_join guards
+                                          # left_ts/right_ts
+    "events_multi_touch_attribution": 10,  # rides binned_range_join
+    "corpus_kcenter_coreset": 10,         # kcenter_select guards vec_col
+                                          # (subsumes its r8 early-stop
+                                          # entry, re-graded green r9)
+    "embedding_pca_power": 10,            # pca_power guards vec_col
+    "embeddings_kmeans_lloyd": 10,        # kmeans_lloyd guards vec_col
+    "corpus_vocab_growth": 10,            # vocab_growth_curve guards its
+                                          # bucket-closure interpolation
 }
 
 

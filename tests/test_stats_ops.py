@@ -754,6 +754,40 @@ def test_ts_name_interpolating_ops_reject_non_identifier(spark):
             op(df, value="v", ts="t s", **kw)
 
 
+def test_r11_guard_sweep_rejects_non_identifier_names(spark):
+    """The r11 sweep closing the remaining name-interpolating F.expr
+    sites (docs/BACKLOG.md): binned_range_join (left_ts/right_ts),
+    kcenter_select / pca_power / kmeans_lloyd (vec_col), and
+    vocab_growth_curve's bucket closure — each rejects a name that
+    would need backticks instead of splicing it into generated SQL."""
+    from data_pipeline_eng_project_1_spark.operators import dedup, similarity
+
+    ev = spark.createDataFrame([(1, 10, 1.0)], ["k", "t", "v"])
+    bad = ev.withColumnRenamed("t", "t s")
+    with pytest.raises(ValueError, match="plain identifier"):
+        relational.binned_range_join(bad, ev, "k", "t s", "t", 0, 100)
+    with pytest.raises(ValueError, match="plain identifier"):
+        relational.binned_range_join(ev, bad, "k", "t", "t s", 0, 100)
+
+    vecs = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                 ["vec_id", "embedding"])
+    badv = vecs.withColumnRenamed("embedding", "e mb")
+    with pytest.raises(ValueError, match="plain identifier"):
+        similarity.kcenter_select(badv, vec_col="e mb", id_col="vec_id",
+                                  k=2)
+    with pytest.raises(ValueError, match="plain identifier"):
+        similarity.pca_power(badv, vec_col="e mb", id_col="vec_id", dim=2)
+    with pytest.raises(ValueError, match="plain identifier"):
+        similarity.kmeans_lloyd(badv, k=1, iters=0, vec_col="e mb",
+                                id_col="vec_id", dim=2)
+
+    # vocab_growth_curve guards its INTERNAL interpolation closure; the
+    # public surface still works (ids/text aliased internally)
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                 ["doc_id", "text"])
+    assert dedup.vocab_growth_curve(docs, checkpoints=2).count() == 2
+
+
 def test_rolling_anomaly_null_values_skip_frame_slots(spark):
     """The r9-advice fix: null values are dropped BEFORE the trailing
     window (the streaming twin's value-ring semantics), so with w=4 a
