@@ -34,6 +34,7 @@ from data_pipeline_eng_project_1_spark.functions import hashing, texts
 from data_pipeline_eng_project_1_spark.operators import (
     dedup,
     multimodal,
+    relational,
     similarity,
 )
 from data_pipeline_eng_project_1_spark.plans.registry import register as _register
@@ -3458,6 +3459,139 @@ def _q_quality_classifier_score(spark, sf_dir):
             .select(F.col("id").alias("doc_id"),
                     F.round(score, 4).alias("score"),
                     (score >= 0.5).alias("keep")))
+
+
+#: Shared oracle CTE for the calibration/Wilson audits: the distilled
+#: quality-classifier score (rounded to 4dp BEFORE binning so bucket
+#: assignment is cross-engine exact) and the rule-gate label the score
+#: stands in for (corpus_curation's gate).
+_SCORED_DOCS_CTE = f"""
+f AS (
+  SELECT len({SQL_TOKS}) AS n_tokens,
+         len(list_filter({SQL_TOKS},
+             t -> list_contains({_SQL_STOPS}, t))) * 1.0
+           / len({SQL_TOKS}) AS stop_r,
+         (length(lower(text))
+          - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+           * 1.0 / length(text) AS punct_r,
+         length(replace(text, ' ', '')) * 1.0
+           / len({SQL_TOKS}) AS alen
+  FROM documents WHERE len({SQL_TOKS}) > 0
+),
+q AS (
+  SELECT round(1.0 / (1.0 + exp(-({_QC_W['bias']}
+           + {_QC_W['stop']} * stop_r
+           + {_QC_W['punct']} * punct_r
+           + {_QC_W['alen']} * alen
+           + {_QC_W['lntok']} * ln(n_tokens)))), 4) AS score,
+         CASE WHEN n_tokens BETWEEN 20 AND 1000
+               AND stop_r BETWEEN 0.01 AND 0.6
+              THEN 1 ELSE 0 END AS y
+  FROM f
+)
+"""
+
+
+@_register(
+    "docs_quality_calibration",
+    f"""
+    WITH {_SCORED_DOCS_CTE},
+    b AS (SELECT list_distinct(quantile_cont(score,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS bs
+          FROM q),
+    a AS (SELECT 1 + len(list_filter(b.bs, x -> x < score)) AS bucket,
+                 score, y
+          FROM q, b),
+    g AS (SELECT bucket, count(*) AS n, sum(score) AS ssum,
+                 sum(y) AS n_pos,
+                 sum((score - y) * (score - y)) AS sq
+          FROM a GROUP BY 1),
+    s AS (SELECT bucket, n, n_pos,
+                 ssum / n AS avg_s,
+                 n_pos * 1.0 / n AS obs,
+                 sum(abs(n_pos * 1.0 / n - ssum / n) * n) OVER ()
+                   / sum(n) OVER () AS ece,
+                 sum(sq) OVER () / sum(n) OVER () AS brier
+          FROM g)
+    SELECT CAST(dense_rank() OVER (ORDER BY bucket) AS INTEGER) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(avg_s, 6) AS avg_score,
+           round(obs, 6) AS obs_rate,
+           round(obs - avg_s, 6) AS gap,
+           round(ece, 6) AS ece_total,
+           round(brier, 6) AS brier_total
+    FROM s
+    """,
+    doc="reliability-diagram calibration audit (ECE + Brier) of the "
+        "distilled quality classifier against the rule gate it stands "
+        "in for — the companion to the graded ROC/AUC (AUC measures "
+        "RANKING; this measures whether a score of 0.8 MEANS 80% "
+        "gate-pass probability). The score is rounded to 4dp BEFORE "
+        "binning so bucket assignment is cross-engine exact. Scale "
+        "shape (roc_auc_binned verbatim): ONE percentile aggregate "
+        "(approx_percentile at 100 TB, same plan) broadcast as "
+        "boundaries, scan-side strictly-below bucket fold, ONE "
+        "partial+final bucket aggregate carrying (n, score sum, "
+        "positives, squared error) together; the ECE/Brier windows run "
+        "over the <= 10-row AGGREGATE frame — no global sort, no rank "
+        "pass; null scores/labels raise in-plan "
+        "(operators/relational.py::calibration_bins).",
+)
+def _q_docs_quality_calibration(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
+    toks, text = F.col("__toks"), F.col("text")
+    base = toked.filter(F.size("__toks") > 0).select(
+        F.round(texts.quality_score_of(text, toks), 4).alias("score"),
+        (F.size(toks).between(20, 1000)
+         & texts.stopword_ratio_of(toks).between(0.01, 0.6)).alias("y"))
+    return relational.calibration_bins(base, "score", F.col("y"), bins=10)
+
+
+@_register(
+    "docs_wilson_quality",
+    f"""
+    WITH q AS (SELECT source,
+                 CASE WHEN len({SQL_TOKS}) BETWEEN 20 AND 1000
+                       AND len(list_filter({SQL_TOKS},
+                           t -> list_contains({_SQL_STOPS}, t))) * 1.0
+                         / len({SQL_TOKS}) BETWEEN 0.01 AND 0.6
+                      THEN 1 ELSE 0 END AS ok
+               FROM documents WHERE len({SQL_TOKS}) > 0),
+    a AS (SELECT source, count(*) AS n, sum(ok) AS n_pass
+          FROM q GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           round(n_pass * 1.0 / n, 6) AS pass_rate,
+           round((n_pass * 1.0 / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((n_pass * 1.0 / n)
+                                * (1 - n_pass * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lower
+    FROM a
+    """,
+    doc="per-source quality-gate pass rate with the Wilson score "
+        "interval's LOWER bound at z=1.96 — the statistically honest "
+        "way to gate sources on a boolean outcome when sizes differ "
+        "wildly: a 3/3 source does NOT outrank a 950/1000 one (plain "
+        "rate says it does; the Wilson lower bound says 0.44 vs "
+        "0.936). Null gate flags count as failures (the conservative "
+        "reading for a gate). Scale shape: scan-side predicate + ONE "
+        "partial+final (source) aggregate; the Wilson algebra is a "
+        "projection over the per-source frame — nothing else moves "
+        "(operators/relational.py::wilson_pass_rate).",
+)
+def _q_docs_wilson_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toked = dedup.tokenized(d, "doc_id", "text",
+                            extra_cols=("text", "source"))
+    toks = F.col("__toks")
+    base = toked.filter(F.size("__toks") > 0).select(
+        "source",
+        (F.size(toks).between(20, 1000)
+         & texts.stopword_ratio_of(toks).between(0.01, 0.6)).alias("ok"))
+    return relational.wilson_pass_rate(base, "source", F.col("ok"), z=1.96)
 
 
 @_register(

@@ -4147,6 +4147,236 @@ def _q_flashscore_format_parity(spark, sf_dir):
     return out.orderBy("source_format", "table_name")
 
 
+@_register(
+    "events_seasonal_outliers",
+    """
+    WITH e AS (SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                      value
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_id, ts_ms, value,
+                 CAST((ts_ms // 3600000) % 24 AS INTEGER) AS bucket
+          FROM e),
+    p AS (SELECT bucket, count(value) AS n_bucket, avg(value) AS m,
+                 stddev_samp(value) AS sd
+          FROM b GROUP BY 1)
+    SELECT b.event_id, b.ts_ms, b.bucket, b.value,
+           CAST(p.n_bucket AS BIGINT) AS n_bucket,
+           round(p.m, 6) AS base_mean,
+           round(p.sd, 6) AS base_std,
+           round((b.value - p.m) / p.sd, 4) AS zscore
+    FROM b JOIN p USING (bucket)
+    WHERE p.n_bucket >= 8 AND p.sd > 1e-9
+      AND abs((b.value - p.m) / p.sd) >= 3.0
+    """,
+    doc="seasonal-profile outliers: events whose value is >= 3 sigma "
+        "from their HOUR-OF-DAY bucket's (mean, stddev) profile — the "
+        "PROFILE complement of the graded causal-window rolling_anomaly "
+        "('high for 3 AM' vs 'high vs recent history'); min_n=8 guards "
+        "cold buckets. Scale shape: ONE (bucket) aggregate folds the "
+        "stream to a <= 24-row profile, broadcast back onto the scan — "
+        "scoring is a scan-side projection, the facts NEVER shuffle "
+        "(plan-asserted). The live stream-static twin "
+        "(streaming/pipeline.py::seasonal_gate_stream) broadcast-joins "
+        "the same batch-built profile onto a stream "
+        "(operators/relational.py::seasonal_outliers).",
+)
+def _q_events_seasonal_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.seasonal_outliers(
+        ev.select("event_id", "ts_ms", "value"),
+        ts="ts_ms", value="value", id_col="event_id",
+        period_ms=3_600_000, cycle=24, z_thresh=3.0, min_n=8)
+
+
+@_register(
+    "orders_kfold_audit",
+    """
+    WITH f AS (SELECT CAST('0x' || substr(md5('fold:' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 5
+                 AS fold,
+               o_orderpriority
+               FROM orders),
+    a AS (SELECT CAST(fold AS INTEGER) AS fold, o_orderpriority,
+                 count(*) AS n
+          FROM f GROUP BY 1, 2),
+    s AS (SELECT fold, o_orderpriority, n,
+                 sum(n) OVER (PARTITION BY fold) AS fold_total,
+                 n * 1.0 / sum(n) OVER (PARTITION BY fold) AS share,
+                 sum(n) OVER (PARTITION BY o_orderpriority) * 1.0
+                   / sum(n) OVER () AS gshare
+          FROM a)
+    SELECT fold, o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(fold_total AS BIGINT) AS fold_total,
+           round(share, 6) AS stratum_share,
+           round(gshare, 6) AS global_share,
+           round(share - gshare, 6) AS share_gap,
+           round(max(abs(share - gshare)) OVER (), 6) AS max_abs_gap
+    FROM s
+    """,
+    doc="deterministic k-fold assignment + balance audit: every order "
+        "gets fold = md5('fold:' || key) % 5 (stable across runs, "
+        "engines, partitionings — the graded A/B assignment's hex-int "
+        "trick), then per (fold, priority) cell the stratum's share "
+        "WITHIN its fold is compared to the stratum's global share — "
+        "the CV-hygiene check that a hash split is stratum-balanced. "
+        "Scale shape: scan-side fold algebra + ONE partial+final "
+        "(fold, stratum) aggregate; every share/gap/max window runs "
+        "over the <= k*|strata| AGGREGATE frame (25 rows here), never "
+        "the orders; raises in-plan on null ids (a null id has no "
+        "fold) (operators/relational.py::kfold_assignment_audit).",
+)
+def _q_orders_kfold_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return relational.kfold_assignment_audit(
+        o.select("o_orderkey", "o_orderpriority"),
+        id_col="o_orderkey", stratum="o_orderpriority", k=5, seed="fold")
+
+
+@_register(
+    "events_acf_hourly",
+    """
+    WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS bin
+               FROM events),
+    g AS (SELECT bin, count(*) AS n FROM e GROUP BY 1),
+    r AS (SELECT min(bin) AS lo, max(bin) AS hi FROM g),
+    filled AS (SELECT gs.bin, coalesce(g.n, 0) * 1.0 AS x
+               FROM (SELECT unnest(generate_series(lo, hi)) AS bin
+                     FROM r) gs
+               LEFT JOIN g USING (bin)),
+    st AS (SELECT avg(x) AS xbar, count(*) AS nb FROM filled),
+    c AS (SELECT bin, x - st.xbar AS cx FROM filled, st),
+    ss AS (SELECT sum(cx * cx) AS d FROM c),
+    pairs AS (SELECT CAST(b.bin - a.bin AS INTEGER) AS lag,
+                     sum(a.cx * b.cx) AS num
+              FROM c a JOIN c b
+                ON b.bin > a.bin AND b.bin <= a.bin + 24
+              GROUP BY 1)
+    SELECT p.lag,
+           CAST(st.nb - p.lag AS BIGINT) AS n_pairs,
+           round(p.num / ss.d, 6) AS acf
+    FROM pairs p, ss, st
+    """,
+    doc="sample autocorrelation of the HOURLY event-count series at "
+        "lags 1..24, gap-filled with zero counts (an hour with no "
+        "events is a real zero of the series, not a missing "
+        "observation) — the periodicity diagnostic that tells you WHICH "
+        "cycle the seasonal profile and drift monitors should condition "
+        "on (a daily cycle peaks at lag 24). Scale shape: ONE "
+        "partial+final (bin) aggregate touches the events exactly once; "
+        "the gap-fill sequence (max_bins-guarded), centering window, "
+        "24 lead windows, and the products fold ALL run over the "
+        "<= #bins AGGREGATE frame (plan-asserted); the oracle computes "
+        "the same lag products via a bounded self-join of the 720-row "
+        "binned frame (operators/relational.py::acf_binned).",
+)
+def _q_events_acf_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.acf_binned(
+        ev.select("ts_ms"), ts="ts_ms", bin_ms=3_600_000, max_lag=24)
+
+
+@_register(
+    "nation_customer_gini",
+    """
+    WITH per AS (SELECT o_custkey AS ck, sum(o_totalprice) AS spend
+                 FROM orders GROUP BY 1),
+    j AS (SELECT n.n_name, per.spend, per.ck
+          FROM per JOIN customer c ON per.ck = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    r AS (SELECT n_name, spend,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY spend, ck) AS i
+          FROM j),
+    a AS (SELECT n_name, count(*) AS n, sum(spend) AS tot,
+                 sum(i * spend) AS iw
+          FROM r GROUP BY 1)
+    SELECT n_name, CAST(n AS BIGINT) AS n_members,
+           round(tot, 2) AS total_value,
+           round(CASE WHEN tot > 0
+                      THEN 2.0 * iw / (n * tot) - (n + 1.0) / n END,
+                 6) AS gini
+    FROM a
+    """,
+    doc="per-nation Gini concentration of customer spend via the rank "
+        "identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the "
+        "(spend, custkey)-ordered members — 'how dependent is this "
+        "nation's revenue on its top customers', the concentration "
+        "audit behind mixture-balance decisions. Scale shape: the "
+        "per-customer spend AGGREGATE collapses orders first, the rank "
+        "window partitions by nation over THAT frame (one exchange on "
+        "the group, never the raw orders), and the final (nation) "
+        "aggregate folds each partition to a row; nulls drop before "
+        "ranking, negative values raise in-plan "
+        "(operators/relational.py::gini_by_group).",
+)
+def _q_nation_customer_gini(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    per = (o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+           .join(c.select("c_custkey", "c_nationkey"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+                 F.col("c_nationkey") == F.col("n_nationkey")))
+    return relational.gini_by_group(
+        per.select("n_name", "spend", "c_custkey"),
+        group="n_name", value="spend", id_col="c_custkey")
+
+
+@_register(
+    "events_session_top_paths",
+    """
+    WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                      event_id, event_type
+               FROM events),
+    l AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                         (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                         > 86400000 THEN 1 ELSE 0 END AS nw
+          FROM e),
+    s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l),
+    t AS (SELECT event_type AS t0,
+                 lead(event_type, 1) OVER w AS t1,
+                 lead(event_type, 2) OVER w AS t2,
+                 sid,
+                 lead(sid, 1) OVER w AS sid1,
+                 lead(sid, 2) OVER w AS sid2
+          FROM s
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+    g AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+          FROM t
+          WHERE sid1 = sid AND sid2 = sid
+            AND t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+          GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+           round(n / (sum(n) OVER ()), 6) AS share
+    FROM g
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    doc="top session journeys: the 20 most frequent event-type TRIGRAM "
+        "runs within DAILY sessions (24 h gap — the graded 30-minute "
+        "sessionize gap leaves almost no 3-event runs at fixture "
+        "time-density), ties broken by path text — whole-journey "
+        "sequence mining, the path complement of the graded memoryless "
+        "Markov transition matrix. Scale shape: ONE hash exchange on "
+        "user_id carries sessionize AND the path leads (cross-session "
+        "runs drop by session-id equality — no second (key, session) "
+        "exchange, plan-asserted); '>' in a type value raises in-plan "
+        "(path-splice guard); counting is one aggregate over the "
+        "<= |types|^3 frame and the top-20 ships as TakeOrdered "
+        "(operators/relational.py::session_top_paths).",
+)
+def _q_events_session_top_paths(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.session_top_paths(
+        ev.select("user_id", "ts_ms", "event_id", "event_type"),
+        key="user_id", ts="ts_ms", type_col="event_type",
+        id_col="event_id", gap=86_400_000, path_len=3, top=20)
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------
