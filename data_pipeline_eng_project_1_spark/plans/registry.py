@@ -48,182 +48,189 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
 _MEASURED_COST_S = {
-    "sort_limit_topk": 0.16,
-    "text_fingerprint": 0.19,
-    "unpivot_part_metrics": 0.20,
-    "array_hof_stats": 0.21,
-    "string_funcs_part": 0.21,
-    "posexplode_tokens": 0.22,
-    "vector_norms": 0.22,
-    "multimodal_meta": 0.23,
-    "cube_nation_segment": 0.24,
+    "posexplode_tokens": 0.19,
+    "vector_norms": 0.19,
+    "sort_limit_topk": 0.20,
+    "multimodal_meta": 0.22,
+    "unpivot_part_metrics": 0.22,
+    "array_hof_stats": 0.23,
+    "string_funcs_part": 0.23,
     "filter_project_cast": 0.24,
-    "stratified_sample": 0.25,
-    "date_parts_orders": 0.26,
+    "rollup_status_priority": 0.25,
+    "text_fingerprint": 0.25,
+    "try_cast_dirty": 0.25,
     "doc_chunks": 0.26,
+    "null_conditional_agg": 0.26,
+    "topk_per_priority": 0.26,
     "corpus_weighted_reservoir": 0.27,
-    "customer_k_anonymity": 0.27,
-    "null_conditional_agg": 0.27,
-    "try_cast_dirty": 0.27,
-    "quantiles_per_priority": 0.28,
-    "text_token_topk": 0.28,
-    "topk_per_priority": 0.28,
-    "grouping_sets_status_priority": 0.30,
-    "pii_scrub": 0.30,
-    "pivot_returnflag": 0.30,
-    "conditional_promo_ratio": 0.31,
-    "events_tumbling_1h": 0.31,
+    "grouping_sets_status_priority": 0.27,
+    "window_distribution": 0.27,
+    "customer_k_anonymity": 0.29,
+    "quantiles_per_priority": 0.29,
+    "text_token_topk": 0.29,
+    "stratified_sample": 0.30,
+    "corpus_shard_export": 0.31,
+    "date_parts_orders": 0.31,
+    "stringagg_nations": 0.31,
+    "corpus_snapshot_diff": 0.32,
     "doc_packing": 0.32,
-    "events_sessionize": 0.32,
-    "above_avg_orders": 0.33,
-    "window_latest_per_key": 0.33,
-    "corpus_snapshot_diff": 0.34,
-    "lineitem_skew_profile": 0.34,
-    "corpus_shard_export": 0.35,
-    "pricing_summary_agg": 0.35,
+    "events_rollup_multigrain": 0.32,
+    "window_running_rank": 0.33,
+    "pii_scrub": 0.34,
+    "pricing_summary_agg": 0.34,
+    "window_latest_per_key": 0.34,
+    "above_avg_orders": 0.35,
+    "cube_nation_segment": 0.35,
+    "events_grouped_regression": 0.35,
+    "events_json_extract": 0.35,
+    "lineitem_skew_profile": 0.35,
+    "pivot_returnflag": 0.35,
+    "regression_price_qty": 0.35,
+    "stats_agg_lineitem": 0.35,
+    "window_range_moving_avg": 0.35,
     "events_asof_click": 0.36,
-    "events_hourly_retention": 0.36,
-    "window_running_rank": 0.36,
-    "customer_l_diversity": 0.37,
-    "stringagg_nations": 0.37,
-    "window_distribution": 0.37,
-    "window_range_moving_avg": 0.37,
-    "events_grouped_regression": 0.38,
-    "events_json_extract": 0.38,
-    "customer_order_histogram": 0.39,
-    "events_rollup_multigrain": 0.39,
-    "events_time_weighted_avg": 0.39,
-    "text_quality": 0.39,
-    "corpus_split_accounting": 0.40,
+    "conditional_promo_ratio": 0.37,
+    "entity_match_fuzzy": 0.37,
+    "events_sessionize": 0.37,
+    "group_distinct_agg": 0.37,
+    "events_tumbling_1h": 0.38,
+    "corpus_importance_sample": 0.39,
+    "embedding_quantize_int8": 0.39,
+    "events_hourly_retention": 0.39,
     "multimodal_decode": 0.40,
-    "events_interval_coverage": 0.41,
-    "events_range_join_1h": 0.41,
-    "orders_target_encoding": 0.41,
-    "events_ab_welch_ttest": 0.42,
-    "events_anomaly_zscore": 0.42,
-    "orders_mutual_information": 0.42,
+    "multimodal_frames": 0.40,
+    "orders_mutual_information": 0.40,
+    "orders_target_encoding": 0.40,
+    "window_lead_lag": 0.40,
+    "corpus_split_accounting": 0.41,
+    "customer_l_diversity": 0.41,
+    "customer_order_histogram": 0.41,
+    "events_time_weighted_avg": 0.41,
     "set_ops_custkeys": 0.42,
-    "events_scd2_history": 0.43,
-    "multimodal_frames": 0.43,
-    "entity_match_fuzzy": 0.44,
-    "embedding_quantize_int8": 0.46,
-    "stats_agg_lineitem": 0.46,
-    "group_distinct_agg": 0.48,
-    "quality_classifier_score": 0.48,
-    "window_lead_lag": 0.48,
-    "corpus_negative_sampling": 0.49,
-    "events_markov_transitions": 0.49,
-    "regression_price_qty": 0.49,
-    "corpus_importance_sample": 0.50,
-    "hll_distinct_audit": 0.50,
-    "events_multi_touch_attribution": 0.51,
-    "similarity_filtered_topk": 0.52,
-    "parts_skyline_frontier": 0.53,
-    "map_priority_counts": 0.54,
-    "orders_mad_outliers": 0.54,
-    "events_last_touch_attribution": 0.55,
-    "orders_incremental_rollup": 0.55,
-    "rollup_status_priority": 0.55,
-    "corpus_domain_cap": 0.56,
-    "corpus_mixture_sample": 0.56,
-    "lineitem_fd_violations": 0.57,
-    "events_count_min_sketch": 0.61,
-    "embedding_covariance": 0.62,
-    "corpus_temperature_mixture": 0.63,
-    "orders_subsample_variance": 0.64,
-    "text_repetition": 0.65,
-    "dedup_exact": 0.66,
-    "dedup_exact_spans_staggered": 0.66,
-    "lineitem_expectations_audit": 0.66,
-    "orders_cohort_retention": 0.67,
-    "orders_roc_auc": 0.67,
-    "pii_creditcard_luhn": 0.67,
-    "disjunctive_bracket_revenue": 0.68,
-    "events_chisq_independence": 0.68,
-    "grouped_zscore_pandas": 0.69,
-    "text_langid": 0.69,
-    "embedding_random_projection": 0.70,
-    "rich_quiet_customers": 0.70,
-    "text_kl_drift": 0.72,
-    "top_revenue_supplier": 0.72,
-    "dedup_exact_spans": 0.73,
-    "text_char_entropy": 0.73,
-    "semi_anti_customers": 0.74,
-    "similarity_topk": 0.74,
-    "events_funnel_conversion": 0.75,
-    "multimodal_phash_dedup": 0.75,
-    "orders_dense_index": 0.75,
-    "dedup_embedding_cosine": 0.78,
-    "events_cusum_changepoint": 0.78,
-    "text_bm25_topk": 0.78,
-    "late_shipment_priority": 0.81,
-    "nation_trade_volume": 0.81,
-    "events_rolling_anomaly": 0.82,
-    "text_tfidf_topterms": 0.82,
-    "corpus_vocab_growth": 0.83,
-    "text_heavy_hitters": 0.83,
-    "scalar_subquery_share": 0.84,
-    "orders_table_profile": 0.85,
-    "join_topk_revenue": 0.86,
-    "skew_salted_join": 0.88,
-    "corpus_doremi_reweight": 0.89,
-    "orders_equidepth_histogram": 0.89,
-    "bloom_pruned_join": 0.91,
-    "basket_brand_lift": 0.92,
-    "large_order_customers": 0.92,
-    "text_unigram_logprob": 0.92,
-    "corpus_decontamination": 0.94,
-    "sole_blame_suppliers": 0.94,
-    "events_sliding_1h_15m": 0.95,
-    "star_join_region_revenue": 0.97,
-    "parts_abc_pareto": 1.00,
-    "ntile_spend_quartiles": 1.01,
-    "corpus_curation": 1.07,
-    "text_bigram_lm_perplexity": 1.07,
-    "text_rrf_hybrid": 1.14,
-    "similarity_ann_lsh": 1.16,
+    "events_interval_coverage": 0.43,
+    "pii_creditcard_luhn": 0.43,
+    "text_quality": 0.43,
+    "corpus_negative_sampling": 0.44,
+    "events_last_touch_attribution": 0.44,
+    "events_markov_transitions": 0.44,
+    "similarity_topk": 0.44,
+    "events_anomaly_zscore": 0.46,
+    "events_scd2_history": 0.46,
+    "hll_distinct_audit": 0.46,
+    "quality_classifier_score": 0.46,
+    "disjunctive_bracket_revenue": 0.47,
+    "semi_anti_customers": 0.47,
+    "similarity_filtered_topk": 0.48,
+    "dedup_exact": 0.49,
+    "rich_quiet_customers": 0.50,
+    "top_revenue_supplier": 0.50,
+    "corpus_mixture_sample": 0.51,
+    "events_cusum_changepoint": 0.51,
+    "events_kaplan_meier": 0.52,
+    "events_conversion_latency": 0.53,
+    "grouped_zscore_pandas": 0.53,
+    "map_priority_counts": 0.53,
+    "orders_equidepth_histogram": 0.53,
+    "join_topk_revenue": 0.54,
+    "skew_salted_join": 0.55,
+    "small_qty_part_revenue": 0.55,
+    "lineitem_fd_violations": 0.56,
+    "text_repetition": 0.56,
+    "corpus_temperature_mixture": 0.57,
+    "embedding_covariance": 0.57,
+    "events_ab_welch_ttest": 0.58,
+    "late_shipment_priority": 0.58,
+    "dedup_exact_spans": 0.60,
+    "events_sliding_1h_15m": 0.60,
+    "orders_incremental_rollup": 0.60,
+    "scalar_subquery_share": 0.60,
+    "large_order_customers": 0.61,
+    "orders_benford_audit": 0.61,
+    "parts_skyline_frontier": 0.61,
+    "corpus_domain_cap": 0.63,
+    "sole_blame_suppliers": 0.63,
+    "text_char_entropy": 0.63,
+    "events_count_min_sketch": 0.65,
+    "orders_roc_auc": 0.66,
+    "events_psi_drift": 0.67,
+    "orders_mad_outliers": 0.67,
+    "orders_subsample_variance": 0.68,
+    "embedding_random_projection": 0.69,
+    "dedup_embedding_cosine": 0.71,
+    "events_rolling_anomaly": 0.72,
+    "text_unigram_logprob": 0.72,
+    "text_langid": 0.73,
+    "docs_wilson_quality": 0.74,
+    "lineitem_expectations_audit": 0.74,
+    "text_kl_drift": 0.74,
+    "bloom_pruned_join": 0.75,
+    "star_join_region_revenue": 0.75,
+    "corpus_curation": 0.79,
+    "dedup_exact_spans_staggered": 0.79,
+    "events_gap_fill": 0.82,
+    "multimodal_audio_fp_dedup": 0.82,
+    "nation_trade_volume": 0.82,
+    "orders_cohort_retention": 0.82,
+    "text_bm25_topk": 0.82,
+    "text_tfidf_topterms": 0.83,
+    "events_chisq_independence": 0.85,
+    "parts_abc_pareto": 0.85,
+    "events_multi_touch_attribution": 0.86,
+    "text_bigram_pmi": 0.89,
+    "events_funnel_conversion": 0.91,
+    "multimodal_phash_dedup": 0.91,
+    "similarity_knn_graph": 0.91,
+    "ntile_spend_quartiles": 0.93,
+    "events_ecdf_drift": 0.96,
+    "orders_dense_index": 0.96,
+    "basket_brand_lift": 0.97,
+    "corpus_source_overlap": 0.97,
+    "dedup_containment": 0.97,
+    "orders_table_profile": 0.99,
+    "text_bigram_lm_perplexity": 1.00,
+    "corpus_cluster_balance": 1.08,
+    "corpus_decontamination": 1.08,
+    "nation_customer_gini": 1.09,
+    "text_ngram_novelty": 1.14,
+    "events_session_top_paths": 1.15,
+    "events_seasonal_outliers": 1.16,
     "text_collocation_llr": 1.16,
-    "events_gap_fill": 1.17,
-    "text_ngram_novelty": 1.18,
-    "small_qty_part_revenue": 1.27,
-    "events_ecdf_drift": 1.28,
-    "text_bigram_pmi": 1.28,
-    "orders_benford_audit": 1.29,
-    "corpus_pipeline_end_to_end": 1.36,
-    "similarity_label_propagation": 1.37,
-    "dedup_simhash": 1.46,
-    "dedup_minhash_lsh": 1.47,
-    "similarity_ann_ivf": 1.50,
-    "dedup_containment": 1.51,
-    "referential_integrity_audit": 1.53,
-    "text_winnow_fingerprint": 1.53,
-    "events_kaplan_meier": 1.55,
-    "corpus_source_overlap": 1.58,
-    "dedup_semantic": 1.59,
-    "embeddings_kmeans_lloyd": 1.64,
-    "dedup_ngram_jaccard": 1.65,
-    "similarity_ann_pq": 1.65,
-    "supplier_pagerank": 1.68,
-    "dedup_incremental": 1.71,
-    "approx_distinct_custkeys": 1.73,
-    "events_conversion_latency": 1.80,
-    "corpus_cluster_balance": 1.85,
-    "dedup_components": 1.89,
-    "events_psi_drift": 1.90,
-    "similarity_knn_graph": 2.02,
-    "multimodal_audio_fp_dedup": 2.11,
-    "corpus_kcenter_coreset": 2.36,
-    "similarity_graph_triangles": 2.39,
-    "text_bpe_vocab": 2.42,
-    "dedup_keep_best": 2.56,
-    "text_tfidf_cosine_pairs": 2.62,
-    "similarity_link_prediction": 2.90,
-    "embedding_pca_power": 2.92,
-    "flashscore_format_parity": 3.11,
-    "corpus_leakage_safe_split": 3.35,
-    "doc_cdc_chunks": 3.51,
-    "dedup_winnow_pairs": 4.09,
-    "embedding_silhouette": 4.96,
+    "corpus_vocab_growth": 1.18,
+    "similarity_label_propagation": 1.19,
+    "text_winnow_fingerprint": 1.19,
+    "similarity_ann_ivf": 1.23,
+    "dedup_ngram_jaccard": 1.26,
+    "dedup_semantic": 1.26,
+    "referential_integrity_audit": 1.26,
+    "text_rrf_hybrid": 1.29,
+    "similarity_ann_lsh": 1.30,
+    "text_heavy_hitters": 1.31,
+    "dedup_minhash_lsh": 1.40,
+    "corpus_doremi_reweight": 1.42,
+    "similarity_link_prediction": 1.43,
+    "approx_distinct_custkeys": 1.46,
+    "dedup_incremental": 1.50,
+    "corpus_pipeline_end_to_end": 1.52,
+    "orders_kfold_audit": 1.55,
+    "events_range_join_1h": 1.61,
+    "supplier_pagerank": 1.66,
+    "dedup_components": 1.73,
+    "docs_quality_calibration": 1.89,
+    "text_tfidf_cosine_pairs": 1.93,
+    "dedup_simhash": 1.97,
+    "text_bpe_vocab": 2.01,
+    "similarity_ann_pq": 2.06,
+    "similarity_graph_triangles": 2.10,
+    "events_acf_hourly": 2.28,
+    "embeddings_kmeans_lloyd": 2.30,
+    "dedup_keep_best": 3.09,
+    "doc_cdc_chunks": 3.25,
+    "dedup_winnow_pairs": 3.33,
+    "corpus_kcenter_coreset": 3.49,
+    "flashscore_format_parity": 3.61,
+    "embedding_silhouette": 4.58,
+    "embedding_pca_power": 4.94,
+    "corpus_leakage_safe_split": 5.39,
 }
 
 _MEDIAN_COST = 0.5
