@@ -1935,3 +1935,183 @@ def wilson_pass_rate(df: DataFrame, group: str, passed: Column,
         group, "n", "n_pass",
         F.round(p, 6).alias("pass_rate"),
         F.round(lower, 6).alias("wilson_lower"))
+
+
+def srm_check(df: DataFrame, variant: str, expected: dict,
+              chi2_threshold: float) -> DataFrame:
+    """Sample-ratio-mismatch audit: chi-square GOODNESS-OF-FIT of the
+    observed per-variant counts against the DECLARED assignment ratios
+    — the experiment-health gate that must pass before any A/B result
+    (Welch, SPRT) is trusted; a broken splitter/logging path shows up
+    here first. Distinct from the graded chi-square INDEPENDENCE test
+    (two-way contingency, margins estimated): this is one-way with the
+    expected shares given a priori, df = k - 1.
+
+    ``expected`` maps each variant value to its expected share (> 0,
+    summing to 1 within 1e-6); ``chi2_threshold`` is the critical value
+    for df = k - 1 at the caller's alpha (3.841 for k = 2 at 5% — no
+    default, because a k-blind default silently misflags k > 2).
+    A variant VALUE in the data that is not in ``expected`` has no
+    expected share and raises in-plan (the welch filter pattern); a
+    declared variant with zero observations still contributes its
+    (0 - E*N)^2 / (E*N) = E*N term via a domain join (the benford
+    absent-digit lesson).
+
+    Scale shape: ONE partial+final (variant) aggregate folds the table
+    to <= k observed rows; the k-row expected domain joins and every
+    share/chi/total window runs over that AGGREGATE frame. Nothing
+    else moves.
+    """
+    if len(expected) < 2:
+        raise ValueError("srm_check: expected must declare >= 2 variants")
+    shares = list(expected.values())
+    if any(s <= 0 for s in shares):
+        raise ValueError("srm_check: expected shares must be > 0")
+    if abs(sum(shares) - 1.0) > 1e-6:
+        raise ValueError(
+            f"srm_check: expected shares must sum to 1, got {sum(shares)}")
+    if chi2_threshold <= 0:
+        raise ValueError("srm_check: chi2_threshold must be > 0")
+    agg = df.groupBy(variant).agg(F.count(F.lit(1)).alias("__obs"))
+    domain = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in expected.items()],
+        schema=f"{variant} {df.schema[variant].dataType.simpleString()}, "
+               f"expected_share double")
+    # full outer: a declared-but-absent variant keeps its E*N chi term
+    # (left side null), an UNDECLARED observed variant arrives with a
+    # null expected share and trips the in-plan raise below
+    full = (domain.join(agg, variant, "full")
+            .select(variant,
+                    F.coalesce(F.col("__obs"), F.lit(0)).cast("long")
+                     .alias("n"),
+                    "expected_share"))
+    full = full.filter(F.when(
+        F.col("expected_share").isNull(),
+        F.raise_error(F.concat(
+            F.lit("srm_check: observed variant value not declared in "
+                  "expected: "),
+            F.col(variant).cast("string")))
+    ).otherwise(F.lit(True)))
+    whole = Window.orderBy(variant).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n").over(whole)
+    exp_n = F.col("expected_share") * total
+    # degenerate input (zero rows observed anywhere): guard to NULL on
+    # both engines instead of 0/0 (the benford convention)
+    chi_term = F.when(total > 0,
+                      (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n)
+    chi2 = F.sum(chi_term).over(whole)
+    return full.select(
+        variant, "n",
+        F.round("expected_share", 6).alias("expected_share"),
+        F.round(F.when(total > 0, F.col("n") / total), 6)
+         .alias("observed_share"),
+        F.round(chi_term, 6).alias("chi_term"),
+        F.round(chi2, 4).alias("chi2_total"),
+        F.lit(len(expected) - 1).cast("int").alias("dof"),
+        (chi2 > chi2_threshold).alias("srm_flag"))
+
+
+def sprt_ab(df: DataFrame, ts: str, variant: str, success: Column,
+            lift_ratio: float = 1.5, alpha: float = 0.05,
+            beta: float = 0.05, bin_ms: int = 3_600_000) -> DataFrame:
+    """Wald sequential probability ratio test on an A/B success stream:
+    the SEQUENTIAL companion to the one-shot Welch test — it monitors
+    the experiment as data arrives and says WHEN the evidence crossed a
+    decision boundary, instead of requiring a fixed horizon (peeking at
+    a fixed-horizon test inflates false positives; SPRT's boundaries
+    are valid at every look by construction).
+
+    Model (the success-stream reduction): under balanced assignment
+    (gate with srm_check first), each SUCCESS comes from variant 1 with
+    probability 1/2 under H0 (no lift) and q = r / (1 + r) under H1
+    (variant 1 lifts success odds by ``lift_ratio`` r). The
+    log-likelihood ratio after each success is LLR += ln(2q) for a
+    variant-1 success, ln(2(1-q)) for a variant-0 one; accept H1 when
+    LLR >= ln((1-beta)/alpha), accept H0 when LLR <= ln(beta/(1-alpha)).
+    The four constants are computed ONCE in Python and inlined as
+    double literals on both engines (the pca_power literal-handoff
+    convention), so the running sum multiplies bit-identical operands.
+
+    Granularity: decisions are evaluated at ``bin_ms`` boundaries (the
+    cusum binning convention) — the crossing is localized to a bin, not
+    an event; a within-bin crossing that retreats by bin end is not
+    seen, which only DELAYS a decision (the test stays valid: both
+    hypotheses' boundary guarantees are per-look, and bins are the
+    looks). Returns one row per non-empty bin: (bin_idx, n_succ,
+    n_b_succ, llr_bin, llr_running, decision, decision_bin) with the
+    corpus-level decision ('accept_h1' / 'accept_h0' / 'continue') and
+    first crossing bin repeated per row (the cusum/ecdf summary-column
+    convention). Variant values outside {0, 1} raise in-plan (the
+    welch filter pattern).
+
+    Scale shape: scan-side success filter + ONE partial+final (bin)
+    aggregate -> a frame bounded by the time range over ``bin_ms``; the
+    running-LLR, crossing, and first-decision windows all run over that
+    <= #bins AGGREGATE frame, never the events.
+    """
+    import math
+
+    _require_plain_identifier("sprt_ab", ts)
+    _require_integer_epoch_ts("sprt_ab", df, ts)
+    if lift_ratio <= 0 or lift_ratio == 1.0:
+        raise ValueError("sprt_ab: lift_ratio must be > 0 and != 1")
+    if not (0 < alpha < 1 and 0 < beta < 1 and alpha + beta < 1):
+        raise ValueError(
+            "sprt_ab: alpha and beta must be in (0, 1) with "
+            "alpha + beta < 1")
+    if bin_ms < 1:
+        raise ValueError("sprt_ab: bin_ms must be >= 1")
+    q = lift_ratio / (1.0 + lift_ratio)
+    c1 = math.log(2.0 * q)          # per variant-1 success
+    c0 = math.log(2.0 * (1.0 - q))  # per variant-0 success
+    ln_a = math.log((1.0 - beta) / alpha)   # accept-H1 boundary (> 0)
+    ln_b = math.log(beta / (1.0 - alpha))   # accept-H0 boundary (< 0)
+    succ = df.filter(success)
+    binned = (succ.select(F.expr(f"{ts} DIV {bin_ms}").alias("__bin"),
+                          F.col(variant).alias("__v"))
+              .groupBy("__bin")
+              .agg(F.count(F.lit(1)).alias("n_succ"),
+                   F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+                    .cast("long").alias("n_b_succ"),
+                   F.sum(F.when(F.col("__v").isin(0, 1), F.lit(0))
+                          .otherwise(F.lit(1))).alias("__bad")))
+    binned = binned.filter(F.when(
+        F.col("__bad") > 0,
+        F.raise_error(F.lit(
+            "sprt_ab: variant column must be a binary {0, 1} assignment "
+            "— found other/null variant values among successes"))
+    ).otherwise(F.lit(True)))
+    llr_bin = (F.col("n_b_succ") * F.lit(c1)
+               + (F.col("n_succ") - F.col("n_b_succ")) * F.lit(c0))
+    ordw = Window.orderBy("__bin")
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = binned.select(
+        "__bin", "n_succ", "n_b_succ", llr_bin.alias("__lb"),
+        F.sum(llr_bin).over(cum).alias("__run"))
+    whole = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cross = F.when(F.col("__run") >= ln_a, F.lit("accept_h1")).when(
+        F.col("__run") <= ln_b, F.lit("accept_h0"))
+    # two-stage: first_bin is itself a window result, so the decision
+    # lookup must run in a LATER select (nested window calls are
+    # rejected by both engines — the r9 DuckDB lesson applies to Spark
+    # analysis too); both windows ride the same <= #bins frame
+    staged = staged.select(
+        "__bin", "n_succ", "n_b_succ", "__lb", "__run",
+        cross.alias("__cross"),
+        F.min(F.when(cross.isNotNull(), F.col("__bin"))).over(whole)
+         .alias("__fb"))
+    whole2 = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    decision = F.coalesce(
+        F.max(F.when(F.col("__bin") == F.col("__fb"), F.col("__cross")))
+         .over(whole2),
+        F.lit("continue"))
+    return staged.select(
+        F.col("__bin").cast("long").alias("bin_idx"),
+        "n_succ", "n_b_succ",
+        F.round("__lb", 6).alias("llr_bin"),
+        F.round("__run", 6).alias("llr_running"),
+        decision.alias("decision"),
+        F.col("__fb").cast("long").alias("decision_bin"))

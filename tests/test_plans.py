@@ -678,3 +678,45 @@ def test_ecdf_drift_shares_psi_no_data_window_shape(spark):
     assert all(k.startswith("__bucket") for k in keys), keys
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_srm_check_single_data_exchange_windows_on_aggregate(spark):
+    """srm_check's scale claim: the table folds through ONE
+    variant-keyed partial+final aggregate; the expected-share domain
+    join and every share/chi window run over the <= k-row AGGREGATE
+    frame (the full-outer join's two inputs are the k-row literal
+    domain and the aggregate — never the data)."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], ["id", "variant"])
+    out = relational.srm_check(
+        df.select("variant"), "variant", {0: 0.5, 1: 0.5}, 3.841)
+    plan = _plan(out)
+    # two hash exchanges total: the data-side aggregate + the k-row
+    # literal domain scan feeding the join — both keyed on variant
+    keys = [seg.split(",")[0].lstrip("(") for seg in
+            plan.split("Exchange hashpartitioning")[1:]]
+    assert len(keys) == 2 and all(k.startswith("variant") for k in keys)
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_sprt_ab_single_bin_exchange_no_join(spark):
+    """sprt_ab's scale claim: successes fold through ONE bin-keyed
+    partial+final aggregate; the running-LLR / crossing / decision
+    windows all run over SinglePartition exchanges of the <= #bins
+    AGGREGATE frame; there is no join anywhere."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(100)], ["id", "t", "v"])
+    out = relational.sprt_ab(
+        ev.withColumn("ok", F.lit(True)), ts="t", variant="v",
+        success=F.col("ok"))
+    plan = _plan(out)
+    keys = [seg.split(",")[0].lstrip("(") for seg in
+            plan.split("Exchange hashpartitioning")[1:]]
+    assert len(keys) == 1 and keys[0].startswith("__bin"), keys
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle

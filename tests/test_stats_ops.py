@@ -1150,3 +1150,128 @@ def test_banked_ops_r10_advice_fixes(spark):
     with pytest.raises(ValueError, match="max_bins must be >="):
         relational.acf_binned(wide, ts="t", bin_ms=100, max_lag=5,
                               max_bins=3)
+
+
+def test_srm_check_textbook_chi2_and_flag(spark):
+    """60/40 of 100 against a declared 50/50 split: chi2 = (10^2)/50 * 2
+    = 4.0 > 3.841 -> SRM flagged; a balanced 50/50 sample gives chi2 0
+    and no flag."""
+    skewed = spark.createDataFrame(
+        [(i, i % 10 < 6) for i in range(100)], "id long, b boolean")
+    df = skewed.select(F.col("b").cast("int").alias("variant"))
+    out = {r["variant"]: r for r in relational.srm_check(
+        df, "variant", {0: 0.5, 1: 0.5}, chi2_threshold=3.841).collect()}
+    assert out[1]["n"] == 60 and out[0]["n"] == 40
+    assert out[0]["chi2_total"] == pytest.approx(4.0)
+    assert out[0]["dof"] == 1
+    assert out[0]["srm_flag"] is True
+    assert out[0]["observed_share"] == pytest.approx(0.4)
+
+    balanced = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "id long, variant int")
+    ok = relational.srm_check(
+        balanced.select("variant"), "variant", {0: 0.5, 1: 0.5},
+        chi2_threshold=3.841).collect()
+    assert all(r["srm_flag"] is False for r in ok)
+    assert all(r["chi2_total"] == pytest.approx(0.0) for r in ok)
+
+
+def test_srm_check_absent_declared_and_undeclared_observed(spark):
+    """A DECLARED variant with zero observations contributes its E*N
+    chi term (the benford absent-digit lesson): 100 rows all variant 0
+    against 50/50 -> chi2 = (100-50)^2/50 + (0-50)^2/50 = 100. An
+    OBSERVED variant missing from expected raises in-plan."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    allzero = spark.createDataFrame(
+        [(0,) for _ in range(100)], "variant int")
+    rows = {r["variant"]: r for r in relational.srm_check(
+        allzero, "variant", {0: 0.5, 1: 0.5},
+        chi2_threshold=3.841).collect()}
+    assert set(rows) == {0, 1} and rows[1]["n"] == 0
+    assert rows[0]["chi2_total"] == pytest.approx(100.0)
+    assert rows[1]["chi_term"] == pytest.approx(50.0)
+
+    three = spark.createDataFrame(
+        [(0,), (1,), (2,)], "variant int")
+    with pytest.raises(SparkRuntimeException, match="not declared"):
+        relational.srm_check(three, "variant", {0: 0.5, 1: 0.5},
+                             chi2_threshold=3.841).collect()
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        relational.srm_check(three, "variant", {0: 0.5, 1: 0.6},
+                             chi2_threshold=3.841)
+    with pytest.raises(ValueError, match=">= 2 variants"):
+        relational.srm_check(three, "variant", {0: 1.0},
+                             chi2_threshold=3.841)
+    with pytest.raises(ValueError, match="must be > 0"):
+        relational.srm_check(three, "variant", {0: 0.5, 1: 0.5},
+                             chi2_threshold=0.0)
+
+
+def test_sprt_ab_accepts_h1_h0_and_continues(spark):
+    """Wald boundary math, exact: r=1.5 -> q=0.6, c1=ln(1.2), c0=ln(0.8),
+    accept-H1 at LLR >= ln(19) ~ 2.944. 20 variant-1 successes in one
+    bin give LLR = 20*ln(1.2) ~ 3.65 -> accept_h1 in that bin; 20
+    variant-0 successes give 20*ln(0.8) ~ -4.46 <= -2.944 -> accept_h0;
+    a 50/50 mix stays 'continue'."""
+    b_only = spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(20)], "id long, t long, v int")
+    rows = relational.sprt_ab(
+        b_only.withColumn("ok", F.lit(True)), ts="t", variant="v",
+        success=F.col("ok"), lift_ratio=1.5, bin_ms=1000).collect()
+    assert len(rows) == 1
+    r0 = rows[0]
+    assert r0["llr_running"] == pytest.approx(20 * math.log(1.2), abs=1e-5)
+    assert r0["decision"] == "accept_h1"
+    assert r0["decision_bin"] == r0["bin_idx"]
+
+    a_only = b_only.withColumn("v", F.lit(0))
+    rows = relational.sprt_ab(
+        a_only.withColumn("ok", F.lit(True)), ts="t", variant="v",
+        success=F.col("ok"), lift_ratio=1.5, bin_ms=1000).collect()
+    assert rows[0]["decision"] == "accept_h0"
+
+    mixed = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(40)], "id long, t long, v int")
+    rows = relational.sprt_ab(
+        mixed.withColumn("ok", F.lit(True)), ts="t", variant="v",
+        success=F.col("ok"), lift_ratio=1.5, bin_ms=1000).collect()
+    assert all(r["decision"] == "continue" for r in rows)
+    assert all(r["decision_bin"] is None for r in rows)
+
+
+def test_sprt_ab_multibin_crossing_and_validation(spark):
+    """The decision bin is the FIRST bin whose running LLR crosses: 17
+    variant-1 successes reach ln(19) (17*ln(1.2)=3.10), so with 10
+    successes/bin the crossing lands in bin 2 of 3; non-binary variants
+    raise in-plan; parameter validation is eager."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    three_bins = spark.createDataFrame(
+        [(i, i * 400, 1) for i in range(30)], "id long, t long, v int")
+    rows = sorted(relational.sprt_ab(
+        three_bins.withColumn("ok", F.lit(True)), ts="t", variant="v",
+        success=F.col("ok"), lift_ratio=1.5, bin_ms=4000).collect(),
+        key=lambda r: r["bin_idx"])
+    assert [r["n_succ"] for r in rows] == [10, 10, 10]
+    assert rows[0]["decision"] == "accept_h1"
+    assert rows[0]["decision_bin"] == rows[1]["bin_idx"]  # 17th success
+
+    bad = spark.createDataFrame(
+        [(1, 10, 2)], "id long, t long, v int")
+    with pytest.raises(SparkRuntimeException, match="binary"):
+        relational.sprt_ab(
+            bad.withColumn("ok", F.lit(True)), ts="t", variant="v",
+            success=F.col("ok")).collect()
+    ok_df = bad.withColumn("ok", F.lit(True))
+    with pytest.raises(ValueError, match="lift_ratio"):
+        relational.sprt_ab(ok_df, ts="t", variant="v",
+                           success=F.col("ok"), lift_ratio=1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        relational.sprt_ab(ok_df, ts="t", variant="v",
+                           success=F.col("ok"), alpha=0.7, beta=0.5)
+    with pytest.raises(ValueError, match="plain identifier"):
+        relational.sprt_ab(
+            ok_df.withColumnRenamed("t", "t s"), ts="t s", variant="v",
+            success=F.col("ok"))
