@@ -1962,6 +1962,16 @@ def srm_check(df: DataFrame, variant: str, expected: dict,
     share/chi/total window runs over that AGGREGATE frame. Nothing
     else moves.
     """
+    # the variant name is interpolated into the domain frame's DDL schema
+    # string below AND passes through to the output next to fixed aliases
+    # (the kfold collision lesson) — guard both up front
+    _require_plain_identifier("srm_check", variant)
+    reserved = ("n", "expected_share", "observed_share", "chi_term",
+                "chi2_total", "dof", "srm_flag")
+    if variant in reserved:
+        raise ValueError(
+            f"srm_check: variant column {variant!r} collides with an "
+            f"output column of this audit {reserved}; alias it first")
     if len(expected) < 2:
         raise ValueError("srm_check: expected must declare >= 2 variants")
     shares = list(expected.values())
@@ -1990,7 +2000,10 @@ def srm_check(df: DataFrame, variant: str, expected: dict,
         F.raise_error(F.concat(
             F.lit("srm_check: observed variant value not declared in "
                   "expected: "),
-            F.col(variant).cast("string")))
+            # a NULL variant (broken assignment logging — exactly what an
+            # SRM gate exists to catch) must still produce a readable
+            # message: concat(NULL) would null the whole diagnostic
+            F.coalesce(F.col(variant).cast("string"), F.lit("NULL"))))
     ).otherwise(F.lit(True)))
     whole = Window.orderBy(variant).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2024,8 +2037,11 @@ def sprt_ab(df: DataFrame, ts: str, variant: str, success: Column,
 
     Model (the success-stream reduction): under balanced assignment
     (gate with srm_check first), each SUCCESS comes from variant 1 with
-    probability 1/2 under H0 (no lift) and q = r / (1 + r) under H1
-    (variant 1 lifts success odds by ``lift_ratio`` r). The
+    probability 1/2 under H0 (no lift) and q = r / (1 + r) under H1 —
+    the alternative where variant 1's success RATE is ``lift_ratio`` r
+    times variant 0's (p1 = r * p0; NOT an odds ratio — the two only
+    coincide as the baseline rate tends to 0, so calibrate r from a
+    rate ratio, not a logistic-regression odds estimate). The
     log-likelihood ratio after each success is LLR += ln(2q) for a
     variant-1 success, ln(2(1-q)) for a variant-0 one; accept H1 when
     LLR >= ln((1-beta)/alpha), accept H0 when LLR <= ln(beta/(1-alpha)).
@@ -2102,11 +2118,9 @@ def sprt_ab(df: DataFrame, ts: str, variant: str, success: Column,
         cross.alias("__cross"),
         F.min(F.when(cross.isNotNull(), F.col("__bin"))).over(whole)
          .alias("__fb"))
-    whole2 = Window.orderBy("__bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
     decision = F.coalesce(
         F.max(F.when(F.col("__bin") == F.col("__fb"), F.col("__cross")))
-         .over(whole2),
+         .over(whole),
         F.lit("continue"))
     return staged.select(
         F.col("__bin").cast("long").alias("bin_idx"),

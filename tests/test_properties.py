@@ -118,7 +118,7 @@ def _luhn_reference(s: str) -> bool:
 
 
 @given(st.text(alphabet="0123456789", min_size=16, max_size=16))
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_luhn_sql_matches_reference(s):
     """The generated Luhn SQL (shared verbatim by the Spark query and its
     DuckDB oracle — functions/texts.py::luhn_valid_sql) must agree with

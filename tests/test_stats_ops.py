@@ -1209,6 +1209,32 @@ def test_srm_check_absent_declared_and_undeclared_observed(spark):
                              chi2_threshold=0.0)
 
 
+def test_srm_check_name_guards_and_null_variant_diag(spark):
+    """Pre-registration review fixes: the variant name is interpolated
+    into the domain frame's DDL schema, so it must be a plain
+    identifier and must not collide with the audit's output aliases;
+    a NULL variant (broken assignment logging) raises with a READABLE
+    'NULL' diagnostic instead of a message-less error."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(0,), (1,)], "variant int")
+    with pytest.raises(ValueError, match="plain identifier"):
+        relational.srm_check(
+            df.withColumnRenamed("variant", "my variant"), "my variant",
+            {0: 0.5, 1: 0.5}, chi2_threshold=3.841)
+    with pytest.raises(ValueError, match="collides with an output"):
+        relational.srm_check(
+            df.withColumnRenamed("variant", "chi_term"), "chi_term",
+            {0: 0.5, 1: 0.5}, chi2_threshold=3.841)
+
+    with_null = spark.createDataFrame(
+        [(0,), (1,), (None,)], "variant int")
+    with pytest.raises(SparkRuntimeException,
+                       match="not declared in expected: NULL"):
+        relational.srm_check(with_null, "variant", {0: 0.5, 1: 0.5},
+                             chi2_threshold=3.841).collect()
+
+
 def test_sprt_ab_accepts_h1_h0_and_continues(spark):
     """Wald boundary math, exact: r=1.5 -> q=0.6, c1=ln(1.2), c0=ln(0.8),
     accept-H1 at LLR >= ln(19) ~ 2.944. 20 variant-1 successes in one
