@@ -30,7 +30,7 @@ bound state growth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -662,6 +662,119 @@ def anomaly_stream(events: DataFrame, w: int = 20,
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
+def sprt_stream(events: DataFrame, variant: str, success: Column,
+                experiment: str = "experiment", lift_ratio: float = 1.5,
+                alpha: float = 0.05, beta: float = 0.05,
+                watermark: str = "30 minutes") -> DataFrame:
+    """Live twin of ``relational.sprt_ab`` (banked r12): Wald sequential
+    A/B monitoring as the experiment runs — which is what a SEQUENTIAL
+    test is FOR; the batch form replays history, this form decides on
+    the live stream.
+
+    The reduction makes streaming trivial: the cumulative LLR is a SUM
+    of per-success constants (ln(2q) per variant-1 success, ln(2(1-q))
+    per variant-0), so state per experiment is O(1) — (n_succ,
+    n_b_succ, llr, decision) — and the final LLR is arrival-order
+    INVARIANT: late or reordered successes inside the watermark change
+    nothing about the terminal value, unlike every windowed detector
+    here. Each micro-batch is a "look"; Wald's boundary guarantees hold
+    at every look by construction, so evaluating the crossing once per
+    drained batch (after the batch's whole increment, mirroring the
+    batch operator's per-BIN evaluation) keeps the stated alpha/beta.
+    Decision granularity is the only batch/stream divergence: a
+    crossing that retreats within one look is not seen (same caveat as
+    a within-bin retreat in ``sprt_ab``), so WHICH look decides can
+    differ from which bin decides while both remain valid SPRTs.
+
+    The decision is STICKY: once a boundary is crossed the test is
+    over, and contradicting later data moves ``llr_running`` (kept for
+    observability) but never the decision — re-opening a decided
+    sequential test forfeits its error guarantees. State is per-key and
+    partitioned by the groupBy (one tiny row per experiment), so a
+    thousand concurrent experiments cost a thousand state rows.
+    Emits one row per experiment per micro-batch that saw data:
+    (experiment, n_succ, n_b_succ, llr_running, decision).
+
+    Constants are computed once here with the same formulas as
+    ``sprt_ab`` (q = r/(1+r) under the rate-ratio alternative
+    p1 = r*p0), so a batch replay and this stream agree to float
+    associativity (pinned at 6dp by the parity test). Variant values
+    outside {0, 1} fail the stream, mirroring the batch in-plan raise.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if lift_ratio <= 0 or lift_ratio == 1.0:
+        raise ValueError("sprt_stream: lift_ratio must be > 0 and != 1")
+    if not (0 < alpha < 1 and 0 < beta < 1 and alpha + beta < 1):
+        raise ValueError(
+            "sprt_stream: alpha and beta must be in (0, 1) with "
+            "alpha + beta < 1")
+    q = lift_ratio / (1.0 + lift_ratio)
+    c1 = math.log(2.0 * q)
+    c0 = math.log(2.0 * (1.0 - q))
+    ln_a = math.log((1.0 - beta) / alpha)
+    ln_b = math.log(beta / (1.0 - alpha))
+
+    key_type = events.schema[experiment].dataType
+    out_schema = T.StructType([
+        T.StructField("experiment", key_type),
+        T.StructField("n_succ", T.LongType()),
+        T.StructField("n_b_succ", T.LongType()),
+        T.StructField("llr_running", T.DoubleType()),
+        T.StructField("decision", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_succ", T.LongType()),
+        T.StructField("n_b_succ", T.LongType()),
+        T.StructField("llr", T.DoubleType()),
+        T.StructField("decision", T.StringType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (exp,) = key
+        n, nb, llr, decision = (state.get if state.exists
+                                else (0, 0, 0.0, None))
+        dn = dnb = 0
+        for pdf in pdfs:
+            v = pdf["__v"]
+            if bool((~v.isin([0, 1]) | v.isna()).any()):
+                raise ValueError(
+                    "sprt_stream: variant column must be a binary {0, 1} "
+                    "assignment — found other/null variant values among "
+                    f"successes for experiment {exp!r}")
+            dn += len(pdf)
+            dnb += int((v == 1).sum())
+        n += dn
+        nb += dnb
+        # counts x constants, the batch operator's per-bin increment form
+        llr = llr + dnb * c1 + (dn - dnb) * c0
+        if decision is None:
+            if llr >= ln_a:
+                decision = "accept_h1"
+            elif llr <= ln_b:
+                decision = "accept_h0"
+        state.update((n, nb, llr, decision))
+        yield pd.DataFrame([{
+            "experiment": exp, "n_succ": n, "n_b_succ": nb,
+            "llr_running": round(llr, 6),
+            "decision": decision if decision is not None else "continue",
+        }])
+
+    return (
+        events.filter(success)
+        .select(F.col(experiment).alias("experiment"),
+                F.col(variant).alias("__v"), F.col("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("experiment")
         .applyInPandasWithState(
             update, out_schema, state_schema, "append",
             GroupStateTimeout.NoTimeout)

@@ -955,3 +955,128 @@ def test_seasonal_gate_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
         {"event_id": 2, "user_id": 1, "ts_ms": 11 * 24 * 3_600_000,
          "event_type": "view", "value": 55.0}))
     assert drain() == [1, 2]       # only the new file scored
+
+
+def test_sprt_stream_matches_batch_sprt_ab(spark, tmp_path):
+    """The live SPRT == the banked batch operator on a one-drain replay:
+    identical cumulative counts, 6dp-identical LLR (the stream adds
+    counts x the same inlined constants, so only float associativity
+    differs), and the same accept_h1 decision on decisive evidence.
+    Non-success events are filtered before they reach state."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # 20 variant-1 successes (odd user ids) + noise that must not count:
+    # non-purchase events from BOTH variants
+    rows = [{"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": 2 * i + 1,
+             "event_type": "purchase", "value": 1.0} for i in range(20)]
+    rows += [{"event_id": 100 + i, "ts_ms": 60_000 * (i + 1),
+              "user_id": i, "event_type": "view", "value": 1.0}
+             for i in range(30)]
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = sp.sprt_stream(
+        sp.stream_events(spark, str(src))
+        .withColumn("experiment", F.lit("exp1"))
+        .withColumn("v", (F.col("user_id") % 2).cast("int")),
+        variant="v", success=F.col("event_type") == "purchase",
+        lift_ratio=1.5)
+    q = sp.run_to_memory(stream, "sprt_live", str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = spark.table("sprt_live").orderBy("n_succ").collect()
+    final = got[-1]
+
+    batch_df = spark.createDataFrame(
+        [(r["ts_ms"], r["event_type"], r["user_id"] % 2) for r in rows],
+        "ts_ms long, event_type string, v int")
+    want = sorted(relational.sprt_ab(
+        batch_df, ts="ts_ms", variant="v",
+        success=F.col("event_type") == "purchase",
+        lift_ratio=1.5, bin_ms=3_600_000).collect(),
+        key=lambda r: r["bin_idx"])[-1]
+
+    assert final["n_succ"] == 20
+    assert final["n_b_succ"] == 20
+    assert final["llr_running"] == pytest.approx(
+        want["llr_running"], abs=2e-6)
+    assert final["decision"] == want["decision"] == "accept_h1"
+
+
+def test_sprt_stream_decision_sticky_across_restart(spark, tmp_path):
+    """A decided sequential test stays decided: drain 1 crosses the H1
+    boundary; drain 2 floods contradicting variant-0 successes through
+    the SAME checkpoint — the LLR (kept for observability) collapses
+    but the decision remains accept_h1, and the counts prove the state
+    survived the restart."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "e1.json").write_text("\n".join(_json.dumps(
+        {"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": 2 * i + 1,
+         "event_type": "purchase", "value": 1.0}) for i in range(20)))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        stream = sp.sprt_stream(
+            sp.stream_events(spark, str(src))
+            .withColumn("experiment", F.lit("exp1"))
+            .withColumn("v", (F.col("user_id") % 2).cast("int")),
+            variant="v", success=F.col("event_type") == "purchase",
+            lift_ratio=1.5)
+        q = sp.run_to_parquet(stream, out, ck)
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1 and first[0]["decision"] == "accept_h1"
+
+    (src / "e2.json").write_text("\n".join(_json.dumps(
+        {"event_id": 100 + i, "ts_ms": 60_000 * (30 + i), "user_id": 2 * i,
+         "event_type": "purchase", "value": 1.0}) for i in range(40)))
+    drain()
+    rows = sorted(spark.read.parquet(out).collect(),
+                  key=lambda r: r["n_succ"])
+    final = rows[-1]
+    assert final["n_succ"] == 60 and final["n_b_succ"] == 20
+    assert final["llr_running"] < 0       # evidence now points the other way
+    assert final["decision"] == "accept_h1"  # but the test already ended
+
+
+def test_sprt_stream_rejects_non_binary_variant(spark, tmp_path):
+    """Variant values outside {0, 1} among successes fail the stream,
+    mirroring the batch operator's in-plan raise; eager parameter
+    validation mirrors it too."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "e1.json").write_text(_json.dumps(
+        {"event_id": 1, "ts_ms": 60_000, "user_id": 1,
+         "event_type": "purchase", "value": 1.0}))
+
+    with pytest.raises(ValueError, match="lift_ratio"):
+        sp.sprt_stream(
+            sp.stream_events(spark, str(src))
+            .withColumn("experiment", F.lit("x"))
+            .withColumn("v", F.lit(1)),
+            variant="v", success=F.col("event_type") == "purchase",
+            lift_ratio=1.0)
+
+    stream = sp.sprt_stream(
+        sp.stream_events(spark, str(src))
+        .withColumn("experiment", F.lit("x"))
+        .withColumn("v", F.lit(3)),   # not a {0, 1} assignment
+        variant="v", success=F.col("event_type") == "purchase")
+    q = sp.run_to_memory(stream, "sprt_bad", str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="binary"):
+        q.awaitTermination()
