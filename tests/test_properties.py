@@ -500,3 +500,76 @@ def test_acf_bounds_and_shift_scale_invariance(counts, lag):
     a_scale = acf([x * 4.0 for x in counts], lag)
     assert abs(a - a_shift) < 1e-7
     assert abs(a - a_scale) < 1e-7
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=2, max_size=8),
+       st.lists(st.integers(min_value=1, max_value=100),
+                min_size=2, max_size=8),
+       st.integers(min_value=2, max_value=9))
+@settings(max_examples=300)
+def test_srm_chi2_identity_scaling_and_zero(counts, weights, mult):
+    """srm_check's per-term formula sum((O - E*N)^2 / (E*N)) equals the
+    algebraic identity (sum O^2/share)/N - N, is nonnegative, is ZERO
+    exactly when observed counts are proportional to the declared
+    shares, and scales linearly in N at fixed proportions (the reason
+    a fixed chi2_threshold gets MORE sensitive to the same relative
+    imbalance as traffic grows — the property an SRM gate relies on)."""
+    k = min(len(counts), len(weights))
+    counts, weights = counts[:k], weights[:k]
+    n_tot = sum(counts)
+    if n_tot == 0:
+        return
+    w_tot = sum(weights)
+    shares = [w / w_tot for w in weights]
+    chi2 = sum((o - s * n_tot) ** 2 / (s * n_tot)
+               for o, s in zip(counts, shares))
+    ident = sum(o * o / s for o, s in zip(counts, shares)) / n_tot - n_tot
+    assert abs(chi2 - ident) < 1e-6 * max(1.0, abs(chi2))
+    assert chi2 >= -1e-9
+    # exact proportionality -> zero (build counts FROM the shares)
+    prop = [round(s * w_tot * 40) for s in shares]  # w*40 keeps ints exact
+    chi2_prop = sum((o - s * sum(prop)) ** 2 / (s * sum(prop))
+                    for o, s in zip(prop, shares))
+    assert chi2_prop < 1e-9
+    # m x counts -> m x chi2 (linearity in N at fixed proportions)
+    chi2_m = sum((mult * o - s * mult * n_tot) ** 2 / (s * mult * n_tot)
+                 for o, s in zip(counts, shares))
+    assert abs(chi2_m - mult * chi2) < 1e-6 * max(1.0, abs(chi2_m))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1), min_size=1,
+                max_size=300),
+       st.lists(st.integers(min_value=1, max_value=20), min_size=1,
+                max_size=30),
+       st.floats(min_value=0.01, max_value=0.45),
+       st.floats(min_value=0.01, max_value=0.45),
+       st.floats(min_value=1.05, max_value=10.0))
+@settings(max_examples=300)
+def test_sprt_llr_binning_invariance_and_boundaries(bits, cuts, alpha,
+                                                    beta, r):
+    """sprt_ab/sprt_stream's load-bearing algebra: the cumulative LLR is
+    a SUM of per-success constants, so ANY binning of the success
+    sequence (batch bins, stream micro-batches) cumsums to the same
+    final value as counts x constants; and for every valid
+    (alpha, beta) the Wald boundaries straddle zero (ln_b < 0 < ln_a),
+    so 'continue' is always a reachable state and both accepts are
+    mutually exclusive."""
+    import math as m
+
+    q = r / (1.0 + r)
+    c1, c0 = m.log(2.0 * q), m.log(2.0 * (1.0 - q))
+    ln_a = m.log((1.0 - beta) / alpha)
+    ln_b = m.log(beta / (1.0 - alpha))
+    assert ln_b < 0 < ln_a
+
+    direct = sum(bits) * c1 + (len(bits) - sum(bits)) * c0
+    # partition the sequence by the random cut widths, per-bin increments
+    llr, i, ci = 0.0, 0, 0
+    while i < len(bits):
+        width = cuts[ci % len(cuts)]
+        chunk = bits[i:i + width]
+        llr += sum(chunk) * c1 + (len(chunk) - sum(chunk)) * c0
+        i += width
+        ci += 1
+    assert abs(llr - direct) < 1e-9 * max(1.0, abs(direct))
