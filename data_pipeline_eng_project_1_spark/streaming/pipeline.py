@@ -668,6 +668,114 @@ def anomaly_stream(events: DataFrame, w: int = 20,
     )
 
 
+def srm_stream(events: DataFrame, variant: str, expected: dict,
+               chi2_threshold: float, experiment: str = "experiment",
+               watermark: str = "30 minutes") -> DataFrame:
+    """Live twin of ``relational.srm_check`` (banked r12): the
+    sample-ratio-mismatch health gate running ON the assignment stream,
+    so a broken splitter or logging path fires an alert while the
+    experiment is still salvageable instead of at the post-hoc readout.
+    Together with ``sprt_stream`` this completes the live experiment
+    stack: this gate says whether the assignment can be trusted, the
+    SPRT says when the result is decided.
+
+    State per experiment is the k declared variants' cumulative counts
+    — O(k) longs, arrival-order invariant (counts are a sum), so late
+    data inside the watermark changes nothing about the terminal
+    state. Each micro-batch emits the batch operator's exact output
+    shape (one row per DECLARED variant: n, expected_share,
+    observed_share, chi_term, chi2_total, dof, srm_flag) plus the
+    experiment key, recomputed from the cumulative counts with the
+    same formulas — after the final drain the rows equal
+    ``srm_check`` run over the union of all drained data (pinned by
+    the parity test). Chi-square is evaluated per LOOK, so a transient
+    early-traffic flag can clear as counts grow (the standard
+    monitoring caveat: SRM dashboards alert on PERSISTENT flags);
+    unlike the SPRT this gate has no stopping rule to make sticky.
+
+    An observed variant value not declared in ``expected`` (including
+    NULL) fails the stream, mirroring the batch in-plan raise; a
+    declared variant with zero arrivals so far still contributes its
+    E*N chi term, exactly as the batch domain join does.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(expected) < 2:
+        raise ValueError("srm_stream: expected must declare >= 2 variants")
+    shares = list(expected.values())
+    if any(s <= 0 for s in shares):
+        raise ValueError("srm_stream: expected shares must be > 0")
+    if abs(sum(shares) - 1.0) > 1e-6:
+        raise ValueError(
+            f"srm_stream: expected shares must sum to 1, got {sum(shares)}")
+    if chi2_threshold <= 0:
+        raise ValueError("srm_stream: chi2_threshold must be > 0")
+    # a stable (value, share) order keyed once here; state is the counts
+    # array aligned with it
+    domain = sorted(expected.items(), key=lambda kv: str(kv[0]))
+    values = [k for k, _ in domain]
+    shares = [float(v) for _, v in domain]
+    dof = len(domain) - 1
+
+    key_type = events.schema[experiment].dataType
+    variant_type = events.schema[variant].dataType
+    out_schema = T.StructType([
+        T.StructField("experiment", key_type),
+        T.StructField("variant", variant_type),
+        T.StructField("n", T.LongType()),
+        T.StructField("expected_share", T.DoubleType()),
+        T.StructField("observed_share", T.DoubleType()),
+        T.StructField("chi_term", T.DoubleType()),
+        T.StructField("chi2_total", T.DoubleType()),
+        T.StructField("dof", T.IntegerType()),
+        T.StructField("srm_flag", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (exp,) = key
+        counts = list(state.get[0]) if state.exists else [0] * len(values)
+        idx = {v: i for i, v in enumerate(values)}
+        for pdf in pdfs:
+            vc = pdf["__v"].value_counts(dropna=False)
+            for val, cnt in vc.items():
+                if pd.isna(val) or val not in idx:
+                    raise ValueError(
+                        "srm_stream: observed variant value not declared "
+                        f"in expected: {'NULL' if pd.isna(val) else val!r}"
+                        f" (experiment {exp!r})")
+                counts[idx[val]] += int(cnt)
+        state.update((counts,))
+        total = sum(counts)
+        terms = [(n - s * total) ** 2 / (s * total) if total > 0 else None
+                 for n, s in zip(counts, shares)]
+        chi2 = sum(terms) if total > 0 else None
+        yield pd.DataFrame([{
+            "experiment": exp, "variant": v, "n": n,
+            "expected_share": round(s, 6),
+            "observed_share": round(n / total, 6) if total > 0 else None,
+            "chi_term": round(t, 6) if t is not None else None,
+            "chi2_total": round(chi2, 4) if chi2 is not None else None,
+            "dof": dof,
+            "srm_flag": (chi2 > chi2_threshold) if chi2 is not None
+                        else None,
+        } for v, n, s, t in zip(values, counts, shares, terms)])
+
+    return (
+        events
+        .select(F.col(experiment).alias("experiment"),
+                F.col(variant).alias("__v"), F.col("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("experiment")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
 def sprt_stream(events: DataFrame, variant: str, success: Column,
                 experiment: str = "experiment", lift_ratio: float = 1.5,
                 alpha: float = 0.05, beta: float = 0.05,

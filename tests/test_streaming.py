@@ -1080,3 +1080,103 @@ def test_sprt_stream_rejects_non_binary_variant(spark, tmp_path):
     q = sp.run_to_memory(stream, "sprt_bad", str(tmp_path / "ck"))
     with pytest.raises(Exception, match="binary"):
         q.awaitTermination()
+
+
+def test_srm_stream_matches_batch_srm_check(spark, tmp_path):
+    """The live SRM gate == the batch operator over the union of drained
+    data (identical per-variant rows to the digit), and the interim look
+    shows the documented transient: drain 1 is all variant 0 (absent
+    declared variant contributes its E*N term, flag fires), drain 2
+    rebalances and the flag CLEARS — chi-square is per-look, no
+    stopping rule."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "e1.json").write_text("\n".join(_json.dumps(
+        {"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": 2 * i,
+         "event_type": "view", "value": 1.0}) for i in range(100)))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        stream = sp.srm_stream(
+            sp.stream_events(spark, str(src))
+            .withColumn("experiment", F.lit("exp1"))
+            .withColumn("v", (F.col("user_id") % 2).cast("int")),
+            variant="v", expected={0: 0.5, 1: 0.5}, chi2_threshold=3.841)
+        q = sp.run_to_parquet(stream, out, ck)
+        q.awaitTermination()
+
+    drain()
+    look1 = {r["variant"]: r for r in spark.read.parquet(out).collect()}
+    # all-variant-0 drain: the absent declared variant still contributes
+    # (0 - 50)^2/50 = 50, chi2 = 100, flag on — the batch absent-digit
+    # semantics, live
+    assert look1[1]["n"] == 0
+    assert look1[1]["chi_term"] == pytest.approx(50.0)
+    assert look1[0]["chi2_total"] == pytest.approx(100.0)
+    assert look1[0]["srm_flag"] is True
+
+    (src / "e2.json").write_text("\n".join(_json.dumps(
+        {"event_id": 100 + i, "ts_ms": 60_000 * (100 + i),
+         "user_id": 2 * i + 1, "event_type": "view", "value": 1.0})
+        for i in range(100)))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    # the final look is the one where the absent variant caught up
+    # (variant 1 at n=100 happens only there); its chi2_total (a
+    # per-look constant) selects both of that look's rows
+    final_chi2 = next(r["chi2_total"] for r in rows
+                      if r["variant"] == 1 and r["n"] == 100)
+    final = {r["variant"]: r for r in rows
+             if r["chi2_total"] == final_chi2}
+    assert set(final) == {0, 1}
+    assert final[0]["srm_flag"] is False      # the transient cleared
+
+    want = {r["variant"]: r for r in relational.srm_check(
+        spark.createDataFrame([(i % 2,) for i in range(200)],
+                              "variant int"),
+        "variant", {0: 0.5, 1: 0.5}, chi2_threshold=3.841).collect()}
+    for v in (0, 1):
+        got = final[v]
+        assert got["n"] == want[v]["n"]
+        assert got["observed_share"] == want[v]["observed_share"]
+        assert got["chi_term"] == want[v]["chi_term"]
+        assert got["chi2_total"] == want[v]["chi2_total"]
+        assert got["srm_flag"] == want[v]["srm_flag"]
+
+
+def test_srm_stream_rejects_undeclared_and_validates_eagerly(spark,
+                                                             tmp_path):
+    """An observed variant outside the declared set (here: a NULL from a
+    broken assignment path) fails the stream like the batch in-plan
+    raise; parameter validation mirrors srm_check eagerly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "e1.json").write_text(_json.dumps(
+        {"event_id": 1, "ts_ms": 60_000, "user_id": 1,
+         "event_type": "view", "value": 1.0}))
+
+    base = (sp.stream_events(spark, str(src))
+            .withColumn("experiment", F.lit("x")))
+    with pytest.raises(ValueError, match="sum to 1"):
+        sp.srm_stream(base.withColumn("v", F.lit(0)), variant="v",
+                      expected={0: 0.5, 1: 0.6}, chi2_threshold=3.841)
+    with pytest.raises(ValueError, match=">= 2"):
+        sp.srm_stream(base.withColumn("v", F.lit(0)), variant="v",
+                      expected={0: 1.0}, chi2_threshold=3.841)
+
+    stream = sp.srm_stream(
+        base.withColumn("v", F.lit(None).cast("int")),
+        variant="v", expected={0: 0.5, 1: 0.5}, chi2_threshold=3.841)
+    q = sp.run_to_memory(stream, "srm_bad", str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="not declared"):
+        q.awaitTermination()
