@@ -1180,3 +1180,56 @@ def test_srm_stream_rejects_undeclared_and_validates_eagerly(spark,
     q = sp.run_to_memory(stream, "srm_bad", str(tmp_path / "ck"))
     with pytest.raises(Exception, match="not declared"):
         q.awaitTermination()
+
+
+def test_experiment_streams_keep_independent_state_per_key(spark,
+                                                           tmp_path):
+    """The 'thousand concurrent experiments' claim, concretely: two
+    experiments share one stream and one checkpoint; each gets its own
+    SPRT state (opposite decisions from opposite evidence) and its own
+    SRM counts, with no cross-talk."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = []
+    # exp A: 20 variant-1 successes (odd users) -> accept_h1
+    rows += [{"event_id": i, "ts_ms": 60_000 * (i + 1),
+              "user_id": 2 * i + 1, "event_type": "purchase", "value": 1.0}
+             for i in range(20)]
+    # exp B: 20 variant-0 successes (even users) -> accept_h0
+    rows += [{"event_id": 100 + i, "ts_ms": 60_000 * (i + 1),
+              "user_id": 2 * i, "event_type": "purchase", "value": 1.0}
+             for i in range(20)]
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    tagged = (sp.stream_events(spark, str(src))
+              .withColumn("experiment",
+                          F.when(F.col("event_id") < 100, F.lit("A"))
+                           .otherwise(F.lit("B")))
+              .withColumn("v", (F.col("user_id") % 2).cast("int")))
+    q = sp.run_to_memory(
+        sp.sprt_stream(tagged, variant="v",
+                       success=F.col("event_type") == "purchase",
+                       lift_ratio=1.5),
+        "sprt_multi", str(tmp_path / "ck1"))
+    q.awaitTermination()
+    got = {r["experiment"]: r for r in spark.table("sprt_multi").collect()}
+    assert got["A"]["decision"] == "accept_h1"
+    assert got["B"]["decision"] == "accept_h0"
+    assert got["A"]["n_succ"] == got["B"]["n_succ"] == 20
+    assert got["A"]["n_b_succ"] == 20 and got["B"]["n_b_succ"] == 0
+
+    q = sp.run_to_memory(
+        sp.srm_stream(tagged, variant="v", expected={0: 0.5, 1: 0.5},
+                      chi2_threshold=3.841),
+        "srm_multi", str(tmp_path / "ck2"))
+    q.awaitTermination()
+    srm = {(r["experiment"], r["variant"]): r
+           for r in spark.table("srm_multi").collect()}
+    assert srm[("A", 1)]["n"] == 20 and srm[("A", 0)]["n"] == 0
+    assert srm[("B", 0)]["n"] == 20 and srm[("B", 1)]["n"] == 0
+    assert srm[("A", 0)]["srm_flag"] is True   # both splits are broken,
+    assert srm[("B", 1)]["srm_flag"] is True   # each in its own direction
