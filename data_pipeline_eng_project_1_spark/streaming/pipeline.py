@@ -697,6 +697,13 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     NULL) fails the stream, mirroring the batch in-plan raise; a
     declared variant with zero arrivals so far still contributes its
     E*N chi term, exactly as the batch domain join does.
+
+    Parameters are part of the checkpoint's meaning: restarting with a
+    DIFFERENT ``expected`` re-interprets the persisted counts array. A
+    changed variant COUNT is caught (the state guard below raises); a
+    same-size change (renamed variant, reshuffled shares) cannot be
+    detected from counts alone — start a fresh checkpoint when the
+    declared split changes, as you would for a new experiment.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -738,6 +745,13 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     def update(key, pdfs, state: GroupState):
         (exp,) = key
         counts = list(state.get[0]) if state.exists else [0] * len(values)
+        if len(counts) != len(values):
+            raise ValueError(
+                "srm_stream: checkpointed state holds "
+                f"{len(counts)} variant counts but 'expected' now "
+                f"declares {len(values)} — the declared split changed "
+                "across a restart; start a fresh checkpoint for the "
+                f"new split (experiment {exp!r})")
         idx = {v: i for i, v in enumerate(values)}
         for pdf in pdfs:
             vc = pdf["__v"].value_counts(dropna=False)
@@ -814,6 +828,13 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
     p1 = r*p0), so a batch replay and this stream agree to float
     associativity (pinned at 6dp by the parity test). Variant values
     outside {0, 1} fail the stream, mirroring the batch in-plan raise.
+
+    Parameters are part of the checkpoint's meaning: an SPRT's
+    constants must be FIXED for its alpha/beta guarantees — restarting
+    with a different lift_ratio/alpha/beta silently re-interprets the
+    persisted LLR under new boundaries and voids the test. Start a
+    fresh checkpoint for a new hypothesis, as you would for a new
+    experiment.
     """
     import math
 

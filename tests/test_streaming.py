@@ -1233,3 +1233,38 @@ def test_experiment_streams_keep_independent_state_per_key(spark,
     assert srm[("B", 0)]["n"] == 20 and srm[("B", 1)]["n"] == 0
     assert srm[("A", 0)]["srm_flag"] is True   # both splits are broken,
     assert srm[("B", 1)]["srm_flag"] is True   # each in its own direction
+
+
+def test_srm_stream_rejects_changed_split_across_restart(spark, tmp_path):
+    """The checkpointed counts array is only meaningful under the split
+    that built it: restarting with a different variant COUNT raises
+    instead of silently mis-attributing counts (same-size renames are
+    documented as undetectable — fresh checkpoint for a new split)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "e1.json").write_text("\n".join(_json.dumps(
+        {"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": i,
+         "event_type": "view", "value": 1.0}) for i in range(10)))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain(expected):
+        stream = sp.srm_stream(
+            sp.stream_events(spark, str(src))
+            .withColumn("experiment", F.lit("exp1"))
+            .withColumn("v", (F.col("user_id") % 2).cast("int")),
+            variant="v", expected=expected, chi2_threshold=7.815)
+        q = sp.run_to_parquet(stream, out, ck)
+        q.awaitTermination()
+
+    drain({0: 0.5, 1: 0.5})
+    assert len(spark.read.parquet(out).collect()) == 2
+
+    (src / "e2.json").write_text(_json.dumps(
+        {"event_id": 99, "ts_ms": 60_000 * 99, "user_id": 0,
+         "event_type": "view", "value": 1.0}))
+    with pytest.raises(Exception, match="declared split changed"):
+        drain({0: 0.4, 1: 0.4, 2: 0.2})
