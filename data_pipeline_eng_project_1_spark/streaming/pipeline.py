@@ -698,12 +698,14 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     declared variant with zero arrivals so far still contributes its
     E*N chi term, exactly as the batch domain join does.
 
-    Parameters are part of the checkpoint's meaning: restarting with a
-    DIFFERENT ``expected`` re-interprets the persisted counts array. A
-    changed variant COUNT is caught (the state guard below raises); a
-    same-size change (renamed variant, reshuffled shares) cannot be
-    detected from counts alone — start a fresh checkpoint when the
-    declared split changes, as you would for a new experiment.
+    Parameters are part of the checkpoint's meaning: the declared
+    split is fingerprinted into every state row, so restarting with
+    ANY different ``expected`` — resized, renamed, or reshared — fails
+    loudly at the first arrival instead of silently re-interpreting
+    the persisted counts. Start a fresh checkpoint when the split
+    changes, as you would for a new experiment. (``chi2_threshold`` is
+    excluded from the fingerprint: it gates the flag, not the state's
+    meaning — tightening an alert threshold mid-run is legitimate.)
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -740,18 +742,28 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     ])
     state_schema = T.StructType([
         T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("params", T.StringType()),
     ])
+    # the declared split IS the meaning of the counts array: fingerprint
+    # it into every state row so ANY restart under a different split —
+    # resized, renamed, or reshared — fails loudly instead of silently
+    # misattributing counts (the threshold is deliberately excluded: it
+    # gates the flag, not the state's meaning)
+    params_fp = repr([(str(v), s) for v, s in zip(values, shares)])
 
     def update(key, pdfs, state: GroupState):
         (exp,) = key
-        counts = list(state.get[0]) if state.exists else [0] * len(values)
-        if len(counts) != len(values):
-            raise ValueError(
-                "srm_stream: checkpointed state holds "
-                f"{len(counts)} variant counts but 'expected' now "
-                f"declares {len(values)} — the declared split changed "
-                "across a restart; start a fresh checkpoint for the "
-                f"new split (experiment {exp!r})")
+        if state.exists:
+            counts, state_fp = list(state.get[0]), state.get[1]
+            if state_fp != params_fp:
+                raise ValueError(
+                    "srm_stream: checkpointed state was built under a "
+                    f"different declared split ({state_fp}) than this "
+                    f"run's ({params_fp}) — the split changed across a "
+                    "restart; start a fresh checkpoint for the new "
+                    f"split (experiment {exp!r})")
+        else:
+            counts = [0] * len(values)
         idx = {v: i for i, v in enumerate(values)}
         for pdf in pdfs:
             vc = pdf["__v"].value_counts(dropna=False)
@@ -762,7 +774,7 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
                         f"in expected: {'NULL' if pd.isna(val) else val!r}"
                         f" (experiment {exp!r})")
                 counts[idx[val]] += int(cnt)
-        state.update((counts,))
+        state.update((counts, params_fp))
         total = sum(counts)
         terms = [(n - s * total) ** 2 / (s * total) if total > 0 else None
                  for n, s in zip(counts, shares)]
@@ -830,11 +842,12 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
     outside {0, 1} fail the stream, mirroring the batch in-plan raise.
 
     Parameters are part of the checkpoint's meaning: an SPRT's
-    constants must be FIXED for its alpha/beta guarantees — restarting
-    with a different lift_ratio/alpha/beta silently re-interprets the
-    persisted LLR under new boundaries and voids the test. Start a
-    fresh checkpoint for a new hypothesis, as you would for a new
-    experiment.
+    constants must be FIXED for its alpha/beta guarantees, so
+    (lift_ratio, alpha, beta) are fingerprinted into every state row —
+    restarting under a different hypothesis fails loudly at the first
+    arrival instead of silently re-scoring the persisted LLR under new
+    boundaries. Start a fresh checkpoint for a new hypothesis, as you
+    would for a new experiment.
     """
     import math
 
@@ -866,12 +879,28 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
         T.StructField("n_b_succ", T.LongType()),
         T.StructField("llr", T.DoubleType()),
         T.StructField("decision", T.StringType()),
+        T.StructField("params", T.StringType()),
     ])
+    # the hypothesis IS the meaning of the persisted LLR: fingerprint
+    # (lift_ratio, alpha, beta) into every state row so a restart under
+    # different constants/boundaries fails loudly instead of silently
+    # re-scoring the walk and voiding the alpha/beta guarantees
+    params_fp = repr((float(lift_ratio), float(alpha), float(beta)))
 
     def update(key, pdfs, state: GroupState):
         (exp,) = key
-        n, nb, llr, decision = (state.get if state.exists
-                                else (0, 0, 0.0, None))
+        if state.exists:
+            n, nb, llr, decision, state_fp = state.get
+            if state_fp != params_fp:
+                raise ValueError(
+                    "sprt_stream: checkpointed state was built under "
+                    f"different SPRT parameters ({state_fp}, as "
+                    "(lift_ratio, alpha, beta)) than this run's "
+                    f"({params_fp}) — a sequential test's constants "
+                    "must be fixed; start a fresh checkpoint for the "
+                    f"new hypothesis (experiment {exp!r})")
+        else:
+            n, nb, llr, decision = 0, 0, 0.0, None
         dn = dnb = 0
         for pdf in pdfs:
             v = pdf["__v"]
@@ -891,7 +920,7 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
                 decision = "accept_h1"
             elif llr <= ln_b:
                 decision = "accept_h0"
-        state.update((n, nb, llr, decision))
+        state.update((n, nb, llr, decision, params_fp))
         yield pd.DataFrame([{
             "experiment": exp, "n_succ": n, "n_b_succ": nb,
             "llr_running": round(llr, 6),

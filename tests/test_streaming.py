@@ -1237,9 +1237,11 @@ def test_experiment_streams_keep_independent_state_per_key(spark,
 
 def test_srm_stream_rejects_changed_split_across_restart(spark, tmp_path):
     """The checkpointed counts array is only meaningful under the split
-    that built it: restarting with a different variant COUNT raises
-    instead of silently mis-attributing counts (same-size renames are
-    documented as undetectable — fresh checkpoint for a new split)."""
+    that built it: the split is fingerprinted into state, so a restart
+    under ANY different 'expected' — resized OR same-size reshared —
+    raises instead of silently mis-attributing counts. A changed
+    chi2_threshold alone is deliberately allowed (it gates the flag,
+    not the state's meaning)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1251,12 +1253,12 @@ def test_srm_stream_rejects_changed_split_across_restart(spark, tmp_path):
          "event_type": "view", "value": 1.0}) for i in range(10)))
     ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
 
-    def drain(expected):
+    def drain(expected, thresh=7.815):
         stream = sp.srm_stream(
             sp.stream_events(spark, str(src))
             .withColumn("experiment", F.lit("exp1"))
             .withColumn("v", (F.col("user_id") % 2).cast("int")),
-            variant="v", expected=expected, chi2_threshold=7.815)
+            variant="v", expected=expected, chi2_threshold=thresh)
         q = sp.run_to_parquet(stream, out, ck)
         q.awaitTermination()
 
@@ -1266,5 +1268,44 @@ def test_srm_stream_rejects_changed_split_across_restart(spark, tmp_path):
     (src / "e2.json").write_text(_json.dumps(
         {"event_id": 99, "ts_ms": 60_000 * 99, "user_id": 0,
          "event_type": "view", "value": 1.0}))
-    with pytest.raises(Exception, match="declared split changed"):
-        drain({0: 0.4, 1: 0.4, 2: 0.2})
+    with pytest.raises(Exception, match="split changed"):
+        drain({0: 0.4, 1: 0.4, 2: 0.2})     # resized
+    with pytest.raises(Exception, match="split changed"):
+        drain({0: 0.9, 1: 0.1})             # same size, reshared
+    drain({0: 0.5, 1: 0.5}, thresh=3.841)   # threshold-only: fine
+    assert max(r["n"] for r in spark.read.parquet(out).collect()) == 6
+
+
+def test_sprt_stream_rejects_changed_hypothesis_across_restart(
+        spark, tmp_path):
+    """(lift_ratio, alpha, beta) are fingerprinted into the SPRT state:
+    restarting the same checkpoint under a different hypothesis raises
+    instead of silently re-scoring the persisted LLR under new
+    boundaries (which would void the alpha/beta guarantees)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "e1.json").write_text("\n".join(_json.dumps(
+        {"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": 2 * i + 1,
+         "event_type": "purchase", "value": 1.0}) for i in range(5)))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain(lift):
+        stream = sp.sprt_stream(
+            sp.stream_events(spark, str(src))
+            .withColumn("experiment", F.lit("exp1"))
+            .withColumn("v", (F.col("user_id") % 2).cast("int")),
+            variant="v", success=F.col("event_type") == "purchase",
+            lift_ratio=lift)
+        q = sp.run_to_parquet(stream, out, ck)
+        q.awaitTermination()
+
+    drain(1.5)
+    (src / "e2.json").write_text(_json.dumps(
+        {"event_id": 99, "ts_ms": 60_000 * 99, "user_id": 1,
+         "event_type": "purchase", "value": 1.0}))
+    with pytest.raises(Exception, match="different SPRT parameters"):
+        drain(2.0)
