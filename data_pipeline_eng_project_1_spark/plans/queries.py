@@ -21,6 +21,7 @@ shuffle once on their partition keys, and no builder ever collects.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4375,6 +4376,146 @@ def _q_events_session_top_paths(spark, sf_dir):
         ev.select("user_id", "ts_ms", "event_id", "event_type"),
         key="user_id", ts="ts_ms", type_col="event_type",
         id_col="event_id", gap=86_400_000, path_len=3, top=20)
+
+
+def _ab9_variant():
+    """The graded Welch query's deterministic md5 user-level A/B
+    assignment — the SRM audit and SPRT monitor gate THE SAME split the
+    Welch result reads, so the three registrations form one coherent
+    experiment stack."""
+    return (hashing.hex_int(
+        F.concat(F.lit("ab9:"), F.col("user_id").cast("string"))) % 2)
+
+
+@_register(
+    "events_srm_check",
+    """
+    WITH v AS (SELECT CAST(CAST('0x' || substr(md5('ab9:' ||
+                   CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                 AS INTEGER) AS variant
+               FROM events),
+    a AS (SELECT variant, count(*) AS n FROM v GROUP BY 1),
+    d AS (SELECT * FROM (VALUES (0, CAST(0.5 AS DOUBLE)),
+                                (1, CAST(0.5 AS DOUBLE)))
+          AS t(variant, expected_share)),
+    f AS (SELECT d.variant, coalesce(a.n, 0) AS n, d.expected_share
+          FROM d LEFT JOIN a USING (variant)),
+    s AS (SELECT variant, n, expected_share, sum(n) OVER () AS total
+          FROM f),
+    c AS (SELECT *,
+                 CASE WHEN total > 0
+                      THEN (n - expected_share * total)
+                           * (n - expected_share * total)
+                           / (expected_share * total) END AS ct
+          FROM s)
+    SELECT CAST(variant AS INTEGER) AS variant,
+           CAST(n AS BIGINT) AS n,
+           round(expected_share, 6) AS expected_share,
+           round(CASE WHEN total > 0 THEN n * 1.0 / total END, 6)
+             AS observed_share,
+           round(ct, 6) AS chi_term,
+           round(sum(ct) OVER (), 4) AS chi2_total,
+           CAST(1 AS INTEGER) AS dof,
+           sum(ct) OVER () > 3.841 AS srm_flag
+    FROM c
+    """,
+    doc="sample-ratio-mismatch audit: chi-square GOODNESS-OF-FIT of the "
+        "md5 A/B assignment's observed variant counts against its "
+        "declared 50/50 split (df = 1, critical value 3.841 at 5%) — "
+        "the experiment-health gate in front of the graded Welch test "
+        "and the SPRT monitor (a broken splitter or logging path shows "
+        "up here before it corrupts either result). Distinct from the "
+        "graded chi-square INDEPENDENCE test: one-way with a-priori "
+        "shares, not two-way with estimated margins. Declared-but-"
+        "absent variants keep their E*N chi term via a k-row domain "
+        "join (the benford absent-digit lesson); undeclared observed "
+        "variants raise in-plan. Scale shape: ONE partial+final "
+        "(variant) aggregate folds the events to <= k rows; the domain "
+        "join and every share/chi/total window run over that AGGREGATE "
+        "frame (operators/relational.py::srm_check). Live stateful "
+        "twin: streaming/pipeline.py::srm_stream (per-look chi-square "
+        "from O(k) cumulative state).",
+)
+def _q_events_srm_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.srm_check(
+        ev.select(_ab9_variant().cast("int").alias("variant")),
+        "variant", {0: 0.5, 1: 0.5}, chi2_threshold=3.841)
+
+
+#: SPRT constants under the rate-ratio alternative p1 = 1.5 * p0
+#: (q = r/(1+r)) at alpha = beta = 0.05 — computed ONCE here and inlined
+#: as repr() double literals in the oracle SQL exactly as the live
+#: operator inlines them as F.lit doubles (the pca_power literal-handoff
+#: convention), so both engines' running sums multiply bit-identical
+#: operands.
+_SPRT_Q = 1.5 / (1.0 + 1.5)
+_SPRT_C1 = math.log(2.0 * _SPRT_Q)
+_SPRT_C0 = math.log(2.0 * (1.0 - _SPRT_Q))
+_SPRT_LN_A = math.log((1.0 - 0.05) / 0.05)
+_SPRT_LN_B = math.log(0.05 / (1.0 - 0.05))
+
+
+@_register(
+    "events_sprt_ab",
+    f"""
+    WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                      CAST('0x' || substr(md5('ab9:' ||
+                          CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                        AS variant
+               FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT ts_ms // 3600000 AS bin, count(*) AS n_succ,
+                 sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b
+          FROM e GROUP BY 1),
+    s AS (SELECT bin, n_succ, n_b,
+                 n_b * CAST({_SPRT_C1!r} AS DOUBLE)
+                   + (n_succ - n_b) * CAST({_SPRT_C0!r} AS DOUBLE) AS lb
+          FROM b),
+    r AS (SELECT *, sum(lb) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM s),
+    x AS (SELECT *, CASE WHEN run >= {_SPRT_LN_A!r} THEN 'accept_h1'
+                         WHEN run <= {_SPRT_LN_B!r} THEN 'accept_h0'
+                    END AS crossed
+          FROM r),
+    fb AS (SELECT min(CASE WHEN crossed IS NOT NULL THEN bin END) AS f
+           FROM x)
+    SELECT CAST(x.bin AS BIGINT) AS bin_idx,
+           CAST(n_succ AS BIGINT) AS n_succ,
+           CAST(n_b AS BIGINT) AS n_b_succ,
+           round(lb, 6) AS llr_bin,
+           round(run, 6) AS llr_running,
+           coalesce(max(CASE WHEN x.bin = fb.f THEN crossed END) OVER (),
+                    'continue') AS decision,
+           CAST(fb.f AS BIGINT) AS decision_bin
+    FROM x, fb
+    """,
+    doc="Wald sequential probability ratio test on the A/B purchase-"
+        "success stream of the same md5 split the Welch test grades "
+        "(success-from-B reduction: each success is variant 1 with "
+        "prob 1/2 under H0, q = r/(1+r) under the rate-ratio "
+        "alternative p1 = 1.5 * p0; alpha = beta = 0.05), decisions "
+        "evaluated at hourly bin boundaries — says WHEN the evidence "
+        "crossed a Wald boundary instead of requiring a fixed horizon; "
+        "at the graded scale the no-lift md5 split correctly drifts to "
+        "accept_h0. The four log constants are computed once and "
+        "inlined as identical double literals on both engines (the "
+        "pca_power literal-handoff convention). Scale shape: scan-side "
+        "success filter + ONE partial+final (bin) aggregate; running-"
+        "LLR / crossing / first-decision windows all ride the <= #bins "
+        "AGGREGATE frame, never the events "
+        "(operators/relational.py::sprt_ab). Live stateful twin: "
+        "streaming/pipeline.py::sprt_stream (O(1) state — the LLR is "
+        "an arrival-order-invariant sum).",
+)
+def _q_events_sprt_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.sprt_ab(
+        ev.select("ts_ms", "event_type",
+                  _ab9_variant().cast("int").alias("variant")),
+        ts="ts_ms", variant="variant",
+        success=F.col("event_type") == "purchase",
+        lift_ratio=1.5, alpha=0.05, beta=0.05, bin_ms=3_600_000)
 
 
 # ---------------------------------------------------------------------------
