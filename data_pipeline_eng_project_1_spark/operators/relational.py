@@ -2065,6 +2065,12 @@ def sprt_ab(df: DataFrame, ts: str, variant: str, success: Column,
     aggregate -> a frame bounded by the time range over ``bin_ms``; the
     running-LLR, crossing, and first-decision windows all run over that
     <= #bins AGGREGATE frame, never the events.
+
+    Live twin: ``streaming/pipeline.py::sprt_stream``. Its count
+    columns are named ``n_succ_total``/``n_b_succ_total`` because they
+    are CUMULATIVE, while this operator's ``n_succ``/``n_b_succ`` are
+    PER-BIN — the deliberate name split keeps a by-column-name consumer
+    from misreading one as the other.
     """
     import math
 

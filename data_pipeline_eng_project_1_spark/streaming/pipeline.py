@@ -668,6 +668,22 @@ def anomaly_stream(events: DataFrame, w: int = 20,
     )
 
 
+def _round_half_up(x, nd: int):
+    """Round a double exactly as Spark's F.round / DuckDB's round do:
+    HALF_UP on the shortest decimal repr of the double (Spark's
+    BigDecimal.valueOf goes through Double.toString, which is Python's
+    repr). Python's built-in round() is banker's rounding and diverges
+    on half-way decimals — which would break the stream twins'
+    documented exact-parity contract with their batch operators
+    (r11 advice finding)."""
+    import decimal
+
+    if x is None:
+        return None
+    return float(decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP))
+
+
 def srm_stream(events: DataFrame, variant: str, expected: dict,
                chi2_threshold: float, experiment: str = "experiment",
                watermark: str = "30 minutes") -> DataFrame:
@@ -685,13 +701,19 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     state. Each micro-batch emits the batch operator's exact output
     shape (one row per DECLARED variant: n, expected_share,
     observed_share, chi_term, chi2_total, dof, srm_flag) plus the
-    experiment key, recomputed from the cumulative counts with the
-    same formulas — after the final drain the rows equal
-    ``srm_check`` run over the union of all drained data (pinned by
-    the parity test). Chi-square is evaluated per LOOK, so a transient
-    early-traffic flag can clear as counts grow (the standard
-    monitoring caveat: SRM dashboards alert on PERSISTENT flags);
-    unlike the SPRT this gate has no stopping rule to make sticky.
+    experiment key and a monotone per-experiment ``look`` counter
+    (kept in state), so rows accumulated in an append sink group into
+    looks deterministically — select ``max(look)`` for the current
+    state of each experiment (r11 advice: without it, looks could only
+    be told apart by chi2 value, which can collide). Values are
+    recomputed from the cumulative counts with the same formulas and
+    the same HALF_UP rounding as F.round (``_round_half_up``) — after
+    the final drain the rows equal ``srm_check`` run over the union of
+    all drained data (pinned by the parity test). Chi-square is
+    evaluated per LOOK, so a transient early-traffic flag can clear as
+    counts grow (the standard monitoring caveat: SRM dashboards alert
+    on PERSISTENT flags); unlike the SPRT this gate has no stopping
+    rule to make sticky.
 
     An observed variant value not declared in ``expected`` (including
     NULL) fails the stream, mirroring the batch in-plan raise; a
@@ -731,6 +753,7 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     variant_type = events.schema[variant].dataType
     out_schema = T.StructType([
         T.StructField("experiment", key_type),
+        T.StructField("look", T.LongType()),
         T.StructField("variant", variant_type),
         T.StructField("n", T.LongType()),
         T.StructField("expected_share", T.DoubleType()),
@@ -742,6 +765,7 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     ])
     state_schema = T.StructType([
         T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("look", T.LongType()),
         T.StructField("params", T.StringType()),
     ])
     # the declared split IS the meaning of the counts array: fingerprint
@@ -754,7 +778,8 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     def update(key, pdfs, state: GroupState):
         (exp,) = key
         if state.exists:
-            counts, state_fp = list(state.get[0]), state.get[1]
+            counts, look, state_fp = (list(state.get[0]), state.get[1],
+                                      state.get[2])
             if state_fp != params_fp:
                 raise ValueError(
                     "srm_stream: checkpointed state was built under a "
@@ -763,7 +788,7 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
                     "restart; start a fresh checkpoint for the new "
                     f"split (experiment {exp!r})")
         else:
-            counts = [0] * len(values)
+            counts, look = [0] * len(values), 0
         idx = {v: i for i, v in enumerate(values)}
         for pdf in pdfs:
             vc = pdf["__v"].value_counts(dropna=False)
@@ -774,17 +799,19 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
                         f"in expected: {'NULL' if pd.isna(val) else val!r}"
                         f" (experiment {exp!r})")
                 counts[idx[val]] += int(cnt)
-        state.update((counts, params_fp))
+        look += 1
+        state.update((counts, look, params_fp))
         total = sum(counts)
         terms = [(n - s * total) ** 2 / (s * total) if total > 0 else None
                  for n, s in zip(counts, shares)]
         chi2 = sum(terms) if total > 0 else None
         yield pd.DataFrame([{
-            "experiment": exp, "variant": v, "n": n,
-            "expected_share": round(s, 6),
-            "observed_share": round(n / total, 6) if total > 0 else None,
-            "chi_term": round(t, 6) if t is not None else None,
-            "chi2_total": round(chi2, 4) if chi2 is not None else None,
+            "experiment": exp, "look": look, "variant": v, "n": n,
+            "expected_share": _round_half_up(s, 6),
+            "observed_share": (_round_half_up(n / total, 6)
+                               if total > 0 else None),
+            "chi_term": _round_half_up(t, 6),
+            "chi2_total": _round_half_up(chi2, 4),
             "dof": dof,
             "srm_flag": (chi2 > chi2_threshold) if chi2 is not None
                         else None,
@@ -833,7 +860,14 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
     partitioned by the groupBy (one tiny row per experiment), so a
     thousand concurrent experiments cost a thousand state rows.
     Emits one row per experiment per micro-batch that saw data:
-    (experiment, n_succ, n_b_succ, llr_running, decision).
+    (experiment, n_succ_total, n_b_succ_total, llr_running, decision).
+    The count columns are deliberately NOT named like ``sprt_ab``'s
+    ``n_succ``/``n_b_succ``: the batch columns are PER-BIN counts,
+    these are CUMULATIVE totals — same-named they would invite a
+    by-column-name misread across the twins (r11 advice). Only
+    successes reach state, so ``n_succ_total`` strictly increases
+    across a key's emitted rows — it doubles as the monotone look
+    identifier for selecting the latest row from an append sink.
 
     Constants are computed once here with the same formulas as
     ``sprt_ab`` (q = r/(1+r) under the rate-ratio alternative
@@ -869,8 +903,8 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
     key_type = events.schema[experiment].dataType
     out_schema = T.StructType([
         T.StructField("experiment", key_type),
-        T.StructField("n_succ", T.LongType()),
-        T.StructField("n_b_succ", T.LongType()),
+        T.StructField("n_succ_total", T.LongType()),
+        T.StructField("n_b_succ_total", T.LongType()),
         T.StructField("llr_running", T.DoubleType()),
         T.StructField("decision", T.StringType()),
     ])
@@ -922,8 +956,8 @@ def sprt_stream(events: DataFrame, variant: str, success: Column,
                 decision = "accept_h0"
         state.update((n, nb, llr, decision, params_fp))
         yield pd.DataFrame([{
-            "experiment": exp, "n_succ": n, "n_b_succ": nb,
-            "llr_running": round(llr, 6),
+            "experiment": exp, "n_succ_total": n, "n_b_succ_total": nb,
+            "llr_running": _round_half_up(llr, 6),
             "decision": decision if decision is not None else "continue",
         }])
 

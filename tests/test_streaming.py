@@ -988,7 +988,7 @@ def test_sprt_stream_matches_batch_sprt_ab(spark, tmp_path):
         lift_ratio=1.5)
     q = sp.run_to_memory(stream, "sprt_live", str(tmp_path / "ck"))
     q.awaitTermination()
-    got = spark.table("sprt_live").orderBy("n_succ").collect()
+    got = spark.table("sprt_live").orderBy("n_succ_total").collect()
     final = got[-1]
 
     batch_df = spark.createDataFrame(
@@ -1000,8 +1000,8 @@ def test_sprt_stream_matches_batch_sprt_ab(spark, tmp_path):
         lift_ratio=1.5, bin_ms=3_600_000).collect(),
         key=lambda r: r["bin_idx"])[-1]
 
-    assert final["n_succ"] == 20
-    assert final["n_b_succ"] == 20
+    assert final["n_succ_total"] == 20
+    assert final["n_b_succ_total"] == 20
     assert final["llr_running"] == pytest.approx(
         want["llr_running"], abs=2e-6)
     assert final["decision"] == want["decision"] == "accept_h1"
@@ -1043,9 +1043,9 @@ def test_sprt_stream_decision_sticky_across_restart(spark, tmp_path):
          "event_type": "purchase", "value": 1.0}) for i in range(40)))
     drain()
     rows = sorted(spark.read.parquet(out).collect(),
-                  key=lambda r: r["n_succ"])
+                  key=lambda r: r["n_succ_total"])
     final = rows[-1]
-    assert final["n_succ"] == 60 and final["n_b_succ"] == 20
+    assert final["n_succ_total"] == 60 and final["n_b_succ_total"] == 20
     assert final["llr_running"] < 0       # evidence now points the other way
     assert final["decision"] == "accept_h1"  # but the test already ended
 
@@ -1113,6 +1113,7 @@ def test_srm_stream_matches_batch_srm_check(spark, tmp_path):
 
     drain()
     look1 = {r["variant"]: r for r in spark.read.parquet(out).collect()}
+    assert all(r["look"] == 1 for r in look1.values())
     # all-variant-0 drain: the absent declared variant still contributes
     # (0 - 50)^2/50 = 50, chi2 = 100, flag on — the batch absent-digit
     # semantics, live
@@ -1127,13 +1128,11 @@ def test_srm_stream_matches_batch_srm_check(spark, tmp_path):
         for i in range(100)))
     drain()
     rows = spark.read.parquet(out).collect()
-    # the final look is the one where the absent variant caught up
-    # (variant 1 at n=100 happens only there); its chi2_total (a
-    # per-look constant) selects both of that look's rows
-    final_chi2 = next(r["chi2_total"] for r in rows
-                      if r["variant"] == 1 and r["n"] == 100)
-    final = {r["variant"]: r for r in rows
-             if r["chi2_total"] == final_chi2}
+    # the monotone look counter selects the final look deterministically
+    # (r11 advice: chi2-value matching could collide across looks)
+    last = max(r["look"] for r in rows)
+    assert last == 2
+    final = {r["variant"]: r for r in rows if r["look"] == last}
     assert set(final) == {0, 1}
     assert final[0]["srm_flag"] is False      # the transient cleared
 
@@ -1148,6 +1147,28 @@ def test_srm_stream_matches_batch_srm_check(spark, tmp_path):
         assert got["chi_term"] == want[v]["chi_term"]
         assert got["chi2_total"] == want[v]["chi2_total"]
         assert got["srm_flag"] == want[v]["srm_flag"]
+
+
+def test_round_half_up_matches_spark_f_round(spark):
+    """The stream twins round state-derived doubles with
+    _round_half_up; their batch operators round with F.round
+    (HALF_UP on the double's shortest decimal repr). Pin the two
+    against each other on the exact divergence class the r11 advice
+    flagged: half-way decimals, where Python's built-in round()
+    (banker's) disagrees (round(2.675, 2) == 2.67, F.round == 2.68)."""
+    from pyspark.sql import functions as F
+
+    values = [2.675, 0.125, 0.135, 2.5, -2.675, -0.125,
+              0.0000005, 1.0000005, 100.00005, 0.3333335]
+    for nd in (2, 4, 6):
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        want = [r[0] for r in
+                df.select(F.round("x", nd)).collect()]
+        got = [sp._round_half_up(v, nd) for v in values]
+        assert got == want, (nd, list(zip(values, got, want)))
+    assert sp._round_half_up(None, 6) is None
+    # the named divergence: banker's would give 2.67 here
+    assert sp._round_half_up(2.675, 2) == 2.68
 
 
 def test_srm_stream_rejects_undeclared_and_validates_eagerly(spark,
@@ -1219,8 +1240,9 @@ def test_experiment_streams_keep_independent_state_per_key(spark,
     got = {r["experiment"]: r for r in spark.table("sprt_multi").collect()}
     assert got["A"]["decision"] == "accept_h1"
     assert got["B"]["decision"] == "accept_h0"
-    assert got["A"]["n_succ"] == got["B"]["n_succ"] == 20
-    assert got["A"]["n_b_succ"] == 20 and got["B"]["n_b_succ"] == 0
+    assert got["A"]["n_succ_total"] == got["B"]["n_succ_total"] == 20
+    assert (got["A"]["n_b_succ_total"] == 20
+            and got["B"]["n_b_succ_total"] == 0)
 
     q = sp.run_to_memory(
         sp.srm_stream(tagged, variant="v", expected={0: 0.5, 1: 0.5},
