@@ -1253,6 +1253,55 @@ def kaplan_meier(df: DataFrame, duration: str, observed: str) -> DataFrame:
         F.round(surv, 6).alias("survival"))
 
 
+def nelson_aalen(df: DataFrame, duration: str, observed: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over per-subject
+    (``duration``, ``observed``) rows — ``kaplan_meier``'s machinery
+    verbatim with a running SUM of d_i/n_i instead of a running product
+    of (1 - d_i/n_i): H(t) = sum_{t_i <= t} d_i / n_i, the
+    hazard-domain view of the same survival data (exp(-H) approximates
+    S, and H is the natural scale for comparing hazards or feeding a
+    proportional-hazards fit). Also returns the classical variance
+    estimator var(H(t)) = sum d_i / n_i^2 (Klein & Moeschberger form).
+
+    Unlike the KM product, the hazard sum has no zero-latch: the
+    all-at-risk-fail row contributes d/n = 1 like any other, so no
+    ln(0)/dead-latch guard is needed — every term is a plain division
+    by the (>= 1 by construction) risk count.
+
+    Scale shape: identical to ``kaplan_meier`` — ONE partial+final
+    (duration) aggregate to a frame bounded by distinct duration
+    values; the risk-set and running-sum windows run over that
+    AGGREGATE frame, never the subjects.
+    """
+    per_t = df.groupBy(duration).agg(
+        F.sum(F.col(observed).cast("long")).alias("n_event"),
+        F.sum(F.lit(1) - F.col(observed).cast("long")).alias("n_censor"))
+    ordw = Window.orderBy(duration)
+    prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
+    whole = ordw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = F.sum(F.col("n_event") + F.col("n_censor")).over(whole)
+    n_risk = total - F.coalesce(
+        F.sum(F.col("n_event") + F.col("n_censor")).over(prior), F.lit(0))
+    staged = per_t.select(
+        duration, "n_event", "n_censor", n_risk.alias("n_risk"))
+    # the ordered cumulative sums add doubles in ONE deterministic
+    # order on both engines (the window is sorted), so no rounding
+    # slack beyond the output round is needed
+    hazard = F.sum(F.col("n_event") / F.col("n_risk")).over(cum)
+    # d / n / n, NOT d / (n * n): the integer square would overflow
+    # long (Spark ANSI throws, DuckDB errors) once the risk set passes
+    # ~3e9 subjects; dividing twice goes double after the first step
+    # and both engines evaluate the same two-division expression
+    haz_var = F.sum(F.col("n_event")
+                    / F.col("n_risk") / F.col("n_risk")).over(cum)
+    return staged.select(
+        duration, "n_risk", "n_event", "n_censor",
+        F.round(hazard, 6).alias("cum_hazard"),
+        F.round(haz_var, 8).alias("hazard_var"))
+
+
 def benford_audit(df: DataFrame, col: str) -> DataFrame:
     """First-significant-digit distribution of a positive money-scale
     column against Benford's law, with the chi-square goodness-of-fit
@@ -2135,3 +2184,101 @@ def sprt_ab(df: DataFrame, ts: str, variant: str, success: Column,
         F.round("__run", 6).alias("llr_running"),
         decision.alias("decision"),
         F.col("__fb").cast("long").alias("decision_bin"))
+
+
+def mann_whitney_u(df: DataFrame, group: str, variant: str,
+                   value: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test between variant 0 and
+    variant 1 of an A/B assignment, computed independently per
+    ``group`` — the NONPARAMETRIC complement to ``welch_ttest`` (no
+    normality assumption; sensitive to any location shift of the
+    distributions, robust to the heavy tails that wreck a t-test on
+    revenue-like values). Normal approximation with the textbook TIE
+    CORRECTION: z = (U1 - mu) / sigma with mu = n0*n1/2 and
+    sigma^2 = n0*n1/12 * ((N+1) - sum(t^3 - t) / (N*(N-1))).
+
+    Rank-function-free by design (the cross-engine parity risk the
+    banking review flagged): average ranks are never produced by an
+    engine rank() — they are DERIVED arithmetically from a
+    (group, value) count aggregate. For a distinct value with t members
+    after c others, 2 * avg_rank = 2*c + t + 1 is an INTEGER, so the
+    rank sum R1 is accumulated as the integer sum(c1 * (2c + t + 1))
+    and halved once at the end — every cross-engine sum is
+    integer-exact (no float-associativity drift), and the only double
+    math is the final per-group scalar algebra, written identically on
+    both engines. (Caveat: the integer tie term t^3 - t overflows int64
+    if a single (group, value) cell exceeds ~2e6 duplicate rows —
+    at that point the value column is effectively categorical and a
+    rank test is the wrong tool.)
+
+    Null ``value`` rows are dropped before ranking (the welch/rolling
+    convention: a null observation is a missing measurement, not a
+    rank). Variant values outside {0, 1} raise in-plan (the welch
+    filter pattern). Groups where either side is empty, or where every
+    value is tied, have sigma = 0: u_stat/mu_u still report, z_stat /
+    sigma_u / significant_05 are NULL (no defined test).
+
+    Scale shape: ONE partial+final (group, value) aggregate collapses
+    the observations; the rank-prefix window and the per-group fold run
+    over that DISTINCT-VALUE frame (a second exchange on the group key
+    carries both), never the raw rows. No global sort, no engine rank.
+
+    Live/batch family: completes the experiment stack —
+    ``srm_check`` gates the split, ``welch_ttest`` tests means,
+    this tests distributions, ``sprt_ab`` monitors sequentially.
+    """
+    # no generated-SQL interpolation here (pure column API), so no
+    # plain-identifier guard — only the output-collision check matters
+    reserved = ("n0", "n1", "u_stat", "mu_u", "sigma_u", "z_stat",
+                "significant_05")
+    if group in reserved:
+        raise ValueError(
+            f"mann_whitney_u: group column {group!r} collides with an "
+            f"output column of this test {reserved}; alias it first")
+    d = df.filter(F.col(value).isNotNull())
+    agg = d.groupBy(group, value).agg(
+        F.sum(F.when(F.col(variant) == 0, 1).otherwise(0))
+         .cast("long").alias("__c0"),
+        F.sum(F.when(F.col(variant) == 1, 1).otherwise(0))
+         .cast("long").alias("__c1"),
+        F.sum(F.when(F.col(variant).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bad"))
+    t = F.col("__c0") + F.col("__c1")
+    prior = (Window.partitionBy(group).orderBy(value)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cb = F.coalesce(F.sum(t).over(prior), F.lit(0))
+    ranked = agg.select(
+        group, "__c0", "__c1", "__bad", t.alias("__t"),
+        # 2 * average rank of this value's members — an exact integer
+        (2 * cb + t + 1).alias("__rank2"))
+    g = ranked.groupBy(group).agg(
+        F.sum("__c0").alias("n0"),
+        F.sum("__c1").alias("n1"),
+        F.sum(F.col("__c1") * F.col("__rank2")).alias("__r1x2"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+         .alias("__ties"),
+        F.sum("__bad").alias("__badsum"))
+    g = g.filter(F.when(
+        F.col("__badsum") > 0,
+        F.raise_error(F.lit(
+            "mann_whitney_u: variant column must be a binary {0, 1} "
+            "assignment — found other/null variant values"))
+    ).otherwise(F.lit(True)))
+    n0d = F.col("n0").cast("double")
+    nd = (F.col("n0") + F.col("n1")).cast("double")
+    u1 = (F.col("__r1x2") / F.lit(2.0)
+          - F.col("n1") * (F.col("n1") + F.lit(1.0)) / F.lit(2.0))
+    mu = n0d * F.col("n1") / F.lit(2.0)
+    sigma2 = F.when(
+        (F.col("n0") + F.col("n1")) > 1,
+        n0d * F.col("n1") / F.lit(12.0)
+        * ((nd + F.lit(1.0))
+           - F.col("__ties") / (nd * (nd - F.lit(1.0)))))
+    z = F.when(sigma2 > 0, (u1 - mu) / F.sqrt(sigma2))
+    return g.select(
+        group, "n0", "n1",
+        F.round(u1, 2).alias("u_stat"),
+        F.round(mu, 2).alias("mu_u"),
+        F.when(sigma2 > 0, F.round(F.sqrt(sigma2), 4)).alias("sigma_u"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"))

@@ -720,3 +720,46 @@ def test_sprt_ab_single_bin_exchange_no_join(spark):
     assert len(keys) == 1 and keys[0].startswith("__bin"), keys
     assert "Join" not in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_mann_whitney_rank_free_two_aggregate_exchanges(spark):
+    """mann_whitney_u's scale claim (banked r13): the observations are
+    collapsed by ONE (group, value) aggregate; the rank-prefix window
+    and the per-group fold ride a second exchange keyed on the group
+    over that DISTINCT-VALUE frame — no global sort, no engine rank(),
+    no join, no single-partition stage."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    ev = catalog.load_table(spark, "events", SF_DIR)
+    df = relational.mann_whitney_u(
+        ev.select(F.col("event_type").alias("etype"),
+                  (F.col("user_id") % 2).cast("int").alias("variant"),
+                  "value"),
+        group="etype", variant="variant", value="value")
+    plan = _plan(df)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = [seg.split(",")[0] for seg in segs]
+    assert len(keys) == 2 and all(k.startswith("etype") for k in keys), keys
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_nelson_aalen_inherits_kaplan_plan_shape(spark):
+    """nelson_aalen (banked r13) rides kaplan_meier's machinery: the
+    subjects fold through ONE (duration) aggregate exchange; risk-set
+    and running-hazard windows run over a SinglePartition exchange of
+    the <= distinct-durations AGGREGATE frame."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i % 24, i % 3 == 0) for i in range(200)], ["t", "o"]
+    ).select("t", F.col("o").cast("int").alias("obs"))
+    out = relational.nelson_aalen(df, "t", "obs")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = [seg.split(",")[0] for seg in segs]
+    assert len(keys) == 1 and keys[0].startswith("t"), keys
+    assert "SortMergeJoin" not in plan

