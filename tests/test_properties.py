@@ -573,3 +573,107 @@ def test_sprt_llr_binning_invariance_and_boundaries(bits, cuts, alpha,
         i += width
         ci += 1
     assert abs(llr - direct) < 1e-9 * max(1.0, abs(direct))
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u (banked r13): the rank-free identity — the integer
+# 2*avg_rank = 2*prefix_count + t + 1 accumulation must equal the
+# textbook midrank computation on ANY multiset with ties, and the
+# resulting U must satisfy U1 + U0 = n0*n1
+# ---------------------------------------------------------------------------
+
+def _mwu_operator_algebra(pairs):
+    """Python twin of relational.mann_whitney_u's accumulation: count
+    per distinct value, prefix counts in value order, integer r1x2."""
+    from collections import Counter
+    c0 = Counter(v for g, v in pairs if g == 0)
+    c1 = Counter(v for g, v in pairs if g == 1)
+    values = sorted(set(c0) | set(c1))
+    cb, r1x2, ties = 0, 0, 0
+    for v in values:
+        t = c0[v] + c1[v]
+        r1x2 += c1[v] * (2 * cb + t + 1)
+        ties += t * t * t - t
+        cb += t
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    u1 = r1x2 / 2.0 - n1 * (n1 + 1.0) / 2.0
+    return n0, n1, u1, ties
+
+
+def _mwu_textbook_midranks(pairs):
+    """Direct midrank computation: sort all observations, assign each
+    tie-group the mean of the ranks it spans, sum variant-1 ranks."""
+    ordered = sorted(pairs, key=lambda p: p[1])
+    n = len(ordered)
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and ordered[j][1] == ordered[i][1]:
+            j += 1
+        mid = (i + 1 + j) / 2.0  # mean of ranks i+1 .. j
+        for k in range(i, j):
+            ranks[k] = mid
+        i = j
+    r1 = sum(r for (g, _), r in zip(ordered, ranks) if g == 1)
+    n1 = sum(1 for g, _ in pairs if g == 1)
+    return r1 - n1 * (n1 + 1.0) / 2.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(-20, 20)),
+                min_size=1, max_size=80))
+@settings(max_examples=300)
+def test_mann_whitney_rank_free_identity_matches_midranks(pairs):
+    n0, n1, u1, ties = _mwu_operator_algebra(pairs)
+    assert abs(u1 - _mwu_textbook_midranks(pairs)) < 1e-9
+    # U1 + U0 = n0 * n1 (computed by symmetry: swap the arms)
+    swapped = [(1 - g, v) for g, v in pairs]
+    _, _, u0, _ = _mwu_operator_algebra(swapped)
+    assert abs((u1 + u0) - n0 * n1) < 1e-9
+    # tie term bounds: 0 (all distinct) .. N^3 - N (all equal)
+    N = n0 + n1
+    assert 0 <= ties <= N ** 3 - N
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen (banked r13): the risk-set/hazard windows must equal the
+# sequential textbook recurrence, H is nondecreasing, and
+# exp(-H) >= S_KM everywhere both are defined (the classical bound)
+# ---------------------------------------------------------------------------
+
+def _na_operator_algebra(rows):
+    """Python twin of relational.nelson_aalen's aggregate + windows."""
+    from collections import Counter
+    per = Counter()
+    for t, obs in rows:
+        per[t] += 1
+    events = Counter(t for t, obs in rows if obs)
+    total = len(rows)
+    h, var, out, seen = 0.0, 0.0, {}, 0
+    for t in sorted(per):
+        n_risk = total - seen
+        d = events[t]
+        h += d / n_risk
+        var += d / n_risk / n_risk
+        out[t] = (n_risk, h, var)
+        seen += per[t]
+    return out
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                          st.booleans()),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_nelson_aalen_algebra_monotone_and_bounds_km(rows):
+    na = _na_operator_algebra(rows)
+    km = _km_textbook(rows)
+    assert set(na) == set(km)
+    import math as m
+    prev_h = 0.0
+    for t in sorted(na):
+        n_risk, h, var = na[t]
+        assert h >= prev_h - 1e-12          # hazard never decreases
+        assert var >= 0
+        prev_h = h
+        if km[t] > 0:
+            assert m.exp(-h) >= km[t] - 1e-9  # exp(-H) >= S_KM
