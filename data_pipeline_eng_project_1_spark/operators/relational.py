@@ -2206,10 +2206,14 @@ def mann_whitney_u(df: DataFrame, group: str, variant: str,
     and halved once at the end — every cross-engine sum is
     integer-exact (no float-associativity drift), and the only double
     math is the final per-group scalar algebra, written identically on
-    both engines. (Caveat: the integer tie term t^3 - t overflows int64
-    if a single (group, value) cell exceeds ~2e6 duplicate rows —
-    at that point the value column is effectively categorical and a
-    rank test is the wrong tool.)
+    both engines. (Caveats: the integer tie term t^3 - t overflows
+    int64 if a single (group, value) cell exceeds ~2e6 duplicate rows
+    — at that point the value column is effectively categorical and a
+    rank test is the wrong tool; and the rank-sum accumulator
+    sum(c1 * 2*avg_rank) ~ N^2 overflows int64 once a GROUP passes
+    ~3e9 observations — sample below that per group. Both paths fail
+    LOUDLY on both engines — Spark runs ANSI arithmetic (overflow
+    raises), DuckDB errors likewise; neither silently wraps.)
 
     Null ``value`` rows are dropped before ranking (the welch/rolling
     convention: a null observation is a missing measurement, not a

@@ -220,10 +220,10 @@ _MEASURED_COST_S = {
     "dedup_simhash": 1.97,
     "text_bpe_vocab": 2.01,
     "similarity_ann_pq": 2.06,
-    "similarity_graph_triangles": 2.10,
     # r12 registrations, measured warm-session first-execution (the
     # pair run with the other absorbing the session warm-up):
     "events_sprt_ab": 2.09,
+    "similarity_graph_triangles": 2.10,
     "events_srm_check": 2.11,
     "events_acf_hourly": 2.28,
     "embeddings_kmeans_lloyd": 2.30,

@@ -675,7 +675,15 @@ def _round_half_up(x, nd: int):
     repr). Python's built-in round() is banker's rounding and diverges
     on half-way decimals — which would break the stream twins'
     documented exact-parity contract with their batch operators
-    (r11 advice finding)."""
+    (r11 advice finding).
+
+    JVM caveat: pre-JDK-19 Double.toString can emit a non-shortest
+    (but round-trip-exact) decimal for some doubles (JDK-4511638),
+    which could in principle round differently at the cut position
+    than Python's always-shortest repr. Empirically swept clean on
+    this repo's Java 17: 240k mixed-magnitude + engineered-half-way
+    values at 2/4/6 dp, zero mismatches vs F.round; the regression
+    test pins a seeded 2k slice of that sweep per run."""
     import decimal
 
     if x is None:
@@ -743,8 +751,14 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     if chi2_threshold <= 0:
         raise ValueError("srm_stream: chi2_threshold must be > 0")
     # a stable (value, share) order keyed once here; state is the counts
-    # array aligned with it
-    domain = sorted(expected.items(), key=lambda kv: str(kv[0]))
+    # array aligned with it. NATIVE value order, not str() order: the
+    # batch operator's chi2 window sums terms ascending by the variant
+    # column (Window.orderBy), and float addition is non-associative —
+    # a str-sorted walk over 3+ numeric variants (e.g. [0, 10, 2]) can
+    # differ from the batch sum by an ulp, and srm_flag compares the
+    # UNROUNDED chi2 to the threshold (r12 review). Mixed-type variant
+    # values raise here (loudly) instead of sorting arbitrarily.
+    domain = sorted(expected.items(), key=lambda kv: kv[0])
     values = [k for k, _ in domain]
     shares = [float(v) for _, v in domain]
     dof = len(domain) - 1

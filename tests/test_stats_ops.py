@@ -1393,9 +1393,7 @@ def test_nelson_aalen_textbook_curve(spark):
 
 def test_nelson_aalen_exp_neg_h_tracks_km(spark):
     """The estimators' standard relationship on event-sparse data:
-    exp(-H(t)) >= S_KM(t), tight while d/n is small — and NO zero
-    latch: an all-at-risk-fail final row leaves H finite where KM's
-    S hits exactly 0."""
+    exp(-H(t)) >= S_KM(t), tight while d/n is small."""
     rows = [(t, 1 if t % 3 == 0 else 0) for t in range(1, 30)]
     df = spark.createDataFrame(rows, "t int, obs int")
     km = {r["t"]: r["survival"]
@@ -1405,8 +1403,22 @@ def test_nelson_aalen_exp_neg_h_tracks_km(spark):
     for t in km:
         if km[t] > 0:
             assert math.exp(-na[t]) >= km[t] - 1e-9
-    # the last subject fails at t=27 with n_risk small: KM dies at the
-    # row where n_event == n_risk, NA stays finite there
-    last_event = max(t for t, o in rows if o == 1)
-    assert km[last_event] == 0.0 or km[last_event] > 0  # shape sanity
-    assert all(math.isfinite(h) for h in na.values())
+
+
+def test_nelson_aalen_finite_where_km_zero_latches(spark):
+    """The no-zero-latch claim, on a fixture where the scenario ACTUALLY
+    occurs (the r12 review caught the previous fixture never exercising
+    it): both remaining subjects fail at t=2, so n_event == n_risk
+    there — KM's survival hits exactly 0.0 via its dead-latch, while
+    NA's hazard adds a plain d/n = 1 and stays finite."""
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (2, 1)], "t int, obs int")
+    km = {r["t"]: r for r in
+          relational.kaplan_meier(df, "t", "obs").collect()}
+    na = {r["t"]: r for r in
+          relational.nelson_aalen(df, "t", "obs").collect()}
+    assert km[2]["n_event"] == km[2]["n_risk"] == 2
+    assert km[2]["survival"] == 0.0              # the KM dead-latch
+    assert na[2]["cum_hazard"] == 1.0            # 0/3 + 2/2, finite
+    assert na[2]["hazard_var"] == 0.5            # 2 / (2*2)
+    assert math.isfinite(na[2]["cum_hazard"])

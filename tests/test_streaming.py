@@ -1169,6 +1169,66 @@ def test_round_half_up_matches_spark_f_round(spark):
     assert sp._round_half_up(None, 6) is None
     # the named divergence: banker's would give 2.67 here
     assert sp._round_half_up(2.675, 2) == 2.68
+    # seeded randomized pin (a slice of the 240k clean sweep recorded
+    # in the helper's docstring): mixed magnitudes plus values
+    # engineered to land near a 6dp half boundary, where a JVM
+    # non-shortest Double.toString (pre-JDK-19) could diverge
+    import random
+    rng = random.Random(42)
+    rand = ([rng.uniform(-1e6, 1e6) for _ in range(700)]
+            + [rng.uniform(-1, 1) for _ in range(700)]
+            + [(rng.randrange(-10**9, 10**9) + 0.5) / 10**6
+               * rng.choice([1, 1e-3, 1e3]) for _ in range(600)])
+    df = spark.createDataFrame([(v,) for v in rand], "x double")
+    want6 = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    got6 = [sp._round_half_up(v, 6) for v in rand]
+    assert got6 == want6
+
+
+def test_srm_stream_k3_numeric_variants_match_batch_exactly(spark,
+                                                            tmp_path):
+    """k = 3 NUMERIC variants whose str() order ([0, 10, 2]) differs
+    from their native order ([0, 2, 10]): the stream must sum its
+    chi-square terms in the BATCH operator's native ascending variant
+    order (float addition is non-associative and srm_flag compares the
+    unrounded chi2 to the threshold — the r12 review finding); every
+    per-variant column must equal the batch to the digit."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # user_id % 4 -> variants 0, 2, 10, 10 (so 10 gets ~half)
+    rows = [{"event_id": i, "ts_ms": 60_000 * (i + 1), "user_id": i,
+             "event_type": "view", "value": 1.0} for i in range(97)]
+    (src / "e1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    variant = (F.when(F.col("user_id") % 4 == 0, 0)
+               .when(F.col("user_id") % 4 == 1, 2)
+               .otherwise(10).cast("int"))
+    expected = {0: 0.25, 2: 0.25, 10: 0.5}
+
+    stream = sp.srm_stream(
+        sp.stream_events(spark, str(src))
+        .withColumn("experiment", F.lit("exp1"))
+        .withColumn("v", variant),
+        variant="v", expected=expected, chi2_threshold=5.991)
+    q = sp.run_to_memory(stream, "srm_k3", str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r["variant"]: r for r in spark.table("srm_k3").collect()}
+
+    want = {r["variant"]: r for r in relational.srm_check(
+        spark.createDataFrame(
+            [(0 if i % 4 == 0 else 2 if i % 4 == 1 else 10,)
+             for i in range(97)], "variant int"),
+        "variant", expected, chi2_threshold=5.991).collect()}
+    assert set(got) == set(want) == {0, 2, 10}
+    for v in (0, 2, 10):
+        for c in ("n", "expected_share", "observed_share", "chi_term",
+                  "chi2_total", "dof", "srm_flag"):
+            assert got[v][c] == want[v][c], (v, c, got[v][c], want[v][c])
 
 
 def test_srm_stream_rejects_undeclared_and_validates_eagerly(spark,
