@@ -2217,9 +2217,13 @@ def mann_whitney_u(df: DataFrame, group: str, variant: str,
 
     Null ``value`` rows are dropped before ranking (the welch/rolling
     convention: a null observation is a missing measurement, not a
-    rank). Variant values outside {0, 1} raise in-plan (the welch
-    filter pattern). Groups where either side is empty, or where every
-    value is tied, have sigma = 0: u_stat/mu_u still report, z_stat /
+    rank) — but variant validation sees EVERY input row, including
+    null-value ones (welch_ttest strictness: a row with a bad/null
+    variant and a null value still trips the raise; the null filter is
+    folded into the rank counters, not applied up front — r12 advice).
+    Variant values outside {0, 1} raise in-plan (the welch filter
+    pattern). Groups where either side is empty, or where every value
+    is tied, have sigma = 0: u_stat/mu_u still report, z_stat /
     sigma_u / significant_05 are NULL (no defined test).
 
     Scale shape: ONE partial+final (group, value) aggregate collapses
@@ -2239,11 +2243,17 @@ def mann_whitney_u(df: DataFrame, group: str, variant: str,
         raise ValueError(
             f"mann_whitney_u: group column {group!r} collides with an "
             f"output column of this test {reserved}; alias it first")
-    d = df.filter(F.col(value).isNotNull())
-    agg = d.groupBy(group, value).agg(
-        F.sum(F.when(F.col(variant) == 0, 1).otherwise(0))
+    # The null-value filter lives INSIDE the rank counters (not a
+    # pre-filter): a null-value cell gets __c0 = __c1 = 0, so t = 0 and
+    # it contributes nothing to prefix counts, rank sums, or the tie
+    # term — while __bad still counts its variant, so validation sees
+    # every row (welch_ttest aggregates the unfiltered frame the same
+    # way). Same single (group, value) exchange as before.
+    obs = F.col(value).isNotNull()
+    agg = df.groupBy(group, value).agg(
+        F.sum(F.when(obs & (F.col(variant) == 0), 1).otherwise(0))
          .cast("long").alias("__c0"),
-        F.sum(F.when(F.col(variant) == 1, 1).otherwise(0))
+        F.sum(F.when(obs & (F.col(variant) == 1), 1).otherwise(0))
          .cast("long").alias("__c1"),
         F.sum(F.when(F.col(variant).isin(0, 1), F.lit(0))
                .otherwise(F.lit(1))).alias("__bad"))
@@ -2268,6 +2278,10 @@ def mann_whitney_u(df: DataFrame, group: str, variant: str,
             "mann_whitney_u: variant column must be a binary {0, 1} "
             "assignment — found other/null variant values"))
     ).otherwise(F.lit(True)))
+    # a group whose every value is null has zero observations after
+    # validation — it vanishes (the pre-fix output contract), it does
+    # not report a degenerate 0/0 test
+    g = g.filter((F.col("n0") + F.col("n1")) > 0)
     n0d = F.col("n0").cast("double")
     nd = (F.col("n0") + F.col("n1")).cast("double")
     u1 = (F.col("__r1x2") / F.lit(2.0)

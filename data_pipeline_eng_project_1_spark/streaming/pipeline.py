@@ -685,10 +685,18 @@ def _round_half_up(x, nd: int):
     values at 2/4/6 dp, zero mismatches vs F.round; the regression
     test pins a seeded 2k slice of that sweep per run."""
     import decimal
+    import math
 
     if x is None:
         return None
-    return float(decimal.Decimal(repr(float(x))).quantize(
+    x = float(x)
+    # F.round passes NaN/±inf through unchanged; Decimal.quantize would
+    # raise InvalidOperation — short-circuit so a non-finite
+    # state-derived value emits the batch-parity value instead of
+    # killing the streaming query (r12 advice)
+    if not math.isfinite(x):
+        return x
+    return float(decimal.Decimal(repr(x)).quantize(
         decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP))
 
 
@@ -758,7 +766,14 @@ def srm_stream(events: DataFrame, variant: str, expected: dict,
     # differ from the batch sum by an ulp, and srm_flag compares the
     # UNROUNDED chi2 to the threshold (r12 review). Mixed-type variant
     # values raise here (loudly) instead of sorting arbitrarily.
-    domain = sorted(expected.items(), key=lambda kv: kv[0])
+    try:
+        domain = sorted(expected.items(), key=lambda kv: kv[0])
+    except TypeError:
+        raise ValueError(
+            "srm_stream: expected keys must be mutually orderable (same "
+            "type) — the chi2 summation order is keyed on them; got "
+            f"{sorted((type(k).__name__ for k in expected))} for keys "
+            f"{list(expected)!r}") from None
     values = [k for k, _ in domain]
     shares = [float(v) for _, v in domain]
     dof = len(domain) - 1

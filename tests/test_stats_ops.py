@@ -1374,6 +1374,25 @@ def test_mann_whitney_guards(spark):
             df.withColumnRenamed("grp", "z_stat"), "z_stat", "v", "x")
 
 
+def test_mann_whitney_bad_variant_on_null_value_still_raises(spark):
+    """Variant validation sees EVERY row, welch_ttest-strict: a bad or
+    null variant whose value is also null must trip the in-plan raise,
+    not silently vanish with the null-value drop (r12 advice — the
+    pre-fix operator filtered nulls before the guard)."""
+    ok = [("g", 0, 1.0), ("g", 1, 2.0), ("g", 0, 3.0), ("g", 1, 4.0)]
+    base = spark.createDataFrame(ok, "grp string, v int, x double")
+    for bad_v in (2, None):
+        df = base.union(spark.createDataFrame(
+            [("g", bad_v, None)], "grp string, v int, x double"))
+        with pytest.raises(Exception, match="binary"):
+            relational.mann_whitney_u(df, "grp", "v", "x").collect()
+    # and an all-null-value group still vanishes (no degenerate 0/0 row)
+    df = base.union(spark.createDataFrame(
+        [("h", 0, None), ("h", 1, None)], "grp string, v int, x double"))
+    rows = relational.mann_whitney_u(df, "grp", "v", "x").collect()
+    assert [r["grp"] for r in rows] == ["g"]
+
+
 def test_nelson_aalen_textbook_curve(spark):
     """Hand-computed: subjects (1,1), (1,0), (2,1), (3,0). Risk sets
     4, 2, 1; H = 1/4, 1/4 + 1/2, unchanged; var = 1/16, 1/16 + 1/4,

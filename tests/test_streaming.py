@@ -1169,6 +1169,15 @@ def test_round_half_up_matches_spark_f_round(spark):
     assert sp._round_half_up(None, 6) is None
     # the named divergence: banker's would give 2.67 here
     assert sp._round_half_up(2.675, 2) == 2.68
+    # non-finite parity (r12 advice): F.round passes NaN/±inf through;
+    # the helper must too, not die in Decimal.quantize
+    import math as _math
+    nonfinite = [float("nan"), float("inf"), float("-inf")]
+    df = spark.createDataFrame([(v,) for v in nonfinite], "x double")
+    want_nf = [r[0] for r in df.select(F.round("x", 2)).collect()]
+    got_nf = [sp._round_half_up(v, 2) for v in nonfinite]
+    assert _math.isnan(want_nf[0]) and _math.isnan(got_nf[0])
+    assert got_nf[1:] == want_nf[1:] == [float("inf"), float("-inf")]
     # seeded randomized pin (a slice of the 240k clean sweep recorded
     # in the helper's docstring): mixed magnitudes plus values
     # engineered to land near a 6dp half boundary, where a JVM
@@ -1254,6 +1263,12 @@ def test_srm_stream_rejects_undeclared_and_validates_eagerly(spark,
     with pytest.raises(ValueError, match=">= 2"):
         sp.srm_stream(base.withColumn("v", F.lit(0)), variant="v",
                       expected={0: 1.0}, chi2_threshold=3.841)
+    # mixed-type declared keys can't define the chi2 summation order —
+    # a named ValueError, not a bare TypeError from sorted() (r12
+    # advice)
+    with pytest.raises(ValueError, match="mutually orderable"):
+        sp.srm_stream(base.withColumn("v", F.lit(0)), variant="v",
+                      expected={0: 0.5, "1": 0.5}, chi2_threshold=3.841)
 
     stream = sp.srm_stream(
         base.withColumn("v", F.lit(None).cast("int")),
