@@ -3746,10 +3746,13 @@ def _q_events_rolling_anomaly(spark, sf_dir):
 )
 def _q_events_ab_welch_ttest(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    variant = (hashing.hex_int(
-        F.concat(F.lit("ab9:"), F.col("user_id").cast("string"))) % 2)
+    # the shared factored split (r13 dedup): the Welch arm reads THE
+    # SAME _ab9_variant() expression the SRM gate, SPRT monitor, and
+    # Mann-Whitney test audit, so the four can never silently
+    # desynchronize on the assignment
     return relational.welch_ttest(
-        ev.select(variant.alias("variant"), "value"), "variant", "value")
+        ev.select(_ab9_variant().alias("variant"), "value"),
+        "variant", "value")
 
 
 @_register(
@@ -4516,6 +4519,136 @@ def _q_events_sprt_ab(spark, sf_dir):
         ts="ts_ms", variant="variant",
         success=F.col("event_type") == "purchase",
         lift_ratio=1.5, alpha=0.05, beta=0.05, bin_ms=3_600_000)
+
+
+@_register(
+    "events_mannwhitney_value",
+    """
+    WITH e AS (SELECT event_type AS etype, value,
+                      CAST(CAST('0x' || substr(md5('ab9:' ||
+                          CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                        AS INTEGER) AS variant
+               FROM events WHERE value IS NOT NULL),
+    a AS (SELECT etype, value,
+                 sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+          FROM e GROUP BY 1, 2),
+    r AS (SELECT etype, c0, c1, c0 + c1 AS t,
+                 coalesce(sum(c0 + c1) OVER (PARTITION BY etype
+                     ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+          FROM a),
+    g AS (SELECT etype,
+                 CAST(sum(c0) AS BIGINT) AS n0,
+                 CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1x2,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          FROM r GROUP BY 1),
+    s AS (SELECT *,
+                 r1x2 / 2.0 - n1 * (n1 + 1.0) / 2.0 AS u1,
+                 CAST(n0 AS DOUBLE) * n1 / 2.0 AS mu,
+                 CASE WHEN n0 + n1 > 1 THEN
+                      CAST(n0 AS DOUBLE) * n1 / 12.0
+                      * ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+                         - ties / (CAST(n0 + n1 AS DOUBLE)
+                                   * (CAST(n0 + n1 AS DOUBLE) - 1.0)))
+                 END AS s2
+          FROM g)
+    SELECT etype, n0, n1,
+           round(u1, 2) AS u_stat,
+           round(mu, 2) AS mu_u,
+           CASE WHEN s2 > 0 THEN round(sqrt(s2), 4) END AS sigma_u,
+           CASE WHEN s2 > 0 THEN round((u1 - mu) / sqrt(s2), 4)
+           END AS z_stat,
+           CASE WHEN s2 > 0 THEN abs((u1 - mu) / sqrt(s2)) > 1.96
+           END AS significant_05
+    FROM s
+    """,
+    doc="tie-corrected Mann-Whitney U / rank-sum z-test of event value "
+        "between the md5 A/B arms, one independent test per event_type "
+        "— the NONPARAMETRIC complement to the graded Welch test "
+        "(robust to the heavy tails that wreck a t-test on revenue-like "
+        "values), completing the experiment stack: srm_check gates the "
+        "split, welch tests means, this tests distributions, sprt "
+        "monitors sequentially. RANK-FUNCTION-FREE: 2*avg_rank = "
+        "2*prefix_count + t + 1 is an INTEGER derived from a "
+        "(group, value) count aggregate, so the rank sum and tie term "
+        "are integer-exact sums on both engines (neither engine calls "
+        "rank()); the only double math is per-group scalar algebra "
+        "written with identical operand order in both. Scale shape: "
+        "ONE (group, value) aggregate collapses observations; the "
+        "rank-prefix window and the per-group fold ride a second "
+        "group-keyed exchange over the DISTINCT-VALUE frame — no "
+        "global sort, no join "
+        "(operators/relational.py::mann_whitney_u).",
+)
+def _q_events_mannwhitney_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.mann_whitney_u(
+        ev.select(F.col("event_type").alias("etype"),
+                  _ab9_variant().cast("int").alias("variant"), "value"),
+        group="etype", variant="variant", value="value")
+
+
+@_register(
+    "events_nelson_aalen",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST((max(epoch_ms(CAST(ts AS TIMESTAMP)))
+                            - min(epoch_ms(CAST(ts AS TIMESTAMP))))
+                           // 3600000 AS INTEGER) AS duration_h,
+                      max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS observed
+               FROM events GROUP BY 1),
+    t AS (SELECT duration_h,
+                 CAST(sum(observed) AS BIGINT) AS n_event,
+                 CAST(sum(1 - observed) AS BIGINT) AS n_censor
+          FROM u GROUP BY 1),
+    s AS (SELECT duration_h, n_event, n_censor,
+                 -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT
+                 -- (the r9 kaplan int128 hash lesson)
+                 CAST(sum(n_event + n_censor) OVER ()
+                   - coalesce(sum(n_event + n_censor) OVER
+                       (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM t)
+    SELECT duration_h, n_risk, n_event, n_censor,
+           round(sum(n_event / n_risk) OVER cum, 6) AS cum_hazard,
+           round(sum(n_event / n_risk / n_risk) OVER cum, 8) AS hazard_var
+    FROM s
+    WINDOW cum AS (ORDER BY duration_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator over the SAME "
+        "per-user duration/observed survival frame the graded "
+        "events_kaplan_meier reads (duration = hours between first and "
+        "last activity, event = the user ever purchases) — the two "
+        "estimators view one frame from its two canonical sides "
+        "(product-limit survival vs running hazard sum; exp(-H) "
+        "approximates S). Also reports the classical d/n^2 variance, "
+        "divided TWICE (d/n/n) so the integer square can't overflow at "
+        "scale on either engine; no zero-latch is needed (the "
+        "all-at-risk-fail row contributes d/n = 1 like any other). The "
+        "cumulative sums are ordered-window double sums — ONE "
+        "deterministic addition order on both engines; the oracle "
+        "CASTs its windowed BIGINT sums (the r9 kaplan HUGEINT "
+        "lesson). Scale shape: one user-keyed aggregate -> one "
+        "duration-keyed aggregate; risk-set and running-sum windows "
+        "ride the <= distinct-durations AGGREGATE frame "
+        "(operators/relational.py::nelson_aalen).",
+)
+def _q_events_nelson_aalen(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # the graded events_kaplan_meier builder's derivation, verbatim —
+    # the two estimators must read one identical survival frame
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST((max(ts_ms) - min(ts_ms)) DIV 3600000 AS INT)")
+         .alias("duration_h"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+         .alias("observed"))
+    return relational.nelson_aalen(per_user, "duration_h", "observed")
 
 
 # ---------------------------------------------------------------------------

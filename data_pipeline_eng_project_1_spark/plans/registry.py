@@ -441,10 +441,14 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     # ADVICE fixes; each is output-identical on the fixtures (verified
     # by the registered-pair tests) but the definition changed, so the
     # r9 green rows are stale evidence:
-    "events_ab_welch_ttest": 9,    # welch_ttest now raises inside the
-                                   # plan on non-{0,1}/null variant
-                                   # values (graded variant is md5 % 2 —
-                                   # same output)
+    "events_ab_welch_ttest": 12,   # r13: builder now reads the shared
+                                   # _ab9_variant() helper instead of
+                                   # inlining the md5 split (identical
+                                   # expression — same output; the r12
+                                   # deferral in docs/BACKLOG.md).
+                                   # Subsumes its r10 entry (welch_ttest
+                                   # in-plan raise on non-{0,1}/null
+                                   # variants, re-graded green r10-r12)
     "orders_benford_audit": 9,     # chi-square now includes absent
                                    # digits' (0-E)^2/E*N terms via a
                                    # 9-row domain join, oracle updated

@@ -103,12 +103,12 @@ def test_stale_refresh_fits_budget_now():
     # i.e. at the hard ceiling), so together with the next round's
     # planned definition load they must fit the next budget. The
     # reserve is re-derived each round from the PLANNED load, not a
-    # historical heuristic (the r10 advice): r11's walk carries 13
-    # needy rows (7 banked registrations + 6 identifier-guard
-    # re-needies) + the 34-row r7 tail = 47 of 50, leaving 3 slots for
-    # r8 refreshes, so ~46 r8 rows spill here and cap r12's definition
-    # load at BUDGET - 46 = 4 — docs/BACKLOG.md records r12 as a
-    # tail-retirement round (bank <= 2 specs, advice re-needies <= 2).
+    # historical heuristic (the r10 advice): r13's walk carries 3
+    # needy rows (2 banked registrations + the welch _ab9_variant
+    # re-needy) + the 35-row r9 tail = 38 of 50, leaving 12 slots for
+    # r10 refreshes, so ~38 r10 rows spill here; r14's planned
+    # definition load is <= 4 (docs/BACKLOG.md: bank <= 2 specs,
+    # advice re-needies <= 2), and 38 + 4 = 42 fits the next budget.
     reserve = 4
     assert spilled <= BUDGET - reserve, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
