@@ -47,194 +47,205 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: correctness row if the budget trips mid-walk, and costs nothing when
 #: it doesn't. Queries not listed (added after the last measurement) sort
 #: at the median. Refresh with: python -m tests.oracle_harness + sort.
+#: r13 refresh protocol (this table): per-query MIN of TWO same-day full
+#: runs — each run's interleaved cheap-query controls were steady outside
+#: one bounded stall window apiece (disjoint windows: run A cum 66-88 s,
+#: run B cum 17-32 s), so the per-query smaller sample is a clean
+#: first-execution measurement (the bench.py keep-the-smaller rule);
+#: min-merged total 140.7 s vs ~183 s per contaminated single run.
+#: Repeat-elevated rows (multimodal_frames, dedup_components,
+#: events_ab_welch_ttest) were adjudicated with an isolated control-
+#: steady probe: their warm sf0.1 bench medians are unchanged vs the
+#: committed r12 sweep — the elevation is real first-execution
+#: plan-compile cost at their walk position, not an operator regression.
 _MEASURED_COST_S = {
-    "posexplode_tokens": 0.19,
-    "vector_norms": 0.19,
-    "sort_limit_topk": 0.20,
-    "multimodal_meta": 0.22,
-    "unpivot_part_metrics": 0.22,
-    "array_hof_stats": 0.23,
-    "string_funcs_part": 0.23,
-    "filter_project_cast": 0.24,
-    "rollup_status_priority": 0.25,
-    "text_fingerprint": 0.25,
-    "try_cast_dirty": 0.25,
-    "doc_chunks": 0.26,
-    "null_conditional_agg": 0.26,
-    "topk_per_priority": 0.26,
-    "corpus_weighted_reservoir": 0.27,
-    "grouping_sets_status_priority": 0.27,
-    "window_distribution": 0.27,
-    "customer_k_anonymity": 0.29,
-    "quantiles_per_priority": 0.29,
-    "text_token_topk": 0.29,
-    "stratified_sample": 0.30,
-    "corpus_shard_export": 0.31,
-    "date_parts_orders": 0.31,
-    "stringagg_nations": 0.31,
-    "corpus_snapshot_diff": 0.32,
-    "doc_packing": 0.32,
-    "events_rollup_multigrain": 0.32,
-    "window_running_rank": 0.33,
-    "pii_scrub": 0.34,
-    "pricing_summary_agg": 0.34,
-    "window_latest_per_key": 0.34,
-    "above_avg_orders": 0.35,
-    "cube_nation_segment": 0.35,
-    "events_grouped_regression": 0.35,
-    "events_json_extract": 0.35,
-    "lineitem_skew_profile": 0.35,
-    "pivot_returnflag": 0.35,
-    "regression_price_qty": 0.35,
-    "stats_agg_lineitem": 0.35,
-    "window_range_moving_avg": 0.35,
-    "events_asof_click": 0.36,
-    "conditional_promo_ratio": 0.37,
-    "entity_match_fuzzy": 0.37,
-    "events_sessionize": 0.37,
-    "group_distinct_agg": 0.37,
-    "events_tumbling_1h": 0.38,
-    "corpus_importance_sample": 0.39,
-    "embedding_quantize_int8": 0.39,
-    "events_hourly_retention": 0.39,
-    "multimodal_decode": 0.40,
-    "multimodal_frames": 0.40,
-    "orders_mutual_information": 0.40,
-    "orders_target_encoding": 0.40,
-    "window_lead_lag": 0.40,
-    "corpus_split_accounting": 0.41,
-    "customer_l_diversity": 0.41,
-    "customer_order_histogram": 0.41,
-    "events_time_weighted_avg": 0.41,
-    "set_ops_custkeys": 0.42,
-    "events_interval_coverage": 0.43,
-    "pii_creditcard_luhn": 0.43,
-    "text_quality": 0.43,
-    "corpus_negative_sampling": 0.44,
-    "events_last_touch_attribution": 0.44,
-    "events_markov_transitions": 0.44,
-    "similarity_topk": 0.44,
+    "sort_limit_topk": 0.14,
+    "unpivot_part_metrics": 0.14,
+    "multimodal_meta": 0.15,
+    "date_parts_orders": 0.16,
+    "doc_chunks": 0.16,
+    "posexplode_tokens": 0.18,
+    "vector_norms": 0.18,
+    "cube_nation_segment": 0.20,
+    "null_conditional_agg": 0.20,
+    "quantiles_per_priority": 0.20,
+    "stratified_sample": 0.20,
+    "string_funcs_part": 0.20,
+    "try_cast_dirty": 0.20,
+    "array_hof_stats": 0.21,
+    "filter_project_cast": 0.22,
+    "pii_scrub": 0.22,
+    "rollup_status_priority": 0.22,
+    "text_fingerprint": 0.22,
+    "text_token_topk": 0.22,
+    "pivot_returnflag": 0.23,
+    "above_avg_orders": 0.25,
+    "pricing_summary_agg": 0.25,
+    "events_sessionize": 0.26,
+    "events_grouped_regression": 0.27,
+    "events_json_extract": 0.27,
+    "multimodal_decode": 0.27,
+    "doc_packing": 0.28,
+    "events_asof_click": 0.28,
+    "events_hourly_retention": 0.28,
+    "events_tumbling_1h": 0.28,
+    "conditional_promo_ratio": 0.30,
+    "customer_order_histogram": 0.32,
+    "events_scd2_history": 0.32,
+    "events_last_touch_attribution": 0.33,
+    "map_priority_counts": 0.34,
+    "text_quality": 0.35,
+    "corpus_weighted_reservoir": 0.36,
+    "embedding_random_projection": 0.36,
+    "set_ops_custkeys": 0.36,
+    "corpus_mixture_sample": 0.37,
+    "customer_k_anonymity": 0.37,
+    "customer_l_diversity": 0.37,
+    "rich_quiet_customers": 0.37,
+    "corpus_snapshot_diff": 0.38,
+    "docs_wilson_quality": 0.38,
+    "events_sprt_ab": 0.39,
+    "orders_kfold_audit": 0.39,
+    "orders_mad_outliers": 0.39,
+    "events_interval_coverage": 0.40,
+    "events_range_join_1h": 0.40,
+    "events_rolling_anomaly": 0.40,
+    "events_seasonal_outliers": 0.40,
+    "parts_skyline_frontier": 0.40,
+    "orders_equidepth_histogram": 0.41,
+    "events_count_min_sketch": 0.42,
+    "events_multi_touch_attribution": 0.42,
+    "window_lead_lag": 0.42,
+    "corpus_domain_cap": 0.43,
+    "corpus_temperature_mixture": 0.43,
+    "embedding_covariance": 0.43,
+    "grouped_zscore_pandas": 0.43,
+    "lineitem_expectations_audit": 0.43,
+    "window_latest_per_key": 0.43,
+    "nation_customer_gini": 0.44,
+    "orders_incremental_rollup": 0.44,
+    "quality_classifier_score": 0.44,
+    "window_running_rank": 0.44,
+    "multimodal_phash_dedup": 0.45,
+    "text_char_entropy": 0.45,
+    "text_unigram_logprob": 0.45,
+    "dedup_exact": 0.46,
     "events_anomaly_zscore": 0.46,
-    "events_scd2_history": 0.46,
-    "hll_distinct_audit": 0.46,
-    "quality_classifier_score": 0.46,
-    "disjunctive_bracket_revenue": 0.47,
-    "semi_anti_customers": 0.47,
-    "similarity_filtered_topk": 0.48,
-    "dedup_exact": 0.49,
-    "rich_quiet_customers": 0.50,
-    "top_revenue_supplier": 0.50,
-    "corpus_mixture_sample": 0.51,
-    "events_cusum_changepoint": 0.51,
-    "events_kaplan_meier": 0.52,
-    "events_conversion_latency": 0.53,
-    "grouped_zscore_pandas": 0.53,
-    "map_priority_counts": 0.53,
-    "orders_equidepth_histogram": 0.53,
-    "join_topk_revenue": 0.54,
-    "skew_salted_join": 0.55,
-    "small_qty_part_revenue": 0.55,
-    "lineitem_fd_violations": 0.56,
-    "text_repetition": 0.56,
-    "corpus_temperature_mixture": 0.57,
-    "embedding_covariance": 0.57,
-    "events_ab_welch_ttest": 0.58,
-    "late_shipment_priority": 0.58,
-    "dedup_exact_spans": 0.60,
-    "events_sliding_1h_15m": 0.60,
-    "orders_incremental_rollup": 0.60,
-    "scalar_subquery_share": 0.60,
-    "large_order_customers": 0.61,
-    "orders_benford_audit": 0.61,
-    "parts_skyline_frontier": 0.61,
-    "corpus_domain_cap": 0.63,
-    "sole_blame_suppliers": 0.63,
-    "text_char_entropy": 0.63,
-    "events_count_min_sketch": 0.65,
-    "orders_roc_auc": 0.66,
-    "events_psi_drift": 0.67,
-    "orders_mad_outliers": 0.67,
-    "orders_subsample_variance": 0.68,
-    "embedding_random_projection": 0.69,
-    "dedup_embedding_cosine": 0.71,
-    "events_rolling_anomaly": 0.72,
-    "text_unigram_logprob": 0.72,
-    "text_langid": 0.73,
-    "docs_wilson_quality": 0.74,
-    "lineitem_expectations_audit": 0.74,
-    "text_kl_drift": 0.74,
-    "bloom_pruned_join": 0.75,
-    "star_join_region_revenue": 0.75,
-    "corpus_curation": 0.79,
-    "dedup_exact_spans_staggered": 0.79,
-    "events_gap_fill": 0.82,
-    "multimodal_audio_fp_dedup": 0.82,
-    "nation_trade_volume": 0.82,
-    "orders_cohort_retention": 0.82,
-    "text_bm25_topk": 0.82,
-    "text_tfidf_topterms": 0.83,
-    "events_chisq_independence": 0.85,
-    "parts_abc_pareto": 0.85,
-    "events_multi_touch_attribution": 0.86,
-    "text_bigram_pmi": 0.89,
-    "events_funnel_conversion": 0.91,
-    "multimodal_phash_dedup": 0.91,
-    "similarity_knn_graph": 0.91,
-    "ntile_spend_quartiles": 0.93,
-    "events_ecdf_drift": 0.96,
-    "orders_dense_index": 0.96,
-    "basket_brand_lift": 0.97,
+    "events_time_weighted_avg": 0.46,
+    "orders_subsample_variance": 0.46,
+    "regression_price_qty": 0.46,
+    "text_kl_drift": 0.46,
+    "dedup_embedding_cosine": 0.47,
+    "skew_salted_join": 0.47,
+    "corpus_negative_sampling": 0.48,
+    "embedding_quantize_int8": 0.48,
+    "window_range_moving_avg": 0.48,
+    "events_markov_transitions": 0.49,
+    "text_repetition": 0.49,
+    "events_chisq_independence": 0.50,
+    "late_shipment_priority": 0.50,
+    "lineitem_skew_profile": 0.50,
+    "orders_cohort_retention": 0.50,
+    "scalar_subquery_share": 0.50,
+    "stats_agg_lineitem": 0.50,
+    "group_distinct_agg": 0.51,
+    "large_order_customers": 0.51,
+    "sole_blame_suppliers": 0.51,
+    "top_revenue_supplier": 0.51,
+    "events_srm_check": 0.52,
+    "hll_distinct_audit": 0.52,
+    "pii_creditcard_luhn": 0.52,
+    "semi_anti_customers": 0.52,
+    "corpus_curation": 0.53,
+    "disjunctive_bracket_revenue": 0.53,
+    "entity_match_fuzzy": 0.53,
+    "events_kaplan_meier": 0.53,
+    "events_funnel_conversion": 0.54,
+    "events_session_top_paths": 0.54,
+    "small_qty_part_revenue": 0.54,
+    "events_cusum_changepoint": 0.55,
+    "events_sliding_1h_15m": 0.55,
+    "events_ecdf_drift": 0.58,
+    "multimodal_audio_fp_dedup": 0.58,
+    "orders_benford_audit": 0.58,
+    "events_gap_fill": 0.59,
+    "star_join_region_revenue": 0.59,
+    "join_topk_revenue": 0.60,
+    "corpus_doremi_reweight": 0.61,
+    "events_rollup_multigrain": 0.61,
+    "text_heavy_hitters": 0.61,
+    "window_distribution": 0.61,
+    "bloom_pruned_join": 0.63,
+    "similarity_filtered_topk": 0.63,
+    "basket_brand_lift": 0.64,
+    "dedup_exact_spans": 0.65,
+    "orders_mutual_information": 0.65,
+    "corpus_importance_sample": 0.67,
+    "parts_abc_pareto": 0.67,
+    "similarity_knn_graph": 0.67,
+    "dedup_exact_spans_staggered": 0.70,
+    "events_psi_drift": 0.70,
+    "grouping_sets_status_priority": 0.72,
+    "orders_target_encoding": 0.72,
+    "text_bigram_lm_perplexity": 0.74,
+    "lineitem_fd_violations": 0.76,
+    "events_conversion_latency": 0.79,
+    "docs_quality_calibration": 0.80,
+    "topk_per_priority": 0.80,
+    "text_bigram_pmi": 0.81,
+    "text_collocation_llr": 0.81,
+    "text_ngram_novelty": 0.82,
+    "corpus_shard_export": 0.83,
+    "corpus_split_accounting": 0.83,
+    "corpus_vocab_growth": 0.84,
+    "events_acf_hourly": 0.85,
+    "approx_distinct_custkeys": 0.88,
+    "text_langid": 0.89,
+    "similarity_label_propagation": 0.90,
+    "similarity_topk": 0.91,
+    "similarity_ann_lsh": 0.94,
+    "referential_integrity_audit": 0.96,
     "corpus_source_overlap": 0.97,
-    "dedup_containment": 0.97,
-    "orders_table_profile": 0.99,
-    "text_bigram_lm_perplexity": 1.00,
-    "corpus_cluster_balance": 1.08,
-    "corpus_decontamination": 1.08,
-    "nation_customer_gini": 1.09,
-    "text_ngram_novelty": 1.14,
-    "events_session_top_paths": 1.15,
-    "events_seasonal_outliers": 1.16,
-    "text_collocation_llr": 1.16,
-    "corpus_vocab_growth": 1.18,
-    "similarity_label_propagation": 1.19,
-    "text_winnow_fingerprint": 1.19,
-    "similarity_ann_ivf": 1.23,
-    "dedup_ngram_jaccard": 1.26,
-    "dedup_semantic": 1.26,
-    "referential_integrity_audit": 1.26,
-    "text_rrf_hybrid": 1.29,
-    "similarity_ann_lsh": 1.30,
-    "text_heavy_hitters": 1.31,
-    "dedup_minhash_lsh": 1.40,
-    "corpus_doremi_reweight": 1.42,
-    "similarity_link_prediction": 1.43,
-    "approx_distinct_custkeys": 1.46,
-    "dedup_incremental": 1.50,
-    "corpus_pipeline_end_to_end": 1.52,
-    "orders_kfold_audit": 1.55,
-    "events_range_join_1h": 1.61,
-    "supplier_pagerank": 1.66,
-    "dedup_components": 1.73,
-    "docs_quality_calibration": 1.89,
-    "text_tfidf_cosine_pairs": 1.93,
-    "dedup_simhash": 1.97,
-    "text_bpe_vocab": 2.01,
-    "similarity_ann_pq": 2.06,
-    # r12 registrations, measured warm-session first-execution (the
-    # pair run with the other absorbing the session warm-up):
-    "events_sprt_ab": 2.09,
-    "similarity_graph_triangles": 2.10,
-    "events_srm_check": 2.11,
-    "events_acf_hourly": 2.28,
-    "embeddings_kmeans_lloyd": 2.30,
-    "dedup_keep_best": 3.09,
-    "doc_cdc_chunks": 3.25,
-    "dedup_winnow_pairs": 3.33,
-    "corpus_kcenter_coreset": 3.49,
-    "flashscore_format_parity": 3.61,
-    "embedding_silhouette": 4.58,
-    "embedding_pca_power": 4.94,
-    "corpus_leakage_safe_split": 5.39,
+    "dedup_containment": 1.00,
+    "orders_roc_auc": 1.04,
+    "similarity_ann_ivf": 1.06,
+    "text_winnow_fingerprint": 1.07,
+    "orders_dense_index": 1.11,
+    "stringagg_nations": 1.11,
+    "embeddings_kmeans_lloyd": 1.14,
+    "nation_trade_volume": 1.15,
+    "dedup_semantic": 1.16,
+    "corpus_cluster_balance": 1.17,
+    "text_bm25_topk": 1.17,
+    "orders_table_profile": 1.18,
+    "supplier_pagerank": 1.19,
+    "text_tfidf_topterms": 1.21,
+    "corpus_kcenter_coreset": 1.25,
+    "dedup_ngram_jaccard": 1.25,
+    "dedup_minhash_lsh": 1.34,
+    "dedup_incremental": 1.37,
+    "events_ab_welch_ttest": 1.37,
+    "text_tfidf_cosine_pairs": 1.42,
+    "similarity_link_prediction": 1.45,
+    "text_bpe_vocab": 1.53,
+    "similarity_graph_triangles": 1.54,
+    "corpus_decontamination": 1.55,
+    "corpus_leakage_safe_split": 1.67,
+    "dedup_simhash": 1.78,
+    "dedup_keep_best": 1.80,
+    "text_rrf_hybrid": 1.82,
+    "events_nelson_aalen": 1.85,
+    "ntile_spend_quartiles": 1.98,
+    "similarity_ann_pq": 2.08,
+    "corpus_pipeline_end_to_end": 2.18,
+    "doc_cdc_chunks": 2.25,
+    "embedding_silhouette": 2.39,
+    "embedding_pca_power": 2.70,
+    "events_mannwhitney_value": 3.07,
+    "dedup_winnow_pairs": 3.10,
+    "multimodal_frames": 3.49,
+    "flashscore_format_parity": 3.50,
+    "dedup_components": 4.64,
 }
 
 _MEDIAN_COST = 0.5
