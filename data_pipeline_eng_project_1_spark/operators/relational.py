@@ -2300,3 +2300,254 @@ def mann_whitney_u(df: DataFrame, group: str, variant: str,
         F.when(sigma2 > 0, F.round(F.sqrt(sigma2), 4)).alias("sigma_u"),
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_05"))
+
+
+#: Upper-tail 5% chi-square critical values for df 1..10 (textbook
+#: table) — inlined as identical literals in the DuckDB oracle (the
+#: pca_power literal-handoff convention), so both engines compare the
+#: same constants. Beyond df 10 the flag is NULL (report H and let the
+#: consumer bring their own quantile).
+_CHI2_CRIT_05 = (3.841, 5.991, 7.815, 9.488, 11.070,
+                 12.592, 14.067, 15.507, 16.919, 18.307)
+
+
+def kruskal_wallis(df: DataFrame, group: str, clazz: str,
+                   value: str) -> DataFrame:
+    """Kruskal-Wallis H test of ``value`` across k classes (``clazz``),
+    computed independently per ``group`` — the k-sample generalization
+    of ``mann_whitney_u`` (H0: all k class distributions are equal;
+    normal-theory-free, robust to heavy tails). Tie-corrected textbook
+    form: H = 12 / (N (N+1)) * sum_g R_g^2 / n_g - 3 (N+1), corrected
+    H' = H / (1 - sum(t^3 - t) / (N^3 - N)); H' ~ chi-square(k - 1)
+    under H0, flagged against the inlined 5% critical value for
+    df 1..10 (NULL flag beyond — bring your own quantile).
+
+    RANK-FUNCTION-FREE by the same avg-rank identity as
+    ``mann_whitney_u``: for a distinct value whose peers (across ALL
+    classes) total t after c smaller observations, 2 * avg_rank =
+    2 c + t + 1 is an INTEGER derived from a (group, class, value)
+    count aggregate — cum_le - t gives c via two RANGE-frame window
+    sums over the same exchange, so the per-class rank sums and the
+    tie term accumulate as integer-exact sums on both engines; no
+    engine rank() is involved. The cross-class fold of the (double)
+    R_g^2 / n_g terms is an ORDERED running window sum ascending by
+    class (one deterministic addition order on both engines — the
+    sprt/nelson running-sum precedent, NOT an unordered aggregate
+    whose float summation order the engines could disagree on).
+
+    Class validation is welch/mann-strict and sees EVERY row: a NULL
+    class raises in-plan even when the row's value is also null (any
+    non-null class value is legal — k is discovered from the data).
+    Null ``value`` rows drop from the ranks only. Classes with zero
+    observations vanish; groups with zero observations vanish; a
+    single-class group reports H = 0 with dof = 0 and NULL flag; an
+    all-tied group has correction C = 0: h_stat reports, h_corrected /
+    significant_05 are NULL.
+
+    Overflow bounds (documented, loud on both engines — Spark ANSI
+    raises, DuckDB errors): the int64 tie term t^3 - t dies if one
+    (group, value) cell exceeds ~2e6 duplicates (the column is
+    categorical at that point — wrong tool); the integer rank-sum
+    accumulator ~ N^2 dies once a group passes ~3e9 observations
+    (sample below that); the N^3 in the correction is computed in
+    DOUBLE on both engines, so it does not bound N.
+
+    Scale shape (mann_whitney's exact two-exchange shape): ONE
+    (group, class, value) partial+final aggregate collapses the
+    observations; the rank-prefix RANGE windows, the per-class fold,
+    and the ordered cross-class fold all ride ONE further exchange
+    keyed on the group (hash-partitioning by group satisfies every
+    downstream (group, class) clustering) over DISTINCT-VALUE /
+    per-class AGGREGATE frames. No global sort, no join, no engine
+    rank().
+
+    Family: the k-sample rung of the experiment stack — srm_check
+    gates the split, welch_ttest tests two means, mann_whitney_u tests
+    two distributions, THIS tests k distributions, sprt_ab monitors
+    sequentially. For k = 2, H' equals the square of mann_whitney_u's
+    tie-corrected z (pinned by test).
+    """
+    reserved = ("k_classes", "n_total", "h_stat", "h_corrected", "dof",
+                "significant_05")
+    for c, what in ((group, "group"), (clazz, "class")):
+        if c in reserved:
+            raise ValueError(
+                f"kruskal_wallis: {what} column {c!r} collides with an "
+                f"output column of this test {reserved}; alias it first")
+    obs = F.col(value).isNotNull()
+    # null-value rows drop from the rank counters INSIDE the aggregate
+    # (never a pre-filter) so class validation sees every row — the
+    # mann_whitney r12-advice convention, applied from birth
+    agg = df.groupBy(group, clazz, value).agg(
+        F.sum(F.when(obs, 1).otherwise(0)).cast("long").alias("__cnt"),
+        F.sum(F.when(F.col(clazz).isNull(), 1).otherwise(0))
+         .alias("__bad"))
+    wg = Window.partitionBy(group).orderBy(value)
+    le = wg.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    peers = wg.rangeBetween(Window.currentRow, Window.currentRow)
+    # peers = every class's cell tied at this value; cum_le = all
+    # observations at or below it. Both are RANGE frames on the SAME
+    # group-keyed exchange; null-value cells carry __cnt = 0 and
+    # contribute nothing anywhere (and Spark-vs-DuckDB null ordering
+    # is moot for zero terms).
+    t = F.sum("__cnt").over(peers)
+    cum_le = F.sum("__cnt").over(le)
+    rank2 = 2 * cum_le - t + 1  # == 2*prefix + t + 1, an exact integer
+    # the tie term belongs to the VALUE, not the (class, value) cell:
+    # mark it on the minimum class among the peers (min is not a rank
+    # function and both engines agree on it)
+    tie = F.when(F.col(clazz) == F.min(clazz).over(peers),
+                 t * t * t - t).otherwise(F.lit(0))
+    ranked = agg.select(group, clazz, "__cnt", "__bad",
+                        rank2.alias("__rank2"), tie.alias("__tie"))
+    per_class = ranked.groupBy(group, clazz).agg(
+        F.sum("__cnt").alias("__n"),
+        F.sum(F.col("__cnt") * F.col("__rank2")).alias("__r2x2"),
+        F.sum("__tie").alias("__ties"),
+        F.sum("__bad").alias("__badsum"))
+    # cross-class folds as windows over the <= k-row per-class frame:
+    # integer sums are order-free; the ONE double sum (R_g^2 / n_g)
+    # runs as an ordered cumulative sum ascending by class and is read
+    # off at the last class row
+    wcls = Window.partitionBy(group).orderBy(clazz)
+    whole = wcls.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = wcls.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    term = F.when(
+        F.col("__n") > 0,
+        (F.col("__r2x2") / F.lit(2.0)) * (F.col("__r2x2") / F.lit(2.0))
+        / F.col("__n")).otherwise(F.lit(0.0))
+    folded = per_class.select(
+        group, clazz,
+        F.sum(F.when(F.col("__n") > 0, 1).otherwise(0)).over(whole)
+         .cast("int").alias("k_classes"),
+        F.sum("__n").over(whole).alias("n_total"),
+        F.sum(term).over(cum).alias("__sumr_run"),
+        F.sum("__ties").over(whole).alias("__tiesum"),
+        F.sum("__badsum").over(whole).alias("__badall"),
+        (F.col(clazz) == F.max(clazz).over(whole)).alias("__is_last"))
+    g = folded.filter(F.when(
+        F.col("__badall") > 0,
+        F.raise_error(F.lit(
+            "kruskal_wallis: class column must be non-null on every "
+            "row — found null class values"))
+    ).otherwise(F.col("__is_last")))
+    g = g.filter(F.col("n_total") > 0)
+    nd = F.col("n_total").cast("double")
+    h = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("__sumr_run")
+         - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = F.when(
+        F.col("n_total") > 1,
+        F.lit(1.0) - F.col("__tiesum") / (nd * nd * nd - nd))
+    h_corr = F.when(corr > 0, h / corr)
+    dof = (F.col("k_classes") - 1).cast("int")
+    crit = None
+    for i, cv in enumerate(_CHI2_CRIT_05, start=1):
+        branch = F.when(dof == i, F.lit(cv))
+        crit = branch if crit is None else crit.when(dof == i, F.lit(cv))
+    return g.select(
+        group, "k_classes", "n_total",
+        F.round(h, 4).alias("h_stat"),
+        F.round(h_corr, 4).alias("h_corrected"),
+        dof.alias("dof"),
+        (h_corr > crit).alias("significant_05"))
+
+
+def logrank_test(df: DataFrame, duration: str, observed: str,
+                 grp: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the survival experiences of
+    two groups over per-subject (``duration``, ``observed``, ``grp``)
+    rows — the hypothesis-test companion to ``kaplan_meier`` /
+    ``nelson_aalen`` (H0: the two hazard functions are equal). At each
+    distinct duration: expected group-1 events e1 = d * n1 / n and
+    hypergeometric variance v = d * (n1/n) * (n0/n) * (n-d)/(n-1) from
+    the pooled risk sets; the statistic is the running
+    sum(d1 - e1) / sqrt(sum v), emitted PER DURATION as a monotone
+    evidence trace (the kaplan/nelson curve-output convention — the
+    final row carries the test verdict; consumers read max(duration)).
+
+    Group validation is welch/mann-strict: values outside {0, 1} raise
+    in-plan on every row. ``observed`` follows nelson_aalen's contract
+    (0/1 int). Durations with no events still emit rows (risk sets
+    move; their e1/v terms are 0). n = 1 rows contribute v = 0 (the
+    n - 1 denominator guard).
+
+    Cross-engine float discipline: every accumulation that feeds the
+    statistic is either an integer window sum (risk sets, event
+    counts) or an ORDERED cumulative double sum ascending by duration
+    (one deterministic addition order on both engines — the
+    nelson_aalen precedent); the per-row e1/v algebra is written with
+    identical operand order in both engines, all divisions go double
+    on the first step (d * n1 * n0 * (n - d) as integers would
+    overflow int64 near n ~ 55k — the factors are interleaved with
+    the divisions instead).
+
+    Scale shape (kaplan/nelson's exact shape): ONE partial+final
+    (duration) aggregate collapses the subjects; risk-set and running
+    windows ride a SinglePartition exchange of the <= distinct-
+    durations AGGREGATE frame.
+
+    Family: completes the survival stack — kaplan_meier estimates S,
+    nelson_aalen estimates H, THIS tests S_a vs S_b.
+    """
+    reserved = ("n_risk0", "n_risk1", "n_event0", "n_event1",
+                "expected1", "o_minus_e", "var_cum", "z_stat",
+                "significant_05")
+    if duration in reserved:
+        raise ValueError(
+            f"logrank_test: duration column {duration!r} collides with "
+            f"an output column of this test {reserved}; alias it first")
+    o = F.col(observed).cast("long")
+    per_t = df.groupBy(duration).agg(
+        F.sum(F.when(F.col(grp) == 0, o).otherwise(0)).alias("__d0"),
+        F.sum(F.when(F.col(grp) == 1, o).otherwise(0)).alias("__d1"),
+        F.sum(F.when(F.col(grp) == 0, 1).otherwise(0))
+         .cast("long").alias("__a0"),
+        F.sum(F.when(F.col(grp) == 1, 1).otherwise(0))
+         .cast("long").alias("__a1"),
+        F.sum(F.when(F.col(grp).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bad"))
+    per_t = per_t.filter(F.when(
+        F.col("__bad") > 0,
+        F.raise_error(F.lit(
+            "logrank_test: group column must be a binary {0, 1} "
+            "assignment — found other/null group values"))
+    ).otherwise(F.lit(True)))
+    ordw = Window.orderBy(duration)
+    prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
+    whole = ordw.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n0 = (F.sum("__a0").over(whole)
+          - F.coalesce(F.sum("__a0").over(prior), F.lit(0)))
+    n1 = (F.sum("__a1").over(whole)
+          - F.coalesce(F.sum("__a1").over(prior), F.lit(0)))
+    staged = per_t.select(
+        duration, "__d0", "__d1",
+        n0.alias("__n0"), n1.alias("__n1"))
+    d = F.col("__d0") + F.col("__d1")
+    n = F.col("__n0") + F.col("__n1")
+    dd = d.cast("double")
+    # identical operand order in the oracle: CAST(d) * n1 / n and
+    # CAST(d) * n1 / n * n0 / n * (n - d) / (n - 1)
+    e1 = dd * F.col("__n1") / n
+    v = F.when(n > 1,
+               dd * F.col("__n1") / n * F.col("__n0") / n
+               * (n - d) / (n - F.lit(1))).otherwise(F.lit(0.0))
+    scored = staged.select(
+        duration, "__n0", "__n1", "__d0", "__d1",
+        e1.alias("__e1"), v.alias("__v"))
+    ome = F.sum(F.col("__d1") - F.col("__e1")).over(cum)
+    var = F.sum("__v").over(cum)
+    z = F.when(var > 0, ome / F.sqrt(var))
+    return scored.select(
+        duration,
+        F.col("__n0").alias("n_risk0"),
+        F.col("__n1").alias("n_risk1"),
+        F.col("__d0").alias("n_event0"),
+        F.col("__d1").alias("n_event1"),
+        F.round("__e1", 6).alias("expected1"),
+        F.round(ome, 6).alias("o_minus_e"),
+        F.round(var, 6).alias("var_cum"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"))

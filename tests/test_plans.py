@@ -763,3 +763,49 @@ def test_nelson_aalen_inherits_kaplan_plan_shape(spark):
     keys = [seg.split(",")[0] for seg in segs]
     assert len(keys) == 1 and keys[0].startswith("t"), keys
     assert "SortMergeJoin" not in plan
+
+
+def test_kruskal_wallis_rank_free_two_group_exchanges(spark):
+    """kruskal_wallis's scale claim (banked r14): observations collapse
+    in ONE (group, class, value) aggregate; the rank-prefix RANGE
+    windows, the per-class fold, and the ordered cross-class fold all
+    ride a second exchange keyed on the group (hash-partitioning by
+    group satisfies the (group, class) clustering) — no global sort,
+    no engine rank(), no join, no single-partition stage."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+    from data_pipeline_eng_project_1_spark.sources import catalog
+
+    ev = catalog.load_table(spark, "events", SF_DIR)
+    df = relational.kruskal_wallis(
+        ev.select(F.col("event_type").alias("etype"),
+                  (F.col("user_id") % 3).cast("int").alias("clazz"),
+                  "value"),
+        group="etype", clazz="clazz", value="value")
+    plan = _plan(df)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = [seg.split(",")[0] for seg in segs]
+    assert len(keys) == 2 and all(k.startswith("etype") for k in keys), keys
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan
+
+
+def test_logrank_inherits_kaplan_plan_shape(spark):
+    """logrank_test (banked r14) rides the survival stack's shape: the
+    subjects fold through ONE (duration) aggregate exchange; risk-set
+    and running-sum windows run over a SinglePartition exchange of the
+    <= distinct-durations AGGREGATE frame; no join."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i % 24, i % 3 == 0, i % 2) for i in range(200)],
+        ["t", "o", "g"]
+    ).select("t", F.col("o").cast("int").alias("obs"), "g")
+    out = relational.logrank_test(df, "t", "obs", "g")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = [seg.split(",")[0] for seg in segs]
+    assert len(keys) == 1 and keys[0].startswith("t"), keys
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -677,3 +677,179 @@ def test_nelson_aalen_algebra_monotone_and_bounds_km(rows):
         prev_h = h
         if km[t] > 0:
             assert m.exp(-h) >= km[t] - 1e-9  # exp(-H) >= S_KM
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis (banked r14): the rank-free accumulation (RANGE-frame
+# cum_le/peers identity) must equal the textbook pooled-midrank H on ANY
+# k-class multiset with ties, and for k = 2 the tie-corrected H must
+# equal the square of mann_whitney_u's tie-corrected z
+# ---------------------------------------------------------------------------
+
+def _kw_operator_algebra(pairs):
+    """Python twin of relational.kruskal_wallis's accumulation: count
+    per (class, value) cell, RANGE-window identities in value order,
+    ordered cross-class fold of (r2x2/2)^2/n."""
+    from collections import Counter
+    cnt = Counter(pairs)  # (clazz, value) -> count
+    classes = sorted({c for c, _ in pairs})
+    values = sorted({v for _, v in pairs})
+    t_of = {v: sum(cnt[(c, v)] for c in classes) for v in values}
+    cum_le, rank2, ties = 0, {}, 0
+    for v in values:
+        t = t_of[v]
+        cum_le += t
+        rank2[v] = 2 * cum_le - t + 1  # == 2*prefix + t + 1
+        ties += t * t * t - t
+    sumr = 0.0
+    n_total = 0
+    for c in classes:  # ordered fold, ascending class (window order)
+        n_c = sum(cnt[(c, v)] for v in values)
+        r2x2 = sum(cnt[(c, v)] * rank2[v] for v in values)
+        sumr += (r2x2 / 2.0) * (r2x2 / 2.0) / n_c
+        n_total += n_c
+    nd = float(n_total)
+    h = 12.0 / (nd * (nd + 1.0)) * sumr - 3.0 * (nd + 1.0)
+    corr = 1.0 - ties / (nd * nd * nd - nd) if n_total > 1 else None
+    h_corr = h / corr if corr and corr > 0 else None
+    return len(classes), n_total, h, h_corr, ties
+
+
+def _kw_textbook_midranks(pairs):
+    """Direct pooled-midrank H: sort everything, midrank tie groups,
+    per-class rank sums into the textbook formula."""
+    ordered = sorted(pairs, key=lambda p: p[1])
+    n = len(ordered)
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and ordered[j][1] == ordered[i][1]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = mid
+        i = j
+    from collections import defaultdict
+    rsum, ncnt = defaultdict(float), defaultdict(int)
+    for (c, _), r in zip(ordered, ranks):
+        rsum[c] += r
+        ncnt[c] += 1
+    h = (12.0 / (n * (n + 1.0))
+         * sum(rsum[c] ** 2 / ncnt[c] for c in rsum)
+         - 3.0 * (n + 1.0))
+    return h
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(-15, 15)),
+                min_size=1, max_size=80))
+@settings(max_examples=300)
+def test_kruskal_rank_free_identity_matches_midranks(pairs):
+    k, n, h, h_corr, ties = _kw_operator_algebra(pairs)
+    assert abs(h - _kw_textbook_midranks(pairs)) < 1e-9 * max(1.0, abs(h))
+    assert 0 <= ties <= n ** 3 - n
+    # H is scale-location free in the value: shifting values changes
+    # nothing (ranks only)
+    shifted = [(c, v + 7) for c, v in pairs]
+    _, _, h2, _, _ = _kw_operator_algebra(shifted)
+    assert abs(h - h2) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(-10, 10)),
+                min_size=2, max_size=80))
+@settings(max_examples=300)
+def test_kruskal_k2_equals_mannwhitney_z_squared(pairs):
+    """The classical identity: with two classes, tie-corrected H equals
+    the square of the tie-corrected rank-sum z (no continuity
+    correction on either side — matching both operators' forms)."""
+    if not ({c for c, _ in pairs} == {0, 1}):
+        return
+    n0, n1, u1, ties = _mwu_operator_algebra(pairs)
+    N = n0 + n1
+    sigma2 = (n0 * n1 / 12.0
+              * ((N + 1.0) - ties / (N * (N - 1.0)))) if N > 1 else 0.0
+    if sigma2 <= 0:
+        return
+    mu = n0 * n1 / 2.0
+    z = (u1 - mu) / sigma2 ** 0.5
+    _, _, _, h_corr, _ = _kw_operator_algebra(pairs)
+    assert h_corr is not None
+    assert abs(h_corr - z * z) < 1e-6 * max(1.0, z * z)
+
+
+# ---------------------------------------------------------------------------
+# logrank_test (banked r14): the duration-aggregate/window accumulation
+# must equal an independently-structured subject-level reference;
+# label-swap negates the statistic; identical groups score exactly 0
+# ---------------------------------------------------------------------------
+
+def _lr_operator_algebra(rows):
+    """Python twin of relational.logrank_test's accumulation: one
+    (duration) aggregate, sequential risk sets, ordered running sums.
+    Returns (ome, var) at the final duration."""
+    from collections import Counter
+    d0 = Counter(t for t, obs, g in rows if g == 0 and obs)
+    d1 = Counter(t for t, obs, g in rows if g == 1 and obs)
+    a0 = Counter(t for t, obs, g in rows if g == 0)
+    a1 = Counter(t for t, obs, g in rows if g == 1)
+    tot0, tot1 = sum(a0.values()), sum(a1.values())
+    seen0 = seen1 = 0
+    ome = var = 0.0
+    for t in sorted(set(a0) | set(a1)):
+        n0, n1 = tot0 - seen0, tot1 - seen1
+        n, d = n0 + n1, d0[t] + d1[t]
+        e1 = float(d) * n1 / n
+        if n > 1:
+            var += float(d) * n1 / n * n0 / n * (n - d) / (n - 1)
+        ome += d1[t] - e1
+        seen0 += a0[t]
+        seen1 += a1[t]
+    return ome, var
+
+
+def _lr_subject_level_reference(rows):
+    """Independent structure: for each distinct event time, count risk
+    sets by scanning subjects (duration >= t), never via running
+    sums."""
+    times = sorted({t for t, obs, _ in rows if obs})
+    ome = var = 0.0
+    for t in times:
+        n0 = sum(1 for tt, _, g in rows if g == 0 and tt >= t)
+        n1 = sum(1 for tt, _, g in rows if g == 1 and tt >= t)
+        d0 = sum(1 for tt, obs, g in rows if g == 0 and obs and tt == t)
+        d1 = sum(1 for tt, obs, g in rows if g == 1 and obs and tt == t)
+        n, d = n0 + n1, d0 + d1
+        ome += d1 - float(d) * n1 / n
+        if n > 1:
+            var += float(d) * n1 / n * n0 / n * (n - d) / (n - 1)
+    return ome, var
+
+
+@given(st.lists(st.tuples(st.integers(0, 10), st.booleans(),
+                          st.integers(0, 1)),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_logrank_algebra_matches_subject_level_reference(rows):
+    ome, var = _lr_operator_algebra(rows)
+    ome_ref, var_ref = _lr_subject_level_reference(rows)
+    assert abs(ome - ome_ref) < 1e-9
+    assert abs(var - var_ref) < 1e-9
+    assert var >= -1e-12
+    # label swap negates O - E and preserves V
+    swapped = [(t, obs, 1 - g) for t, obs, g in rows]
+    ome_s, var_s = _lr_operator_algebra(swapped)
+    assert abs(ome + ome_s) < 1e-9
+    assert abs(var - var_s) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.booleans()),
+                min_size=1, max_size=30))
+@settings(max_examples=200)
+def test_logrank_identical_groups_score_zero(rows):
+    """Duplicating one cohort into both arms makes every d1 = d/2 and
+    n1 = n/2, so O - E vanishes term by term."""
+    both = ([(t, obs, 0) for t, obs in rows]
+            + [(t, obs, 1) for t, obs in rows])
+    ome, var = _lr_operator_algebra(both)
+    assert abs(ome) < 1e-9
+    assert var >= 0.0

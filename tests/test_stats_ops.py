@@ -1441,3 +1441,120 @@ def test_nelson_aalen_finite_where_km_zero_latches(spark):
     assert na[2]["cum_hazard"] == 1.0            # 0/3 + 2/2, finite
     assert na[2]["hazard_var"] == 0.5            # 2 / (2*2)
     assert math.isfinite(na[2]["cum_hazard"])
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis / logrank_test (BANKED for r14 — docs/BACKLOG.md)
+# ---------------------------------------------------------------------------
+
+def test_kruskal_textbook_three_classes(spark):
+    """Hand example, no ties: class 0 = {1, 4}, class 1 = {2, 5},
+    class 2 = {3, 6}; pooled ranks 1..6, rank sums 5/7/9 -> H =
+    12/(6*7) * (25/2 + 49/2 + 81/2) - 3*7 = 155/7 - 21 = 8/7. No ties
+    so the correction is 1 and h_stat == h_corrected."""
+    rows = [("g", 0, 1.0), ("g", 0, 4.0), ("g", 1, 2.0),
+            ("g", 1, 5.0), ("g", 2, 3.0), ("g", 2, 6.0)]
+    df = spark.createDataFrame(rows, "grp string, c int, x double")
+    [r] = relational.kruskal_wallis(df, "grp", "c", "x").collect()
+    assert r["k_classes"] == 3 and r["n_total"] == 6 and r["dof"] == 2
+    assert r["h_stat"] == pytest.approx(8.0 / 7.0, abs=1e-4)
+    assert r["h_corrected"] == r["h_stat"]
+    assert r["significant_05"] is False  # 1.14 << 5.991 (df 2)
+
+
+def test_kruskal_with_ties_matches_python_reference(spark):
+    """A tied multiset across 3 classes, checked against the
+    property-tested pure-Python twin (which itself equals textbook
+    pooled midranks)."""
+    from tests.test_properties import _kw_operator_algebra
+
+    pairs = [(0, 1), (0, 2), (0, 2), (1, 2), (1, 3), (1, 5),
+             (2, 1), (2, 5), (2, 5), (2, 7)]
+    k, n, h, h_corr, _ = _kw_operator_algebra(pairs)
+    rows = [("g", c, float(v)) for c, v in pairs]
+    df = spark.createDataFrame(rows, "grp string, c int, x double")
+    [r] = relational.kruskal_wallis(df, "grp", "c", "x").collect()
+    assert r["k_classes"] == k and r["n_total"] == n
+    assert r["h_stat"] == pytest.approx(h, abs=1e-4)
+    assert r["h_corrected"] == pytest.approx(h_corr, abs=1e-4)
+
+
+def test_kruskal_degenerates_and_guards(spark):
+    """Single-class group: H = 0, dof = 0, NULL flag. All-tied group:
+    correction C = 0, h_corrected/flag NULL. Null values drop from
+    ranks; an all-null class vanishes from k. Null class raises even
+    when its value is null too (mann/welch strictness from birth);
+    output-name collisions raise eagerly."""
+    rows = [("solo", 0, 1.0), ("solo", 0, 2.0),
+            ("tied", 0, 3.0), ("tied", 1, 3.0), ("tied", 2, 3.0),
+            ("mix", 0, 1.0), ("mix", 0, None), ("mix", 1, 2.0),
+            ("mix", 2, None)]  # class 2 has no observations
+    df = spark.createDataFrame(rows, "grp string, c int, x double")
+    out = {r["grp"]: r
+           for r in relational.kruskal_wallis(df, "grp", "c", "x").collect()}
+    assert out["solo"]["dof"] == 0
+    assert out["solo"]["h_stat"] == pytest.approx(0.0, abs=1e-4)
+    assert out["solo"]["significant_05"] is None
+    assert out["tied"]["h_corrected"] is None
+    assert out["tied"]["significant_05"] is None
+    assert out["tied"]["h_stat"] == pytest.approx(0.0, abs=1e-4)
+    assert out["mix"]["k_classes"] == 2 and out["mix"]["n_total"] == 2
+    bad = df.union(spark.createDataFrame(
+        [("mix", None, None)], "grp string, c int, x double"))
+    with pytest.raises(Exception, match="non-null"):
+        relational.kruskal_wallis(bad, "grp", "c", "x").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.kruskal_wallis(
+            df.withColumnRenamed("grp", "h_stat"), "h_stat", "c", "x")
+
+
+def test_kruskal_k2_squares_mann_whitney_on_spark(spark):
+    """The classical identity, end-to-end on the two OPERATORS (not
+    just the python twins): two classes -> tie-corrected H equals the
+    rank-sum z squared."""
+    rows = [("g", i % 2, float((i * 7) % 5 + (i % 3)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, c int, x double")
+    [kw] = relational.kruskal_wallis(df, "grp", "c", "x").collect()
+    [mw] = relational.mann_whitney_u(df, "grp", "c", "x").collect()
+    assert kw["h_corrected"] == pytest.approx(mw["z_stat"] ** 2,
+                                              abs=2e-3)
+
+
+def test_logrank_textbook_hand_example(spark):
+    """Subjects g0: (1, event), (2, censor); g1: (1, censor),
+    (3, event). t=1: n=4, d=1, e1=0.5, v=0.25; t=2: d=0; t=3: n=1,
+    d=1, e1=1, v=0 (n-1 guard). Final O-E = -0.5, V = 0.25,
+    z = -1.0."""
+    df = spark.createDataFrame(
+        [(1, 1, 0), (2, 0, 0), (1, 0, 1), (3, 1, 1)],
+        "t int, obs int, g int")
+    rows = {r["t"]: r
+            for r in relational.logrank_test(df, "t", "obs", "g").collect()}
+    assert [rows[t]["n_risk0"] for t in (1, 2, 3)] == [2, 1, 0]
+    assert [rows[t]["n_risk1"] for t in (1, 2, 3)] == [2, 1, 1]
+    assert rows[1]["expected1"] == pytest.approx(0.5)
+    assert rows[1]["o_minus_e"] == pytest.approx(-0.5)
+    assert rows[2]["o_minus_e"] == pytest.approx(-0.5)  # d=0 adds 0
+    assert rows[3]["var_cum"] == pytest.approx(0.25)
+    assert rows[3]["z_stat"] == pytest.approx(-1.0)
+    assert rows[3]["significant_05"] is False
+
+
+def test_logrank_identical_groups_and_guards(spark):
+    """One cohort duplicated into both arms scores exactly 0 at every
+    duration; non-{0,1} group values raise in-plan; a duration column
+    colliding with an output name raises eagerly."""
+    cohort = [(1, 1), (2, 0), (2, 1), (5, 1), (7, 0)]
+    both = ([(t, o, 0) for t, o in cohort] + [(t, o, 1) for t, o in cohort])
+    df = spark.createDataFrame(both, "t int, obs int, g int")
+    rows = relational.logrank_test(df, "t", "obs", "g").collect()
+    assert all(r["o_minus_e"] == pytest.approx(0.0) for r in rows)
+    last = max(rows, key=lambda r: r["t"])
+    assert last["z_stat"] == pytest.approx(0.0)
+    bad = spark.createDataFrame([(1, 1, 2)], "t int, obs int, g int")
+    with pytest.raises(Exception, match="binary"):
+        relational.logrank_test(bad, "t", "obs", "g").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.logrank_test(
+            df.withColumnRenamed("t", "z_stat"), "z_stat", "obs", "g")
