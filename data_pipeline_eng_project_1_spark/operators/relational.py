@@ -2441,10 +2441,9 @@ def kruskal_wallis(df: DataFrame, group: str, clazz: str,
         F.lit(1.0) - F.col("__tiesum") / (nd * nd * nd - nd))
     h_corr = F.when(corr > 0, h / corr)
     dof = (F.col("k_classes") - 1).cast("int")
-    crit = None
-    for i, cv in enumerate(_CHI2_CRIT_05, start=1):
-        branch = F.when(dof == i, F.lit(cv))
-        crit = branch if crit is None else crit.when(dof == i, F.lit(cv))
+    crit = F.when(dof == 1, F.lit(_CHI2_CRIT_05[0]))
+    for i, cv in enumerate(_CHI2_CRIT_05[1:], start=2):
+        crit = crit.when(dof == i, F.lit(cv))
     return g.select(
         group, "k_classes", "n_total",
         F.round(h, 4).alias("h_stat"),

@@ -192,11 +192,13 @@ def _kw3_clazz():
         F.concat(F.lit("kw3:"), F.col("user_id").cast("string"))) % 3)
 
 
-def _ab9_variant():
-    """The experiment stack's binary md5 split (the registered
-    welch/srm/sprt/mannwhitney assignment)."""
-    return (hashing.hex_int(
-        F.concat(F.lit("ab9:"), F.col("user_id").cast("string"))) % 2)
+# the binary split comes from the ONE factored helper the registered
+# experiment stack reads (the r13 _ab9_variant dedup's whole point —
+# a private copy here could silently desynchronize the banked logrank
+# spec from the split the registration will grade; review finding)
+from data_pipeline_eng_project_1_spark.plans.queries import (  # noqa: E402
+    _ab9_variant,
+)
 
 
 def test_kruskal_spec_proven(spark):
