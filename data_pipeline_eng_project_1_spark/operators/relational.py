@@ -2466,10 +2466,17 @@ def logrank_test(df: DataFrame, duration: str, observed: str,
     final row carries the test verdict; consumers read max(duration)).
 
     Group validation is welch/mann-strict: values outside {0, 1} raise
-    in-plan on every row. ``observed`` follows nelson_aalen's contract
-    (0/1 int). Durations with no events still emit rows (risk sets
-    move; their e1/v terms are 0). n = 1 rows contribute v = 0 (the
-    n - 1 denominator guard).
+    in-plan on every row. ``observed`` is equally strict (r13 advice):
+    a null or non-{0, 1} observed value would silently skew the event
+    counts (sums skip nulls; observed = 5 would count 5 events) while
+    the subject stays in the risk set, so it raises in-plan instead.
+    Null durations also raise in-plan (r13 advice): Spark's
+    Window.orderBy sorts NULLS FIRST while a SQL oracle's ORDER BY
+    sorts NULLS LAST, so a null-duration row would shift every risk
+    set differently per engine — there is no principled place on the
+    time axis for an unknown duration anyway. Durations with no events
+    still emit rows (risk sets move; their e1/v terms are 0). n = 1
+    rows contribute v = 0 (the n - 1 denominator guard).
 
     Cross-engine float discipline: every accumulation that feeds the
     statistic is either an integer window sum (risk sets, event
@@ -2505,13 +2512,21 @@ def logrank_test(df: DataFrame, duration: str, observed: str,
         F.sum(F.when(F.col(grp) == 1, 1).otherwise(0))
          .cast("long").alias("__a1"),
         F.sum(F.when(F.col(grp).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bad"))
-    per_t = per_t.filter(F.when(
-        F.col("__bad") > 0,
-        F.raise_error(F.lit(
+               .otherwise(F.lit(1))).alias("__bad"),
+        F.sum(F.when(F.col(observed).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__badobs"))
+    per_t = per_t.filter(
+        F.when(F.col("__bad") > 0, F.raise_error(F.lit(
             "logrank_test: group column must be a binary {0, 1} "
-            "assignment — found other/null group values"))
-    ).otherwise(F.lit(True)))
+            "assignment — found other/null group values")))
+         .when(F.col("__badobs") > 0, F.raise_error(F.lit(
+            "logrank_test: observed column must be a 0/1 event "
+            "indicator — found other/null observed values")))
+         .when(F.isnull(duration), F.raise_error(F.lit(
+            "logrank_test: duration column must be non-null — null "
+            "durations sort NULLS FIRST on Spark windows but NULLS "
+            "LAST in SQL oracles, shifting every risk set")))
+         .otherwise(F.lit(True)))
     ordw = Window.orderBy(duration)
     prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
     whole = ordw.rowsBetween(Window.unboundedPreceding,

@@ -1558,3 +1558,27 @@ def test_logrank_identical_groups_and_guards(spark):
     with pytest.raises(ValueError, match="collides"):
         relational.logrank_test(
             df.withColumnRenamed("t", "z_stat"), "z_stat", "obs", "g")
+
+
+def test_logrank_observed_and_duration_strictness(spark):
+    """The two r13 ADVICE fixes, pinned. (1) observed outside {0, 1}
+    raises in-plan — before the fix an observed = 5 silently counted 5
+    events and a null observed vanished from the event sums while the
+    subject stayed in the risk set. (2) A null duration raises in-plan
+    — Spark windows sort NULLS FIRST, SQL oracles NULLS LAST, so a
+    null-duration row would shift every risk set differently per
+    engine. Valid frames are unaffected."""
+    ok = spark.createDataFrame(
+        [(1, 1, 0), (2, 0, 0), (1, 0, 1), (3, 1, 1)],
+        "t int, obs int, g int")
+    base = relational.logrank_test(ok, "t", "obs", "g").collect()
+    assert len(base) == 3
+    for bad_obs in (5, -1, None):
+        bad = ok.union(spark.createDataFrame(
+            [(2, bad_obs, 1)], "t int, obs int, g int"))
+        with pytest.raises(Exception, match="observed column"):
+            relational.logrank_test(bad, "t", "obs", "g").collect()
+    null_t = ok.union(spark.createDataFrame(
+        [(None, 1, 1)], "t int, obs int, g int"))
+    with pytest.raises(Exception, match="duration column must be"):
+        relational.logrank_test(null_t, "t", "obs", "g").collect()
