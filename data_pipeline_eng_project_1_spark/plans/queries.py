@@ -4651,6 +4651,216 @@ def _q_events_nelson_aalen(spark, sf_dir):
     return relational.nelson_aalen(per_user, "duration_h", "observed")
 
 
+def _kw3_clazz():
+    """3-way deterministic md5 user-level split for the k-sample test
+    (distinct salt from the binary ``_ab9_variant`` split — a 3-arm
+    experiment is a different assignment, not a re-bucketing of the
+    A/B one)."""
+    return (hashing.hex_int(
+        F.concat(F.lit("kw3:"), F.col("user_id").cast("string"))) % 3)
+
+
+@_register(
+    "events_kruskal_value",
+    """
+    WITH e AS (SELECT event_type AS etype, value,
+                      CAST(CAST('0x' || substr(md5('kw3:' ||
+                          CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 3
+                        AS INTEGER) AS clazz
+               FROM events WHERE value IS NOT NULL),
+    a AS (SELECT etype, clazz, value, count(*) AS cnt
+          FROM e GROUP BY 1, 2, 3),
+    r AS (SELECT etype, clazz, cnt,
+                 sum(cnt) OVER (PARTITION BY etype ORDER BY value
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_le,
+                 sum(cnt) OVER (PARTITION BY etype ORDER BY value
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS t,
+                 min(clazz) OVER (PARTITION BY etype ORDER BY value
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS min_clazz
+          FROM a),
+    p AS (SELECT etype, clazz,
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(cnt * (2 * cum_le - t + 1)) AS BIGINT) AS r2x2,
+                 CAST(sum(CASE WHEN clazz = min_clazz
+                               THEN t * t * t - t ELSE 0 END) AS BIGINT)
+                   AS ties
+          FROM r GROUP BY 1, 2),
+    f AS (SELECT etype,
+                 CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) OVER w
+                   AS INTEGER) AS k_classes,
+                 CAST(sum(n) OVER w AS BIGINT) AS n_total,
+                 sum(CASE WHEN n > 0
+                          THEN (r2x2 / 2.0) * (r2x2 / 2.0) / n
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                   OVER (PARTITION BY etype ORDER BY clazz
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sumr_run,
+                 CAST(sum(ties) OVER w AS BIGINT) AS tiesum,
+                 clazz = max(clazz) OVER w AS is_last
+          FROM p
+          WINDOW w AS (PARTITION BY etype)),
+    g AS (SELECT etype, k_classes, n_total, sumr_run, tiesum
+          FROM f WHERE is_last AND n_total > 0),
+    s AS (SELECT etype, k_classes, n_total,
+                 12.0 / (CAST(n_total AS DOUBLE)
+                         * (CAST(n_total AS DOUBLE) + 1.0)) * sumr_run
+                   - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+                 CASE WHEN n_total > 1 THEN
+                      1.0 - tiesum / (CAST(n_total AS DOUBLE)
+                                      * CAST(n_total AS DOUBLE)
+                                      * CAST(n_total AS DOUBLE)
+                                      - CAST(n_total AS DOUBLE))
+                 END AS corr
+          FROM g)
+    SELECT etype, k_classes, n_total,
+           round(h, 4) AS h_stat,
+           round(CASE WHEN corr > 0 THEN h / corr END, 4) AS h_corrected,
+           CAST(k_classes - 1 AS INTEGER) AS dof,
+           CASE WHEN corr > 0 THEN (h / corr) >
+                (CASE k_classes - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                     WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.070
+                     WHEN 6 THEN 12.592 WHEN 7 THEN 14.067
+                     WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+                     WHEN 10 THEN 18.307 END)
+           END AS significant_05
+    FROM s
+    """,
+    doc="tie-corrected Kruskal-Wallis H of event value across a 3-way "
+        "md5 user split ('kw3:' salt — a 3-arm experiment is a "
+        "different assignment, not a re-bucketing of the binary ab9 "
+        "split), one independent test per event_type — the k-SAMPLE "
+        "rung of the experiment stack (srm_check gates the split, "
+        "welch tests two means, mannwhitney tests two distributions, "
+        "THIS tests k distributions, sprt monitors sequentially). "
+        "Extends mann_whitney's RANK-FUNCTION-FREE identity to k "
+        "classes: 2*avg_rank = 2*cum_le - t + 1 where cum_le/t are "
+        "RANGE-frame window sums of a (group, class, value) count "
+        "aggregate — integer-exact on both engines, no engine rank(); "
+        "the tie term deduplicates onto the min class of each value's "
+        "peers (min is not a rank function); the ONE cross-class "
+        "double fold (sum of (r2x2/2)^2/n) runs as an ORDERED "
+        "cumulative window sum ascending by class read off at the "
+        "last class row, never an unordered float aggregate (the "
+        "srm-stream summation lesson). For k = 2 the corrected H "
+        "equals mann_whitney's z^2 (property-tested and pinned "
+        "end-to-end on the operators). Significance against inlined "
+        "chi-square 5% critical values for df 1..10 (NULL beyond). "
+        "Scale shape: two group-keyed exchanges (observation collapse, "
+        "then windows + fold over the DISTINCT-(class, value) frame), "
+        "no single-partition stage, no join, plan-asserted "
+        "(operators/relational.py::kruskal_wallis).",
+)
+def _q_events_kruskal_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.kruskal_wallis(
+        ev.select(F.col("event_type").alias("etype"),
+                  _kw3_clazz().cast("int").alias("clazz"), "value"),
+        group="etype", clazz="clazz", value="value")
+
+
+@_register(
+    "events_logrank_ab",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST((max(epoch_ms(CAST(ts AS TIMESTAMP)))
+                            - min(epoch_ms(CAST(ts AS TIMESTAMP))))
+                           // 3600000 AS INTEGER) AS duration_h,
+                      max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS observed,
+                      CAST(CAST('0x' || substr(md5('ab9:' ||
+                          CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                        AS INTEGER) AS grp
+               FROM events GROUP BY 1),
+    t AS (SELECT duration_h,
+                 CAST(sum(CASE WHEN grp = 0 THEN observed ELSE 0 END)
+                   AS BIGINT) AS d0,
+                 CAST(sum(CASE WHEN grp = 1 THEN observed ELSE 0 END)
+                   AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a0,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a1
+          FROM u GROUP BY 1),
+    s AS (SELECT duration_h, d0, d1,
+                 -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT
+                 -- (the r9 kaplan int128 hash lesson)
+                 CAST(sum(a0) OVER ()
+                   - coalesce(sum(a0) OVER (ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n0,
+                 CAST(sum(a1) OVER ()
+                   - coalesce(sum(a1) OVER (ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n1
+          FROM t),
+    x AS (SELECT *,
+                 CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1) AS e1,
+                 CASE WHEN n0 + n1 > 1 THEN
+                      CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1) * n0
+                      / (n0 + n1) * ((n0 + n1) - (d0 + d1))
+                      / ((n0 + n1) - 1)
+                 ELSE CAST(0.0 AS DOUBLE) END AS v
+          FROM s)
+    SELECT duration_h,
+           n0 AS n_risk0, n1 AS n_risk1,
+           d0 AS n_event0, d1 AS n_event1,
+           round(e1, 6) AS expected1,
+           round(sum(d1 - e1) OVER cum, 6) AS o_minus_e,
+           round(sum(v) OVER cum, 6) AS var_cum,
+           round(CASE WHEN sum(v) OVER cum > 0
+                      THEN sum(d1 - e1) OVER cum / sqrt(sum(v) OVER cum)
+                 END, 4) AS z_stat,
+           CASE WHEN sum(v) OVER cum > 0
+                THEN abs(sum(d1 - e1) OVER cum / sqrt(sum(v) OVER cum))
+                     > 1.96
+           END AS significant_05
+    FROM x
+    WINDOW cum AS (ORDER BY duration_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="log-rank (Mantel-Cox) test between the md5 A/B arms' survival "
+        "curves over the SAME per-user duration/observed frame the "
+        "graded events_kaplan_meier / events_nelson_aalen read "
+        "(duration = hours between first and last activity, event = "
+        "the user ever purchases) — completes the survival stack: "
+        "kaplan estimates S, nelson estimates H, THIS tests S_a vs "
+        "S_b. At each distinct duration the expected group-1 events "
+        "e1 = d*n1/n and hypergeometric variance v come from the "
+        "pooled risk sets; emitted PER DURATION as a monotone evidence "
+        "trace (the survival stack's curve-output convention — the "
+        "final row carries the verdict). Group and observed validation "
+        "are welch-strict in-plan; null durations raise (Spark windows "
+        "sort NULLS FIRST vs SQL NULLS LAST — the r13 advice fixes). "
+        "Cross-engine float discipline: every accumulation is an "
+        "integer window sum (risk sets) or an ORDERED cumulative "
+        "double sum ascending by duration; the e1/v algebra "
+        "interleaves multiplications with divisions "
+        "(d * n1 / n * n0 / n * (n-d)/(n-1)) so no integer product "
+        "overflows, identical operand order in both engines; the "
+        "oracle CASTs its windowed BIGINT sums (the r9 kaplan HUGEINT "
+        "lesson). Scale shape (kaplan/nelson's exact shape): one "
+        "user-keyed aggregate -> one (duration) aggregate collapsing "
+        "subjects; risk-set and running windows ride a SinglePartition "
+        "exchange of the <= distinct-durations AGGREGATE frame, no "
+        "join, plan-asserted "
+        "(operators/relational.py::logrank_test).",
+)
+def _q_events_logrank_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # the graded events_kaplan_meier builder's derivation, verbatim —
+    # the survival stack reads one identical frame
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST((max(ts_ms) - min(ts_ms)) DIV 3600000 AS INT)")
+         .alias("duration_h"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+         .alias("observed"))
+    return relational.logrank_test(
+        per_user.select("duration_h", "observed",
+                        _ab9_variant().cast("int").alias("grp")),
+        duration="duration_h", observed="observed", grp="grp")
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

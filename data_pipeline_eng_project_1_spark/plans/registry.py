@@ -235,7 +235,9 @@ _MEASURED_COST_S = {
     "dedup_keep_best": 1.80,
     "text_rrf_hybrid": 1.82,
     "events_nelson_aalen": 1.85,
+    "events_logrank_ab": 1.90,
     "ntile_spend_quartiles": 1.98,
+    "events_kruskal_value": 1.99,
     "similarity_ann_pq": 2.08,
     "corpus_pipeline_end_to_end": 2.18,
     "doc_cdc_chunks": 2.25,

@@ -103,12 +103,13 @@ def test_stale_refresh_fits_budget_now():
     # i.e. at the hard ceiling), so together with the next round's
     # planned definition load they must fit the next budget. The
     # reserve is re-derived each round from the PLANNED load, not a
-    # historical heuristic (the r10 advice): r13's walk carries 3
-    # needy rows (2 banked registrations + the welch _ab9_variant
-    # re-needy) + the 35-row r9 tail = 38 of 50, leaving 12 slots for
-    # r10 refreshes, so ~38 r10 rows spill here; r14's planned
-    # definition load is <= 4 (docs/BACKLOG.md: bank <= 2 specs,
-    # advice re-needies <= 2), and 38 + 4 = 42 fits the next budget.
+    # historical heuristic (the r10 advice): r14's walk carries 2
+    # needy rows (the banked kruskal/logrank registrations — the r13
+    # advice fixes landed BEFORE registration, so no re-needy slot) +
+    # the 37-row r10 tail = 39 of 50, leaving 11 slots for r11
+    # refreshes, so ~39 r11 rows spill here; r15's planned definition
+    # load is <= 4 (docs/BACKLOG.md: bank <= 2 specs, advice
+    # re-needies <= 2), and 39 + 4 = 43 fits the next budget.
     reserve = 4
     assert spilled <= BUDGET - reserve, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
