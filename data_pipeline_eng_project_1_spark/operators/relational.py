@@ -2565,3 +2565,281 @@ def logrank_test(df: DataFrame, duration: str, observed: str,
         F.round(var, 6).alias("var_cum"),
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_05"))
+
+
+def cox_score_test(df: DataFrame, duration: str, observed: str,
+                   covariate: str) -> DataFrame:
+    """Cox proportional-hazards SCORE test (beta = 0) of a single
+    INTEGRAL covariate over per-subject (``duration``, ``observed``,
+    ``covariate``) rows — the continuous-covariate generalization of
+    ``logrank_test`` (H0: the covariate has no effect on the hazard).
+    At each distinct duration with d events: the Breslow score
+    contribution is sx - d * S1/S0 (sx = covariate sum over the
+    events; S0/S1 = risk-set count / covariate sum) and the
+    tie-corrected information contribution is
+    d * (S0-d)/(S0-1) * (S2/S0 - (S1/S0)^2); the statistic is the
+    running sum(u) / sqrt(sum v), emitted PER DURATION as a monotone
+    evidence trace (the kaplan/nelson/logrank curve-output convention
+    — the final row carries the verdict). For a binary 0/1 covariate
+    every per-duration term reduces ALGEBRAICALLY to logrank_test's
+    (S1 = n1, S2 = n1, sx = d1), so this IS the log-rank test as a
+    score test — pinned end-to-end by test.
+
+    The covariate contract is INTEGRAL (long-castable, non-null,
+    no fractional part) by design: the risk-set sums S1 = sum(x) and
+    S2 = sum(x^2) then accumulate as integer-exact window sums on
+    both engines — the same cross-engine discipline that makes
+    mann_whitney/kruskal rank-free. A null or fractional covariate
+    raises in-plan (a null x would silently vanish from S1/S2 while
+    the subject stays in S0 — the r13 logrank-observed bug class);
+    scale or bin a continuous covariate to integers first (the test
+    is invariant to positive affine maps of x only up to sign, so
+    document the scaling at the call site). ``observed`` and
+    ``duration`` follow logrank_test's strict contract: non-{0, 1}
+    observed and null durations raise in-plan.
+
+    Cross-engine float discipline: risk sets and covariate sums are
+    integer window sums; u/v accumulate as ORDERED cumulative double
+    sums ascending by duration; the per-row algebra interleaves
+    multiplications with divisions (d * (S0-d) / (S0-1) * (...)) with
+    identical operand order in both engines, and S1/S0, S2/S0 go
+    double on the first step.
+
+    Overflow bounds (documented, loud on both engines — Spark ANSI
+    raises, DuckDB errors): S2 = sum(x^2) over the full cohort dies
+    at ~9.2e18, i.e. |x| <= ~3e6 with 1e6 subjects or |x| <= ~1e5
+    with 1e9 subjects — bin wider or clip at the call site above
+    that; sx/S1 bounds are the looser |x| * n < 9.2e18.
+
+    Scale shape (the survival stack's exact shape): ONE partial+final
+    (duration) aggregate collapses the subjects; risk-set and running
+    windows ride a SinglePartition exchange of the <= distinct-
+    durations AGGREGATE frame.
+
+    Family: the regression rung of the survival stack — kaplan_meier
+    estimates S, nelson_aalen estimates H, logrank_test compares two
+    arms, THIS scores a covariate's effect.
+    """
+    reserved = ("n_risk", "n_events", "x_risk_mean", "score_cum",
+                "info_cum", "z_stat", "significant_05")
+    if duration in reserved:
+        raise ValueError(
+            f"cox_score_test: duration column {duration!r} collides "
+            f"with an output column of this test {reserved}; alias it "
+            "first")
+    o = F.col(observed).cast("long")
+    x = F.col(covariate).cast("long")
+    frac = (F.col(covariate).isNull()
+            | (F.col(covariate).cast("double") != x.cast("double")))
+    per_t = df.groupBy(duration).agg(
+        F.sum(o).alias("__d"),
+        F.sum(F.when(o == 1, x).otherwise(F.lit(0))).alias("__sx"),
+        F.count(F.lit(1)).cast("long").alias("__a"),
+        F.sum(x).alias("__ax"),
+        F.sum(x * x).alias("__ax2"),
+        F.sum(F.when(F.col(observed).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__badobs"),
+        F.sum(F.when(frac, F.lit(1)).otherwise(F.lit(0)))
+         .alias("__badx"))
+    per_t = per_t.filter(
+        F.when(F.col("__badobs") > 0, F.raise_error(F.lit(
+            "cox_score_test: observed column must be a 0/1 event "
+            "indicator — found other/null observed values")))
+         .when(F.col("__badx") > 0, F.raise_error(F.lit(
+            "cox_score_test: covariate column must be integral and "
+            "non-null — a null x silently vanishes from S1/S2 while "
+            "the subject stays in the risk set; bin/scale continuous "
+            "covariates to integers at the call site")))
+         .when(F.isnull(duration), F.raise_error(F.lit(
+            "cox_score_test: duration column must be non-null — null "
+            "durations sort NULLS FIRST on Spark windows but NULLS "
+            "LAST in SQL oracles, shifting every risk set")))
+         .otherwise(F.lit(True)))
+    ordw = Window.orderBy(duration)
+    prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
+    whole = ordw.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _risk(col: str):
+        return (F.sum(col).over(whole)
+                - F.coalesce(F.sum(col).over(prior), F.lit(0)))
+
+    staged = per_t.select(
+        duration, "__d", "__sx",
+        _risk("__a").alias("__s0"),
+        _risk("__ax").alias("__s1"),
+        _risk("__ax2").alias("__s2"))
+    dd = F.col("__d").cast("double")
+    s0 = F.col("__s0")
+    # identical operand order in the oracle: CAST(s1 AS DOUBLE) / s0
+    # twice for xbar, and CAST(d) * (s0 - d) / (s0 - 1) * (...)
+    xb = F.col("__s1").cast("double") / s0
+    u = F.col("__sx") - dd * F.col("__s1") / s0
+    v = F.when(s0 > 1,
+               dd * (s0 - F.col("__d")) / (s0 - F.lit(1))
+               * (F.col("__s2").cast("double") / s0 - xb * xb)
+               ).otherwise(F.lit(0.0))
+    scored = staged.select(
+        duration, "__s0", "__d",
+        xb.alias("__xb"), u.alias("__u"), v.alias("__v"))
+    score = F.sum("__u").over(cum)
+    info = F.sum("__v").over(cum)
+    z = F.when(info > 0, score / F.sqrt(info))
+    return scored.select(
+        duration,
+        F.col("__s0").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.round("__xb", 6).alias("x_risk_mean"),
+        F.round(score, 6).alias("score_cum"),
+        F.round(info, 6).alias("info_cum"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"))
+
+
+def friedman_test(df: DataFrame, block: str, treatment: str,
+                  value: str) -> DataFrame:
+    """Friedman blocked k-sample rank test over a COMPLETE b x k grid
+    of (``block``, ``treatment``, ``value``) cells — the
+    within-block complement of ``kruskal_wallis`` (H0: all k
+    treatments share one distribution, blocks absorb the nuisance
+    variation). Values are midranked WITHIN each block across the k
+    treatments; the tie-corrected statistic is Conover's T1 =
+    (k-1) * sum_j (R_j - b(k+1)/2)^2 / (A2 - C) with A2 = sum of all
+    squared midranks and C = b k (k+1)^2 / 4, chi-square(k-1) under
+    H0 (equals the classic 12/(bk(k+1)) sum R_j^2 - 3b(k+1) when no
+    ties). Emits one row per treatment (rank sums are the evidence;
+    the verdict columns repeat — the kruskal per-group convention).
+
+    FULLY INTEGER-EXACT cross-engine, one step beyond kruskal: with
+    the rank-free identity 2 * midrank = 2 cum_le - t + 1 (an integer
+    from RANGE-frame window sums — no engine rank()), both folds are
+    integers: the numerator sum of (2 R_j - b(k+1))^2 and the
+    denominator 4(A2 - C) = sum((2r)^2) - b k (k+1)^2. No float
+    accumulates ANYWHERE — the single double division happens at the
+    end, so no ordered-fold discipline is even needed.
+
+    Grid validation is strict and in-plan: a duplicate
+    (block, treatment) cell, a null block/treatment/value, or an
+    INCOMPLETE block (any block missing any treatment — checked as
+    per-block cell count == k AND per-treatment block count == b,
+    which together with dedup implies the full grid) raises — an
+    unbalanced design silently biases rank sums toward the treatments
+    present in easy blocks. Pre-aggregate multiple observations per
+    cell at the call site (mean/sum — document which).
+
+    Overflow bounds (documented, loud on both engines): the integer
+    numerator term (2 R_j - b(k+1))^2 <= (b(k-1))^2 summed over k
+    dies near b^2 k^3 ~ 9.2e18 — i.e. b * k^1.5 <= ~3e9, far beyond
+    any real blocked design.
+
+    Significance flags against the inlined chi-square 5% critical
+    values for df 1..10 (NULL beyond); an all-tied grid (A2 = C) has
+    zero rank variance: t1_stat / significant_05 are NULL.
+
+    Scale shape: ONE partial+final (block, treatment) aggregate
+    collapses the observations (map-side combine — the only
+    full-data shuffle moves pre-combined cells, and callers that
+    pre-aggregate make it a no-op re-group); the within-block RANGE
+    windows ride a block-keyed exchange and the per-treatment fold a
+    treatment-keyed exchange, both over the <= b*k-row CELL frame;
+    the final fold is a SinglePartition window over the <= k-row
+    per-treatment frame (the logrank aggregate-frame convention).
+
+    Family: the blocked rung of the experiment stack — kruskal tests
+    k free-standing samples, THIS tests k treatments when a known
+    nuisance factor (day-of-week, shard, site) would otherwise
+    swamp the signal.
+    """
+    reserved = ("b_blocks", "k_treatments", "rank_sum", "mean_rank",
+                "t1_stat", "dof", "significant_05")
+    for c, what in ((block, "block"), (treatment, "treatment")):
+        if c in reserved:
+            raise ValueError(
+                f"friedman_test: {what} column {c!r} collides with an "
+                f"output column of this test {reserved}; alias it "
+                "first")
+    cells = df.groupBy(block, treatment).agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.max(value).alias("__v"),
+        F.sum(F.when(F.col(value).isNull()
+                     | F.isnull(block) | F.isnull(treatment),
+                     F.lit(1)).otherwise(F.lit(0))).alias("__badnull"))
+    cells = cells.filter(
+        F.when(F.col("__c") > 1, F.raise_error(F.lit(
+            "friedman_test: duplicate (block, treatment) cell — "
+            "pre-aggregate multiple observations per cell at the "
+            "call site")))
+         .when(F.col("__badnull") > 0, F.raise_error(F.lit(
+            "friedman_test: block, treatment and value must be "
+            "non-null on every row")))
+         .otherwise(F.lit(True)))
+    wb = Window.partitionBy(block).orderBy("__v")
+    le = wb.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    peers = wb.rangeBetween(Window.currentRow, Window.currentRow)
+    bwhole = (Window.partitionBy(block)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    t = F.count(F.lit(1)).over(peers)
+    cum_le = F.count(F.lit(1)).over(le)
+    ranked = cells.select(
+        block, treatment,
+        (2 * cum_le - t + 1).alias("__rank2"),  # 2 * midrank, integer
+        F.count(F.lit(1)).over(bwhole).alias("__cells_in_block"))
+    per_trt = ranked.groupBy(treatment).agg(
+        F.count(F.lit(1)).cast("long").alias("__b"),
+        F.sum("__rank2").cast("long").alias("__r2"),
+        F.sum(F.col("__rank2") * F.col("__rank2")).cast("long")
+         .alias("__r2sq"),
+        F.min("__cells_in_block").alias("__minc"),
+        F.max("__cells_in_block").alias("__maxc"))
+    wt = Window.orderBy(treatment)
+    whole = wt.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    k = F.count(F.lit(1)).over(whole).cast("long")
+    b = F.max("__b").over(whole)
+    complete = ((F.min("__b").over(whole) == b)
+                & (F.min("__minc").over(whole) == k)
+                & (F.max("__maxc").over(whole) == k))
+    # b/k/complete materialize FIRST (a window result cannot nest
+    # inside another window function); the num/den folds then window
+    # over the same <= k-row SinglePartition frame
+    staged = per_trt.select(
+        treatment, "__r2", "__r2sq",
+        b.alias("__bb"), k.alias("__kk"),
+        complete.alias("__complete"))
+    # numerator/denominator folds: INTEGER sums, order-free on both
+    # engines (see docstring) — b(k+1) is the all-treatment-equal
+    # rank-sum baseline 2 * b(k+1)/2
+    dev = F.col("__r2") - F.col("__bb") * (F.col("__kk") + 1)
+    num = F.sum(dev * dev).over(whole)
+    den = (F.sum("__r2sq").over(whole)
+           - F.col("__bb") * F.col("__kk") * (F.col("__kk") + 1)
+             * (F.col("__kk") + 1))
+    folded = staged.select(
+        treatment, "__r2", F.col("__bb").alias("b_blocks"),
+        F.col("__kk").cast("int").alias("k_treatments"),
+        "__complete",
+        num.alias("__num"), den.alias("__den"))
+    folded = folded.filter(F.when(
+        ~F.col("__complete"),
+        F.raise_error(F.lit(
+            "friedman_test: incomplete design — every block must "
+            "contain every treatment exactly once")))
+    .otherwise(F.lit(True)))
+    t1 = F.when(
+        F.col("__den") > 0,
+        (F.col("k_treatments") - 1) * F.col("__num").cast("double")
+        / F.col("__den"))
+    dof = (F.col("k_treatments") - 1).cast("int")
+    crit = F.when(dof == 1, F.lit(_CHI2_CRIT_05[0]))
+    for i, cv in enumerate(_CHI2_CRIT_05[1:], start=2):
+        crit = crit.when(dof == i, F.lit(cv))
+    return folded.select(
+        treatment, "b_blocks", "k_treatments",
+        (F.col("__r2") / F.lit(2.0)).alias("rank_sum"),
+        F.round(F.col("__r2") / F.lit(2.0) / F.col("b_blocks"), 6)
+         .alias("mean_rank"),
+        F.round(t1, 4).alias("t1_stat"),
+        dof.alias("dof"),
+        (t1 > crit).alias("significant_05"))

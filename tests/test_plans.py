@@ -809,3 +809,52 @@ def test_logrank_inherits_kaplan_plan_shape(spark):
     assert len(keys) == 1 and keys[0].startswith("t"), keys
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_cox_score_inherits_survival_plan_shape(spark):
+    """cox_score_test (banked r15) rides the survival stack's exact
+    shape: subjects fold through ONE (duration) aggregate exchange;
+    risk-set and running-sum windows run over a SinglePartition
+    exchange of the <= distinct-durations AGGREGATE frame; no join,
+    no engine rank()."""
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i % 24, i % 3 == 0, i % 7) for i in range(200)],
+        ["t", "o", "x"]
+    ).select("t", F.col("o").cast("int").alias("obs"), "x")
+    out = relational.cox_score_test(df, "t", "obs", "x")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = [seg.split(",")[0] for seg in segs]
+    assert len(keys) == 1 and keys[0].startswith("t"), keys
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan
+
+
+def test_friedman_cell_combine_then_tiny_frame_folds(spark):
+    """friedman_test (banked r15): observations collapse in ONE
+    partial+final (block, treatment) aggregate (map-side combine — the
+    only full-data shuffle moves pre-combined cells); the within-block
+    RANGE windows ride a block-keyed exchange and the per-treatment
+    fold a treatment-keyed exchange, both over the <= b*k CELL frame;
+    the final fold is a SinglePartition window over the <= k
+    per-treatment rows. No join, no engine rank()."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    cells = spark.createDataFrame(
+        [(f"b{i}", f"t{j}", float((i * 7 + j * 3) % 5))
+         for i in range(6) for j in range(4)],
+        "blk string, trt string, v double")
+    out = relational.friedman_test(cells, "blk", "trt", "v")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"blk": 2, "trt": 1}), keys
+    assert "partial_count" in plan.lower() or "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan

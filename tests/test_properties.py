@@ -853,3 +853,223 @@ def test_logrank_identical_groups_score_zero(rows):
     ome, var = _lr_operator_algebra(both)
     assert abs(ome) < 1e-9
     assert var >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# cox_score_test (banked r15): the duration-aggregate/window accumulation
+# must equal an independently-structured subject-level reference; a binary
+# covariate must reduce to the logrank algebra term by term; the score is
+# shift-invariant and scale-equivariant in the covariate
+# ---------------------------------------------------------------------------
+
+def _cox_operator_algebra(rows):
+    """Python twin of relational.cox_score_test's accumulation: one
+    (duration) aggregate, sequential integer risk sums S0/S1/S2,
+    ordered running u/v sums. rows = (t, obs, x). Returns (score,
+    info) at the final duration."""
+    from collections import Counter
+    d_of = Counter(t for t, obs, _ in rows if obs)
+    sx_of = Counter()
+    a_of, ax_of, ax2_of = Counter(), Counter(), Counter()
+    for t, obs, x in rows:
+        if obs:
+            sx_of[t] += x
+        a_of[t] += 1
+        ax_of[t] += x
+        ax2_of[t] += x * x
+    tot_a, tot_ax, tot_ax2 = (sum(a_of.values()), sum(ax_of.values()),
+                              sum(ax2_of.values()))
+    seen_a = seen_ax = seen_ax2 = 0
+    score = info = 0.0
+    for t in sorted(a_of):
+        s0 = tot_a - seen_a
+        s1 = tot_ax - seen_ax
+        s2 = tot_ax2 - seen_ax2
+        d = d_of[t]
+        score += sx_of[t] - float(d) * s1 / s0
+        if s0 > 1:
+            xb = float(s1) / s0
+            info += (float(d) * (s0 - d) / (s0 - 1)
+                     * (float(s2) / s0 - xb * xb))
+        seen_a += a_of[t]
+        seen_ax += ax_of[t]
+        seen_ax2 += ax2_of[t]
+    return score, info
+
+
+def _cox_subject_level_reference(rows):
+    """Independent structure: for each distinct event time, risk-set
+    covariate moments by scanning subjects (duration >= t), never via
+    running sums."""
+    times = sorted({t for t, obs, _ in rows if obs})
+    score = info = 0.0
+    for t in times:
+        risk = [x for tt, _, x in rows if tt >= t]
+        s0 = len(risk)
+        xb = sum(risk) / s0
+        events = [x for tt, obs, x in rows if obs and tt == t]
+        d = len(events)
+        score += sum(events) - d * xb
+        if s0 > 1:
+            var_x = sum(x * x for x in risk) / s0 - xb * xb
+            info += d * (s0 - d) / (s0 - 1) * var_x
+    return score, info
+
+
+@given(st.lists(st.tuples(st.integers(0, 10), st.booleans(),
+                          st.integers(-9, 9)),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_cox_algebra_matches_subject_level_reference(rows):
+    score, info = _cox_operator_algebra(rows)
+    score_ref, info_ref = _cox_subject_level_reference(rows)
+    assert abs(score - score_ref) < 1e-9
+    assert abs(info - info_ref) < 1e-9
+    assert info >= -1e-12
+    # shift invariance: x -> x + 7 changes neither U nor V (only the
+    # centered covariate enters); scale equivariance: x -> 3x gives
+    # U -> 3U, V -> 9V (so z is scale-free)
+    shifted = [(t, obs, x + 7) for t, obs, x in rows]
+    s2, i2 = _cox_operator_algebra(shifted)
+    assert abs(score - s2) < 1e-6
+    assert abs(info - i2) < 1e-6
+    scaled = [(t, obs, 3 * x) for t, obs, x in rows]
+    s3, i3 = _cox_operator_algebra(scaled)
+    assert abs(3.0 * score - s3) < 1e-6
+    assert abs(9.0 * info - i3) < 1e-6
+
+
+@given(st.lists(st.tuples(st.integers(0, 10), st.booleans(),
+                          st.integers(0, 1)),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_cox_binary_covariate_is_the_logrank_test(rows):
+    """With x in {0, 1}: S1 = n1, S2 = n1, sx = d1, so u = d1 - e1 and
+    v = d (S0-d)/(S0-1) (n1/n - (n1/n)^2) = logrank's hypergeometric
+    variance — the score test IS the log-rank test."""
+    score, info = _cox_operator_algebra(rows)
+    ome, var = _lr_operator_algebra([(t, obs, x) for t, obs, x in rows])
+    assert abs(score - ome) < 1e-9
+    assert abs(info - var) < 1e-9
+
+
+def test_cox_constant_covariate_scores_zero():
+    rows = [(t, obs, 5) for t, obs in
+            [(1, True), (2, False), (3, True), (3, True), (7, False)]]
+    score, info = _cox_operator_algebra(rows)
+    assert abs(score) < 1e-12 and abs(info) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# friedman_test (banked r15): the integer 2R_j accumulation must equal the
+# direct within-block-midrank Conover T1 on ANY complete grid with ties;
+# with no ties T1 equals the classic Friedman Q; ranks are invariant under
+# any strictly increasing value map
+# ---------------------------------------------------------------------------
+
+def _fr_operator_algebra(grid):
+    """Python twin of relational.friedman_test's accumulation:
+    within-block RANGE identities in value order, integer numerator
+    sum((2R_j - b(k+1))^2) and denominator sum((2r)^2) - b k (k+1)^2.
+    grid = list of rows (one per block) of k cell values. Returns
+    (t1 or None, num, den) — all-integer num/den."""
+    b = len(grid)
+    k = len(grid[0])
+    r2 = [0] * k  # 2 * R_j, exact integers
+    r2sq_sum = 0
+    for row in grid:
+        values = sorted(set(row))
+        cum_le = 0
+        rank2_of = {}
+        for v in values:
+            t = sum(1 for x in row if x == v)
+            cum_le += t
+            rank2_of[v] = 2 * cum_le - t + 1
+        for j, x in enumerate(row):
+            r2[j] += rank2_of[x]
+            r2sq_sum += rank2_of[x] * rank2_of[x]
+    num = sum((rj - b * (k + 1)) ** 2 for rj in r2)
+    den = r2sq_sum - b * k * (k + 1) * (k + 1)
+    t1 = (k - 1) * float(num) / den if den > 0 else None
+    return t1, num, den
+
+
+def _fr_midrank_reference(grid):
+    """Direct Conover T1: float midranks within each block,
+    T1 = (k-1) sum_j (R_j - b(k+1)/2)^2 / (A2 - b k (k+1)^2 / 4)."""
+    b, k = len(grid), len(grid[0])
+    rsum = [0.0] * k
+    a2 = 0.0
+    for row in grid:
+        order = sorted(range(k), key=lambda j: row[j])
+        ranks = [0.0] * k
+        i = 0
+        while i < k:
+            j = i
+            while j < k and row[order[j]] == row[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for m in range(i, j):
+                ranks[order[m]] = mid
+            i = j
+        for j in range(k):
+            rsum[j] += ranks[j]
+            a2 += ranks[j] * ranks[j]
+    c = b * k * (k + 1) ** 2 / 4.0
+    num = sum((rj - b * (k + 1) / 2.0) ** 2 for rj in rsum)
+    return ((k - 1) * num / (a2 - c)) if a2 - c > 1e-12 else None
+
+
+@st.composite
+def _fr_grids(draw):
+    k = draw(st.integers(2, 5))
+    b = draw(st.integers(1, 6))
+    return [draw(st.lists(st.integers(-5, 5), min_size=k, max_size=k))
+            for _ in range(b)]
+
+
+@given(_fr_grids())
+@settings(max_examples=300)
+def test_friedman_integer_identity_matches_midranks(grid):
+    t1, num, den = _fr_operator_algebra(grid)
+    ref = _fr_midrank_reference(grid)
+    assert den >= 0  # A2 >= C always (Cauchy-Schwarz on ranks)
+    if t1 is None:
+        assert ref is None
+        return
+    assert ref is not None
+    assert abs(t1 - ref) < 1e-9 * max(1.0, abs(t1))
+    # ranks only: any strictly increasing transform leaves T1 fixed
+    mapped = [[x * x * x + 3 * x for x in row] for row in grid]
+    t1_m, _, _ = _fr_operator_algebra(mapped)
+    assert abs(t1 - t1_m) < 1e-12
+
+
+@given(_fr_grids())
+@settings(max_examples=200)
+def test_friedman_no_ties_equals_classic_q(grid):
+    if any(len(set(row)) != len(row) for row in grid):
+        return  # ties: classic Q is the wrong reference
+    b, k = len(grid), len(grid[0])
+    t1, _, _ = _fr_operator_algebra(grid)
+    # classic Q = 12/(b k (k+1)) sum R_j^2 - 3 b (k+1) over midrank
+    # sums (integer ranks here)
+    rsum = [0.0] * k
+    for row in grid:
+        order = sorted(range(k), key=lambda j: row[j])
+        for pos, j in enumerate(order):
+            rsum[j] += pos + 1
+    q = (12.0 / (b * k * (k + 1)) * sum(r * r for r in rsum)
+         - 3.0 * b * (k + 1))
+    assert t1 is not None
+    assert abs(t1 - q) < 1e-9 * max(1.0, abs(q))
+
+
+@given(_fr_grids())
+@settings(max_examples=200)
+def test_friedman_block_permutation_invariance(grid):
+    t1, num, den = _fr_operator_algebra(grid)
+    t1_p, num_p, den_p = _fr_operator_algebra(list(reversed(grid)))
+    assert (num, den) == (num_p, den_p)
+    if t1 is not None:
+        assert abs(t1 - t1_p) < 1e-12

@@ -1582,3 +1582,147 @@ def test_logrank_observed_and_duration_strictness(spark):
         [(None, 1, 1)], "t int, obs int, g int"))
     with pytest.raises(Exception, match="duration column must be"):
         relational.logrank_test(null_t, "t", "obs", "g").collect()
+
+
+# ---------------------------------------------------------------------------
+# cox_score_test / friedman_test (BANKED for r15 — docs/BACKLOG.md)
+# ---------------------------------------------------------------------------
+
+def test_cox_binary_covariate_equals_logrank_on_spark(spark):
+    """The classical identity, end-to-end on the two OPERATORS: with a
+    binary 0/1 covariate the Cox score test IS the log-rank test —
+    every per-duration u/v term reduces algebraically (S1 = n1,
+    S2 = n1, sx = d1)."""
+    rows = [((i * 5) % 11 + 1, (i // 2) % 2, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "t int, obs int, g int")
+    cox = {r["t"]: r for r in
+           relational.cox_score_test(df, "t", "obs", "g").collect()}
+    lr = {r["t"]: r for r in
+          relational.logrank_test(df, "t", "obs", "g").collect()}
+    assert set(cox) == set(lr)
+    for t in cox:
+        assert cox[t]["score_cum"] == pytest.approx(
+            lr[t]["o_minus_e"], abs=1e-5)
+        assert cox[t]["info_cum"] == pytest.approx(
+            lr[t]["var_cum"], abs=1e-5)
+        if lr[t]["z_stat"] is not None:
+            assert cox[t]["z_stat"] == pytest.approx(
+                lr[t]["z_stat"], abs=1e-3)
+
+
+def test_cox_textbook_hand_example(spark):
+    """Subjects (t, obs, x): (1,1,2), (2,1,0), (3,0,1). t=1: S0=3,
+    S1=3, S2=5, d=1, sx=2 -> u = 2 - 1 = 1, v = (5/3 - 1) = 2/3.
+    t=2: risk {0,1}: S0=2, S1=1, S2=1, d=1, sx=0 -> u = -0.5,
+    v = 0.25. t=3: S0=1 -> u = 0, v = 0 (n-1 guard). Final score 0.5,
+    info 11/12, z = 0.5/sqrt(11/12) = 0.522233."""
+    df = spark.createDataFrame([(1, 1, 2), (2, 1, 0), (3, 0, 1)],
+                               "t int, obs int, x int")
+    rows = {r["t"]: r for r in
+            relational.cox_score_test(df, "t", "obs", "x").collect()}
+    assert [rows[t]["n_risk"] for t in (1, 2, 3)] == [3, 2, 1]
+    assert rows[1]["x_risk_mean"] == pytest.approx(1.0)
+    assert rows[1]["score_cum"] == pytest.approx(1.0)
+    assert rows[1]["info_cum"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert rows[2]["score_cum"] == pytest.approx(0.5)
+    assert rows[2]["info_cum"] == pytest.approx(11.0 / 12.0, abs=1e-6)
+    assert rows[3]["score_cum"] == pytest.approx(0.5)
+    assert rows[3]["info_cum"] == pytest.approx(11.0 / 12.0, abs=1e-6)
+    assert rows[3]["z_stat"] == pytest.approx(0.5222, abs=1e-4)
+    assert rows[3]["significant_05"] is False
+
+
+def test_cox_strictness_guards(spark):
+    """The covariate contract is integral + non-null (a null x would
+    vanish from S1/S2 while the subject stays in S0 — the r13
+    logrank-observed bug class, closed from birth); observed and
+    duration follow logrank's strict contract; output-name collisions
+    raise eagerly."""
+    ok = spark.createDataFrame([(1, 1, 2.0), (2, 1, 0.0), (3, 0, 1.0)],
+                               "t int, obs int, x double")
+    assert len(relational.cox_score_test(ok, "t", "obs", "x")
+               .collect()) == 3  # integral doubles are fine
+    for bad_x in (None, 1.5):
+        bad = ok.union(spark.createDataFrame(
+            [(2, 1, bad_x)], "t int, obs int, x double"))
+        with pytest.raises(Exception, match="covariate column"):
+            relational.cox_score_test(bad, "t", "obs", "x").collect()
+    bad_obs = ok.union(spark.createDataFrame(
+        [(2, 7, 1.0)], "t int, obs int, x double"))
+    with pytest.raises(Exception, match="observed column"):
+        relational.cox_score_test(bad_obs, "t", "obs", "x").collect()
+    null_t = ok.union(spark.createDataFrame(
+        [(None, 1, 1.0)], "t int, obs int, x double"))
+    with pytest.raises(Exception, match="duration column must be"):
+        relational.cox_score_test(null_t, "t", "obs", "x").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.cox_score_test(
+            ok.withColumnRenamed("t", "z_stat"), "z_stat", "obs", "x")
+
+
+def test_friedman_textbook_no_ties(spark):
+    """b=3 blocks, k=3 treatments, no ties: within-block ranks
+    (1,2,3), (1,2,3), (2,1,3) -> R = (4,5,9); classic
+    Q = 12/36 * (16+25+81) - 36 = 14/3; Conover T1 equals it exactly
+    when tie-free (A2 - C = bk(k^2-1)/12 * 12/... = 6 here,
+    num/(k-1) = 14)."""
+    rows = [("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+            ("b2", "A", 2.0), ("b2", "B", 4.0), ("b2", "C", 6.0),
+            ("b3", "A", 5.0), ("b3", "B", 4.0), ("b3", "C", 6.0)]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    out = {r["trt"]: r for r in
+           relational.friedman_test(df, "blk", "trt", "v").collect()}
+    assert [out[j]["rank_sum"] for j in "ABC"] == [4.0, 5.0, 9.0]
+    assert all(r["b_blocks"] == 3 and r["k_treatments"] == 3
+               and r["dof"] == 2 for r in out.values())
+    assert out["A"]["t1_stat"] == pytest.approx(14.0 / 3.0, abs=1e-4)
+    assert out["A"]["significant_05"] is False  # 4.67 < 5.991
+    assert out["B"]["mean_rank"] == pytest.approx(5.0 / 3.0, abs=1e-6)
+
+
+def test_friedman_ties_match_python_twin(spark):
+    """A tied grid checked against the property-tested pure-Python
+    twin (which itself equals direct Conover midranks)."""
+    from tests.test_properties import _fr_operator_algebra
+
+    grid = [[1, 1, 2], [2, 1, 3], [5, 5, 5], [4, 2, 2]]
+    t1, _, _ = _fr_operator_algebra(grid)
+    rows = [(f"b{i}", f"t{j}", float(v))
+            for i, row in enumerate(grid) for j, v in enumerate(row)]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    out = relational.friedman_test(df, "blk", "trt", "v").collect()
+    assert len(out) == 3
+    assert out[0]["t1_stat"] == pytest.approx(t1, abs=1e-4)
+
+
+def test_friedman_degenerate_and_guards(spark):
+    """All-tied grid: zero rank variance -> NULL t1/flag but rank sums
+    still report. Duplicate cells, null values, and incomplete blocks
+    raise in-plan; output-name collisions raise eagerly."""
+    tied = spark.createDataFrame(
+        [("b1", "A", 1.0), ("b1", "B", 1.0),
+         ("b2", "A", 3.0), ("b2", "B", 3.0)],
+        "blk string, trt string, v double")
+    out = relational.friedman_test(tied, "blk", "trt", "v").collect()
+    assert all(r["t1_stat"] is None and r["significant_05"] is None
+               for r in out)
+    assert all(r["rank_sum"] == pytest.approx(3.0) for r in out)
+    ok = spark.createDataFrame(
+        [("b1", "A", 1.0), ("b1", "B", 2.0),
+         ("b2", "A", 3.0), ("b2", "B", 1.0)],
+        "blk string, trt string, v double")
+    dup = ok.union(spark.createDataFrame(
+        [("b1", "A", 9.0)], "blk string, trt string, v double"))
+    with pytest.raises(Exception, match="duplicate"):
+        relational.friedman_test(dup, "blk", "trt", "v").collect()
+    nullv = ok.union(spark.createDataFrame(
+        [("b2", "C", None)], "blk string, trt string, v double"))
+    with pytest.raises(Exception, match="non-null"):
+        relational.friedman_test(nullv, "blk", "trt", "v").collect()
+    incomplete = ok.union(spark.createDataFrame(
+        [("b3", "A", 2.0)], "blk string, trt string, v double"))
+    with pytest.raises(Exception, match="incomplete design"):
+        relational.friedman_test(incomplete, "blk", "trt", "v").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.friedman_test(
+            ok.withColumnRenamed("blk", "dof"), "dof", "trt", "v")
