@@ -2311,6 +2311,17 @@ _CHI2_CRIT_05 = (3.841, 5.991, 7.815, 9.488, 11.070,
                  12.592, 14.067, 15.507, 16.919, 18.307)
 
 
+def _chi2_crit_05(dof: Column) -> Column:
+    """The 5% critical value for ``dof`` as a when-chain over the
+    inlined table (NULL beyond df 10) — shared by every chi-square-
+    flagged test so the operators and their oracles cannot drift on
+    the constants."""
+    crit = F.when(dof == 1, F.lit(_CHI2_CRIT_05[0]))
+    for i, cv in enumerate(_CHI2_CRIT_05[1:], start=2):
+        crit = crit.when(dof == i, F.lit(cv))
+    return crit
+
+
 def kruskal_wallis(df: DataFrame, group: str, clazz: str,
                    value: str) -> DataFrame:
     """Kruskal-Wallis H test of ``value`` across k classes (``clazz``),
@@ -2441,9 +2452,7 @@ def kruskal_wallis(df: DataFrame, group: str, clazz: str,
         F.lit(1.0) - F.col("__tiesum") / (nd * nd * nd - nd))
     h_corr = F.when(corr > 0, h / corr)
     dof = (F.col("k_classes") - 1).cast("int")
-    crit = F.when(dof == 1, F.lit(_CHI2_CRIT_05[0]))
-    for i, cv in enumerate(_CHI2_CRIT_05[1:], start=2):
-        crit = crit.when(dof == i, F.lit(cv))
+    crit = _chi2_crit_05(dof)
     return g.select(
         group, "k_classes", "n_total",
         F.round(h, 4).alias("h_stat"),
@@ -2832,9 +2841,7 @@ def friedman_test(df: DataFrame, block: str, treatment: str,
         (F.col("k_treatments") - 1) * F.col("__num").cast("double")
         / F.col("__den"))
     dof = (F.col("k_treatments") - 1).cast("int")
-    crit = F.when(dof == 1, F.lit(_CHI2_CRIT_05[0]))
-    for i, cv in enumerate(_CHI2_CRIT_05[1:], start=2):
-        crit = crit.when(dof == i, F.lit(cv))
+    crit = _chi2_crit_05(dof)
     return folded.select(
         treatment, "b_blocks", "k_treatments",
         (F.col("__r2") / F.lit(2.0)).alias("rank_sum"),

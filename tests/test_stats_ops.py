@@ -1726,3 +1726,39 @@ def test_friedman_degenerate_and_guards(spark):
     with pytest.raises(ValueError, match="collides"):
         relational.friedman_test(
             ok.withColumnRenamed("blk", "dof"), "dof", "trt", "v")
+
+
+def test_chi2_flag_is_null_beyond_df10(spark):
+    """Both chi-square-flagged tests share _chi2_crit_05: beyond df 10
+    the critical value (and so the flag) is NULL while the statistic
+    still reports — kruskal with 12 classes and friedman with 12
+    treatments both hit the path."""
+    kw = spark.createDataFrame(
+        [("g", c, float(c * 17 % 7 + r)) for c in range(12)
+         for r in range(3)],
+        "grp string, c int, x double")
+    [r] = relational.kruskal_wallis(kw, "grp", "c", "x").collect()
+    assert r["dof"] == 11 and r["h_corrected"] is not None
+    assert r["significant_05"] is None
+    fr = spark.createDataFrame(
+        [(f"b{i}", f"t{j:02d}", float((i * 7 + j * 3) % 5))
+         for i in range(4) for j in range(12)],
+        "blk string, trt string, v double")
+    rows = relational.friedman_test(fr, "blk", "trt", "v").collect()
+    assert all(r["dof"] == 11 and r["t1_stat"] is not None
+               and r["significant_05"] is None for r in rows)
+
+
+def test_cox_all_censored_cohort(spark):
+    """No events anywhere: every u/v term is 0, the trace emits (risk
+    sets still move) and z / significant_05 stay NULL."""
+    df = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, 1), (2, 0, 4), (5, 0, 2)],
+        "t int, obs int, x int")
+    rows = relational.cox_score_test(df, "t", "obs", "x").collect()
+    assert len(rows) == 3
+    assert all(r["n_events"] == 0 for r in rows)
+    assert all(r["score_cum"] == 0.0 and r["info_cum"] == 0.0
+               for r in rows)
+    assert all(r["z_stat"] is None and r["significant_05"] is None
+               for r in rows)
