@@ -48,6 +48,8 @@ Both candidate oracles pass the typed-hash output lint
 compare_df_vs_sql's per-call assert.
 """
 
+import pytest
+
 from data_pipeline_eng_project_1_spark.operators import relational
 from data_pipeline_eng_project_1_spark.sources import catalog
 from pyspark.sql import functions as F
@@ -229,3 +231,39 @@ def test_friedman_spec_proven(spark):
     assert all(r["t1_stat"] is not None for r in rows)
     # rank sums partition the total b*k(k+1)/2
     assert sum(r["rank_sum"] for r in rows) == 7 * k * (k + 1) / 2.0
+
+
+def test_cox_on_ab9_arm_equals_registered_logrank_query(spark):
+    """Fixture-level stack coherence: cox_score_test with the ab9 arm
+    as a binary covariate must reproduce the REGISTERED
+    events_logrank_ab trace row for row (score_cum = o_minus_e,
+    info_cum = var_cum, z = z) — the score test IS the log-rank test,
+    pinned on the very frame the driver grades."""
+    from data_pipeline_eng_project_1_spark.plans import queries as Q
+    from data_pipeline_eng_project_1_spark.plans.queries import _ab9_variant
+    from pyspark.sql import functions as FF
+
+    ev = catalog.load_table(spark, "events", SF)
+    per_user = ev.groupBy("user_id").agg(
+        FF.expr("CAST((max(ts_ms) - min(ts_ms)) DIV 3600000 AS INT)")
+          .alias("duration_h"),
+        FF.max((FF.col("event_type") == "purchase").cast("int"))
+          .alias("observed"))
+    cox = {r["duration_h"]: r for r in relational.cox_score_test(
+        per_user.select("duration_h", "observed",
+                        _ab9_variant().cast("int").alias("grp")),
+        duration="duration_h", observed="observed",
+        covariate="grp").collect()}
+    spec = next(s for s in Q.specs() if s.name == "events_logrank_ab")
+    lr = {r["duration_h"]: r
+          for r in spec.builder(spark, SF).collect()}
+    assert set(cox) == set(lr) and len(cox) >= 10
+    for t in cox:
+        assert cox[t]["n_risk"] == lr[t]["n_risk0"] + lr[t]["n_risk1"]
+        assert cox[t]["score_cum"] == pytest.approx(
+            lr[t]["o_minus_e"], abs=1e-5)
+        assert cox[t]["info_cum"] == pytest.approx(
+            lr[t]["var_cum"], abs=1e-5)
+        if lr[t]["z_stat"] is not None:
+            assert cox[t]["z_stat"] == pytest.approx(
+                lr[t]["z_stat"], abs=1e-3)
