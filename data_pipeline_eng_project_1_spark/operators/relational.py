@@ -1210,6 +1210,35 @@ def welch_ttest(df: DataFrame, variant: str, value: str) -> DataFrame:
         (F.abs(t) > 1.96).alias("significant_05"))
 
 
+def _survival_counts(df: DataFrame, duration: str,
+                     observed: str) -> DataFrame:
+    """Shared (duration)-aggregate for the survival estimators:
+    per-duration event/censor counts under the survival stack's strict
+    contract (the r13-advice bug class closed STACK-WIDE in r14, not
+    just in logrank/cox): ``observed`` outside {0, 1} (incl. null)
+    raises in-plan — a bad value silently skews n_event AND drives
+    n_censor = sum(1 - observed) negative while the subject stays in
+    the risk set; a null observed silently drops the subject from the
+    risk set entirely. Null durations raise in-plan — Spark windows
+    sort NULLS FIRST while SQL oracles' ORDER BY sorts NULLS LAST, so
+    a null-duration row shifts every risk set differently per
+    engine."""
+    per_t = df.groupBy(duration).agg(
+        F.sum(F.col(observed).cast("long")).alias("n_event"),
+        F.sum(F.lit(1) - F.col(observed).cast("long")).alias("n_censor"),
+        F.sum(F.when(F.col(observed).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__badobs"))
+    return per_t.filter(
+        F.when(F.col("__badobs") > 0, F.raise_error(F.lit(
+            "survival estimator: observed column must be a 0/1 event "
+            "indicator — found other/null observed values")))
+         .when(F.isnull(duration), F.raise_error(F.lit(
+            "survival estimator: duration column must be non-null — "
+            "null durations sort NULLS FIRST on Spark windows but "
+            "NULLS LAST in SQL oracles, shifting every risk set")))
+         .otherwise(F.lit(True))).drop("__badobs")
+
+
 def kaplan_meier(df: DataFrame, duration: str, observed: str) -> DataFrame:
     """Kaplan-Meier survival estimator over per-subject
     (``duration``, ``observed``) rows (observed = 1 event, 0 censored):
@@ -1223,10 +1252,12 @@ def kaplan_meier(df: DataFrame, duration: str, observed: str) -> DataFrame:
     the risk-set and product-limit windows (the product computed as
     exp of a running ln-sum, zero-guarded) run over that AGGREGATE
     frame, never the subjects.
+
+    Contract (r14 hardening, shared with nelson_aalen / logrank_test /
+    cox_score_test via ``_survival_counts``): observed outside {0, 1}
+    and null durations raise in-plan.
     """
-    per_t = df.groupBy(duration).agg(
-        F.sum(F.col(observed).cast("long")).alias("n_event"),
-        F.sum(F.lit(1) - F.col(observed).cast("long")).alias("n_censor"))
+    per_t = _survival_counts(df, duration, observed)
     ordw = Window.orderBy(duration)
     prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
     whole = ordw.rowsBetween(
@@ -1272,10 +1303,12 @@ def nelson_aalen(df: DataFrame, duration: str, observed: str) -> DataFrame:
     (duration) aggregate to a frame bounded by distinct duration
     values; the risk-set and running-sum windows run over that
     AGGREGATE frame, never the subjects.
+
+    Contract (r14 hardening, shared with kaplan_meier / logrank_test /
+    cox_score_test via ``_survival_counts``): observed outside {0, 1}
+    and null durations raise in-plan.
     """
-    per_t = df.groupBy(duration).agg(
-        F.sum(F.col(observed).cast("long")).alias("n_event"),
-        F.sum(F.lit(1) - F.col(observed).cast("long")).alias("n_censor"))
+    per_t = _survival_counts(df, duration, observed)
     ordw = Window.orderBy(duration)
     prior = ordw.rowsBetween(Window.unboundedPreceding, -1)
     whole = ordw.rowsBetween(

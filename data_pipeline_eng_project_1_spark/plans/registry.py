@@ -496,6 +496,15 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "embeddings_kmeans_lloyd": 10,        # kmeans_lloyd guards vec_col
     "corpus_vocab_growth": 10,            # vocab_growth_curve guards its
                                           # bucket-closure interpolation
+    # changed in r14 (r13-and-earlier green rows stale) — the survival
+    # stack's strict contract applied STACK-WIDE after the r13 logrank
+    # advice exposed the bug class (observed outside {0,1}/null now
+    # raises in-plan instead of silently skewing n_event and driving
+    # n_censor negative; null durations raise instead of shifting risk
+    # sets differently per engine); fixture frames are all-valid —
+    # same output on every row:
+    "events_kaplan_meier": 13,   # kaplan_meier via _survival_counts
+    "events_nelson_aalen": 13,   # nelson_aalen via _survival_counts
 }
 
 

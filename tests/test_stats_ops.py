@@ -1762,3 +1762,26 @@ def test_cox_all_censored_cohort(spark):
                for r in rows)
     assert all(r["z_stat"] is None and r["significant_05"] is None
                for r in rows)
+
+
+def test_survival_estimators_strict_contract(spark):
+    """The r14 stack-wide hardening, pinned on BOTH registered
+    estimators: observed outside {0, 1} (incl. null) and null
+    durations raise in-plan (before the fix an observed = 5 counted 5
+    events and drove n_censor negative; a null observed silently
+    dropped the subject; a null duration shifted risk sets differently
+    per engine). Valid frames are unaffected."""
+    ok = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (3, 0)], "t int, obs int")
+    assert len(relational.kaplan_meier(ok, "t", "obs").collect()) == 3
+    assert len(relational.nelson_aalen(ok, "t", "obs").collect()) == 3
+    for op in (relational.kaplan_meier, relational.nelson_aalen):
+        for bad_obs in (5, -1, None):
+            bad = ok.union(spark.createDataFrame(
+                [(2, bad_obs)], "t int, obs int"))
+            with pytest.raises(Exception, match="observed column"):
+                op(bad, "t", "obs").collect()
+        null_t = ok.union(spark.createDataFrame(
+            [(None, 1)], "t int, obs int"))
+        with pytest.raises(Exception, match="duration column must be"):
+            op(null_t, "t", "obs").collect()
