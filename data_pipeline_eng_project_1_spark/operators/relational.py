@@ -1058,6 +1058,15 @@ def roc_auc_binned(df: DataFrame, score: str, label: Column,
     points and the AUC is its trapezoid integral (a lower-resolution —
     never biased — estimate of the exact AUC; more bins converge on it).
 
+    Null score/label values raise in-plan (r14 hardening, aligning
+    with calibration_bins — the two classifier-eval tools share one
+    contract): a null label previously counted in the bucket total but
+    not its positives, silently scoring "unknown" as "negative" and
+    biasing every TPR/FPR point; an eval tool must be loud, not
+    conservative (wilson_pass_rate keeps its documented conservative
+    coercion because it IS a gate). Filter or impute nulls explicitly
+    first.
+
     Scale shape: ONE percentile aggregate (swap to approx_percentile at
     100 TB, same plan) -> <= bins-1 boundaries broadcast; scan-side
     strictly-below bucket fold; ONE partial+final (bucket) aggregate; the
@@ -1074,10 +1083,23 @@ def roc_auc_binned(df: DataFrame, score: str, label: Column,
                               lambda bnd: bnd < F.col(score))) + 1)
     agg = (df.crossJoin(F.broadcast(bounds))
              .select(bucket.alias("__bucket"),
+                     F.col(score).alias("__s"),
                      label.cast("long").alias("__pos"))
              .groupBy("__bucket")
              .agg(F.sum("__pos").alias("n_pos"),
-                  (F.count(F.lit(1)) - F.sum("__pos")).alias("n_neg")))
+                  (F.count(F.lit(1)) - F.sum("__pos")).alias("n_neg"),
+                  F.sum(F.when(F.col("__pos").isNull()
+                               | F.col("__s").isNull(), 1).otherwise(0))
+                   .alias("__badl")))
+    # guard as a FILTER (prune-proof — the welch_ttest lesson): any
+    # bucket holding a null score/label raises
+    agg = agg.filter(F.when(
+        F.col("__badl") > 0,
+        F.raise_error(F.lit(
+            "roc_auc_binned: null score/label values found — a null "
+            "label silently scores as a negative and biases every "
+            "TPR/FPR point; filter or impute them explicitly first"))
+    ).otherwise(F.lit(True)))
     # everything below runs over the <= bins-row aggregate frame
     desc = Window.orderBy(F.desc("__bucket"))
     run = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)

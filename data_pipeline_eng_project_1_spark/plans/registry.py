@@ -505,6 +505,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     # same output on every row:
     "events_kaplan_meier": 13,   # kaplan_meier via _survival_counts
     "events_nelson_aalen": 13,   # nelson_aalen via _survival_counts
+    "orders_roc_auc": 13,        # roc_auc_binned now raises on null
+                                 # score/label like calibration_bins
+                                 # (null previously scored as negative)
 }
 
 

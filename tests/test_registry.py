@@ -103,14 +103,14 @@ def test_stale_refresh_fits_budget_now():
     # i.e. at the hard ceiling), so together with the next round's
     # planned definition load they must fit the next budget. The
     # reserve is re-derived each round from the PLANNED load, not a
-    # historical heuristic (the r10 advice): r14's walk carries 4
+    # historical heuristic (the r10 advice): r14's walk carries 5
     # needy rows (the banked kruskal/logrank registrations — their r13
     # advice fixes landed BEFORE registration, costing no slot — plus
-    # the kaplan/nelson re-needies from applying that advice's bug
-    # class STACK-WIDE) + the 36 remaining r10-tail rows = 40 of 50,
-    # leaving 10 slots for r11 refreshes, so ~40 r11 rows spill here;
+    # the kaplan/nelson/roc re-needies from applying that advice's bug
+    # class LIBRARY-WIDE) + the 36 remaining r10-tail rows = 41 of 50,
+    # leaving 9 slots for r11 refreshes, so ~41 r11 rows spill here;
     # r15's planned definition load is <= 4 (docs/BACKLOG.md: bank
-    # <= 2 specs, advice re-needies <= 2), and 40 + 4 = 44 fits the
+    # <= 2 specs, advice re-needies <= 2), and 41 + 4 = 45 fits the
     # next budget.
     reserve = 4
     assert spilled <= BUDGET - reserve, (

@@ -1785,3 +1785,20 @@ def test_survival_estimators_strict_contract(spark):
             [(None, 1)], "t int, obs int"))
         with pytest.raises(Exception, match="duration column must be"):
             op(null_t, "t", "obs").collect()
+
+
+def test_roc_auc_raises_on_null_labels(spark):
+    """The r14 eval-tool alignment: roc_auc_binned raises in-plan on
+    null score/label like calibration_bins has since r11 — a null
+    label previously scored silently as a NEGATIVE, biasing every
+    TPR/FPR point. Valid frames unaffected."""
+    ok = spark.createDataFrame(
+        [(float(i), i % 2) for i in range(40)], "s double, y int")
+    out = relational.roc_auc_binned(ok, "s", F.col("y") == 1, bins=4)
+    assert out.count() == 4
+    bad = ok.union(spark.createDataFrame(
+        [(7.5, None)], "s double, y int"))
+    with pytest.raises(Exception, match="null score/label"):
+        relational.roc_auc_binned(
+            bad, "s", F.when(F.col("y").isNotNull(), F.col("y") == 1),
+            bins=4).collect()
