@@ -1,0 +1,80 @@
+"""Host-throttle adjudication probe (the r11-r14 control protocol as a
+one-liner): interleaved median-of-N of steady control queries at sf0.1,
+optionally bracketing a list of target queries, printed as one JSON
+line. Does NOT touch BENCH_QUERIES.json — this is evidence for the
+sidecar's `remeasured_outliers` / notes, not a measurement to keep.
+
+Readings and their meaning (see docs/BACKLOG.md "idle host" bullet):
+- control ratio ~1.0-1.15x its committed full-sweep value: clean
+  window — full-sweep numbers taken now are comparable round-to-round.
+- ~1.25-1.4x sustained and uniform across controls: the throttle-epoch
+  class (r13/r14) — run TWO full sweeps and min-merge; diff per-query
+  ratios, not totals.
+- multi-second spikes on single samples with steady neighbors: the
+  stall class (r11/r12) — isolated median-of-3 with a steady control
+  adjudicates individual outliers.
+- NOTE: short-session probes read ~10-40% above full-sweep steady
+  state (docs/BACKLOG.md sidecar-warmth caveat), so judge the ratio
+  against a same-shaped probe from a known-clean window when one
+  exists, not against the sweep value alone.
+
+Usage:
+    python scripts/host_probe.py                 # controls only
+    python scripts/host_probe.py q1,q2,...       # bracket targets too
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import SF_DIR, run_query
+from data_pipeline_eng_project_1_spark.plans import queries as Q
+from data_pipeline_eng_project_1_spark.session import get_spark
+
+#: (name, committed r12 full-sweep value) — the cleanest anchor sweep
+#: on record (BENCH_QUERIES.json at commit 78b65a1). Two controls of
+#: different shapes so a plan-specific effect can't masquerade as a
+#: host effect.
+CONTROLS = (("stats_agg_lineitem", 0.196), ("filter_project_cast", 0.142))
+N = 5
+
+
+def main() -> None:
+    targets = sys.argv[1].split(",") if len(sys.argv) > 1 else []
+    spark = get_spark("host-probe", cores=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    builders = {s.name: s.builder for s in Q.specs()}
+    for name, _ in CONTROLS:
+        run_query(spark, builders[name], SF_DIR)  # warm
+    for t in targets:
+        run_query(spark, builders[t], SF_DIR)
+    out: dict = {"sf_dir": SF_DIR, "controls": {}, "targets": {},
+                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    for name, steady in CONTROLS:
+        s = [round(run_query(spark, builders[name], SF_DIR), 3)
+             for _ in range(N)]
+        med = statistics.median(s)
+        out["controls"][name] = {
+            "samples": s, "median": med,
+            "ratio_vs_r12_sweep": round(med / steady, 2)}
+    for t in targets:
+        s = []
+        for _ in range(3):
+            # bracket every target sample with a control sample so the
+            # window's state is recorded alongside the measurement
+            cname, _ = CONTROLS[0]
+            out["controls"][cname]["samples"].append(
+                round(run_query(spark, builders[cname], SF_DIR), 3))
+            s.append(round(run_query(spark, builders[t], SF_DIR), 3))
+        out["targets"][t] = {"samples": s,
+                             "median": round(statistics.median(s), 3)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
