@@ -155,3 +155,24 @@ def test_changed_since_green_literal_has_no_duplicate_keys():
     names = {s.name for s in Q.specs()}
     unknown = [k for k in keys if k not in names]
     assert not unknown, f"_CHANGED_SINCE_GREEN keys not in registry: {unknown}"
+
+
+def test_chi2_critical_values_match_oracle_literals():
+    """The chi-square 5% table is inlined as literals in every
+    chi-square-flagged oracle (the pca_power literal-handoff
+    convention) — parse the registered kruskal oracle's CASE arm and
+    assert the constants equal relational._CHI2_CRIT_05 exactly, so
+    the Spark-side table and the SQL literals cannot drift."""
+    import re
+
+    from data_pipeline_eng_project_1_spark.operators.relational import (
+        _CHI2_CRIT_05,
+    )
+
+    oracle = next(s.oracle for s in Q.specs()
+                  if s.name == "events_kruskal_value")
+    arms = re.findall(r"WHEN (\d+) THEN (\d+\.\d+)", oracle)
+    assert [float(v) for _, v in sorted(arms, key=lambda a: int(a[0]))] \
+        == list(_CHI2_CRIT_05)
+    assert [int(k) for k, _ in sorted(arms, key=lambda a: int(a[0]))] \
+        == list(range(1, 11))
