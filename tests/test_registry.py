@@ -160,19 +160,25 @@ def test_changed_since_green_literal_has_no_duplicate_keys():
 def test_chi2_critical_values_match_oracle_literals():
     """The chi-square 5% table is inlined as literals in every
     chi-square-flagged oracle (the pca_power literal-handoff
-    convention) — parse the registered kruskal oracle's CASE arm and
-    assert the constants equal relational._CHI2_CRIT_05 exactly, so
-    the Spark-side table and the SQL literals cannot drift."""
+    convention) — parse EVERY registered oracle carrying a df->critical
+    CASE arm and assert the constants equal relational._CHI2_CRIT_05
+    exactly, so the Spark-side table and the SQL literals cannot drift
+    (covers kruskal today and every future chi-square registration —
+    the banked friedman — automatically)."""
     import re
 
     from data_pipeline_eng_project_1_spark.operators.relational import (
         _CHI2_CRIT_05,
     )
 
-    oracle = next(s.oracle for s in Q.specs()
-                  if s.name == "events_kruskal_value")
-    arms = re.findall(r"WHEN (\d+) THEN (\d+\.\d+)", oracle)
-    assert [float(v) for _, v in sorted(arms, key=lambda a: int(a[0]))] \
-        == list(_CHI2_CRIT_05)
-    assert [int(k) for k, _ in sorted(arms, key=lambda a: int(a[0]))] \
-        == list(range(1, 11))
+    checked = 0
+    for s in Q.specs():
+        if not s.oracle or f"THEN {_CHI2_CRIT_05[0]}" not in s.oracle:
+            continue
+        arms = re.findall(r"WHEN (\d+) THEN (\d+\.\d+)", s.oracle)
+        arms = sorted(((int(k), float(v)) for k, v in arms),
+                      key=lambda a: a[0])
+        assert [v for _, v in arms] == list(_CHI2_CRIT_05), s.name
+        assert [k for k, _ in arms] == list(range(1, 11)), s.name
+        checked += 1
+    assert checked >= 1  # kruskal at minimum
