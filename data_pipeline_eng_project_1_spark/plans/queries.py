@@ -3658,7 +3658,10 @@ def _q_orders_mutual_information(spark, sf_dir):
         "percentile aggregate (approx_percentile at 100 TB, same plan) "
         "broadcast, scan-side bucket fold, one bucket aggregate; "
         "TPR/FPR/trapezoid windows run over the <= 20-row AGGREGATE "
-        "frame — operators/relational.py::roc_auc_binned.",
+        "frame. r14 hardening: null score/label values raise in-plan "
+        "(a null label silently scored as a NEGATIVE and biased every "
+        "TPR/FPR point), aligning the eval-tool contract with "
+        "calibration_bins — operators/relational.py::roc_auc_binned.",
 )
 def _q_orders_roc_auc(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -3802,7 +3805,9 @@ def _q_events_ab_welch_ttest(spark, sf_dir):
         "the churn/time-to-event estimator. One user-keyed aggregate -> "
         "one duration-keyed aggregate; risk-set and exp(running ln-sum) "
         "product windows run over the <= distinct-durations AGGREGATE "
-        "frame — operators/relational.py::kaplan_meier.",
+        "frame. r14 hardening (shared _survival_counts, stack-wide): "
+        "observed outside {0,1} incl. null and null durations raise "
+        "in-plan — operators/relational.py::kaplan_meier.",
 )
 def _q_events_kaplan_meier(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -4634,7 +4639,9 @@ def _q_events_mannwhitney_value(spark, sf_dir):
         "cumulative sums are ordered-window double sums — ONE "
         "deterministic addition order on both engines; the oracle "
         "CASTs its windowed BIGINT sums (the r9 kaplan HUGEINT "
-        "lesson). Scale shape: one user-keyed aggregate -> one "
+        "lesson). r14 hardening (shared _survival_counts, stack-wide): "
+        "observed outside {0,1} incl. null and null durations raise "
+        "in-plan. Scale shape: one user-keyed aggregate -> one "
         "duration-keyed aggregate; risk-set and running-sum windows "
         "ride the <= distinct-durations AGGREGATE frame "
         "(operators/relational.py::nelson_aalen).",
