@@ -46,6 +46,11 @@ N = 5
 
 def main() -> None:
     targets = sys.argv[1].split(",") if len(sys.argv) > 1 else []
+    known = {s.name for s in Q.specs()}
+    unknown = [t for t in targets if t not in known]
+    if unknown:  # fail BEFORE spending a Spark session on a typo
+        sys.exit(f"host_probe: unknown target query name(s) {unknown} — "
+                 f"pass registered names from plans.queries.specs()")
     spark = get_spark("host-probe", cores=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     builders = {s.name: s.builder for s in Q.specs()}
@@ -66,9 +71,12 @@ def main() -> None:
         s = []
         for _ in range(3):
             # bracket every target sample with a control sample so the
-            # window's state is recorded alongside the measurement
+            # window's state is recorded alongside the measurement; the
+            # bracket readings live under their OWN key (r15 advice fix:
+            # appending them to 'samples' made the printed median/ratio
+            # silently exclude trailing entries shown in the same list)
             cname, _ = CONTROLS[0]
-            out["controls"][cname]["samples"].append(
+            out["controls"][cname].setdefault("bracket_samples", []).append(
                 round(run_query(spark, builders[cname], SF_DIR), 3))
             s.append(round(run_query(spark, builders[t], SF_DIR), 3))
         out["targets"][t] = {"samples": s,

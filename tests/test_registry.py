@@ -161,24 +161,47 @@ def test_chi2_critical_values_match_oracle_literals():
     """The chi-square 5% table is inlined as literals in every
     chi-square-flagged oracle (the pca_power literal-handoff
     convention) — parse EVERY registered oracle carrying a df->critical
-    CASE arm and assert the constants equal relational._CHI2_CRIT_05
+    dispatch and assert the constants equal relational._CHI2_CRIT_05
     exactly, so the Spark-side table and the SQL literals cannot drift
     (covers kruskal today and every future chi-square registration —
-    the banked friedman — automatically)."""
+    the banked friedman — automatically). The WHEN/THEN arm scan is
+    ANCHORED to the innermost CASE..END block containing the df-1
+    critical value (the r15 advice fix: scanning the whole oracle text
+    meant any unrelated 'WHEN <int> THEN <float>' arm elsewhere in a
+    future oracle would pollute the parsed list and fail spuriously)."""
     import re
 
     from data_pipeline_eng_project_1_spark.operators.relational import (
         _CHI2_CRIT_05,
     )
 
+    def chi2_dispatch_blocks(sql: str) -> list[str]:
+        """Innermost CASE..END slices containing the df=1 critical
+        literal — exactly the chi-square dispatch constructs, never the
+        outer significance CASE that wraps one or any unrelated arm."""
+        blocks = []
+        for m in re.finditer(r"\bCASE\b", sql):
+            end = sql.find("END", m.end())
+            if end == -1:
+                continue
+            body = sql[m.end():end]
+            if "CASE" in body:
+                continue  # outer CASE wrapping the dispatch: skip
+            if f"THEN {_CHI2_CRIT_05[0]}" in body:
+                blocks.append(body)
+        return blocks
+
     checked = 0
     for s in Q.specs():
         if not s.oracle or f"THEN {_CHI2_CRIT_05[0]}" not in s.oracle:
             continue
-        arms = re.findall(r"WHEN (\d+) THEN (\d+\.\d+)", s.oracle)
-        arms = sorted(((int(k), float(v)) for k, v in arms),
-                      key=lambda a: a[0])
-        assert [v for _, v in arms] == list(_CHI2_CRIT_05), s.name
-        assert [k for k, _ in arms] == list(range(1, 11)), s.name
+        blocks = chi2_dispatch_blocks(s.oracle)
+        assert blocks, (s.name, "critical literal outside any CASE?")
+        for body in blocks:
+            arms = re.findall(r"WHEN (\d+) THEN (\d+\.\d+)", body)
+            arms = sorted(((int(k), float(v)) for k, v in arms),
+                          key=lambda a: a[0])
+            assert [v for _, v in arms] == list(_CHI2_CRIT_05), s.name
+            assert [k for k, _ in arms] == list(range(1, 11)), s.name
         checked += 1
     assert checked >= 1  # kruskal at minimum
