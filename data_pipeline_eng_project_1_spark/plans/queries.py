@@ -4868,6 +4868,193 @@ def _q_events_logrank_ab(spark, sf_dir):
         duration="duration_h", observed="observed", grp="grp")
 
 
+@_register(
+    "events_cox_activity",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST((max(epoch_ms(CAST(ts AS TIMESTAMP)))
+                            - min(epoch_ms(CAST(ts AS TIMESTAMP))))
+                           // 3600000 AS INTEGER) AS duration_h,
+                      max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS observed,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    t AS (SELECT duration_h,
+                 CAST(sum(observed) AS BIGINT) AS d,
+                 CAST(sum(CASE WHEN observed = 1 THEN x ELSE 0 END)
+                   AS BIGINT) AS sx,
+                 CAST(count(*) AS BIGINT) AS a,
+                 CAST(sum(x) AS BIGINT) AS ax,
+                 CAST(sum(x * x) AS BIGINT) AS ax2
+          FROM u GROUP BY 1),
+    s AS (SELECT duration_h, d, sx,
+                 -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT
+                 -- (the r9 kaplan int128 hash lesson)
+                 CAST(sum(a) OVER ()
+                   - coalesce(sum(a) OVER (ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS s0,
+                 CAST(sum(ax) OVER ()
+                   - coalesce(sum(ax) OVER (ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS s1,
+                 CAST(sum(ax2) OVER ()
+                   - coalesce(sum(ax2) OVER (ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS s2
+          FROM t),
+    x AS (SELECT *,
+                 sx - CAST(d AS DOUBLE) * s1 / s0 AS u,
+                 CASE WHEN s0 > 1 THEN
+                      CAST(d AS DOUBLE) * (s0 - d) / (s0 - 1)
+                      * (CAST(s2 AS DOUBLE) / s0
+                         - (CAST(s1 AS DOUBLE) / s0)
+                           * (CAST(s1 AS DOUBLE) / s0))
+                 ELSE CAST(0.0 AS DOUBLE) END AS v
+          FROM s)
+    SELECT duration_h,
+           s0 AS n_risk, d AS n_events,
+           round(CAST(s1 AS DOUBLE) / s0, 6) AS x_risk_mean,
+           round(sum(u) OVER cum, 6) AS score_cum,
+           round(sum(v) OVER cum, 6) AS info_cum,
+           round(CASE WHEN sum(v) OVER cum > 0
+                      THEN sum(u) OVER cum / sqrt(sum(v) OVER cum)
+                 END, 4) AS z_stat,
+           CASE WHEN sum(v) OVER cum > 0
+                THEN abs(sum(u) OVER cum / sqrt(sum(v) OVER cum)) > 1.96
+           END AS significant_05
+    FROM x
+    WINDOW cum AS (ORDER BY duration_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Cox proportional-hazards SCORE test (beta = 0) of the user's "
+        "event count (activity level) on the SAME per-user "
+        "duration/observed survival frame the graded "
+        "events_kaplan_meier / events_nelson_aalen / events_logrank_ab "
+        "read — the REGRESSION rung of the survival stack (kaplan "
+        "estimates S, nelson estimates H, logrank compares two arms, "
+        "THIS scores a covariate's effect). The covariate contract is "
+        "INTEGRAL + non-null (raises in-plan — a null x would vanish "
+        "from the risk-set moments S1/S2 while the subject stays in "
+        "S0, the r13 logrank-observed bug class closed from birth), so "
+        "S0/S1/S2 are integer window sums; u/v accumulate as ORDERED "
+        "cumulative double sums ascending by duration; the per-row "
+        "algebra interleaves multiplications with divisions with "
+        "identical operand order in both engines, and S1/S0, S2/S0 go "
+        "double on the first step (documented loud-overflow bounds on "
+        "S2 = sum(x^2)). For a binary 0/1 covariate every per-duration "
+        "term reduces ALGEBRAICALLY to logrank_test — property-tested "
+        "AND pinned end-to-end on the registered events_logrank_ab "
+        "frame (tests/test_r15_oracle_specs.py). The oracle CASTs its "
+        "windowed BIGINT sums (the r9 kaplan HUGEINT lesson). Scale "
+        "shape (kaplan/nelson's exact shape): one user-keyed aggregate "
+        "-> one (duration) aggregate collapsing subjects; risk-set and "
+        "running windows ride a SinglePartition exchange of the "
+        "<= distinct-durations AGGREGATE frame, no join, plan-asserted "
+        "(operators/relational.py::cox_score_test).",
+)
+def _q_events_cox_activity(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # the graded events_kaplan_meier builder's derivation plus the
+    # activity covariate — the survival stack reads one identical frame
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST((max(ts_ms) - min(ts_ms)) DIV 3600000 AS INT)")
+         .alias("duration_h"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+         .alias("observed"),
+        F.count(F.lit(1)).cast("long").alias("x"))
+    return relational.cox_score_test(
+        per_user, duration="duration_h", observed="observed",
+        covariate="x")
+
+
+@_register(
+    "events_friedman_dow",
+    """
+    WITH cells AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+                           + 4) % 7 AS dow,
+                          event_type AS etype,
+                          CAST(count(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1, 2),
+    r AS (SELECT dow, etype,
+                 2 * count(*) OVER (PARTITION BY dow ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - count(*) OVER (PARTITION BY dow ORDER BY v
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                 + 1 AS rank2
+          FROM cells),
+    p AS (SELECT etype,
+                 CAST(count(*) AS BIGINT) AS b,
+                 CAST(sum(rank2) AS BIGINT) AS r2,
+                 CAST(sum(rank2 * rank2) AS BIGINT) AS r2sq
+          FROM r GROUP BY 1),
+    f AS (SELECT etype, r2, r2sq,
+                 CAST(max(b) OVER () AS BIGINT) AS bb,
+                 CAST(count(*) OVER () AS BIGINT) AS kk
+          FROM p),
+    g AS (SELECT etype, r2, bb, kk,
+                 CAST(sum((r2 - bb * (kk + 1)) * (r2 - bb * (kk + 1)))
+                   OVER () AS BIGINT) AS num,
+                 CAST(sum(r2sq) OVER ()
+                   - bb * kk * (kk + 1) * (kk + 1) AS BIGINT) AS den
+          FROM f)
+    SELECT etype, bb AS b_blocks, CAST(kk AS INTEGER) AS k_treatments,
+           CAST(r2 AS DOUBLE) / 2.0 AS rank_sum,
+           round(CAST(r2 AS DOUBLE) / 2.0 / bb, 6) AS mean_rank,
+           round(CASE WHEN den > 0
+                      THEN (kk - 1) * CAST(num AS DOUBLE) / den END, 4)
+             AS t1_stat,
+           CAST(kk - 1 AS INTEGER) AS dof,
+           CASE WHEN den > 0 THEN ((kk - 1) * CAST(num AS DOUBLE) / den) >
+                (CASE kk - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                     WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.070
+                     WHEN 6 THEN 12.592 WHEN 7 THEN 14.067
+                     WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+                     WHEN 10 THEN 18.307 END)
+           END AS significant_05
+    FROM g
+    """,
+    doc="Conover tie-corrected Friedman blocked k-sample rank test of "
+        "per-(day-of-week, event_type) traffic counts: blocks = dow, "
+        "treatments = event_type — does traffic differ across event "
+        "types once the weekly cycle is blocked out? The BLOCKED rung "
+        "of the experiment stack (kruskal tests k free-standing "
+        "samples; THIS tests k treatments when a known nuisance factor "
+        "would swamp the signal). The block is derived as integer "
+        "epoch-day arithmetic (ts_ms DIV 86400000 + 4) % 7 on BOTH "
+        "engines — NOT the engines' dayofweek() functions (Spark's is "
+        "1-7 Sunday-first, DuckDB's 0-6: a guaranteed cross-engine "
+        "mismatch); cells are per-(dow, etype) COUNTS, integers, so "
+        "the within-block tie structure is identical on both engines. "
+        "FULLY integer-exact, one step beyond kruskal: with the "
+        "rank-free identity 2*midrank = 2 cum_le - t + 1 (RANGE-frame "
+        "cell counts, no engine rank()), BOTH folds are integers — "
+        "numerator sum((2R_j - b(k+1))^2) and denominator sum((2r)^2) "
+        "- b k (k+1)^2 — so no float accumulates anywhere; the single "
+        "double division happens at the end. Strict in-plan grid "
+        "validation: duplicate cells, null block/treatment/value, and "
+        "INCOMPLETE blocks all raise. Output-type lint: rank_sum "
+        "divides CAST(r2 AS DOUBLE) / 2.0 (a bare r2 / 2.0 parses as "
+        "DECIMAL in DuckDB — off-allowlist). Significance against the "
+        "inlined chi-square 5% critical values for df 1..10, "
+        "drift-guarded to relational._CHI2_CRIT_05 "
+        "(tests/test_registry.py). Scale shape: ONE partial+final "
+        "(block, treatment) cell combine (the only full-data shuffle "
+        "moves pre-combined cells); block-keyed + treatment-keyed "
+        "exchanges over the <= b*k CELL frame; SinglePartition fold "
+        "over <= k rows, plan-asserted "
+        "(operators/relational.py::friedman_test).",
+)
+def _q_events_friedman_dow(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("(ts_ms DIV 86400000 + 4) % 7").alias("dow"),
+        F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    return relational.friedman_test(
+        cells, block="dow", treatment="etype", value="v")
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

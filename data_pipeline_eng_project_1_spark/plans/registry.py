@@ -236,6 +236,7 @@ _MEASURED_COST_S = {
     "text_rrf_hybrid": 1.82,
     "events_nelson_aalen": 1.85,
     "events_logrank_ab": 1.90,
+    "events_cox_activity": 1.90,  # r15 second-slot warm probe (epoch)
     "ntile_spend_quartiles": 1.98,
     "events_kruskal_value": 1.99,
     "similarity_ann_pq": 2.08,
@@ -243,6 +244,7 @@ _MEASURED_COST_S = {
     "doc_cdc_chunks": 2.25,
     "embedding_silhouette": 2.39,
     "embedding_pca_power": 2.70,
+    "events_friedman_dow": 2.74,  # r15 second-slot warm probe (epoch)
     "events_mannwhitney_value": 3.07,
     "dedup_winnow_pairs": 3.10,
     "multimodal_frames": 3.49,

@@ -103,14 +103,14 @@ def test_stale_refresh_fits_budget_now():
     # i.e. at the hard ceiling), so together with the next round's
     # planned definition load they must fit the next budget. The
     # reserve is re-derived each round from the PLANNED load, not a
-    # historical heuristic (the r10 advice): r14's walk carries 5
-    # needy rows (the banked kruskal/logrank registrations — their r13
-    # advice fixes landed BEFORE registration, costing no slot — plus
-    # the kaplan/nelson/roc re-needies from applying that advice's bug
-    # class LIBRARY-WIDE) + the 36 remaining r10-tail rows = 41 of 50,
-    # leaving 9 slots for r11 refreshes, so ~41 r11 rows spill here;
-    # r15's planned definition load is <= 4 (docs/BACKLOG.md: bank
-    # <= 2 specs, advice re-needies <= 2), and 41 + 4 = 45 fits the
+    # historical heuristic (the r10 advice): r15's walk carries 2
+    # needy rows (the banked cox/friedman registrations — both r15
+    # ADVICE findings were in test/script files, so no re-needy slots
+    # were burned) + the FULL 41-row r11 tail (it retires this round,
+    # leaving no green row older than r12) + 7 r12 refreshes = 50;
+    # ~43 r12 rows spill here; r16's planned definition load is <= 4
+    # (docs/BACKLOG.md: bank <= 2 specs — stratified logrank + Page
+    # trend — plus <= 2 advice re-needies), and 43 + 4 = 47 fits the
     # next budget.
     reserve = 4
     assert spilled <= BUDGET - reserve, (
@@ -205,3 +205,88 @@ def test_chi2_critical_values_match_oracle_literals():
             assert [k for k, _ in arms] == list(range(1, 11)), s.name
         checked += 1
     assert checked >= 1  # kruskal at minimum
+
+
+def test_z_critical_and_md5_salt_literals_pinned():
+    """The other two literal-handoff classes the chi-square guard
+    covers for its table (r14 verdict item 6), same shape:
+
+    1. z-critical 1.96: every registered oracle that flags
+       significance via ``abs(<expr>) > <z>`` must use exactly 1.96,
+       and every Spark-side ``F.abs(x) > z`` flag in the operator
+       library must use the same 1.96 — neither side can drift alone.
+       The abs() operand is matched by a balanced-paren scan, not a
+       fragile whole-text regex (the r15 advice lesson).
+    2. md5 split salts: every STATIC salt inlined in a registered
+       oracle as ``md5('<salt>:' ...`` must exist as the identical
+       ``"<salt>:"`` string literal somewhere in the package source —
+       renaming a Spark-side salt without its oracle twin (or vice
+       versa) fails here. Numeric salts are generated by shared
+       Python loops building BOTH sides from one index, so they
+       cannot drift and are excluded.
+    """
+    import glob
+    import inspect
+    import os
+    import re
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    # -- 1a. Spark-side z flags (operator library source)
+    rel_src = inspect.getsource(relational)
+    spark_zs = set(re.findall(r"F\.abs\([a-z_]+\) > (\d+\.\d+)", rel_src))
+    assert spark_zs == {"1.96"}, spark_zs
+    # the one parameterized z (wilson_pass_rate) is pinned at its only
+    # registered call site
+    from data_pipeline_eng_project_1_spark.plans import llm_ops
+    ops_src = inspect.getsource(llm_ops)
+    assert set(re.findall(r"wilson_pass_rate\(.*?z=(\d+\.\d+)",
+                          ops_src, re.S)) == {"1.96"}
+
+    def abs_comparison_literals(sql: str) -> list[str]:
+        """Float literals compared against an abs(...) expression,
+        found by scanning each abs( to its balanced close."""
+        out = []
+        for m in re.finditer(r"\babs\(", sql):
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            tail = re.match(r"\s*>\s*(\d+\.\d+)", sql[i:])
+            if tail:
+                out.append(tail.group(1))
+        return out
+
+    z_oracles = salt_oracles = 0
+    all_salts: set[str] = set()
+    for s in Q.specs():
+        if not s.oracle:
+            continue
+        zs = abs_comparison_literals(s.oracle)
+        if zs:
+            assert set(zs) == {"1.96"}, (s.name, zs)
+            z_oracles += 1
+        salts = {t for t in re.findall(r"md5\('([A-Za-z0-9]+):'",
+                                       s.oracle)
+                 if not t.isdigit()}
+        if salts:
+            all_salts |= salts
+            salt_oracles += 1
+    assert z_oracles >= 4   # welch/mannwhitney/logrank/cox at minimum
+    assert salt_oracles >= 8
+    assert {"ab9", "kw3", "split"} <= all_salts
+
+    # -- 2b. every oracle salt exists verbatim as a Spark-side literal
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(
+        relational.__file__)))
+    src = "".join(open(p).read()
+                  for p in glob.glob(os.path.join(pkg, "**", "*.py"),
+                                     recursive=True))
+    missing = [t for t in sorted(all_salts)
+               if f'"{t}:"' not in src and f"'{t}:'" not in src]
+    assert not missing, (
+        f"oracle md5 salts with no identical Spark-side string "
+        f"literal: {missing}")
