@@ -1,0 +1,97 @@
+"""Standing bench-measurement protocol (r15 — the r13/r14 epoch
+discipline made permanent, per the r14 verdict): min-merge two or more
+complete full-sweep sidecars per query, then report every number as a
+PER-QUERY RATIO vs the frozen clean anchor (the r12 committed sweep,
+108.0 s, commit 78b65a1) instead of comparing absolute wall-clock
+totals — two consecutive multiplicative host-throttle epochs made
+totals uninterpretable round-over-round.
+
+Usage:
+    python scripts/sweep_merge.py sweep1.json sweep2.json [...]
+        # prints the min-merged sidecar JSON to stdout and a ratio
+        # report vs the anchor to stderr; does NOT write
+        # BENCH_QUERIES.json — review, then copy over deliberately.
+
+Regression bar (unchanged from r12-r14): a query is flagged only when
+min-merged > 2x anchor + 0.3 s. Whole-board uniform moves are the
+epoch, not regressions/speedups — adjudicate with
+scripts/host_probe.py (controls-bracketed isolated medians) before
+believing any flagged row.
+"""
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+
+ANCHOR_COMMIT = "78b65a1"  # r12 clean sweep, 108.0 s
+
+
+def anchor_queries() -> dict[str, float]:
+    out = subprocess.run(
+        ["git", "show", f"{ANCHOR_COMMIT}:BENCH_QUERIES.json"],
+        capture_output=True, text=True, check=True).stdout
+    return {k: float(v) for k, v in json.loads(out)["queries"].items()}
+
+
+def main() -> None:
+    paths = sys.argv[1:]
+    if len(paths) < 2:
+        sys.exit("need >= 2 full-sweep sidecar paths to min-merge")
+    sweeps = []
+    for p in paths:
+        with open(p) as f:
+            sweeps.append(json.load(f))
+    names = set(sweeps[0]["queries"])
+    for s in sweeps[1:]:
+        if set(s["queries"]) != names:
+            sys.exit("sweeps cover different query sets — all inputs "
+                     "must be complete full sweeps")
+    merged = {q: min(s["queries"][q] for s in sweeps) for q in names}
+    sidecar = {
+        **{k: sweeps[0][k] for k in ("metric", "unit", "sf")},
+        "value": round(sum(merged.values()), 3),
+        "n_queries": len(merged),
+        "method": {
+            "name": "min-merge-of-full-sweeps",
+            "n_sweeps": len(paths),
+            "per_sweep_method": sweeps[0].get("method"),
+            "anchor": f"r12 sweep at {ANCHOR_COMMIT} (108.0 s)",
+            "note": ("per-query MIN of complete median3-interleaved "
+                     "sweeps; regression bar = 2x anchor + 0.3 s; "
+                     "whole-board uniform moves are host-throttle "
+                     "epochs (adjudicate with scripts/host_probe.py), "
+                     "not regressions"),
+        },
+        "queries": merged,
+        "remeasured_outliers": {
+            k: v for s in sweeps
+            for k, v in s.get("remeasured_outliers", {}).items()},
+        "notes": sweeps[0].get("notes", ""),
+    }
+    anchor = anchor_queries()
+    ratios = sorted(
+        ((merged[q] / anchor[q], q) for q in names if q in anchor),
+        reverse=True)
+    flagged = [(q, merged[q], anchor[q]) for q in names
+               if q in anchor and merged[q] > 2 * anchor[q] + 0.3]
+    rs = [r for r, _ in ratios]
+    print(f"anchored {len(rs)}/{len(names)} queries | ratio p50 "
+          f"{statistics.median(rs):.2f} p90 "
+          f"{sorted(rs)[int(0.9 * len(rs))]:.2f} max {rs[0]:.2f} "
+          f"({ratios[0][1]})", file=sys.stderr)
+    print(f"over 2x+0.3s bar: {len(flagged)}", file=sys.stderr)
+    for q, m, a in sorted(flagged, key=lambda t: -t[1] / t[2]):
+        print(f"  FLAG {q}: merged {m:.3f}s vs anchor {a:.3f}s",
+              file=sys.stderr)
+    new = sorted(q for q in names if q not in anchor)
+    if new:
+        print(f"not in anchor (post-r12 registrations): {' '.join(new)}",
+              file=sys.stderr)
+    json.dump(sidecar, sys.stdout, indent=1, sort_keys=True)
+    print()
+
+
+if __name__ == "__main__":
+    main()
