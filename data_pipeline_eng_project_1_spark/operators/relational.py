@@ -2905,3 +2905,293 @@ def friedman_test(df: DataFrame, block: str, treatment: str,
         F.round(t1, 4).alias("t1_stat"),
         dof.alias("dof"),
         (t1 > crit).alias("significant_05"))
+
+
+def stratified_logrank(df: DataFrame, duration: str, observed: str,
+                       grp: str, stratum: str) -> DataFrame:
+    """Stratified log-rank test between two groups' survival curves,
+    controlling a confounder: ``logrank_test``'s machinery with the
+    ``stratum`` key added to every risk-set window (risk sets per
+    (stratum, duration) — subjects are only ever compared to others
+    in their own stratum), then the final O-E / V running sums fold
+    ACROSS strata as ONE ordered cumulative sum ascending by
+    (stratum, duration), read off at the last row (the kruskal
+    cross-class fold shape). H0: the two hazard functions are equal
+    within every stratum; the confounder's own effect on the hazard
+    cancels out of the statistic.
+
+    Emits the per-(stratum, duration) trace (the survival stack's
+    curve-output convention, per stratum); ``o_minus_e`` / ``var_cum``
+    / ``z_stat`` are the CROSS-strata running sums in (stratum,
+    duration) order, so the final row carries the verdict — consumers
+    read max(stratum, duration). With ONE stratum every output column
+    except the stratum equals ``logrank_test`` verbatim (pinned
+    end-to-end by test).
+
+    Validation is logrank-strict in-plan, plus the stratum: group
+    outside {0, 1}, observed outside {0, 1} (incl. null), null
+    durations AND null strata all raise — a null stratum has no
+    principled risk set, and Spark windows order NULLS FIRST vs SQL
+    oracles NULLS LAST, so it would also shift the cross-strata fold
+    differently per engine.
+
+    Cross-engine float discipline (logrank_test's, unchanged): risk
+    sets and event counts are integer window sums; o_minus_e/var_cum
+    accumulate as ORDERED cumulative double sums ascending by
+    (stratum, duration) — one deterministic addition order on both
+    engines; the per-row e1/v algebra interleaves multiplications
+    with divisions (d * n1 / n * n0 / n * (n-d)/(n-1)) so no integer
+    product overflows int64 near n ~ 55k, identical operand order in
+    both engines.
+
+    Scale shape: ONE partial+final (stratum, duration) aggregate
+    collapses the subjects; risk-set windows ride a stratum-keyed
+    exchange over the <= distinct-(stratum, duration) AGGREGATE
+    frame; the cross-strata fold is a SinglePartition window over
+    that same aggregate frame (correct there: the frame is
+    aggregate-sized, not data-sized — the logrank convention).
+
+    Family: the confounder-controlled rung of the survival stack —
+    kaplan estimates S, nelson estimates H, logrank compares two
+    arms, cox scores a covariate, THIS compares two arms when a
+    known nuisance factor (site, cohort, device class) would
+    otherwise confound the comparison.
+    """
+    reserved = ("n_risk0", "n_risk1", "n_event0", "n_event1",
+                "expected1", "o_minus_e", "var_cum", "z_stat",
+                "significant_05")
+    for c, what in ((duration, "duration"), (stratum, "stratum")):
+        if c in reserved:
+            raise ValueError(
+                f"stratified_logrank: {what} column {c!r} collides "
+                f"with an output column of this test {reserved}; "
+                "alias it first")
+    o = F.col(observed).cast("long")
+    per_t = df.groupBy(stratum, duration).agg(
+        F.sum(F.when(F.col(grp) == 0, o).otherwise(0)).alias("__d0"),
+        F.sum(F.when(F.col(grp) == 1, o).otherwise(0)).alias("__d1"),
+        F.sum(F.when(F.col(grp) == 0, 1).otherwise(0))
+         .cast("long").alias("__a0"),
+        F.sum(F.when(F.col(grp) == 1, 1).otherwise(0))
+         .cast("long").alias("__a1"),
+        F.sum(F.when(F.col(grp).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bad"),
+        F.sum(F.when(F.col(observed).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__badobs"))
+    per_t = per_t.filter(
+        F.when(F.col("__bad") > 0, F.raise_error(F.lit(
+            "stratified_logrank: group column must be a binary {0, 1} "
+            "assignment — found other/null group values")))
+         .when(F.col("__badobs") > 0, F.raise_error(F.lit(
+            "stratified_logrank: observed column must be a 0/1 event "
+            "indicator — found other/null observed values")))
+         .when(F.isnull(duration), F.raise_error(F.lit(
+            "stratified_logrank: duration column must be non-null — "
+            "null durations sort NULLS FIRST on Spark windows but "
+            "NULLS LAST in SQL oracles, shifting every risk set")))
+         .when(F.isnull(stratum), F.raise_error(F.lit(
+            "stratified_logrank: stratum column must be non-null — a "
+            "null stratum has no risk set, and null order keys sort "
+            "differently per engine in the cross-strata fold")))
+         .otherwise(F.lit(True)))
+    strw = Window.partitionBy(stratum).orderBy(duration)
+    prior = strw.rowsBetween(Window.unboundedPreceding, -1)
+    swhole = strw.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    n0 = (F.sum("__a0").over(swhole)
+          - F.coalesce(F.sum("__a0").over(prior), F.lit(0)))
+    n1 = (F.sum("__a1").over(swhole)
+          - F.coalesce(F.sum("__a1").over(prior), F.lit(0)))
+    staged = per_t.select(
+        stratum, duration, "__d0", "__d1",
+        n0.alias("__n0"), n1.alias("__n1"))
+    d = F.col("__d0") + F.col("__d1")
+    n = F.col("__n0") + F.col("__n1")
+    dd = d.cast("double")
+    # identical operand order in the oracle: CAST(d) * n1 / n and
+    # CAST(d) * n1 / n * n0 / n * (n - d) / (n - 1)
+    e1 = dd * F.col("__n1") / n
+    v = F.when(n > 1,
+               dd * F.col("__n1") / n * F.col("__n0") / n
+               * (n - d) / (n - F.lit(1))).otherwise(F.lit(0.0))
+    scored = staged.select(
+        stratum, duration, "__n0", "__n1", "__d0", "__d1",
+        e1.alias("__e1"), v.alias("__v"))
+    cum = (Window.orderBy(stratum, duration)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ome = F.sum(F.col("__d1") - F.col("__e1")).over(cum)
+    var = F.sum("__v").over(cum)
+    z = F.when(var > 0, ome / F.sqrt(var))
+    return scored.select(
+        stratum, duration,
+        F.col("__n0").alias("n_risk0"),
+        F.col("__n1").alias("n_risk1"),
+        F.col("__d0").alias("n_event0"),
+        F.col("__d1").alias("n_event1"),
+        F.round("__e1", 6).alias("expected1"),
+        F.round(ome, 6).alias("o_minus_e"),
+        F.round(var, 6).alias("var_cum"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"))
+
+
+def page_trend_test(df: DataFrame, block: str, treatment: str,
+                    value: str) -> DataFrame:
+    """Page's trend test for an ORDERED alternative over a COMPLETE
+    b x k grid of (``block``, ``treatment``, ``value``) cells — the
+    monotone-alternative companion to ``friedman_test`` (H0: all k
+    treatments share one distribution within blocks; H1: the
+    treatment medians are MONOTONE in the treatment order — strictly
+    more powerful than Friedman when the alternative really is
+    ordered). L = sum_j j * R_j with j the treatment's 1-based ordinal
+    in ascending treatment order and R_j its within-block midrank sum;
+    z = (L - b k (k+1)^2 / 4) / sqrt(b k^2 (k+1)^2 (k-1) / 144).
+
+    The treatment contract is INTEGRAL + non-null (raises in-plan):
+    the treatment VALUE defines the trend order, so an unordered
+    label (event types, names) has no defensible j — derive an
+    ordered bucket (hour-of-day band, size class, dose level) at the
+    call site. The ordinal j is computed RANK-FREE as a RANGE-frame
+    count of treatments at-or-below (treatments are distinct after
+    the grid dedup, so the count IS the position — the kruskal
+    cum_le trick on the <= k-row frame, no engine rank()).
+
+    INTEGER-EXACT accumulation (the friedman discipline): with
+    2 * midrank = 2 cum_le - t + 1, the fold keeps 2L = sum_j
+    j * (2 R_j) and centers as 4(L - E[L]) = 2 * (2L) - b k (k+1)^2
+    — all integers (k(k+1)^2 is even, so b k (k+1)^2 = 4 E[L] is
+    exact); the single double division is the final
+    z = 4(L - E[L]) / sqrt(16 Var) with 16 Var = b k^2 (k+1)^2
+    (k-1) / 9. Ties get midranks in L; the variance is the classical
+    no-ties formula (the standard Page approximation — with heavy
+    ties prefer friedman_test, whose denominator is tie-corrected).
+
+    Grid validation is friedman-strict in-plan: duplicate
+    (block, treatment) cells, null block/treatment/value, and
+    INCOMPLETE blocks all raise. Emits one row per treatment
+    (j_index and rank sums are the evidence; the verdict columns
+    repeat — the kruskal/friedman per-group convention).
+    significant_05 is the TWO-SIDED |z| > 1.96 flag: it detects a
+    monotone trend in either direction (reversing the treatment
+    order negates z — property-pinned), so callers test "is there a
+    trend" without pre-committing to a sign; one-sided readers
+    compare z to 1.645 themselves.
+
+    Overflow bounds (documented, loud on both engines): 2L <=
+    k * b * k * (2k) ~ 2 b k^3 and the centered fold is bounded by
+    b k^3 — dies near b k^3 ~ 9.2e18, far beyond any real blocked
+    design (the friedman bound's shape).
+
+    Scale shape (friedman_test's exact shape): ONE partial+final
+    (block, treatment) cell combine (the only full-data shuffle moves
+    pre-combined cells); within-block RANGE windows ride a
+    block-keyed exchange over the <= b*k CELL frame; the j-ordinal
+    and L folds are SinglePartition windows over the <= k-row
+    per-treatment frame.
+
+    Family: the ordered-alternative rung of the experiment stack —
+    kruskal tests k free-standing samples, friedman blocks a nuisance
+    factor, THIS adds the monotone alternative when the treatments
+    carry a natural order (dose, time band, size tier).
+    """
+    reserved = ("j_index", "b_blocks", "k_treatments", "rank_sum",
+                "mean_rank", "l_stat", "z_stat", "significant_05")
+    for c, what in ((block, "block"), (treatment, "treatment")):
+        if c in reserved:
+            raise ValueError(
+                f"page_trend_test: {what} column {c!r} collides with "
+                f"an output column of this test {reserved}; alias it "
+                "first")
+    trt = F.col(treatment).cast("long")
+    frac = (F.col(treatment).isNull()
+            | (F.col(treatment).cast("double") != trt.cast("double")))
+    cells = df.groupBy(block, treatment).agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.max(value).alias("__v"),
+        F.sum(F.when(F.col(value).isNull() | F.isnull(block),
+                     F.lit(1)).otherwise(F.lit(0))).alias("__badnull"),
+        F.max(F.when(frac, F.lit(1)).otherwise(F.lit(0)))
+         .alias("__badtrt"))
+    cells = cells.filter(
+        F.when(F.col("__c") > 1, F.raise_error(F.lit(
+            "page_trend_test: duplicate (block, treatment) cell — "
+            "pre-aggregate multiple observations per cell at the "
+            "call site")))
+         .when(F.col("__badnull") > 0, F.raise_error(F.lit(
+            "page_trend_test: block and value must be non-null on "
+            "every row")))
+         .when(F.col("__badtrt") > 0, F.raise_error(F.lit(
+            "page_trend_test: treatment column must be integral and "
+            "non-null — its VALUE defines the trend order; derive an "
+            "ordered bucket at the call site")))
+         .otherwise(F.lit(True)))
+    wb = Window.partitionBy(block).orderBy("__v")
+    le = wb.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    peers = wb.rangeBetween(Window.currentRow, Window.currentRow)
+    bwhole = (Window.partitionBy(block)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    t = F.count(F.lit(1)).over(peers)
+    cum_le = F.count(F.lit(1)).over(le)
+    ranked = cells.select(
+        block, treatment,
+        (2 * cum_le - t + 1).alias("__rank2"),  # 2 * midrank, integer
+        F.count(F.lit(1)).over(bwhole).alias("__cells_in_block"))
+    per_trt = ranked.groupBy(treatment).agg(
+        F.count(F.lit(1)).cast("long").alias("__b"),
+        F.sum("__rank2").cast("long").alias("__r2"),
+        F.min("__cells_in_block").alias("__minc"),
+        F.max("__cells_in_block").alias("__maxc"))
+    # j ordinal: RANGE-frame count of treatments at-or-below — the
+    # treatments are DISTINCT here, so the count is the position
+    wt = Window.orderBy(treatment)
+    jle = wt.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = wt.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    k = F.count(F.lit(1)).over(whole).cast("long")
+    b = F.max("__b").over(whole)
+    complete = ((F.min("__b").over(whole) == b)
+                & (F.min("__minc").over(whole) == k)
+                & (F.max("__maxc").over(whole) == k))
+    # j/b/k/complete materialize FIRST (a window result cannot nest
+    # inside another window function); the 2L fold then windows over
+    # the same <= k-row SinglePartition frame
+    staged = per_trt.select(
+        treatment, "__r2",
+        F.count(F.lit(1)).over(jle).cast("long").alias("__j"),
+        b.alias("__bb"), k.alias("__kk"),
+        complete.alias("__complete"))
+    twol = F.sum(F.col("__j") * F.col("__r2")).over(
+        Window.orderBy(treatment).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    folded = staged.select(
+        treatment, "__r2", "__j",
+        F.col("__bb").alias("b_blocks"),
+        F.col("__kk").cast("int").alias("k_treatments"),
+        "__complete", "__bb", "__kk",
+        twol.alias("__twol"))
+    folded = folded.filter(F.when(
+        ~F.col("__complete"),
+        F.raise_error(F.lit(
+            "page_trend_test: incomplete design — every block must "
+            "contain every treatment exactly once")))
+    .otherwise(F.lit(True)))
+    # centered4 = 4 (L - E[L]) = 2 * 2L - b k (k+1)^2, an exact integer
+    kk = F.col("__kk")
+    centered4 = (2 * F.col("__twol")
+                 - F.col("__bb") * kk * (kk + 1) * (kk + 1))
+    # 16 Var = b k^2 (k+1)^2 (k-1) / 9 — multiplications stay integer,
+    # the division by 9.0 goes double at the end
+    var16 = (F.col("__bb") * kk * kk * (kk + 1) * (kk + 1)
+             * (kk - 1)).cast("double") / F.lit(9.0)
+    z = F.when(var16 > 0, centered4.cast("double") / F.sqrt(var16))
+    return folded.select(
+        treatment,
+        F.col("__j").cast("int").alias("j_index"),
+        "b_blocks", "k_treatments",
+        (F.col("__r2") / F.lit(2.0)).alias("rank_sum"),
+        F.round(F.col("__r2") / F.lit(2.0) / F.col("b_blocks"), 6)
+         .alias("mean_rank"),
+        (F.col("__twol") / F.lit(2.0)).alias("l_stat"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"))

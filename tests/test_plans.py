@@ -858,3 +858,55 @@ def test_friedman_cell_combine_then_tiny_frame_folds(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert " rank(" not in plan
+
+
+def test_stratified_logrank_stratum_keyed_then_tiny_fold(spark):
+    """stratified_logrank (banked r16): subjects collapse in ONE
+    (stratum, duration) aggregate; per-stratum risk-set windows ride a
+    stratum-keyed exchange over the <= distinct-(stratum, duration)
+    AGGREGATE frame; the cross-strata O-E/V fold is a SinglePartition
+    window over that same aggregate frame (aggregate-sized, not
+    data-sized — the logrank convention). No join, no engine rank()."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i % 24, i % 3 == 0, i % 2) for i in range(200)],
+        ["s", "t", "o", "g"]
+    ).select("s", "t", F.col("o").cast("int").alias("obs"), "g")
+    out = relational.stratified_logrank(df, "t", "obs", "g", "s")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"s": 2}), keys
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan
+
+
+def test_page_trend_inherits_friedman_plan_shape(spark):
+    """page_trend_test (banked r16) rides friedman_test's exact shape:
+    ONE partial+final (block, treatment) cell combine (the only
+    full-data shuffle moves pre-combined cells); within-block RANGE
+    windows on a block-keyed exchange; the per-treatment fold on a
+    treatment-keyed exchange; j-ordinal and 2L folds as
+    SinglePartition windows over the <= k per-treatment rows. No
+    join, no engine rank()."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    cells = spark.createDataFrame(
+        [(f"b{i}", j, float((i * 7 + j * 3) % 5))
+         for i in range(6) for j in range(4)],
+        "blk string, trt int, v double")
+    out = relational.page_trend_test(cells, "blk", "trt", "v")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"blk": 2, "trt": 1}), keys
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan

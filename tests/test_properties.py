@@ -1073,3 +1073,197 @@ def test_friedman_block_permutation_invariance(grid):
     assert (num, den) == (num_p, den_p)
     if t1 is not None:
         assert abs(t1 - t1_p) < 1e-12
+
+# ---------------------------------------------------------------------------
+# stratified_logrank (banked r16): the per-stratum accumulation folded
+# across strata must equal the sum of independent per-stratum logrank
+# tests; one stratum reduces to logrank_test exactly; label swap negates
+# ---------------------------------------------------------------------------
+
+def _slr_operator_algebra(rows):
+    """Python twin of relational.stratified_logrank's accumulation: one
+    (stratum, duration) aggregate, per-stratum sequential risk sets,
+    ONE ordered running fold ascending by (stratum, duration).
+    rows = (s, t, obs, g). Returns (ome, var) at the final row."""
+    from collections import Counter
+    d1 = Counter((s, t) for s, t, obs, g in rows if g == 1 and obs)
+    d0 = Counter((s, t) for s, t, obs, g in rows if g == 0 and obs)
+    a0 = Counter((s, t) for s, t, obs, g in rows if g == 0)
+    a1 = Counter((s, t) for s, t, obs, g in rows if g == 1)
+    tot0 = Counter(s for s, t, obs, g in rows if g == 0)
+    tot1 = Counter(s for s, t, obs, g in rows if g == 1)
+    seen0, seen1 = Counter(), Counter()
+    ome = var = 0.0
+    for s, t in sorted({(s, t) for s, t, _, _ in rows}):
+        n0 = tot0[s] - seen0[s]
+        n1 = tot1[s] - seen1[s]
+        n = n0 + n1
+        d = d0[(s, t)] + d1[(s, t)]
+        e1 = float(d) * n1 / n
+        if n > 1:
+            var += float(d) * n1 / n * n0 / n * (n - d) / (n - 1)
+        ome += d1[(s, t)] - e1
+        seen0[s] += a0[(s, t)]
+        seen1[s] += a1[(s, t)]
+    return ome, var
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 8),
+                          st.booleans(), st.integers(0, 1)),
+                min_size=1, max_size=60))
+@settings(max_examples=300)
+def test_stratified_logrank_is_sum_of_per_stratum_logranks(rows):
+    ome, var = _slr_operator_algebra(rows)
+    strata = sorted({s for s, _, _, _ in rows})
+    ome_ref = var_ref = 0.0
+    for s in strata:
+        o, v = _lr_operator_algebra(
+            [(t, obs, g) for ss, t, obs, g in rows if ss == s])
+        ome_ref += o
+        var_ref += v
+    assert abs(ome - ome_ref) < 1e-9
+    assert abs(var - var_ref) < 1e-9
+    assert var >= -1e-12
+    # label swap negates O - E and preserves V (per stratum, so also
+    # in the cross-strata fold)
+    swapped = [(s, t, obs, 1 - g) for s, t, obs, g in rows]
+    ome_s, var_s = _slr_operator_algebra(swapped)
+    assert abs(ome + ome_s) < 1e-9
+    assert abs(var - var_s) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 10), st.booleans(),
+                          st.integers(0, 1)),
+                min_size=1, max_size=60))
+@settings(max_examples=200)
+def test_stratified_logrank_one_stratum_is_logrank(rows):
+    ome, var = _slr_operator_algebra(
+        [(7, t, obs, g) for t, obs, g in rows])
+    ome_ref, var_ref = _lr_operator_algebra(rows)
+    assert abs(ome - ome_ref) < 1e-12
+    assert abs(var - var_ref) < 1e-12
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 8),
+                          st.booleans(), st.integers(0, 1)),
+                min_size=1, max_size=40))
+@settings(max_examples=200)
+def test_stratified_logrank_stratum_relabel_invariance(rows):
+    """The verdict is a SUM over strata: any stratum relabeling (here
+    s -> 3 - s, reversing the fold order) leaves the final O-E and V
+    unchanged up to float addition order."""
+    ome, var = _slr_operator_algebra(rows)
+    ome_r, var_r = _slr_operator_algebra(
+        [(3 - s, t, obs, g) for s, t, obs, g in rows])
+    assert abs(ome - ome_r) < 1e-9
+    assert abs(var - var_r) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# page_trend_test (banked r16): the integer 2L fold must equal the direct
+# float-midrank Page statistic; reversing the treatment order negates the
+# centered L; a perfectly monotone grid attains the no-ties maximum
+# ---------------------------------------------------------------------------
+
+def _page_operator_algebra(grid):
+    """Python twin of relational.page_trend_test's accumulation: the
+    friedman within-block 2*midrank identity, integer fold
+    2L = sum_j j * (2 R_j), centered4 = 2*(2L) - b k (k+1)^2, 16 Var =
+    b k^2 (k+1)^2 (k-1) / 9. grid = list of rows (one per block) of k
+    cell values, treatment order = column index. Returns
+    (z or None, centered4) — centered4 an exact integer."""
+    b, k = len(grid), len(grid[0])
+    r2 = [0] * k
+    for row in grid:
+        values = sorted(set(row))
+        cum_le = 0
+        rank2_of = {}
+        for v in values:
+            t = sum(1 for x in row if x == v)
+            cum_le += t
+            rank2_of[v] = 2 * cum_le - t + 1
+        for j, x in enumerate(row):
+            r2[j] += rank2_of[x]
+    import math as m
+    twol = sum((j + 1) * r2[j] for j in range(k))
+    centered4 = 2 * twol - b * k * (k + 1) * (k + 1)
+    var16 = b * k * k * (k + 1) * (k + 1) * (k - 1) / 9.0
+    z = centered4 / m.sqrt(var16) if var16 > 0 else None
+    return z, centered4
+
+
+def _page_midrank_reference(grid):
+    """Direct Page L over float midranks: z = (L - b k (k+1)^2 / 4)
+    / sqrt(b k^2 (k+1)^2 (k-1) / 144)."""
+    b, k = len(grid), len(grid[0])
+    rsum = [0.0] * k
+    for row in grid:
+        order = sorted(range(k), key=lambda j: row[j])
+        i = 0
+        while i < k:
+            j = i
+            while j < k and row[order[j]] == row[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for m in range(i, j):
+                rsum[order[m]] += mid
+            i = j
+    import math as m
+    length = sum((j + 1) * rsum[j] for j in range(k))
+    mean = b * k * (k + 1) ** 2 / 4.0
+    var = b * k * k * (k + 1) ** 2 * (k - 1) / 144.0
+    return (length - mean) / m.sqrt(var) if var > 0 else None
+
+
+@given(_fr_grids())
+@settings(max_examples=300)
+def test_page_integer_identity_matches_midranks(grid):
+    z, centered4 = _page_operator_algebra(grid)
+    ref = _page_midrank_reference(grid)
+    if z is None:
+        assert ref is None
+        return
+    assert ref is not None
+    assert abs(z - ref) < 1e-9 * max(1.0, abs(ref))
+    # ranks only: any strictly increasing transform leaves z fixed
+    mapped = [[x * x * x + 3 * x for x in row] for row in grid]
+    z_m, c_m = _page_operator_algebra(mapped)
+    assert c_m == centered4 and abs(z - z_m) < 1e-12
+
+
+@given(_fr_grids())
+@settings(max_examples=200)
+def test_page_treatment_reversal_negates_centered_l(grid):
+    _, c = _page_operator_algebra(grid)
+    _, c_r = _page_operator_algebra([list(reversed(row))
+                                     for row in grid])
+    assert c_r == -c
+
+
+@given(st.integers(2, 6), st.integers(1, 6))
+@settings(max_examples=100)
+def test_page_monotone_grid_attains_no_ties_maximum(k, b):
+    """Every block perfectly increasing: R_j = b j, so
+    4(L - E[L]) = b k (k+1)(k-1) / 3 exactly — the no-ties maximum —
+    and z > 0."""
+    grid = [list(range(1, k + 1))] * b
+    z, c = _page_operator_algebra(grid)
+    # (k-1) k (k+1) is divisible by 3, so c is an exact integer third
+    assert 3 * c == b * k * (k + 1) * (k - 1)
+    assert z is not None and z > 0
+    # and no permuted grid can exceed it
+    import itertools
+    for perm in itertools.islice(itertools.permutations(range(1, k + 1)),
+                                 0, 24):
+        _, c_p = _page_operator_algebra([list(perm)] * b)
+        assert c_p <= c
+
+
+@given(_fr_grids())
+@settings(max_examples=200)
+def test_page_block_permutation_invariance(grid):
+    z, c = _page_operator_algebra(grid)
+    z_p, c_p = _page_operator_algebra(list(reversed(grid)))
+    assert c == c_p
+    if z is not None:
+        assert abs(z - z_p) < 1e-12

@@ -1802,3 +1802,179 @@ def test_roc_auc_raises_on_null_labels(spark):
         relational.roc_auc_binned(
             bad, "s", F.when(F.col("y").isNotNull(), F.col("y") == 1),
             bins=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# stratified_logrank / page_trend_test (BANKED for r16 — docs/BACKLOG.md)
+# ---------------------------------------------------------------------------
+
+def test_stratified_logrank_one_stratum_equals_logrank_on_spark(spark):
+    """With ONE stratum every output column except the stratum equals
+    logrank_test verbatim — the classical reduction, end-to-end on the
+    two OPERATORS (the cox-binary≡logrank pin's shape)."""
+    rows = [((i * 5) % 11 + 1, (i // 2) % 2, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "t int, obs int, g int")
+    strat = {r["t"]: r for r in relational.stratified_logrank(
+        df.withColumn("s", F.lit("only")), "t", "obs", "g", "s")
+        .collect()}
+    lr = {r["t"]: r for r in
+          relational.logrank_test(df, "t", "obs", "g").collect()}
+    assert set(strat) == set(lr)
+    for t in lr:
+        for c in ("n_risk0", "n_risk1", "n_event0", "n_event1",
+                  "expected1", "o_minus_e", "var_cum", "z_stat",
+                  "significant_05"):
+            assert strat[t][c] == lr[t][c], (t, c)
+
+
+def test_stratified_logrank_two_strata_fold_is_the_sum(spark):
+    """The verdict row's O-E / V equal the SUM of the two per-stratum
+    logrank_test verdicts (the whole point of stratification: each
+    stratum contributes its own risk-set comparison; the confounder's
+    main effect cancels). Per-stratum trace rows equal the restricted
+    logrank runs row for row."""
+    rows = [("a", (i * 3) % 7 + 1, i % 2, (i // 3) % 2)
+            for i in range(30)] + \
+           [("b", (i * 5) % 9 + 2, (i // 2) % 2, i % 2)
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "s string, t int, obs int, g int")
+    out = relational.stratified_logrank(df, "t", "obs", "g", "s") \
+        .collect()
+    final = max(out, key=lambda r: (r["s"], r["t"]))
+    per = {}
+    for s in ("a", "b"):
+        sub = df.filter(F.col("s") == s)
+        lr = sorted(relational.logrank_test(sub, "t", "obs", "g")
+                    .collect(), key=lambda r: r["t"])
+        per[s] = lr
+        # the stratum's own trace matches the restricted run's rows
+        mine = sorted((r for r in out if r["s"] == s),
+                      key=lambda r: r["t"])
+        assert [(m["n_risk0"], m["n_risk1"], m["n_event0"],
+                 m["n_event1"], m["expected1"]) for m in mine] == \
+               [(l["n_risk0"], l["n_risk1"], l["n_event0"],
+                 l["n_event1"], l["expected1"]) for l in lr]
+    want_ome = per["a"][-1]["o_minus_e"] + per["b"][-1]["o_minus_e"]
+    want_var = per["a"][-1]["var_cum"] + per["b"][-1]["var_cum"]
+    assert final["o_minus_e"] == pytest.approx(want_ome, abs=1e-5)
+    assert final["var_cum"] == pytest.approx(want_var, abs=1e-5)
+
+
+def test_stratified_logrank_strictness_guards(spark):
+    """logrank-strict in-plan contract plus the stratum: non-{0,1}
+    group/observed, null durations AND null strata raise; output-name
+    collisions raise eagerly."""
+    ok = spark.createDataFrame(
+        [("a", 1, 1, 0), ("a", 2, 0, 1), ("b", 1, 1, 1), ("b", 3, 0, 0)],
+        "s string, t int, obs int, g int")
+    assert len(relational.stratified_logrank(
+        ok, "t", "obs", "g", "s").collect()) == 4
+    bad_g = ok.union(spark.createDataFrame(
+        [("a", 2, 1, 7)], "s string, t int, obs int, g int"))
+    with pytest.raises(Exception, match="group column"):
+        relational.stratified_logrank(
+            bad_g, "t", "obs", "g", "s").collect()
+    bad_obs = ok.union(spark.createDataFrame(
+        [("a", 2, 9, 1)], "s string, t int, obs int, g int"))
+    with pytest.raises(Exception, match="observed column"):
+        relational.stratified_logrank(
+            bad_obs, "t", "obs", "g", "s").collect()
+    null_t = ok.union(spark.createDataFrame(
+        [("a", None, 1, 1)], "s string, t int, obs int, g int"))
+    with pytest.raises(Exception, match="duration column must be"):
+        relational.stratified_logrank(
+            null_t, "t", "obs", "g", "s").collect()
+    null_s = ok.union(spark.createDataFrame(
+        [(None, 2, 1, 1)], "s string, t int, obs int, g int"))
+    with pytest.raises(Exception, match="stratum column must be"):
+        relational.stratified_logrank(
+            null_s, "t", "obs", "g", "s").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.stratified_logrank(
+            ok.withColumnRenamed("s", "var_cum"), "t", "obs", "g",
+            "var_cum")
+
+
+def test_page_textbook_monotone(spark):
+    """b=3 blocks, k=4 treatments, every block perfectly increasing:
+    R_j = 3j -> L = 3(1+4+9+16) = 90, 4(L-E) = b k (k+1)(k-1)/3 = 60,
+    16 Var = 3*16*25*3/9 = 400 -> z = 60/20 = 3.0, significant."""
+    rows = [(f"b{i}", j, float(10 * j + i))
+            for i in range(3) for j in range(4)]
+    df = spark.createDataFrame(rows, "blk string, trt int, v double")
+    out = {r["trt"]: r for r in
+           relational.page_trend_test(df, "blk", "trt", "v").collect()}
+    assert [out[j]["j_index"] for j in range(4)] == [1, 2, 3, 4]
+    assert [out[j]["rank_sum"] for j in range(4)] == [3.0, 6.0, 9.0, 12.0]
+    assert all(r["b_blocks"] == 3 and r["k_treatments"] == 4
+               for r in out.values())
+    assert out[0]["l_stat"] == pytest.approx(90.0)
+    assert out[0]["z_stat"] == pytest.approx(3.0, abs=1e-6)
+    assert out[0]["significant_05"] is True
+    # reversing the treatment order negates z (the ordered
+    # alternative's sign convention — property-pinned in pure Python,
+    # pinned here on the operator)
+    rev = df.withColumn("trt", 3 - F.col("trt"))
+    out_r = relational.page_trend_test(rev, "blk", "trt", "v").collect()
+    assert out_r[0]["z_stat"] == pytest.approx(-3.0, abs=1e-6)
+    assert out_r[0]["significant_05"] is True  # two-sided flag
+
+
+def test_page_ties_match_python_twin(spark):
+    """A tied grid checked against the property-tested pure-Python
+    twin (which itself equals direct float-midrank Page)."""
+    from tests.test_properties import _page_operator_algebra
+
+    grid = [[1, 1, 2], [2, 1, 3], [5, 5, 5], [4, 2, 2]]
+    z, _ = _page_operator_algebra(grid)
+    rows = [(f"b{i}", j, float(v))
+            for i, row in enumerate(grid) for j, v in enumerate(row)]
+    df = spark.createDataFrame(rows, "blk string, trt int, v double")
+    out = relational.page_trend_test(df, "blk", "trt", "v").collect()
+    assert len(out) == 3
+    assert out[0]["z_stat"] == pytest.approx(z, abs=1e-4)
+
+
+def test_page_guards_and_degenerate(spark):
+    """Treatment must be integral + non-null (its value IS the trend
+    order); friedman-strict grid validation; k = 1 has zero variance
+    -> NULL z/flag; output-name collisions raise eagerly."""
+    ok = spark.createDataFrame(
+        [("b1", 0, 1.0), ("b1", 1, 2.0),
+         ("b2", 0, 3.0), ("b2", 1, 1.0)],
+        "blk string, trt int, v double")
+    assert len(relational.page_trend_test(
+        ok, "blk", "trt", "v").collect()) == 2
+    frac = spark.createDataFrame(
+        [("b1", 0.5, 1.0), ("b1", 1.0, 2.0)],
+        "blk string, trt double, v double")
+    with pytest.raises(Exception, match="treatment column must be"):
+        relational.page_trend_test(frac, "blk", "trt", "v").collect()
+    null_trt = ok.union(spark.createDataFrame(
+        [("b1", None, 5.0)], "blk string, trt int, v double"))
+    with pytest.raises(Exception, match="treatment column must be"):
+        relational.page_trend_test(null_trt, "blk", "trt", "v").collect()
+    dup = ok.union(spark.createDataFrame(
+        [("b1", 0, 9.0)], "blk string, trt int, v double"))
+    with pytest.raises(Exception, match="duplicate"):
+        relational.page_trend_test(dup, "blk", "trt", "v").collect()
+    nullv = ok.union(spark.createDataFrame(
+        [("b2", 2, None)], "blk string, trt int, v double"))
+    with pytest.raises(Exception, match="non-null"):
+        relational.page_trend_test(nullv, "blk", "trt", "v").collect()
+    incomplete = ok.union(spark.createDataFrame(
+        [("b3", 0, 2.0)], "blk string, trt int, v double"))
+    with pytest.raises(Exception, match="incomplete design"):
+        relational.page_trend_test(incomplete, "blk", "trt", "v") \
+            .collect()
+    single = spark.createDataFrame(
+        [("b1", 4, 1.0), ("b2", 4, 2.0)],
+        "blk string, trt int, v double")
+    out = relational.page_trend_test(single, "blk", "trt", "v") \
+        .collect()
+    assert len(out) == 1
+    assert out[0]["z_stat"] is None
+    assert out[0]["significant_05"] is None
+    with pytest.raises(ValueError, match="collides"):
+        relational.page_trend_test(
+            ok.withColumnRenamed("blk", "l_stat"), "l_stat", "trt", "v")
