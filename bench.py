@@ -73,6 +73,11 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     if only:  # comma-separated subset, for iterating on one hotspot
         names = {s.strip() for s in only.split(",")}
+        unknown = names - {s.name for s in specs}
+        if unknown:  # a typo'd name silently shrank the probe (the
+            # r15 host_probe advice class, applied tool-wide)
+            sys.exit(f"bench: unknown SPARK_GRAFT_QUERIES name(s) "
+                     f"{sorted(unknown)} — pass registered query names")
         specs = [s for s in specs if s.name in names]
     here = os.path.dirname(os.path.abspath(__file__))
     prior = _prior_timings(here, _sf_from_dir(SF_DIR))
