@@ -13,10 +13,18 @@ Readings and their meaning (see docs/BACKLOG.md "idle host" bullet):
 - multi-second spikes on single samples with steady neighbors: the
   stall class (r11/r12) — isolated median-of-3 with a steady control
   adjudicates individual outliers.
-- NOTE: short-session probes read ~10-40% above full-sweep steady
-  state (docs/BACKLOG.md sidecar-warmth caveat), so judge the ratio
-  against a same-shaped probe from a known-clean window when one
-  exists, not against the sweep value alone.
+- NOTE (REVISED r15 — the old 10-40% probe-warmth caveat is obsolete
+  under the current epoch): short-session probe ratios and full-sweep
+  per-query ratios are NOT comparable magnitudes. In r15 this probe
+  read 4.5-8.4x while the same windows' min-merged full sweeps sat at
+  per-query p50 1.38x with in-sweep controls at 1.24-1.35x — the
+  fresh-session penalty dwarfs the throttle itself. Use probe ratios
+  ONLY relatively (window improving/worsening vs another probe from
+  the same round); claim clean-window/epoch magnitudes ONLY from
+  in-sweep control values (BENCH_QUERIES.json notes record them per
+  sweep). If a probe ever drops near ~2x, that likely means the epoch
+  lifted: take a full sweep immediately and read its in-sweep
+  controls against the 1.15x bar.
 
 Usage:
     python scripts/host_probe.py                 # controls only
