@@ -77,10 +77,14 @@ def main() -> None:
     flagged = [(q, merged[q], anchor[q]) for q in names
                if q in anchor and merged[q] > 2 * anchor[q] + 0.3]
     rs = [r for r, _ in ratios]
-    print(f"anchored {len(rs)}/{len(names)} queries | ratio p50 "
-          f"{statistics.median(rs):.2f} p90 "
-          f"{sorted(rs)[int(0.9 * len(rs))]:.2f} max {rs[0]:.2f} "
-          f"({ratios[0][1]})", file=sys.stderr)
+    if rs:
+        print(f"anchored {len(rs)}/{len(names)} queries | ratio p50 "
+              f"{statistics.median(rs):.2f} p90 "
+              f"{sorted(rs)[int(0.9 * len(rs))]:.2f} max {rs[0]:.2f} "
+              f"({ratios[0][1]})", file=sys.stderr)
+    else:  # every query postdates the anchor — report, don't crash
+        print(f"anchored 0/{len(names)} queries — no ratio stats",
+              file=sys.stderr)
     print(f"over 2x+0.3s bar: {len(flagged)}", file=sys.stderr)
     for q, m, a in sorted(flagged, key=lambda t: -t[1] / t[2]):
         print(f"  FLAG {q}: merged {m:.3f}s vs anchor {a:.3f}s",
