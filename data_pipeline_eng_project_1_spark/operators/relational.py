@@ -2829,14 +2829,18 @@ def friedman_test(df: DataFrame, block: str, treatment: str,
         F.sum(F.when(F.col(value).isNull()
                      | F.isnull(block) | F.isnull(treatment),
                      F.lit(1)).otherwise(F.lit(0))).alias("__badnull"))
+    # Null keys are the more fundamental violation (they break the
+    # within-block ordering itself), so that diagnostic outranks the
+    # duplicate-cell one when a cell violates both (the r16
+    # page_trend_test advice class, applied family-wide).
     cells = cells.filter(
-        F.when(F.col("__c") > 1, F.raise_error(F.lit(
+        F.when(F.col("__badnull") > 0, F.raise_error(F.lit(
+            "friedman_test: block, treatment and value must be "
+            "non-null on every row")))
+         .when(F.col("__c") > 1, F.raise_error(F.lit(
             "friedman_test: duplicate (block, treatment) cell — "
             "pre-aggregate multiple observations per cell at the "
             "call site")))
-         .when(F.col("__badnull") > 0, F.raise_error(F.lit(
-            "friedman_test: block, treatment and value must be "
-            "non-null on every row")))
          .otherwise(F.lit(True)))
     wb = Window.partitionBy(block).orderBy("__v")
     le = wb.rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3112,18 +3116,23 @@ def page_trend_test(df: DataFrame, block: str, treatment: str,
                      F.lit(1)).otherwise(F.lit(0))).alias("__badnull"),
         F.max(F.when(frac, F.lit(1)).otherwise(F.lit(0)))
          .alias("__badtrt"))
+    # Diagnostic priority mirrors the docstring's contract order: the
+    # treatment-integrity message is the actionable one, so it wins
+    # when a cell violates several contracts at once (r16 advice fix —
+    # a duplicated cell with a fractional treatment used to report
+    # 'duplicate cell').
     cells = cells.filter(
-        F.when(F.col("__c") > 1, F.raise_error(F.lit(
-            "page_trend_test: duplicate (block, treatment) cell — "
-            "pre-aggregate multiple observations per cell at the "
-            "call site")))
-         .when(F.col("__badnull") > 0, F.raise_error(F.lit(
-            "page_trend_test: block and value must be non-null on "
-            "every row")))
-         .when(F.col("__badtrt") > 0, F.raise_error(F.lit(
+        F.when(F.col("__badtrt") > 0, F.raise_error(F.lit(
             "page_trend_test: treatment column must be integral and "
             "non-null — its VALUE defines the trend order; derive an "
             "ordered bucket at the call site")))
+         .when(F.col("__badnull") > 0, F.raise_error(F.lit(
+            "page_trend_test: block and value must be non-null on "
+            "every row")))
+         .when(F.col("__c") > 1, F.raise_error(F.lit(
+            "page_trend_test: duplicate (block, treatment) cell — "
+            "pre-aggregate multiple observations per cell at the "
+            "call site")))
          .otherwise(F.lit(True)))
     wb = Window.partitionBy(block).orderBy("__v")
     le = wb.rangeBetween(Window.unboundedPreceding, Window.currentRow)

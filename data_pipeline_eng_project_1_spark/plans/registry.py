@@ -510,6 +510,13 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "orders_roc_auc": 13,        # roc_auc_binned now raises on null
                                  # score/label like calibration_bins
                                  # (null previously scored as negative)
+    # changed in r16 (r15-and-earlier green rows stale) — the r16
+    # page_trend_test advice class (diagnostic priority in multi-guard
+    # raise chains) applied family-wide: friedman_test's null-key
+    # diagnostic now outranks the duplicate-cell one. Graded fixtures
+    # satisfy every contract, so the output is identical — but the
+    # definition changed, so the r15 green row is stale evidence:
+    "events_friedman_dow": 15,
 }
 
 

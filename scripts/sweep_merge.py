@@ -35,6 +35,15 @@ def anchor_queries() -> dict[str, float]:
     return {k: float(v) for k, v in json.loads(out)["queries"].items()}
 
 
+def _merge_outliers(paths: list[str],
+                    sweeps: list[dict]) -> dict[str, list[dict]]:
+    out: dict[str, list[dict]] = {}
+    for p, s in zip(paths, sweeps):
+        for q, rec in s.get("remeasured_outliers", {}).items():
+            out.setdefault(q, []).append({**rec, "source_sweep": p})
+    return out
+
+
 def main() -> None:
     paths = sys.argv[1:]
     if len(paths) < 2:
@@ -44,10 +53,22 @@ def main() -> None:
         with open(p) as f:
             sweeps.append(json.load(f))
     names = set(sweeps[0]["queries"])
-    for s in sweeps[1:]:
+    for p, s in zip(paths[1:], sweeps[1:]):
         if set(s["queries"]) != names:
             sys.exit("sweeps cover different query sets — all inputs "
                      "must be complete full sweeps")
+        # The merged header is copied from sweeps[0]; refuse inputs it
+        # would misdescribe (mixed SFs/metrics min-merge to nonsense).
+        for k in ("metric", "unit", "sf"):
+            if s.get(k) != sweeps[0].get(k):
+                sys.exit(f"sweep {p} disagrees on {k!r} "
+                         f"({s.get(k)!r} vs {sweeps[0].get(k)!r}) — "
+                         "only like-for-like full sweeps can be merged")
+        m0 = (sweeps[0].get("method") or {}).get("name")
+        ms = (s.get("method") or {}).get("name")
+        if ms != m0:
+            sys.exit(f"sweep {p} used per-sweep method {ms!r} vs "
+                     f"{m0!r} — mixed methods can't be min-merged")
     merged = {q: min(s["queries"][q] for s in sweeps) for q in names}
     sidecar = {
         **{k: sweeps[0][k] for k in ("metric", "unit", "sf")},
@@ -65,9 +86,11 @@ def main() -> None:
                      "not regressions"),
         },
         "queries": merged,
-        "remeasured_outliers": {
-            k: v for s in sweeps
-            for k, v in s.get("remeasured_outliers", {}).items()},
+        # Provenance: keep EVERY sweep's outlier record (as a list per
+        # query, each tagged with its source sweep) — a dict-merge let
+        # a later sweep's record shadow the one that supplied the kept
+        # min timing.
+        "remeasured_outliers": _merge_outliers(paths, sweeps),
         "notes": sweeps[0].get("notes", ""),
     }
     anchor = anchor_queries()
@@ -78,9 +101,11 @@ def main() -> None:
                if q in anchor and merged[q] > 2 * anchor[q] + 0.3]
     rs = [r for r, _ in ratios]
     if rs:
+        # index on len-1 so n<=10 doesn't degenerate to the maximum
+        p90 = sorted(rs)[min(int(0.9 * (len(rs) - 1)), len(rs) - 1)]
         print(f"anchored {len(rs)}/{len(names)} queries | ratio p50 "
               f"{statistics.median(rs):.2f} p90 "
-              f"{sorted(rs)[int(0.9 * len(rs))]:.2f} max {rs[0]:.2f} "
+              f"{p90:.2f} max {rs[0]:.2f} "
               f"({ratios[0][1]})", file=sys.stderr)
     else:  # every query postdates the anchor — report, don't crash
         print(f"anchored 0/{len(names)} queries — no ratio stats",

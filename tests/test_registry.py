@@ -181,11 +181,15 @@ def test_chi2_critical_values_match_oracle_literals():
         outer significance CASE that wraps one or any unrelated arm."""
         blocks = []
         for m in re.finditer(r"\bCASE\b", sql):
-            end = sql.find("END", m.end())
-            if end == -1:
+            # \bEND\b, not a substring find: an identifier containing
+            # 'END' (weekend_flag, month_end, ...) inside a future
+            # dispatch arm must not truncate the scanned block
+            # (r16 advice fix).
+            end_m = re.search(r"\bEND\b", sql[m.end():])
+            if end_m is None:
                 continue
-            body = sql[m.end():end]
-            if "CASE" in body:
+            body = sql[m.end():m.end() + end_m.start()]
+            if re.search(r"\bCASE\b", body):
                 continue  # outer CASE wrapping the dispatch: skip
             if f"THEN {_CHI2_CRIT_05[0]}" in body:
                 blocks.append(body)

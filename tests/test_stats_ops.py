@@ -1978,3 +1978,11 @@ def test_page_guards_and_degenerate(spark):
     with pytest.raises(ValueError, match="collides"):
         relational.page_trend_test(
             ok.withColumnRenamed("blk", "l_stat"), "l_stat", "trt", "v")
+    # diagnostic priority (r16 advice fix): a duplicated cell whose
+    # treatment is ALSO fractional reports the actionable
+    # treatment-contract message, not 'duplicate cell'
+    dup_frac = spark.createDataFrame(
+        [("b1", 0.5, 1.0), ("b1", 0.5, 9.0), ("b1", 1.0, 2.0)],
+        "blk string, trt double, v double")
+    with pytest.raises(Exception, match="treatment column must be"):
+        relational.page_trend_test(dup_frac, "blk", "trt", "v").collect()

@@ -51,8 +51,14 @@ def test_min_merge_flags_and_anchor_report(tmp_path, monkeypatch,
     assert merged["n_queries"] == 2
     assert merged["value"] == pytest.approx(
         merged["queries"][q1] + merged["queries"][q2], abs=5e-4)
-    # provenance from every input sweep is carried
-    assert q2 in merged["remeasured_outliers"]
+    # provenance from every input sweep is carried, as a LIST of
+    # records each tagged with its source sweep (r16 advice: a
+    # dict-merge let later sweeps shadow the record that supplied the
+    # kept min timing)
+    recs = merged["remeasured_outliers"][q2]
+    assert isinstance(recs, list) and len(recs) == 1
+    assert recs[0]["source_sweep"] == s1
+    assert recs[0]["original"] == 9.9
     assert merged["method"]["name"] == "min-merge-of-full-sweeps"
     # the genuinely-regressed row is flagged; the stall-cleared one not
     assert f"FLAG {q1}" in out.err
@@ -68,6 +74,57 @@ def test_refuses_single_sweep_and_mismatched_sets(tmp_path,
     s2 = _write(tmp_path, "s2.json", {"a": 1.0, "b": 2.0})
     with pytest.raises(SystemExit, match="different query sets"):
         _run_main(monkeypatch, capsys, [s1, s2])
+
+
+def test_refuses_mismatched_headers(tmp_path, monkeypatch, capsys):
+    """r16 advice: the merged header is copied from sweeps[0], so
+    min-merging sidecars from different SFs/metrics/methods must be an
+    explicit error, not a silently-nonsense merge."""
+    s1 = _write(tmp_path, "s1.json", {"a": 1.0})
+    p2 = tmp_path / "s2.json"
+    d = json.loads((tmp_path / "s1.json").read_text())
+    d["sf"] = 0.01
+    p2.write_text(json.dumps(d))
+    with pytest.raises(SystemExit, match="disagrees on 'sf'"):
+        _run_main(monkeypatch, capsys, [s1, str(p2)])
+    d["sf"] = 0.1
+    d["method"] = {"name": "single-shot"}
+    p2.write_text(json.dumps(d))
+    with pytest.raises(SystemExit, match="per-sweep method"):
+        _run_main(monkeypatch, capsys, [s1, str(p2)])
+
+
+def test_outlier_provenance_kept_per_sweep(tmp_path, monkeypatch,
+                                           capsys):
+    """Both sweeps remeasured the same query: BOTH records survive,
+    each tagged with its source sweep path."""
+    s1 = _write(tmp_path, "s1.json", {"a": 1.0},
+                extra={"a": {"original": 3.0, "remeasured": 1.0}})
+    s2 = _write(tmp_path, "s2.json", {"a": 0.9},
+                extra={"a": {"original": 2.0, "remeasured": 0.9}})
+    out = _run_main(monkeypatch, capsys, [s1, s2])
+    merged = json.loads(out.out)
+    recs = merged["remeasured_outliers"]["a"]
+    assert [r["source_sweep"] for r in recs] == [s1, s2]
+    assert [r["original"] for r in recs] == [3.0, 2.0]
+
+
+def test_p90_not_maximum_for_small_sets(tmp_path, monkeypatch, capsys):
+    """r16 advice: sorted(rs)[int(0.9*n)] returned the maximum for
+    n<=10; the len-1 index must sit below the max outlier."""
+    from scripts import sweep_merge
+
+    anchor = sweep_merge.anchor_queries()
+    qs = sorted(anchor)[:5]
+    # four queries exactly at anchor (ratio 1.0), one at 1.9x
+    q_out = qs[-1]
+    queries = {q: anchor[q] for q in qs[:-1]}
+    queries[q_out] = 1.9 * anchor[q_out]
+    s1 = _write(tmp_path, "s1.json", queries)
+    s2 = _write(tmp_path, "s2.json", queries)
+    out = _run_main(monkeypatch, capsys, [s1, s2])
+    assert "p90 1.00" in out.err  # index 3 of 5, not the 1.9x max
+    assert "max 1.90" in out.err
 
 
 def test_unanchored_queries_reported_not_dropped(tmp_path, monkeypatch,
