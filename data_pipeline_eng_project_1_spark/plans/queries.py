@@ -5055,6 +5055,237 @@ def _q_events_friedman_dow(spark, sf_dir):
         cells, block="dow", treatment="etype", value="v")
 
 
+@_register(
+    "events_logrank_strat",
+    """
+    WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT user_id, event_type, cnt,
+                 max(cnt) OVER (PARTITION BY user_id) AS mx
+          FROM c),
+    dom AS (SELECT user_id, min(event_type) AS strat
+            FROM m WHERE cnt = mx GROUP BY 1),
+    u AS (SELECT user_id,
+                 CAST((max(epoch_ms(CAST(ts AS TIMESTAMP)))
+                       - min(epoch_ms(CAST(ts AS TIMESTAMP))))
+                      // 3600000 AS INTEGER) AS duration_h,
+                 max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS observed,
+                 CAST(CAST('0x' || substr(md5('ab9:' ||
+                     CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                   AS INTEGER) AS grp
+          FROM events GROUP BY 1),
+    j AS (SELECT u.user_id, dom.strat, u.duration_h, u.observed, u.grp
+          FROM u JOIN dom USING (user_id)),
+    t AS (SELECT strat, duration_h,
+                 CAST(sum(CASE WHEN grp = 0 THEN observed ELSE 0 END)
+                   AS BIGINT) AS d0,
+                 CAST(sum(CASE WHEN grp = 1 THEN observed ELSE 0 END)
+                   AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a0,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a1
+          FROM j GROUP BY 1, 2),
+    s AS (SELECT strat, duration_h, d0, d1,
+                 -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT
+                 -- (the r9 kaplan int128 hash lesson)
+                 CAST(sum(a0) OVER (PARTITION BY strat)
+                   - coalesce(sum(a0) OVER (PARTITION BY strat
+                       ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n0,
+                 CAST(sum(a1) OVER (PARTITION BY strat)
+                   - coalesce(sum(a1) OVER (PARTITION BY strat
+                       ORDER BY duration_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n1
+          FROM t),
+    x AS (SELECT *,
+                 CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1) AS e1,
+                 CASE WHEN n0 + n1 > 1 THEN
+                      CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1) * n0
+                      / (n0 + n1) * ((n0 + n1) - (d0 + d1))
+                      / ((n0 + n1) - 1)
+                 ELSE CAST(0.0 AS DOUBLE) END AS v
+          FROM s)
+    SELECT strat, duration_h,
+           n0 AS n_risk0, n1 AS n_risk1,
+           d0 AS n_event0, d1 AS n_event1,
+           round(e1, 6) AS expected1,
+           round(sum(d1 - e1) OVER cum, 6) AS o_minus_e,
+           round(sum(v) OVER cum, 6) AS var_cum,
+           round(CASE WHEN sum(v) OVER cum > 0
+                      THEN sum(d1 - e1) OVER cum / sqrt(sum(v) OVER cum)
+                 END, 4) AS z_stat,
+           CASE WHEN sum(v) OVER cum > 0
+                THEN abs(sum(d1 - e1) OVER cum / sqrt(sum(v) OVER cum))
+                     > 1.96
+           END AS significant_05
+    FROM x
+    WINDOW cum AS (ORDER BY strat, duration_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="STRATIFIED log-rank test between the md5 A/B arms' survival "
+        "curves over the SAME per-user duration/observed frame the "
+        "graded events_kaplan_meier / events_logrank_ab read, "
+        "stratified by the user's DOMINANT event_type — does the arm "
+        "effect hold once the user's behavioral type is controlled? "
+        "The confounder-controlled rung of the survival stack (kaplan "
+        "estimates S, nelson estimates H, logrank compares two arms, "
+        "cox scores a covariate, THIS compares arms within strata and "
+        "pools the evidence). The stratum is the argmax-count event "
+        "type with MIN-NAME tiebreak, derived on BOTH engines by the "
+        "same window-max + filter + min-name construction (the max "
+        "count and min name are order-free aggregates — no engine "
+        "argmax/rank whose tie rules could differ); strata are "
+        "lowercase-ASCII event types, so both engines agree on the "
+        "fold's string order (byte-order ASCII, no collation surface). "
+        "Per (stratum, duration) the e1/v algebra is logrank_test's "
+        "verbatim (integer risk-set window sums per stratum; "
+        "multiplications interleaved with divisions in identical "
+        "operand order); the CROSS-strata O-E/V fold is ONE ordered "
+        "cumulative double sum ascending by (stratum, duration) read "
+        "off at the last row — one deterministic addition order on "
+        "both engines (the kruskal cross-class fold shape). ONE "
+        "stratum reduces to logrank_test VERBATIM — property-tested, "
+        "operator-pinned, and pinned end-to-end against the registered "
+        "events_logrank_ab builder (tests/test_r16_oracle_specs.py). "
+        "Strict in-plan contract extends logrank's with null-stratum "
+        "raises (a null stratum has no risk set, and Spark windows "
+        "sort NULLS FIRST vs SQL NULLS LAST). The oracle CASTs every "
+        "windowed BIGINT sum (the r9 kaplan HUGEINT lesson). Scale "
+        "shape: the fixture derivation adds a user-keyed equi-join of "
+        "two user-keyed aggregates (co-partitioned after one "
+        "exchange); the OPERATOR itself stays join-free — "
+        "stratum-keyed exchange for the risk-set windows + "
+        "SinglePartition fold over the <= distinct-(stratum, duration) "
+        "AGGREGATE frame (115 rows at sf0.01, 299 at sf0.1), "
+        "plan-asserted (operators/relational.py::stratified_logrank).",
+)
+def _q_events_logrank_strat(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wu = Window.partitionBy("user_id")
+    dom = (cnts.withColumn("__mx", F.max("cnt").over(wu))
+           .filter(F.col("cnt") == F.col("__mx"))
+           .groupBy("user_id")
+           .agg(F.min("event_type").alias("strat")))
+    # the graded events_kaplan_meier builder's derivation, verbatim —
+    # the survival stack reads one identical frame
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST((max(ts_ms) - min(ts_ms)) DIV 3600000 AS INT)")
+         .alias("duration_h"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+         .alias("observed"))
+    frame = (per_user.join(dom, "user_id")
+             .select("strat", "duration_h", "observed",
+                     _ab9_variant().cast("int").alias("grp")))
+    return relational.stratified_logrank(
+        frame, duration="duration_h", observed="observed", grp="grp",
+        stratum="strat")
+
+
+@_register(
+    "events_page_hourband",
+    """
+    WITH cells AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+                           + 4) % 7 AS dow,
+                          CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000)
+                               % 24 // 6 AS INTEGER) AS band,
+                          CAST(count(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1, 2),
+    r AS (SELECT dow, band,
+                 2 * count(*) OVER (PARTITION BY dow ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - count(*) OVER (PARTITION BY dow ORDER BY v
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                 + 1 AS rank2
+          FROM cells),
+    p AS (SELECT band,
+                 CAST(count(*) AS BIGINT) AS b,
+                 CAST(sum(rank2) AS BIGINT) AS r2
+          FROM r GROUP BY 1),
+    f AS (SELECT band, r2, b,
+                 CAST(count(*) OVER (ORDER BY band
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS j,
+                 CAST(max(b) OVER () AS BIGINT) AS bb,
+                 CAST(count(*) OVER () AS BIGINT) AS kk
+          FROM p),
+    g AS (SELECT band, r2, j, bb, kk,
+                 CAST(sum(j * r2) OVER () AS BIGINT) AS twol
+          FROM f)
+    SELECT band, CAST(j AS INTEGER) AS j_index,
+           bb AS b_blocks, CAST(kk AS INTEGER) AS k_treatments,
+           CAST(r2 AS DOUBLE) / 2.0 AS rank_sum,
+           round(CAST(r2 AS DOUBLE) / 2.0 / bb, 6) AS mean_rank,
+           CAST(twol AS DOUBLE) / 2.0 AS l_stat,
+           round(CASE WHEN CAST(bb * kk * kk * (kk + 1) * (kk + 1)
+                              * (kk - 1) AS DOUBLE) / 9.0 > 0
+                      THEN CAST(2 * twol - bb * kk * (kk + 1) * (kk + 1)
+                             AS DOUBLE)
+                           / sqrt(CAST(bb * kk * kk * (kk + 1) * (kk + 1)
+                                       * (kk - 1) AS DOUBLE) / 9.0)
+                 END, 4) AS z_stat,
+           CASE WHEN CAST(bb * kk * kk * (kk + 1) * (kk + 1)
+                          * (kk - 1) AS DOUBLE) / 9.0 > 0
+                THEN abs(CAST(2 * twol - bb * kk * (kk + 1) * (kk + 1)
+                           AS DOUBLE)
+                         / sqrt(CAST(bb * kk * kk * (kk + 1) * (kk + 1)
+                                     * (kk - 1) AS DOUBLE) / 9.0)) > 1.96
+           END AS significant_05
+    FROM g
+    """,
+    doc="Page's trend test for ORDERED alternatives over "
+        "per-(day-of-week, six-hour-band) traffic counts: blocks = "
+        "epoch-day dow, ORDERED treatments = the four six-hour bands "
+        "of the day — does traffic trend monotonically across the day "
+        "once the weekly cycle is blocked out? The ordered-alternative "
+        "rung of the experiment stack (kruskal tests k free-standing "
+        "samples, friedman blocks a nuisance factor, THIS adds the "
+        "monotone alternative when treatments carry a natural order). "
+        "Blocks AND treatments are pure integer epoch arithmetic on "
+        "BOTH engines — dow = (ts_ms DIV 86400000 + 4) % 7, band = "
+        "(ts_ms DIV 3600000) % 24 DIV 6, ordered 0..3 — never the "
+        "engines' hour()/dayofweek() builtins (Spark's dayofweek is "
+        "1-7 Sunday-first vs DuckDB's 0-6: a guaranteed mismatch); "
+        "cells are COUNTS, integers, so within-block tie structure is "
+        "cross-engine identical. FULLY integer-exact (the friedman "
+        "discipline): 2*midrank = 2 cum_le - t + 1 from RANGE-frame "
+        "counts; the j ordinal is a RANGE-frame count of treatments "
+        "at-or-below (distinct after the grid dedup, so the count IS "
+        "the position — no engine rank()); the fold keeps 2L = "
+        "sum_j j * (2 R_j) and centers as 4(L - E[L]) = 2*(2L) - "
+        "b k (k+1)^2 — all integers (k(k+1)^2 is even); the single "
+        "double division is the final z with 16 Var = b k^2 (k+1)^2 "
+        "(k-1) / 9. significant_05 is the TWO-SIDED |z| > 1.96 flag "
+        "(reversing the treatment order negates z — property-pinned; "
+        "the z drift-guard in tests/test_registry.py covers the "
+        "literal). Strict friedman-grade in-plan validation with the "
+        "treatment-integrity diagnostic taking priority. Output-type "
+        "lint: rank_sum / l_stat divide CAST(x AS DOUBLE) / 2.0 (bare "
+        "x / 2.0 parses DECIMAL in DuckDB — off-allowlist). Scale "
+        "shape (friedman_test's exact shape): ONE partial+final "
+        "(block, treatment) cell combine is the only full-data "
+        "shuffle; within-block RANGE windows ride a block-keyed "
+        "exchange over the <= b*k CELL frame; the j-ordinal and 2L "
+        "folds are SinglePartition windows over the <= k-row "
+        "per-treatment frame, plan-asserted "
+        "(operators/relational.py::page_trend_test).",
+)
+def _q_events_page_hourband(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("(ts_ms DIV 86400000 + 4) % 7").alias("dow"),
+        F.expr("CAST((ts_ms DIV 3600000) % 24 DIV 6 AS INT)")
+         .alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    return relational.page_trend_test(
+        cells, block="dow", treatment="band", value="v")
+
+
 # ---------------------------------------------------------------------------
 # Registry API
 # ---------------------------------------------------------------------------

@@ -232,6 +232,7 @@ _MEASURED_COST_S = {
     "corpus_decontamination": 1.55,
     "corpus_leakage_safe_split": 1.67,
     "dedup_simhash": 1.78,
+    "events_page_hourband": 1.69,  # r16 second-slot warm probe (epoch)
     "dedup_keep_best": 1.80,
     "text_rrf_hybrid": 1.82,
     "events_nelson_aalen": 1.85,
@@ -245,6 +246,7 @@ _MEASURED_COST_S = {
     "embedding_silhouette": 2.39,
     "embedding_pca_power": 2.70,
     "events_friedman_dow": 2.74,  # r15 second-slot warm probe (epoch)
+    "events_logrank_strat": 2.77,  # r16 second-slot warm probe (epoch)
     "events_mannwhitney_value": 3.07,
     "dedup_winnow_pairs": 3.10,
     "multimodal_frames": 3.49,

@@ -103,15 +103,15 @@ def test_stale_refresh_fits_budget_now():
     # i.e. at the hard ceiling), so together with the next round's
     # planned definition load they must fit the next budget. The
     # reserve is re-derived each round from the PLANNED load, not a
-    # historical heuristic (the r10 advice): r15's walk carries 2
-    # needy rows (the banked cox/friedman registrations — both r15
-    # ADVICE findings were in test/script files, so no re-needy slots
-    # were burned) + the FULL 41-row r11 tail (it retires this round,
-    # leaving no green row older than r12) + 7 r12 refreshes = 50;
-    # ~43 r12 rows spill here; r16's planned definition load is <= 4
-    # (docs/BACKLOG.md: bank <= 2 specs — stratified logrank + Page
-    # trend — plus <= 2 advice re-needies), and 43 + 4 = 47 fits the
-    # next budget.
+    # historical heuristic (the r10 advice): r16's walk carries 3
+    # needy rows (the banked stratified-logrank/Page registrations +
+    # the events_friedman_dow re-needy from the diagnostic-priority
+    # advice-class fix) + the FULL 43-row r12 tail (it retires this
+    # round, leaving no green row older than r13) + 4 r13 refreshes
+    # = 50; the remaining 44 r13 rows spill here; r17's planned
+    # definition load is <= 4 (docs/BACKLOG.md: bank <= 2 specs —
+    # Cochran-Mantel-Haenszel + Cochran's Q — plus <= 2 advice
+    # re-needies), and 44 + 4 = 48 fits the next budget.
     reserve = 4
     assert spilled <= BUDGET - reserve, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
