@@ -3204,3 +3204,268 @@ def page_trend_test(df: DataFrame, block: str, treatment: str,
         (F.col("__twol") / F.lit(2.0)).alias("l_stat"),
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_05"))
+
+
+def cmh_test(df: DataFrame, stratum: str, exposure: str,
+             outcome: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of a binary exposure's association
+    with a binary outcome across K strata — the CONTINGENCY
+    counterpart of ``stratified_logrank`` (H0: exposure and outcome
+    are conditionally independent within every stratum; the stratum's
+    own effect on the outcome cancels out of the statistic). One row
+    per subject in; per stratum k the 2x2 table contributes
+    O_k = a_k (exposed successes), E_k = row1_k * col1_k / n_k and
+    V_k = row1_k row0_k col1_k col0_k / (n_k^2 (n_k - 1)); the
+    statistic is chi2 = (sum_k (O_k - E_k))^2 / sum_k V_k on 1 degree
+    of freedom (continuity-UNCORRECTED — the classic 2x2 chi-square
+    reduction with one stratum is property-pinned).
+
+    Emits the per-stratum 2x2 trace (the stratified_logrank
+    convention): ``o_minus_e`` / ``var_cum`` / ``chi2_stat`` are the
+    CROSS-strata running sums in stratum order, so the final row
+    carries the verdict — consumers read max(stratum). Duplicating
+    every stratum j times multiplies chi2 by j (evidence accumulates
+    — property-pinned); a stratum with n_k <= 1 or a degenerate
+    margin contributes V_k = 0 and chi2 is NULL while sum V = 0.
+
+    Validation is welch-strict in-plan: exposure outside {0, 1}
+    (incl. null), outcome outside {0, 1} (incl. null), and null
+    strata all raise — a null stratum has no principled table, and
+    null order keys sort NULLS FIRST on Spark windows vs NULLS LAST
+    in SQL oracles, shifting the cross-strata fold per engine.
+
+    Cross-engine float discipline (the stratified_logrank fold,
+    unchanged): every margin (a, row1, row0, col1, col0, n) is an
+    integer aggregate; o_minus_e / var_cum accumulate as ORDERED
+    cumulative double sums ascending by stratum — one deterministic
+    addition order on both engines; the E/V algebra interleaves
+    multiplications with divisions
+    (CAST(r1) * c1 / n and CAST(r1) * r0 / n * c1 / n * c0 / (n - 1))
+    so no integer product overflows int64, identical operand order in
+    both engines. significant_05 compares chi2 to the inlined df = 1
+    critical value 3.841 (the srm literal precedent; the chi-square
+    drift-guard pins the table).
+
+    Scale shape: ONE partial+final stratum aggregate collapses the
+    subjects; the cross-strata fold is a SinglePartition window over
+    the <= K-row AGGREGATE frame (correct there: the frame is the
+    stratum count, not data-sized — the stratified_logrank
+    convention). No joins, no row explosion.
+
+    Family: the stratified rung of the contingency stack —
+    chisq_independence tests one r x c table, THIS pools K 2x2
+    tables when a known confounder (site, cohort, device class)
+    would otherwise mix the margins (Simpson's-paradox-proof
+    pooling).
+    """
+    reserved = ("n_total", "n_exposed", "n_success", "a_obs",
+                "expected1", "o_minus_e", "var_cum", "chi2_stat",
+                "significant_05")
+    if stratum in reserved:
+        raise ValueError(
+            f"cmh_test: stratum column {stratum!r} collides with an "
+            f"output column of this test {reserved}; alias it first")
+    e = F.col(exposure).cast("long")
+    o = F.col(outcome).cast("long")
+    per_s = df.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(e).alias("__r1"),
+        F.sum(o).alias("__c1"),
+        F.sum(e * o).alias("__a"),
+        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bade"),
+        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bado"))
+    per_s = per_s.filter(
+        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
+            "cmh_test: exposure column must be a binary {0, 1} "
+            "assignment — found other/null exposure values")))
+         .when(F.col("__bado") > 0, F.raise_error(F.lit(
+            "cmh_test: outcome column must be a 0/1 indicator — "
+            "found other/null outcome values")))
+         .when(F.isnull(stratum), F.raise_error(F.lit(
+            "cmh_test: stratum column must be non-null — a null "
+            "stratum has no principled 2x2 table, and null order "
+            "keys sort differently per engine in the cross-strata "
+            "fold")))
+         .otherwise(F.lit(True)))
+    n = F.col("__n")
+    r1 = F.col("__r1")
+    r0 = n - r1
+    c1 = F.col("__c1")
+    c0 = n - c1
+    # identical operand order in the oracle: CAST(r1) * c1 / n and
+    # CAST(r1) * r0 / n * c1 / n * c0 / (n - 1)
+    e1 = r1.cast("double") * c1 / n
+    v = F.when(n > 1,
+               r1.cast("double") * r0 / n * c1 / n * c0
+               / (n - F.lit(1))).otherwise(F.lit(0.0))
+    scored = per_s.select(
+        stratum, "__n", "__r1", "__c1", "__a",
+        e1.alias("__e1"), v.alias("__v"))
+    cum = (Window.orderBy(stratum)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ome = F.sum(F.col("__a") - F.col("__e1")).over(cum)
+    var = F.sum("__v").over(cum)
+    chi2 = F.when(var > 0, ome * ome / var)
+    return scored.select(
+        stratum,
+        F.col("__n").alias("n_total"),
+        F.col("__r1").alias("n_exposed"),
+        F.col("__c1").alias("n_success"),
+        F.col("__a").alias("a_obs"),
+        F.round("__e1", 6).alias("expected1"),
+        F.round(ome, 6).alias("o_minus_e"),
+        F.round(var, 6).alias("var_cum"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        (chi2 > 3.841).alias("significant_05"))
+
+
+def cochran_q_test(df: DataFrame, block: str, treatment: str,
+                   value: str) -> DataFrame:
+    """Cochran's Q test over a COMPLETE b x k grid of BINARY
+    (``block``, ``treatment``, ``value``) cells — the 0/1
+    specialization of ``friedman_test`` (H0: all k treatments share
+    one success probability within blocks; the blocked counterpart of
+    a k-proportion test). Q = k (k-1) sum_j (C_j - N/k)^2 /
+    (k N - sum_i R_i^2) with C_j the per-treatment success totals,
+    R_i the per-block success totals and N the grand total,
+    chi-square on k-1 degrees of freedom.
+
+    FULLY integer-exact, one step simpler than friedman (no ranks at
+    all): with sum_j (C_j - N/k)^2 = sum_j C_j^2 - N^2 / k, the
+    numerator folds as (k-1) (k sum_j C_j^2 - N^2) — ALL integers —
+    and the denominator k N - sum_i R_i^2 is an integer aggregate;
+    the single double division happens at the end. Blocks where every
+    treatment agrees (all 0 or all 1) contribute zero to both sides
+    (the classical Q ignores concordant blocks implicitly); a
+    degenerate grid (denominator 0) yields NULL q_stat/flag.
+
+    Grid validation is friedman-strict in-plan: duplicate
+    (block, treatment) cells, null block/treatment/value, value
+    outside {0, 1}, and INCOMPLETE blocks all raise (aggregate
+    multiple binary observations per cell to one 0/1 at the call
+    site — e.g. 'did the cell's rate beat the grid median').
+
+    Emits one row per treatment (successes and rates are the
+    evidence; the verdict columns repeat — the kruskal/friedman
+    per-group convention). significant_05 compares Q to the inlined
+    chi-square 5% critical values for df 1..10 via the shared
+    ``_chi2_crit_05`` handoff (drift-guarded in
+    tests/test_registry.py automatically).
+
+    Property pins: k = 2 reduces to McNemar's chi-square WITHOUT
+    continuity correction, Q = (b01 - b10)^2 / (b01 + b10) over the
+    discordant block counts; permuting treatment labels leaves Q
+    unchanged; duplicating every block j times multiplies Q by j
+    (C_j and N scale by j so k sum C^2 - N^2 scales by j^2, while
+    the denominator k N - sum R^2 scales by j — evidence
+    accumulates, property-pinned).
+
+    Overflow bounds (documented, loud on both engines): the numerator
+    fold is bounded by k (k C_max^2 + N^2) <= 2 k N^2 — dies near
+    N ~ sqrt(9.2e18 / 2k) ~ 6e8 blocks at k = 10, far beyond any
+    real blocked binary design; the ANSI overflow raise on both
+    engines is the loud failure.
+
+    Scale shape (friedman_test's exact shape): ONE partial+final
+    (block, treatment) cell combine (the only full-data shuffle moves
+    pre-combined cells); the per-block R_i fold rides a block-keyed
+    aggregate over the <= b*k CELL frame; the final fold is a
+    SinglePartition window over the <= k-row per-treatment frame.
+
+    Family: the binary rung of the blocked experiment stack —
+    friedman ranks ordinal values within blocks, page adds an ordered
+    alternative, THIS tests 0/1 outcomes (conversion, pass/fail,
+    defect) where ranks collapse to the success counts.
+    """
+    reserved = ("b_blocks", "k_treatments", "successes",
+                "success_rate", "q_stat", "dof", "significant_05")
+    for c, what in ((block, "block"), (treatment, "treatment")):
+        if c in reserved:
+            raise ValueError(
+                f"cochran_q_test: {what} column {c!r} collides with "
+                f"an output column of this test {reserved}; alias it "
+                "first")
+    v = F.col(value).cast("long")
+    cells = df.groupBy(block, treatment).agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.max(v).alias("__v"),
+        F.sum(F.when(F.col(value).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__badval"),
+        F.max(F.when(F.isnull(block) | F.isnull(treatment), F.lit(1))
+               .otherwise(F.lit(0))).alias("__badkey"))
+    cells = cells.filter(
+        F.when(F.col("__badkey") > 0, F.raise_error(F.lit(
+            "cochran_q_test: block and treatment must be non-null on "
+            "every row")))
+         .when(F.col("__badval") > 0, F.raise_error(F.lit(
+            "cochran_q_test: value column must be a 0/1 indicator — "
+            "aggregate multiple binary observations per cell to one "
+            "0/1 at the call site")))
+         .when(F.col("__c") > 1, F.raise_error(F.lit(
+            "cochran_q_test: duplicate (block, treatment) cell — "
+            "pre-aggregate multiple observations per cell at the "
+            "call site")))
+         .otherwise(F.lit(True)))
+    bwhole = (Window.partitionBy(block)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    with_r = cells.select(
+        block, treatment, "__v",
+        F.sum("__v").over(bwhole).alias("__ri"),
+        F.count(F.lit(1)).over(bwhole).alias("__cells_in_block"))
+    per_trt = with_r.groupBy(treatment).agg(
+        F.count(F.lit(1)).cast("long").alias("__b"),
+        F.sum("__v").cast("long").alias("__cj"),
+        F.sum(F.col("__ri")).cast("long").alias("__sumri"),
+        F.sum(F.col("__ri") * F.col("__ri")).cast("long")
+         .alias("__sumri2"),
+        F.min("__cells_in_block").alias("__minc"),
+        F.max("__cells_in_block").alias("__maxc"))
+    # per_trt sums R_i and R_i^2 over each treatment's OWN block set;
+    # on a complete grid every treatment sees every block, so any
+    # single treatment's __sumri2 is THE sum over blocks (and __sumri
+    # is N) — completeness is validated before they are read
+    whole = (Window.orderBy(treatment)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    k = F.count(F.lit(1)).over(whole).cast("long")
+    b = F.max("__b").over(whole)
+    nn = F.max("__sumri").over(whole)
+    sumri2 = F.max("__sumri2").over(whole)
+    sumcj2 = F.sum(F.col("__cj") * F.col("__cj")).over(whole)
+    complete = ((F.min("__b").over(whole) == b)
+                & (F.min("__minc").over(whole) == k)
+                & (F.max("__maxc").over(whole) == k)
+                & (F.min("__sumri").over(whole) == nn)
+                & (F.min("__sumri2").over(whole) == sumri2))
+    staged = per_trt.select(
+        treatment, "__cj",
+        b.alias("__bb"), k.alias("__kk"),
+        nn.alias("__nn"), sumri2.alias("__ri2"),
+        sumcj2.alias("__cj2"),
+        complete.alias("__complete"))
+    staged = staged.filter(F.when(
+        ~F.col("__complete"),
+        F.raise_error(F.lit(
+            "cochran_q_test: incomplete design — every block must "
+            "contain every treatment exactly once")))
+    .otherwise(F.lit(True)))
+    kk = F.col("__kk")
+    num = (kk - 1) * (kk * F.col("__cj2") - F.col("__nn")
+                      * F.col("__nn"))
+    den = kk * F.col("__nn") - F.col("__ri2")
+    q = F.when(den > 0, num.cast("double") / den)
+    dof = (kk - 1).cast("int")
+    crit = _chi2_crit_05(dof)
+    return staged.select(
+        treatment,
+        F.col("__bb").alias("b_blocks"),
+        kk.cast("int").alias("k_treatments"),
+        F.col("__cj").alias("successes"),
+        F.round(F.col("__cj").cast("double") / F.col("__bb"), 6)
+         .alias("success_rate"),
+        F.round(q, 4).alias("q_stat"),
+        dof.alias("dof"),
+        (q > crit).alias("significant_05"))

@@ -910,3 +910,55 @@ def test_page_trend_inherits_friedman_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert " rank(" not in plan
+
+
+def test_cmh_single_stratum_aggregate_then_tiny_fold(spark):
+    """cmh_test (banked r17): subjects collapse in ONE stratum-keyed
+    partial+final aggregate; the cross-strata O-E/V fold is a
+    SinglePartition window over the <= K-row AGGREGATE frame
+    (stratum-count-sized, not data-sized — the stratified_logrank
+    convention). No join, no engine rank(), no second full-data
+    shuffle."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", i % 2, (i // 2) % 2) for i in range(200)],
+        "st string, e int, y int")
+    out = relational.cmh_test(df, "st", "e", "y")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"st": 1}), keys
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan
+
+
+def test_cochran_q_inherits_friedman_plan_shape(spark):
+    """cochran_q_test (banked r17) rides friedman_test's exact shape:
+    ONE partial+final (block, treatment) cell combine (the only
+    full-data shuffle moves pre-combined cells); the per-block R_i
+    window on a block-keyed exchange over the <= b*k CELL frame; the
+    per-treatment fold on a treatment-keyed exchange; the final Q
+    fold as a SinglePartition window over the <= k per-treatment
+    rows. No join, no engine rank()."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    cells = spark.createDataFrame(
+        [(f"b{i}", j, (i * 7 + j * 3) % 2)
+         for i in range(6) for j in range(4)],
+        "blk string, trt int, v int")
+    out = relational.cochran_q_test(cells, "blk", "trt", "v")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"blk": 2, "trt": 1}), keys
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan

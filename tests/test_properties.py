@@ -1267,3 +1267,172 @@ def test_page_block_permutation_invariance(grid):
     assert c == c_p
     if z is not None:
         assert abs(z - z_p) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# cmh_test (banked r17): per-stratum 2x2 algebra pooled by one ordered
+# fold; one stratum = classic uncorrected chi-square; exposure/outcome
+# label swaps negate O-E and preserve V; duplication scales evidence
+# ---------------------------------------------------------------------------
+
+def _cmh_operator_algebra(rows):
+    """Python twin of relational.cmh_test's accumulation: per stratum
+    the integer margins (n, r1, c1, a), e1 = r1*c1/n and
+    V = r1 r0 c1 c0 / (n^2 (n-1)) with the operator's interleaved
+    operand order; (O-E, V) fold across strata in sorted stratum
+    order. rows = list of (stratum, e, y) with e, y in {0, 1}."""
+    strata = sorted({s for s, _, _ in rows})
+    ome = var = 0.0
+    for s in strata:
+        sub = [(e, y) for ss, e, y in rows if ss == s]
+        n = len(sub)
+        r1 = sum(e for e, _ in sub)
+        c1 = sum(y for _, y in sub)
+        a = sum(e * y for e, y in sub)
+        r0, c0 = n - r1, n - c1
+        e1 = float(r1) * c1 / n
+        ome += a - e1
+        if n > 1:
+            var += float(r1) * r0 / n * c1 / n * c0 / (n - 1)
+    return ome, var
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1),
+                          st.integers(0, 1)),
+                min_size=1, max_size=80))
+@settings(max_examples=300)
+def test_cmh_fold_is_sum_of_single_stratum_chi2_components(rows):
+    ome, var = _cmh_operator_algebra(rows)
+    ome_ref = var_ref = 0.0
+    for s in sorted({s for s, _, _ in rows}):
+        o, v = _cmh_operator_algebra(
+            [(0, e, y) for ss, e, y in rows if ss == s])
+        ome_ref += o
+        var_ref += v
+    assert abs(ome - ome_ref) < 1e-9
+    assert abs(var - var_ref) < 1e-9
+    assert var >= -1e-12
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1),
+                          st.integers(0, 1)),
+                min_size=1, max_size=80))
+@settings(max_examples=300)
+def test_cmh_label_swaps_negate_ome_preserve_var(rows):
+    """Swapping the exposure labels (or the outcome labels) negates
+    O-E and preserves V — per stratum, hence also in the fold."""
+    ome, var = _cmh_operator_algebra(rows)
+    ome_e, var_e = _cmh_operator_algebra(
+        [(s, 1 - e, y) for s, e, y in rows])
+    ome_y, var_y = _cmh_operator_algebra(
+        [(s, e, 1 - y) for s, e, y in rows])
+    assert abs(ome + ome_e) < 1e-9 and abs(var - var_e) < 1e-9
+    assert abs(ome + ome_y) < 1e-9 and abs(var - var_y) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1)),
+                min_size=2, max_size=40),
+       st.integers(2, 4))
+@settings(max_examples=200)
+def test_cmh_duplicated_strata_scale_evidence_linearly(sub, j):
+    ome1, var1 = _cmh_operator_algebra([(0, e, y) for e, y in sub])
+    omej, varj = _cmh_operator_algebra(
+        [(s, e, y) for s in range(j) for e, y in sub])
+    assert abs(omej - j * ome1) < 1e-9
+    assert abs(varj - j * var1) < 1e-9
+    # chi2 = ome^2 / var scales by j when var > 0
+    if var1 > 1e-12:
+        assert abs(omej * omej / varj - j * ome1 * ome1 / var1) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# cochran_q_test (banked r17): the integer fold must equal the direct
+# textbook Q; k=2 reduces to uncorrected McNemar; label permutation
+# invariance; concordant blocks contribute EXACTLY nothing
+# ---------------------------------------------------------------------------
+
+def _q_operator_algebra(grid):
+    """Python twin of relational.cochran_q_test's integer fold:
+    num = (k-1)(k sum C_j^2 - N^2), den = k N - sum R_i^2, Q = num/den
+    (None when den == 0). grid = one row per block of k 0/1 cells."""
+    b, k = len(grid), len(grid[0])
+    cj = [sum(row[j] for row in grid) for j in range(k)]
+    ri = [sum(row) for row in grid]
+    n = sum(cj)
+    num = (k - 1) * (k * sum(c * c for c in cj) - n * n)
+    den = k * n - sum(r * r for r in ri)
+    return (num / den if den > 0 else None), num, den
+
+
+@st.composite
+def _bin_grids(draw):
+    k = draw(st.integers(2, 5))
+    b = draw(st.integers(1, 8))
+    return [draw(st.lists(st.integers(0, 1), min_size=k, max_size=k))
+            for _ in range(b)]
+
+
+@given(_bin_grids())
+@settings(max_examples=300)
+def test_cochran_q_integer_fold_matches_textbook(grid):
+    q, num, den = _q_operator_algebra(grid)
+    b, k = len(grid), len(grid[0])
+    cj = [sum(row[j] for row in grid) for j in range(k)]
+    ri = [sum(row) for row in grid]
+    n = sum(cj)
+    den_ref = k * n - sum(r * r for r in ri)
+    assert den == den_ref and den >= 0
+    if den > 0:
+        q_ref = (k * (k - 1) * sum((c - n / k) ** 2 for c in cj)
+                 / den_ref)
+        assert abs(q - q_ref) < 1e-9
+        assert q >= -1e-12
+
+
+@given(_bin_grids())
+@settings(max_examples=300)
+def test_cochran_q_label_permutation_invariant(grid):
+    q, num, den = _q_operator_algebra(grid)
+    k = len(grid[0])
+    perm = [row[1:] + row[:1] for row in grid]
+    q_p, num_p, den_p = _q_operator_algebra(perm)
+    assert num == num_p and den == den_p
+
+
+@given(_bin_grids())
+@settings(max_examples=300)
+def test_cochran_q_concordant_blocks_contribute_exactly_nothing(grid):
+    """Appending an all-0 and an all-1 block changes NEITHER the
+    integer numerator NOR the denominator — the classical 'Q ignores
+    concordant blocks' fact, exact in the integer fold."""
+    k = len(grid[0])
+    q, num, den = _q_operator_algebra(grid)
+    padded = grid + [[0] * k, [1] * k]
+    q_p, num_p, den_p = _q_operator_algebra(padded)
+    assert num == num_p and den == den_p
+
+
+@given(_bin_grids(), st.integers(2, 4))
+@settings(max_examples=200)
+def test_cochran_q_block_duplication_scales_q(grid, j):
+    q, num, den = _q_operator_algebra(grid)
+    dup = [row for _ in range(j) for row in grid]
+    q_d, num_d, den_d = _q_operator_algebra(dup)
+    assert num_d == j * j * num and den_d == j * den
+    if den > 0:
+        assert abs(q_d - j * q) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1)),
+                min_size=1, max_size=40))
+@settings(max_examples=300)
+def test_cochran_q_k2_is_uncorrected_mcnemar(pairs):
+    """k = 2: Q = (b01 - b10)^2 / (b01 + b10) over the discordant
+    block counts (NO continuity correction)."""
+    q, num, den = _q_operator_algebra([list(p) for p in pairs])
+    b01 = sum(1 for a, b in pairs if a == 1 and b == 0)
+    b10 = sum(1 for a, b in pairs if a == 0 and b == 1)
+    if b01 + b10 == 0:
+        assert q is None
+    else:
+        assert abs(q - (b01 - b10) ** 2 / (b01 + b10)) < 1e-9

