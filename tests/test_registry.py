@@ -407,3 +407,45 @@ def test_statistic_rounding_convention_pinned_both_engines():
                     bad_py.append((mod.__name__, name, prec, w))
     assert not bad_py, f"package rounding off-convention: {bad_py}"
     assert checked_py >= 20
+
+
+def test_bare_chi2_df1_critical_literals_pinned():
+    """Fourth literal-handoff class: tests with a FIXED df = 1 inline
+    the 5% critical value as a bare ``> 3.841`` comparison instead of
+    the CASE dispatch the variable-df tests use (srm's oracle since
+    r12; cmh_test's flag in the r17 bank). Pin every such bare
+    comparison — in registered oracles, banked candidate oracles, and
+    package source — to relational._CHI2_CRIT_05[0] exactly, so
+    updating the shared table without these inline twins (or vice
+    versa) fails here rather than silently desynchronizing the
+    engines."""
+    import glob
+    import inspect
+    import os
+    import re
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    want = str(relational._CHI2_CRIT_05[0])  # 3.841
+    # anything that LOOKS like the df=1 critical (3.8xx) must BE it
+    # exactly; an unrelated 3.x threshold stays out of scope
+    pat = re.compile(r">\s*3\.8\d*")
+
+    hits = 0
+    for s in Q.specs():
+        if not s.oracle:
+            continue
+        for m in pat.finditer(s.oracle):
+            got = m.group(0).lstrip("> \t")
+            assert got == want, (s.name, got)
+            hits += 1
+    pkg = os.path.join(os.path.dirname(inspect.getfile(relational)),
+                       "..")
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"),
+                          recursive=True):
+        src = open(path).read()
+        for m in pat.finditer(src):
+            got = m.group(0).lstrip("> \t")
+            assert got == want, (path, got)
+            hits += 1
+    assert hits >= 3  # srm oracle + srm/cmh package flags at minimum
