@@ -3217,8 +3217,12 @@ def cmh_test(df: DataFrame, stratum: str, exposure: str,
     O_k = a_k (exposed successes), E_k = row1_k * col1_k / n_k and
     V_k = row1_k row0_k col1_k col0_k / (n_k^2 (n_k - 1)); the
     statistic is chi2 = (sum_k (O_k - E_k))^2 / sum_k V_k on 1 degree
-    of freedom (continuity-UNCORRECTED — the classic 2x2 chi-square
-    reduction with one stratum is property-pinned).
+    of freedom, continuity-UNCORRECTED with the HYPERGEOMETRIC
+    (randomization) variance: with ONE stratum this equals
+    (n-1)/n times the Pearson 2x2 chi-square — the classical exact
+    relation, property-pinned (the two converge as n grows; V_k's
+    (n_k - 1) denominator is what makes the pooled statistic valid
+    under sparse-strata asymptotics, the whole point of CMH).
 
     Emits the per-stratum 2x2 trace (the stratified_logrank
     convention): ``o_minus_e`` / ``var_cum`` / ``chi2_stat`` are the

@@ -1436,3 +1436,26 @@ def test_cochran_q_k2_is_uncorrected_mcnemar(pairs):
         assert q is None
     else:
         assert abs(q - (b01 - b10) ** 2 / (b01 + b10)) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1)),
+                min_size=2, max_size=60))
+@settings(max_examples=300)
+def test_cmh_one_stratum_is_scaled_pearson(sub):
+    """The exact classical relation: single-stratum uncorrected CMH
+    (hypergeometric variance, (n-1) denominator) equals
+    (n-1)/n x the Pearson 2x2 chi-square — NOT Pearson itself. With
+    (O - E) = (ad - bc)/n and V = r1 r0 c1 c0 / (n^2 (n-1)):
+    (O-E)^2/V = (ad-bc)^2 (n-1) / (r1 r0 c1 c0) = Pearson (n-1)/n."""
+    ome, var = _cmh_operator_algebra([(0, e, y) for e, y in sub])
+    n = len(sub)
+    r1 = sum(e for e, _ in sub)
+    c1 = sum(y for _, y in sub)
+    a = sum(e * y for e, y in sub)
+    r0, c0 = n - r1, n - c1
+    if min(r1, r0, c1, c0) == 0 or var <= 1e-12:
+        assert var <= 1e-12  # degenerate margin -> V = 0 exactly
+        return
+    b, c, d = r1 - a, c1 - a, n - r1 - c1 + a
+    pearson = n * (a * d - b * c) ** 2 / (r1 * r0 * c1 * c0)
+    assert abs(ome * ome / var - pearson * (n - 1) / n) < 1e-7

@@ -15,6 +15,11 @@ reserve from docs/BACKLOG.md before registering).
 Cross-engine parity design notes (the adversarial pre-review's risks,
 closed by construction):
 
+- The one-stratum reduction is to the HYPERGEOMETRIC-variance
+  chi-square, which equals (n-1)/n x Pearson (property-pinned as the
+  exact relation — NOT Pearson itself; the (n_k - 1) variance
+  denominators are what keep the pooled statistic valid under
+  sparse-strata asymptotics).
 - cmh_test reuses the stratified_logrank fold discipline VERBATIM:
   every 2x2 margin (n, r1, c1, a) is an integer stratum aggregate;
   O-E / V accumulate as ORDERED cumulative double sums ascending by
@@ -306,9 +311,10 @@ def test_cochran_q_spec_proven(sf, spark):
 
 def test_cmh_one_stratum_equals_classic_chi2_on_fixture(spark):
     """Fixture-level stack coherence: collapsing every user into ONE
-    stratum reduces CMH to the classic uncorrected 2x2 chi-square of
-    arm vs conversion — computed directly from the collapsed margins
-    on the same frame."""
+    stratum reduces CMH to the uncorrected hypergeometric-variance
+    2x2 chi-square of arm vs outcome — equal to (n-1)/n x the Pearson
+    statistic (the classical exact relation, also property-pinned) —
+    computed directly from the collapsed margins on the same frame."""
     sf = SFS[1]
     frame = _cmh_frame(spark, sf).withColumn("strat", F.lit("all"))
     r = relational.cmh_test(

@@ -1994,8 +1994,9 @@ def test_page_guards_and_degenerate(spark):
 # ---------------------------------------------------------------------------
 
 def test_cmh_one_stratum_equals_classic_chi2(spark):
-    """With ONE stratum CMH reduces to the classic continuity-
-    uncorrected 2x2 chi-square: chi2 = (a - r1 c1 / n)^2 / V with
+    """With ONE stratum CMH reduces to the continuity-uncorrected
+    HYPERGEOMETRIC-variance 2x2 chi-square — (n-1)/n x Pearson, the
+    classical exact relation: chi2 = (a - r1 c1 / n)^2 / V with
     V = r1 r0 c1 c0 / (n^2 (n-1)). Hand-checked table:
     exposed 30 (12 success), unexposed 20 (4 success) -> n=50, r1=30,
     c1=16, a=12; E = 9.6, O-E = 2.4; V = 30*20*16*34/(2500*49) =
