@@ -2183,3 +2183,35 @@ def test_cochran_q_strictness_guards(spark):
     with pytest.raises(ValueError, match="collides"):
         relational.cochran_q_test(
             ok.withColumnRenamed("blk", "q_stat"), "q_stat", "trt", "v")
+
+
+def test_cochran_q_dof_beyond_crit_table_yields_null_flag(spark):
+    """k = 12 -> dof = 11 is beyond the inlined chi-square 5% table
+    (df 1..10): q_stat still computes but significant_05 is NULL —
+    the _chi2_crit_05 handoff's documented beyond-table contract,
+    pinned here so a future table extension keeps the rule explicit."""
+    rows = [(f"b{i}", j, 1 if (i + j) % 3 == 0 else 0)
+            for i in range(5) for j in range(12)]
+    df = spark.createDataFrame(rows, "blk string, trt int, v int")
+    out = relational.cochran_q_test(df, "blk", "trt", "v").collect()
+    assert len(out) == 12
+    assert all(r["dof"] == 11 for r in out)
+    assert all(r["q_stat"] is not None for r in out)
+    assert all(r["significant_05"] is None for r in out)
+
+
+def test_cmh_integer_strata_supported(spark):
+    """The stratum key can be any orderable type — integer strata ride
+    the same ordered fold (Window.orderBy int vs SQL ORDER BY int
+    agree trivially, unlike strings where collation is the hazard the
+    lowercase-ASCII convention dodges)."""
+    rows = ([(2, 1, 1)] * 6 + [(2, 1, 0)] * 4 + [(2, 0, 1)] * 3
+            + [(2, 0, 0)] * 7 + [(1, 1, 1)] * 2 + [(1, 0, 0)] * 5
+            + [(1, 1, 0)] * 3 + [(1, 0, 1)] * 4)
+    df = spark.createDataFrame(rows, "st int, e int, y int")
+    out = sorted(relational.cmh_test(df, "st", "e", "y").collect(),
+                 key=lambda r: r["st"])
+    assert [r["st"] for r in out] == [1, 2]
+    # the fold accumulates in ascending stratum order
+    assert out[1]["var_cum"] > out[0]["var_cum"] > 0
+    assert out[1]["chi2_stat"] is not None
