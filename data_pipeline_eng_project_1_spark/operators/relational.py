@@ -3473,3 +3473,275 @@ def cochran_q_test(df: DataFrame, block: str, treatment: str,
         F.round(q, 4).alias("q_stat"),
         dof.alias("dof"),
         (q > crit).alias("significant_05"))
+
+
+def mh_odds_ratio(df: DataFrame, stratum: str, exposure: str,
+                  outcome: str) -> DataFrame:
+    """Mantel-Haenszel common odds-ratio ESTIMATE with the
+    Robins-Breslow-Greenland (1986) variance of its log — the
+    estimation companion of ``cmh_test`` (cmh answers IS there a
+    common association; THIS answers HOW BIG it is, with a 95%
+    confidence interval that stays valid under sparse-strata
+    asymptotics — the same regime cmh's hypergeometric variance
+    targets). One row per subject in; per stratum k with 2x2 cells
+    a (exposed successes), b (exposed failures), c (unexposed
+    successes), d (unexposed failures) and n = a+b+c+d:
+
+        OR_MH = R / S,  R = sum_k a_k d_k / n_k,
+                        S = sum_k b_k c_k / n_k
+        Var(ln OR_MH) = sum(P R)/ (2 R^2)
+                      + sum(P S + Q R) / (2 R S)
+                      + sum(Q S) / (2 S^2)          [RBG]
+        P_k = (a_k + d_k) / n_k,  Q_k = (b_k + c_k) / n_k
+
+    and the 95% CI is exp(ln(R/S) -/+ 1.96 sqrt(Var)) (the pinned
+    z-critical literal — identical on both engines).
+
+    Zero cells need NO correction here (unlike ``woolf_test``): a
+    stratum with a_k d_k = 0 simply contributes nothing to R, one
+    with b_k c_k = 0 nothing to S — the estimator is defined whenever
+    ANY stratum has a complete diagonal. A fully degenerate margin
+    stratum (cmh's V_k = 0 case) drops out of BOTH sums. or_mh is
+    NULL while the running S = 0; it is exactly 0.0 when R = 0 with
+    S > 0; se_log / ci_low / ci_high are NULL unless both running
+    sums are positive (ln(0) has no CI).
+
+    Emits the per-stratum trace in the cmh/stratified_logrank
+    convention: ``r_term`` / ``s_term`` are the stratum's own
+    diagonal products; ``r_cum`` / ``s_cum`` / ``or_mh`` / ``se_log``
+    / ``ci_low`` / ``ci_high`` are the CROSS-strata running values in
+    stratum order, so the final row carries the estimate — consumers
+    read max(stratum). Validation is cmh-verbatim in-plan: exposure
+    outside {0, 1} (incl. null), outcome outside {0, 1} (incl.
+    null), and null strata all raise.
+
+    Cross-engine float discipline (the cmh fold, unchanged): every
+    cell (a, b, c, d, n) is an integer stratum aggregate; R_k / S_k /
+    P_k / Q_k interleave multiplications with divisions in identical
+    operand order on both engines (CAST(a) * d / n — no integer
+    product ever forms, so nothing overflows int64 at any n_k); all
+    five running sums are ORDERED cumulative double sums ascending by
+    stratum; the variance reads as a division CHAIN
+    (pr / 2 / R / R + psqr / 2 / R / S + qs / 2 / S / S) — one
+    deterministic evaluation order, no engine-chosen association.
+
+    Scale shape (cmh-verbatim): ONE partial+final stratum aggregate
+    collapses the subjects; every running value is a SinglePartition
+    window over the <= K-row AGGREGATE frame. No joins, no row
+    explosion.
+
+    Family: the estimate rung of the stratified contingency stack —
+    ``cmh_test`` tests, THIS estimates, ``woolf_test`` checks that
+    pooling into one common OR was legitimate in the first place.
+    """
+    reserved = ("n_total", "n_exposed", "n_success", "a_obs",
+                "r_term", "s_term", "r_cum", "s_cum", "or_mh",
+                "se_log", "ci_low", "ci_high")
+    if stratum in reserved:
+        raise ValueError(
+            f"mh_odds_ratio: stratum column {stratum!r} collides "
+            f"with an output column {reserved}; alias it first")
+    e = F.col(exposure).cast("long")
+    o = F.col(outcome).cast("long")
+    per_s = df.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(e).alias("__r1"),
+        F.sum(o).alias("__c1"),
+        F.sum(e * o).alias("__a"),
+        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bade"),
+        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bado"))
+    per_s = per_s.filter(
+        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
+            "mh_odds_ratio: exposure column must be a binary {0, 1} "
+            "assignment — found other/null exposure values")))
+         .when(F.col("__bado") > 0, F.raise_error(F.lit(
+            "mh_odds_ratio: outcome column must be a 0/1 indicator — "
+            "found other/null outcome values")))
+         .when(F.isnull(stratum), F.raise_error(F.lit(
+            "mh_odds_ratio: stratum column must be non-null — a null "
+            "stratum has no principled 2x2 table, and null order "
+            "keys sort differently per engine in the cross-strata "
+            "fold")))
+         .otherwise(F.lit(True)))
+    n = F.col("__n")
+    a = F.col("__a")
+    b = F.col("__r1") - a
+    c = F.col("__c1") - a
+    d = n - F.col("__r1") - F.col("__c1") + a
+    # identical operand order in the oracle: CAST(a) * d / n etc.
+    r_t = a.cast("double") * d / n
+    s_t = b.cast("double") * c / n
+    p_t = (a + d).cast("double") / n
+    q_t = (b + c).cast("double") / n
+    scored = per_s.select(
+        stratum, "__n", "__r1", "__c1", "__a",
+        r_t.alias("__r"), s_t.alias("__s"),
+        (p_t * r_t).alias("__pr"),
+        (p_t * s_t + q_t * r_t).alias("__psqr"),
+        (q_t * s_t).alias("__qs"))
+    cum = (Window.orderBy(stratum)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rr = F.sum("__r").over(cum)
+    ss = F.sum("__s").over(cum)
+    pr = F.sum("__pr").over(cum)
+    psqr = F.sum("__psqr").over(cum)
+    qs = F.sum("__qs").over(cum)
+    or_mh = F.when(ss > 0, rr / ss)
+    # division chain — identical evaluation order in the oracle; the
+    # (rr > 0) & (ss > 0) guard is load-bearing under ANSI: the
+    # divisions and ln(0) below only evaluate inside the CASE branch
+    ci_ok = (rr > 0) & (ss > 0)
+    var_log = F.when(ci_ok,
+                     pr / 2 / rr / rr + psqr / 2 / rr / ss
+                     + qs / 2 / ss / ss)
+    se = F.sqrt(var_log)
+    ci_low = F.when(ci_ok, F.exp(F.log(rr / ss) - 1.96 * se))
+    ci_high = F.when(ci_ok, F.exp(F.log(rr / ss) + 1.96 * se))
+    return scored.select(
+        stratum,
+        F.col("__n").alias("n_total"),
+        F.col("__r1").alias("n_exposed"),
+        F.col("__c1").alias("n_success"),
+        F.col("__a").alias("a_obs"),
+        F.round("__r", 6).alias("r_term"),
+        F.round("__s", 6).alias("s_term"),
+        F.round(rr, 6).alias("r_cum"),
+        F.round(ss, 6).alias("s_cum"),
+        F.round(or_mh, 4).alias("or_mh"),
+        F.round(se, 6).alias("se_log"),
+        F.round(ci_low, 4).alias("ci_low"),
+        F.round(ci_high, 4).alias("ci_high"))
+
+
+def woolf_test(df: DataFrame, stratum: str, exposure: str,
+               outcome: str) -> DataFrame:
+    """Woolf's chi-square test of odds-ratio HOMOGENEITY across K
+    strata, with the Haldane-Anscombe +0.5 correction applied to
+    every cell — the diagnostic in FRONT of ``cmh_test`` /
+    ``mh_odds_ratio`` (H0: all strata share one odds ratio; reject
+    and the 'common' OR those tools pool is averaging genuinely
+    different effects — report per-stratum instead). One row per
+    subject in; per stratum k with corrected cells a' = a + 0.5 ...
+    d' = d + 0.5:
+
+        L_k = ln(a' d' / b' / c')          [per-stratum log-OR]
+        w_k = 1 / (1/a' + 1/b' + 1/c' + 1/d')   [inverse variance]
+        chi2 = sum w L^2 - (sum w L)^2 / sum w   ~ chi2(K - 1)
+
+    The +0.5 correction is applied UNCONDITIONALLY (the documented
+    Haldane-Anscombe convention, not a zero-cell patch): every
+    stratum — including ones with empty cells, which would otherwise
+    have infinite log-OR and zero weight — contributes finite L_k and
+    w_k, so the test runs on exactly the strata the pooling tools
+    see. On large balanced strata the correction is O(1/n_k) and the
+    statistic converges to the uncorrected Woolf form.
+
+    Emits the per-stratum trace in the cmh convention: ``log_or`` /
+    ``weight`` are the stratum's own corrected values;
+    ``log_or_pooled`` (the weighted mean so far) / ``chi2_stat`` /
+    ``dof`` / ``significant_05`` are CROSS-strata running values in
+    stratum order — the final row carries the verdict over all K
+    strata (dof = K - 1); consumers read max(stratum). The first
+    row's dof = 0 yields NULL chi2/flag (one stratum cannot be
+    heterogeneous); dof > 10 yields NULL flag via the shared
+    ``_chi2_crit_05`` handoff (drift-guarded). chi2 is clamped at 0
+    with greatest() on BOTH engines: the computational form can go
+    ~-1e-16 under float cancellation when strata are homogeneous,
+    and -0.0 vs 0.0 would drift the rounded hash.
+
+    Validation is cmh-verbatim in-plan: exposure outside {0, 1}
+    (incl. null), outcome outside {0, 1} (incl. null), and null
+    strata all raise.
+
+    Cross-engine float discipline: cells are integer stratum
+    aggregates; +0.5 is exact in doubles; L_k reads as
+    ln(a' * d' / b' / c') and w_k as 1 / (1/a' + 1/b' + 1/c' +
+    1/d') — identical operand order on both engines (the only
+    transcendental is ln, same-input-same-double, absorbed by the
+    rounding convention as in kaplan/sprt); the three running sums
+    (w, wL, wL^2) are ORDERED cumulative double sums ascending by
+    stratum.
+
+    Scale shape (cmh-verbatim): ONE partial+final stratum aggregate
+    collapses the subjects; the fold is a SinglePartition window over
+    the <= K-row AGGREGATE frame. No joins, no row explosion.
+
+    Property pins: K identical strata give chi2 ~ 0; K = 2 reduces to
+    w1 w2 (L1 - L2)^2 / (w1 + w2); swapping exposure labels negates
+    every L_k and preserves every w_k, leaving chi2 invariant (same
+    for outcome labels); duplicating every stratum j times multiplies
+    chi2 by j (heterogeneity evidence accumulates).
+    """
+    reserved = ("n_total", "n_exposed", "n_success", "a_obs",
+                "log_or", "weight", "log_or_pooled", "chi2_stat",
+                "dof", "significant_05")
+    if stratum in reserved:
+        raise ValueError(
+            f"woolf_test: stratum column {stratum!r} collides with "
+            f"an output column {reserved}; alias it first")
+    e = F.col(exposure).cast("long")
+    o = F.col(outcome).cast("long")
+    per_s = df.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(e).alias("__r1"),
+        F.sum(o).alias("__c1"),
+        F.sum(e * o).alias("__a"),
+        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bade"),
+        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bado"))
+    per_s = per_s.filter(
+        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
+            "woolf_test: exposure column must be a binary {0, 1} "
+            "assignment — found other/null exposure values")))
+         .when(F.col("__bado") > 0, F.raise_error(F.lit(
+            "woolf_test: outcome column must be a 0/1 indicator — "
+            "found other/null outcome values")))
+         .when(F.isnull(stratum), F.raise_error(F.lit(
+            "woolf_test: stratum column must be non-null — a null "
+            "stratum has no principled 2x2 table, and null order "
+            "keys sort differently per engine in the cross-strata "
+            "fold")))
+         .otherwise(F.lit(True)))
+    n = F.col("__n")
+    a = F.col("__a")
+    b = F.col("__r1") - a
+    c = F.col("__c1") - a
+    d = n - F.col("__r1") - F.col("__c1") + a
+    ah = a.cast("double") + 0.5
+    bh = b.cast("double") + 0.5
+    ch = c.cast("double") + 0.5
+    dh = d.cast("double") + 0.5
+    # identical operand order in the oracle: ln(a*d/b/c); the weight's
+    # reciprocal sum reads left-to-right
+    lor = F.log(ah * dh / bh / ch)
+    w = 1 / (1 / ah + 1 / bh + 1 / ch + 1 / dh)
+    scored = per_s.select(
+        stratum, "__n", "__r1", "__c1", "__a",
+        lor.alias("__l"), w.alias("__w"),
+        (w * lor).alias("__wl"),
+        (w * lor * lor).alias("__wl2"))
+    cum = (Window.orderBy(stratum)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ws = F.sum("__w").over(cum)
+    wls = F.sum("__wl").over(cum)
+    wl2s = F.sum("__wl2").over(cum)
+    kk = F.count(F.lit(1)).over(cum)
+    chi2 = F.when(kk > 1,
+                  F.greatest(wl2s - wls * wls / ws, F.lit(0.0)))
+    dof = (kk - 1).cast("int")
+    crit = _chi2_crit_05(dof)
+    return scored.select(
+        stratum,
+        F.col("__n").alias("n_total"),
+        F.col("__r1").alias("n_exposed"),
+        F.col("__c1").alias("n_success"),
+        F.col("__a").alias("a_obs"),
+        F.round("__l", 6).alias("log_or"),
+        F.round("__w", 6).alias("weight"),
+        F.round(wls / ws, 6).alias("log_or_pooled"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        dof.alias("dof"),
+        (chi2 > crit).alias("significant_05"))

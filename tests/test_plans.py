@@ -962,3 +962,50 @@ def test_cochran_q_inherits_friedman_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert " rank(" not in plan
+
+
+def test_mh_odds_ratio_inherits_cmh_plan_shape(spark):
+    """mh_odds_ratio (banked r18) rides cmh_test's exact shape:
+    subjects collapse in ONE stratum-keyed partial+final aggregate;
+    all five running sums (R, S, PR, PS+QR, QS) share ONE
+    SinglePartition window over the <= K-row AGGREGATE frame. No
+    join, no engine rank(), no second full-data shuffle."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", i % 2, (i // 2) % 2) for i in range(200)],
+        "st string, e int, y int")
+    out = relational.mh_odds_ratio(df, "st", "e", "y")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"st": 1}), keys
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan
+
+
+def test_woolf_inherits_cmh_plan_shape(spark):
+    """woolf_test (banked r18): same single stratum-keyed aggregate +
+    SinglePartition tiny-frame fold as cmh/mh_odds_ratio — the ln()
+    and reciprocal arithmetic are scan-side projections over the
+    aggregate frame, not per-subject work."""
+    from collections import Counter
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", i % 2, (i // 2) % 2) for i in range(200)],
+        "st string, e int, y int")
+    out = relational.woolf_test(df, "st", "e", "y")
+    plan = _plan(out)
+    segs = plan.split("Exchange hashpartitioning(")[1:]
+    keys = Counter(seg.split(",")[0].split("#")[0] for seg in segs)
+    assert keys == Counter({"st": 1}), keys
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert " rank(" not in plan

@@ -1459,3 +1459,170 @@ def test_cmh_one_stratum_is_scaled_pearson(sub):
     b, c, d = r1 - a, c1 - a, n - r1 - c1 + a
     pearson = n * (a * d - b * c) ** 2 / (r1 * r0 * c1 * c0)
     assert abs(ome * ome / var - pearson * (n - 1) / n) < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# mh_odds_ratio / woolf_test (banked r18): per-stratum 2x2 cell algebra
+# with ordered folds; label swaps invert OR / preserve the RBG variance
+# (and negate L / preserve w for Woolf); duplication leaves OR invariant
+# while shrinking Var by 1/j (and scales Woolf chi2 by j)
+# ---------------------------------------------------------------------------
+
+def _mh_operator_algebra(rows):
+    """Python twin of relational.mh_odds_ratio's accumulation: per
+    stratum the cells (a, b, c, d), R_k = a d / n, S_k = b c / n,
+    P_k = (a + d)/n, Q_k = (b + c)/n with the operator's interleaved
+    operand order; the five sums fold in sorted stratum order.
+    Returns (R, S, var_log-or-None). rows = (stratum, e, y)."""
+    strata = sorted({s for s, _, _ in rows})
+    rr = ss = pr = psqr = qs = 0.0
+    for s in strata:
+        sub = [(e, y) for st_, e, y in rows if st_ == s]
+        n = len(sub)
+        r1 = sum(e for e, _ in sub)
+        c1 = sum(y for _, y in sub)
+        a = sum(e * y for e, y in sub)
+        b, c = r1 - a, c1 - a
+        d = n - r1 - c1 + a
+        rk = float(a) * d / n
+        sk = float(b) * c / n
+        pk = float(a + d) / n
+        qk = float(b + c) / n
+        rr += rk
+        ss += sk
+        pr += pk * rk
+        psqr += pk * sk + qk * rk
+        qs += qk * sk
+    var = (pr / 2 / rr / rr + psqr / 2 / rr / ss + qs / 2 / ss / ss
+           if rr > 0 and ss > 0 else None)
+    return rr, ss, var
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1),
+                          st.integers(0, 1)),
+                min_size=1, max_size=80))
+@settings(max_examples=300)
+def test_mh_label_swaps_swap_r_s_and_preserve_var(rows):
+    """Swapping exposure labels maps R<->S (OR inverts) and preserves
+    the RBG variance (term1 <-> term3, the cross term fixed); same
+    for outcome labels."""
+    rr, ss, var = _mh_operator_algebra(rows)
+    re_, se_, ve = _mh_operator_algebra(
+        [(s, 1 - e, y) for s, e, y in rows])
+    ry, sy, vy = _mh_operator_algebra(
+        [(s, e, 1 - y) for s, e, y in rows])
+    assert abs(rr - se_) < 1e-9 and abs(ss - re_) < 1e-9
+    assert abs(rr - sy) < 1e-9 and abs(ss - ry) < 1e-9
+    if var is not None:
+        assert ve is not None and abs(var - ve) < 1e-9
+        assert vy is not None and abs(var - vy) < 1e-9
+    assert rr >= 0 and ss >= 0
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1)),
+                min_size=2, max_size=40),
+       st.integers(2, 4))
+@settings(max_examples=200)
+def test_mh_duplicated_strata_or_invariant_var_shrinks(sub, j):
+    """j identical strata: R, S scale by j (OR invariant), every
+    variance numerator scales by j against j^2 denominators — Var
+    scales by exactly 1/j."""
+    r1, s1, v1 = _mh_operator_algebra([(0, e, y) for e, y in sub])
+    rj, sj, vj = _mh_operator_algebra(
+        [(s, e, y) for s in range(j) for e, y in sub])
+    assert abs(rj - j * r1) < 1e-9 and abs(sj - j * s1) < 1e-9
+    if v1 is not None:
+        assert vj is not None and abs(vj - v1 / j) < 1e-9
+
+
+@given(st.tuples(st.integers(1, 50), st.integers(1, 50),
+                 st.integers(1, 50), st.integers(1, 50)))
+@settings(max_examples=300)
+def test_mh_one_stratum_var_is_woolf_uncorrected(cells):
+    """One stratum with all cells positive: OR = ad/bc and the RBG
+    variance reduces EXACTLY to Woolf's 1/a + 1/b + 1/c + 1/d —
+    verified against the operator algebra (the classical identity the
+    spec test pins on the fixture)."""
+    a, b, c, d = cells
+    rows = ([(0, 1, 1)] * a + [(0, 1, 0)] * b + [(0, 0, 1)] * c
+            + [(0, 0, 0)] * d)
+    rr, ss, var = _mh_operator_algebra(rows)
+    n = a + b + c + d
+    assert abs(rr - a * d / n) < 1e-9
+    assert abs(ss - b * c / n) < 1e-9
+    woolf = 1 / a + 1 / b + 1 / c + 1 / d
+    assert var is not None and abs(var - woolf) < 1e-9 * woolf
+
+
+def _woolf_operator_algebra(rows):
+    """Python twin of relational.woolf_test's fold: Haldane-corrected
+    cells, L = ln(a' d' / b' / c'), w = 1/(1/a'+1/b'+1/c'+1/d'),
+    chi2 = max(sum wL^2 - (sum wL)^2 / sum w, 0) in sorted stratum
+    order (None with one stratum)."""
+    import math
+
+    strata = sorted({s for s, _, _ in rows})
+    ws = wls = wl2s = 0.0
+    for s in strata:
+        sub = [(e, y) for st_, e, y in rows if st_ == s]
+        n = len(sub)
+        r1 = sum(e for e, _ in sub)
+        c1 = sum(y for _, y in sub)
+        a = sum(e * y for e, y in sub)
+        ah, bh = a + 0.5, (r1 - a) + 0.5
+        ch, dh = (c1 - a) + 0.5, (n - r1 - c1 + a) + 0.5
+        ll = math.log(ah * dh / bh / ch)
+        w = 1 / (1 / ah + 1 / bh + 1 / ch + 1 / dh)
+        ws += w
+        wls += w * ll
+        wl2s += w * ll * ll
+    if len(strata) < 2:
+        return None, len(strata)
+    return max(wl2s - wls * wls / ws, 0.0), len(strata)
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1),
+                          st.integers(0, 1)),
+                min_size=1, max_size=80))
+@settings(max_examples=300)
+def test_woolf_exposure_swap_invariant_and_nonneg(rows):
+    """Exposure swap negates every L and preserves every w — chi2
+    invariant; chi2 is always >= 0 (the clamp is only against float
+    cancellation)."""
+    chi2, k = _woolf_operator_algebra(rows)
+    chi2_sw, k_sw = _woolf_operator_algebra(
+        [(s, 1 - e, y) for s, e, y in rows])
+    assert k == k_sw
+    if chi2 is not None:
+        assert chi2 >= 0
+        assert abs(chi2 - chi2_sw) < 1e-9 * max(1.0, chi2)
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1)),
+                min_size=2, max_size=40),
+       st.integers(2, 4))
+@settings(max_examples=200)
+def test_woolf_identical_strata_chi2_zero(sub, j):
+    """j copies of ONE table are perfectly homogeneous: every L_k and
+    w_k identical, so the fold cancels to (float) zero."""
+    chi2, k = _woolf_operator_algebra(
+        [(s, e, y) for s in range(j) for e, y in sub])
+    assert k == j
+    assert chi2 is not None and 0 <= chi2 < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1),
+                          st.integers(0, 1)),
+                min_size=4, max_size=60),
+       st.integers(2, 3))
+@settings(max_examples=200)
+def test_woolf_duplicating_strata_scales_chi2(rows, j):
+    """Duplicating every stratum j times (fresh labels) repeats each
+    (L_k, w_k) j times: all three sums scale by j, so chi2 scales by
+    exactly j."""
+    chi2, k = _woolf_operator_algebra(rows)
+    dup = [((s, rep), e, y) for rep in range(j) for s, e, y in rows]
+    chi2_j, k_j = _woolf_operator_algebra(dup)
+    assert k_j == j * k
+    if chi2 is not None:
+        assert abs(chi2_j - j * chi2) < 1e-9 * max(1.0, j * chi2)

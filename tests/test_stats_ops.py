@@ -2215,3 +2215,283 @@ def test_cmh_integer_strata_supported(spark):
     # the fold accumulates in ascending stratum order
     assert out[1]["var_cum"] > out[0]["var_cum"] > 0
     assert out[1]["chi2_stat"] is not None
+
+
+# ---------------------------------------------------------------------------
+# mh_odds_ratio / woolf_test (BANKED for r18 — docs/BACKLOG.md)
+# ---------------------------------------------------------------------------
+
+def test_mh_one_stratum_equals_cross_product_ratio(spark):
+    """With ONE stratum OR_MH = ad/bc exactly, and the RBG variance
+    reduces to Woolf's uncorrected 1/a + 1/b + 1/c + 1/d (the
+    classical single-table identity — the RBG estimator is built to
+    interpolate between this large-stratum regime and the sparse-
+    strata MH regime). Hand-checked table: the cmh fixture table
+    (n=50, r1=30, c1=16, a=12) -> a,b,c,d = 12,18,4,16;
+    OR = 12*16/(18*4) = 8/3; var = 1/12+1/18+1/4+1/16."""
+    import math
+
+    rows = ([("s", 1, 1)] * 12 + [("s", 1, 0)] * 18
+            + [("s", 0, 1)] * 4 + [("s", 0, 0)] * 16)
+    df = spark.createDataFrame(rows, "st string, e int, y int")
+    out = relational.mh_odds_ratio(df, "st", "e", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_total"], r["n_exposed"], r["n_success"],
+            r["a_obs"]) == (50, 30, 16, 12)
+    assert r["r_term"] == pytest.approx(12 * 16 / 50, abs=1e-6)
+    assert r["s_term"] == pytest.approx(18 * 4 / 50, abs=1e-6)
+    assert r["or_mh"] == pytest.approx(8 / 3, abs=1e-4)
+    var = 1 / 12 + 1 / 18 + 1 / 4 + 1 / 16
+    assert r["se_log"] == pytest.approx(math.sqrt(var), abs=1e-6)
+    lo = math.exp(math.log(8 / 3) - 1.96 * math.sqrt(var))
+    hi = math.exp(math.log(8 / 3) + 1.96 * math.sqrt(var))
+    assert r["ci_low"] == pytest.approx(lo, abs=1e-4)
+    assert r["ci_high"] == pytest.approx(hi, abs=1e-4)
+    # the CI brackets the estimate
+    assert r["ci_low"] < r["or_mh"] < r["ci_high"]
+
+
+def test_mh_label_swap_inverts_or_preserves_se(spark):
+    """Swapping the exposure labels maps a<->c, b<->d, so R<->S and
+    P<->Q: OR inverts (OR -> 1/OR), the RBG variance is INVARIANT
+    (term1 <-> term3, term2 fixed), and the CI bounds swap as
+    reciprocals. Same for outcome labels (a<->b, c<->d -> R<->S
+    again)."""
+    rows = ([("u", 1, 1)] * 8 + [("u", 1, 0)] * 12 + [("u", 0, 1)] * 3
+            + [("u", 0, 0)] * 17 + [("v", 1, 1)] * 10
+            + [("v", 1, 0)] * 5 + [("v", 0, 1)] * 6 + [("v", 0, 0)] * 9)
+    df = spark.createDataFrame(rows, "st string, e int, y int")
+    base = max(relational.mh_odds_ratio(df, "st", "e", "y").collect(),
+               key=lambda r: r["st"])
+    flip_e = df.selectExpr("st", "1 - e AS e", "y")
+    sw = max(relational.mh_odds_ratio(flip_e, "st", "e", "y").collect(),
+             key=lambda r: r["st"])
+    assert sw["or_mh"] == pytest.approx(1 / base["or_mh"], abs=1e-3)
+    assert sw["se_log"] == pytest.approx(base["se_log"], abs=1e-5)
+    assert sw["ci_low"] == pytest.approx(1 / base["ci_high"], abs=1e-3)
+    assert sw["ci_high"] == pytest.approx(1 / base["ci_low"], abs=1e-3)
+    flip_y = df.selectExpr("st", "e", "1 - y AS y")
+    sy = max(relational.mh_odds_ratio(flip_y, "st", "e", "y").collect(),
+             key=lambda r: r["st"])
+    assert sy["or_mh"] == pytest.approx(1 / base["or_mh"], abs=1e-3)
+    assert sy["se_log"] == pytest.approx(base["se_log"], abs=1e-5)
+
+
+def test_mh_duplicated_strata_or_invariant_ci_narrows(spark):
+    """j identical strata: R and S scale by j so OR_MH is INVARIANT,
+    while every variance numerator scales by j against j^2 in the
+    denominators — Var scales by 1/j, se by 1/sqrt(j), and the CI
+    narrows (more strata = more evidence about the SAME ratio; the
+    estimate twin of cmh's chi2-scales-by-j)."""
+    import math
+
+    rows = ([("s", 1, 1)] * 12 + [("s", 1, 0)] * 18
+            + [("s", 0, 1)] * 4 + [("s", 0, 0)] * 16)
+    one = relational.mh_odds_ratio(
+        spark.createDataFrame(rows, "st string, e int, y int"),
+        "st", "e", "y").collect()[0]
+    tripled = [(f"s{k}", e, y) for k in range(3) for (_, e, y) in rows]
+    out = relational.mh_odds_ratio(
+        spark.createDataFrame(tripled, "st string, e int, y int"),
+        "st", "e", "y").collect()
+    final = max(out, key=lambda r: r["st"])
+    assert len(out) == 3
+    assert final["or_mh"] == pytest.approx(one["or_mh"], abs=1e-4)
+    assert final["se_log"] == pytest.approx(
+        one["se_log"] / math.sqrt(3), abs=1e-5)
+    assert final["ci_low"] > one["ci_low"]
+    assert final["ci_high"] < one["ci_high"]
+
+
+def test_mh_degenerate_and_zero_sum_rules(spark):
+    """Degenerate strata need NO correction: a stratum with an empty
+    diagonal contributes 0 to the corresponding sum and simply drops
+    out. or_mh is NULL while running S = 0; exactly 0.0 when R = 0
+    with S > 0; se/ci are NULL unless BOTH running sums are positive
+    (ln(0) has no CI) — and none of those paths may raise under ANSI
+    division."""
+    # all-success outcome: b = d = 0 -> R = S = 0 -> everything NULL
+    dg = spark.createDataFrame(
+        [("s", 1, 1)] * 3 + [("s", 0, 1)] * 2,
+        "st string, e int, y int")
+    r = relational.mh_odds_ratio(dg, "st", "e", "y").collect()[0]
+    assert r["r_term"] == 0.0 and r["s_term"] == 0.0
+    assert r["or_mh"] is None and r["se_log"] is None
+    assert r["ci_low"] is None and r["ci_high"] is None
+    # a = 0 with b, c, d > 0: R = 0, S > 0 -> or_mh exactly 0.0, no CI
+    z = spark.createDataFrame(
+        [("s", 1, 0)] * 4 + [("s", 0, 1)] * 3 + [("s", 0, 0)] * 2,
+        "st string, e int, y int")
+    r0 = relational.mh_odds_ratio(z, "st", "e", "y").collect()[0]
+    assert r0["or_mh"] == 0.0
+    assert r0["se_log"] is None and r0["ci_low"] is None
+    # a degenerate stratum next to a real one leaves the estimate the
+    # real stratum's own
+    rows = ([("a", 1, 1)] * 12 + [("a", 1, 0)] * 18
+            + [("a", 0, 1)] * 4 + [("a", 0, 0)] * 16)
+    alone = relational.mh_odds_ratio(
+        spark.createDataFrame(rows, "st string, e int, y int"),
+        "st", "e", "y").collect()[0]
+    both = max(relational.mh_odds_ratio(
+        spark.createDataFrame(
+            rows + [("z", 1, 1)] * 3 + [("z", 0, 1)] * 2,
+            "st string, e int, y int"),
+        "st", "e", "y").collect(), key=lambda r: r["st"])
+    assert both["or_mh"] == alone["or_mh"]
+    assert both["se_log"] == alone["se_log"]
+
+
+def test_mh_strictness_guards(spark):
+    """cmh-verbatim in-plan contract: non-{0,1} exposure/outcome
+    (incl. null) and null strata raise; output-name collisions raise
+    eagerly."""
+    ok = spark.createDataFrame(
+        [("a", 1, 1), ("a", 0, 0), ("a", 1, 0), ("a", 0, 1)],
+        "st string, e int, y int")
+    assert len(relational.mh_odds_ratio(ok, "st", "e", "y")
+               .collect()) == 1
+    bad_e = ok.union(spark.createDataFrame(
+        [("a", 7, 1)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="exposure column"):
+        relational.mh_odds_ratio(bad_e, "st", "e", "y").collect()
+    null_y = ok.union(spark.createDataFrame(
+        [("a", 1, None)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="outcome column"):
+        relational.mh_odds_ratio(null_y, "st", "e", "y").collect()
+    null_s = ok.union(spark.createDataFrame(
+        [(None, 1, 1)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="stratum column must be"):
+        relational.mh_odds_ratio(null_s, "st", "e", "y").collect()
+    with pytest.raises(ValueError, match="collides"):
+        relational.mh_odds_ratio(
+            ok.withColumnRenamed("st", "or_mh"), "or_mh", "e", "y")
+
+
+def test_woolf_two_strata_closed_form(spark):
+    """k = 2: chi2 = w1 w2 (L1 - L2)^2 / (w1 + w2) — computed here
+    from the Haldane-corrected cells in Python and compared against
+    the operator's fold."""
+    import math
+
+    rows_a = ([("a", 1, 1)] * 8 + [("a", 1, 0)] * 12
+              + [("a", 0, 1)] * 3 + [("a", 0, 0)] * 17)
+    rows_b = ([("b", 1, 1)] * 10 + [("b", 1, 0)] * 5
+              + [("b", 0, 1)] * 6 + [("b", 0, 0)] * 9)
+    df = spark.createDataFrame(rows_a + rows_b,
+                               "st string, e int, y int")
+    out = sorted(relational.woolf_test(df, "st", "e", "y").collect(),
+                 key=lambda r: r["st"])
+
+    def hald(a, b, c, d):
+        ah, bh, ch, dh = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+        return (math.log(ah * dh / bh / ch),
+                1 / (1 / ah + 1 / bh + 1 / ch + 1 / dh))
+
+    l1, w1 = hald(8, 12, 3, 17)
+    l2, w2 = hald(10, 5, 6, 9)
+    assert out[0]["log_or"] == pytest.approx(l1, abs=1e-6)
+    assert out[0]["weight"] == pytest.approx(w1, abs=1e-6)
+    assert out[1]["log_or"] == pytest.approx(l2, abs=1e-6)
+    assert out[1]["weight"] == pytest.approx(w2, abs=1e-6)
+    chi2 = w1 * w2 * (l1 - l2) ** 2 / (w1 + w2)
+    assert out[1]["chi2_stat"] == pytest.approx(chi2, abs=1e-4)
+    assert out[1]["dof"] == 1
+    pooled = (w1 * l1 + w2 * l2) / (w1 + w2)
+    assert out[1]["log_or_pooled"] == pytest.approx(pooled, abs=1e-6)
+    # first trace row: one stratum cannot be heterogeneous
+    assert out[0]["chi2_stat"] is None and out[0]["dof"] == 0
+    assert out[0]["significant_05"] is None
+
+
+def test_woolf_identical_strata_zero_and_duplication_scales(spark):
+    """K identical strata are perfectly homogeneous: chi2 = 0.0 (the
+    greatest() clamp keeps float cancellation from emitting -0.0).
+    Duplicating a HETEROGENEOUS pair j times multiplies chi2 by j —
+    heterogeneity evidence accumulates."""
+    rows = ([("s", 1, 1)] * 12 + [("s", 1, 0)] * 18
+            + [("s", 0, 1)] * 4 + [("s", 0, 0)] * 16)
+    tripled = [(f"s{k}", e, y) for k in range(3) for (_, e, y) in rows]
+    out = relational.woolf_test(
+        spark.createDataFrame(tripled, "st string, e int, y int"),
+        "st", "e", "y").collect()
+    final = max(out, key=lambda r: r["st"])
+    assert final["chi2_stat"] == 0.0 and final["dof"] == 2
+    assert final["significant_05"] is False
+    hetero = ([("a", 1, 1)] * 20 + [("a", 1, 0)] * 5
+              + [("a", 0, 1)] * 5 + [("a", 0, 0)] * 20
+              + [("b", 1, 1)] * 5 + [("b", 1, 0)] * 20
+              + [("b", 0, 1)] * 20 + [("b", 0, 0)] * 5)
+    one = max(relational.woolf_test(
+        spark.createDataFrame(hetero, "st string, e int, y int"),
+        "st", "e", "y").collect(), key=lambda r: r["st"])
+    dup = [(s + str(k), e, y) for k in range(2) for (s, e, y) in hetero]
+    two = max(relational.woolf_test(
+        spark.createDataFrame(dup, "st string, e int, y int"),
+        "st", "e", "y").collect(), key=lambda r: r["st"])
+    assert two["chi2_stat"] == pytest.approx(
+        2 * one["chi2_stat"], abs=2e-3)
+    assert two["dof"] == 3
+
+
+def test_woolf_label_swap_invariant_and_zero_cells_finite(spark):
+    """Swapping exposure labels negates every L_k and preserves every
+    w_k, so chi2 is invariant. A stratum with empty cells still
+    contributes FINITE corrected log-OR and weight (the
+    Haldane-Anscombe point) — no NULLs, no infinities."""
+    rows = ([("u", 1, 1)] * 8 + [("u", 1, 0)] * 12 + [("u", 0, 1)] * 3
+            + [("u", 0, 0)] * 17 + [("v", 1, 1)] * 10
+            + [("v", 1, 0)] * 5 + [("v", 0, 1)] * 6 + [("v", 0, 0)] * 9)
+    df = spark.createDataFrame(rows, "st string, e int, y int")
+    base = max(relational.woolf_test(df, "st", "e", "y").collect(),
+               key=lambda r: r["st"])
+    sw = max(relational.woolf_test(
+        df.selectExpr("st", "1 - e AS e", "y"), "st", "e", "y")
+        .collect(), key=lambda r: r["st"])
+    assert sw["chi2_stat"] == pytest.approx(base["chi2_stat"],
+                                            abs=1e-4)
+    assert sw["log_or"] == pytest.approx(-base["log_or"], abs=1e-6)
+    assert sw["weight"] == pytest.approx(base["weight"], abs=1e-6)
+    # all-success stratum (b = d = 0): finite L and w via +0.5
+    dg = spark.createDataFrame(
+        [("s", 1, 1)] * 3 + [("s", 0, 1)] * 2,
+        "st string, e int, y int")
+    r = relational.woolf_test(dg, "st", "e", "y").collect()[0]
+    assert r["log_or"] is not None and r["weight"] is not None
+    assert abs(r["log_or"]) < 10 and r["weight"] > 0
+
+
+def test_woolf_strictness_guards(spark):
+    """cmh-verbatim in-plan contract plus the dof rules: non-{0,1}
+    exposure/outcome and null strata raise; dof > 10 yields NULL flag
+    (beyond the inlined critical table); collisions raise eagerly."""
+    ok = spark.createDataFrame(
+        [("a", 1, 1), ("a", 0, 0), ("a", 1, 0), ("a", 0, 1)],
+        "st string, e int, y int")
+    assert len(relational.woolf_test(ok, "st", "e", "y")
+               .collect()) == 1
+    bad_e = ok.union(spark.createDataFrame(
+        [("a", None, 1)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="exposure column"):
+        relational.woolf_test(bad_e, "st", "e", "y").collect()
+    bad_y = ok.union(spark.createDataFrame(
+        [("a", 1, 9)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="outcome column"):
+        relational.woolf_test(bad_y, "st", "e", "y").collect()
+    null_s = ok.union(spark.createDataFrame(
+        [(None, 1, 1)], "st string, e int, y int"))
+    with pytest.raises(Exception, match="stratum column must be"):
+        relational.woolf_test(null_s, "st", "e", "y").collect()
+    # 12 strata -> final dof = 11, beyond the df 1..10 table
+    many = [(f"s{i:02d}", e, y)
+            for i in range(12)
+            for (e, y) in [(1, 1), (1, 0), (0, 1), (0, 0)]]
+    out = relational.woolf_test(
+        spark.createDataFrame(many, "st string, e int, y int"),
+        "st", "e", "y").collect()
+    final = max(out, key=lambda r: r["st"])
+    assert final["dof"] == 11 and final["chi2_stat"] is not None
+    assert final["significant_05"] is None
+    with pytest.raises(ValueError, match="collides"):
+        relational.woolf_test(
+            ok.withColumnRenamed("st", "weight"), "weight", "e", "y")
