@@ -221,6 +221,13 @@ def test_z_critical_and_md5_salt_literals_pinned():
        library must use the same 1.96 — neither side can drift alone.
        The abs() operand is matched by a balanced-paren scan, not a
        fragile whole-text regex (the r15 advice lesson).
+       The CI-multiplier form is the SAME class (r16, with the banked
+       mh_odds_ratio's RBG confidence bounds): every
+       ``<z> * <se-term>`` site — Spark-side ``1.96 * se`` and
+       oracle-side ``1.96 * sqrt(...)`` / ``1.96 * se`` — must use
+       exactly 1.96 too; a CI built from one drifted side
+       hash-mismatches only in the 4th decimal of the bounds, which
+       grading can miss on round fixtures.
     2. md5 split salts: every STATIC salt inlined in a registered
        oracle as ``md5('<salt>:' ...`` must exist as the identical
        ``"<salt>:"`` string literal somewhere in the package source —
@@ -240,6 +247,13 @@ def test_z_critical_and_md5_salt_literals_pinned():
     rel_src = inspect.getsource(relational)
     spark_zs = set(re.findall(r"F\.abs\([a-z_]+\) > (\d+\.\d+)", rel_src))
     assert spark_zs == {"1.96"}, spark_zs
+    # -- 1a'. Spark-side CI multipliers: any float literal multiplied
+    # onto a standard-error name (se / se_log / stderr-style
+    # identifiers) is a z-critical and must be 1.96
+    ci_zs = set(re.findall(r"(\d+\.\d+) \* (?:se|stderr)[a-z_]*\b",
+                           rel_src))
+    assert ci_zs <= {"1.96"}, ci_zs
+    assert ci_zs, "expected at least the mh_odds_ratio CI sites"
     # the one parameterized z (wilson_pass_rate) is pinned at its only
     # registered call site
     from data_pipeline_eng_project_1_spark.plans import llm_ops
@@ -273,6 +287,13 @@ def test_z_critical_and_md5_salt_literals_pinned():
         if zs:
             assert set(zs) == {"1.96"}, (s.name, zs)
             z_oracles += 1
+        # CI multipliers: a float literal times sqrt(...) (or an se
+        # alias) in an oracle is a z-critical — 1.96 or nothing.
+        # (Zero matches today; arms the guard for the banked
+        # mh_odds_ratio oracle the day it registers.)
+        ci = re.findall(r"(\d+\.\d+)\s*\*\s*(?:sqrt\(|se\b)",
+                        s.oracle)
+        assert set(ci) <= {"1.96"}, (s.name, ci)
         salts = {t for t in re.findall(r"md5\('([A-Za-z0-9]+):'",
                                        s.oracle)
                  if not t.isdigit()}
