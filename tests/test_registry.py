@@ -339,7 +339,14 @@ def test_statistic_rounding_convention_pinned_both_engines():
 
     EVIDENCE_6DP = {"expected1", "o_minus_e", "var_cum", "mean_rank",
                     "success_rate", "score_cum", "info_cum",
-                    "x_risk_mean"}
+                    "x_risk_mean",
+                    # r18 bank (mh_odds_ratio / woolf_test): the MH
+                    # diagonal terms and running sums, the RBG
+                    # standard error, and the Haldane-corrected
+                    # log-OR evidence — pinned from banking so the
+                    # oracle inherits the convention at registration
+                    "r_term", "s_term", "r_cum", "s_cum", "se_log",
+                    "log_or", "weight", "log_or_pooled"}
 
     def rounded_aliases_sql(sql):
         for m in re.finditer(r"\bround\(", sql, re.I):
@@ -388,6 +395,10 @@ def test_statistic_rounding_convention_pinned_both_engines():
     # gain.
     EXCEPTIONS = {"u_stat": 2, "ks_stat": 6}
 
+    # Headline estimates round at 4dp like the statistics they
+    # accompany (r18 bank: the MH common OR and its CI bounds)
+    ESTIMATE_4DP = {"or_mh", "ci_low", "ci_high"}
+
     def want(name):
         if name in EXCEPTIONS:
             return EXCEPTIONS[name]
@@ -395,6 +406,8 @@ def test_statistic_rounding_convention_pinned_both_engines():
             return 4
         if name in EVIDENCE_6DP:
             return 6
+        if name in ESTIMATE_4DP:
+            return 4
         return None
 
     bad = []
