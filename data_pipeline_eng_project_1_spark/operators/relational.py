@@ -3206,6 +3206,47 @@ def page_trend_test(df: DataFrame, block: str, treatment: str,
         (F.abs(z) > 1.96).alias("significant_05"))
 
 
+def _stratified_2x2_margins(df: DataFrame, stratum: str,
+                            exposure: str, outcome: str,
+                            op: str) -> DataFrame:
+    """Shared per-stratum 2x2 margin aggregate + in-plan contract for
+    the stratified contingency stack (``cmh_test`` /
+    ``mh_odds_ratio`` / ``woolf_test``) — ONE partial+final
+    stratum-keyed aggregate collapsing the subjects to integer
+    margins ``__n`` / ``__r1`` / ``__c1`` / ``__a``, with the
+    welch-strict validation raising in-plan: exposure outside {0, 1}
+    (incl. null), outcome outside {0, 1} (incl. null), and null
+    strata (a null stratum has no principled table, and null order
+    keys sort NULLS FIRST on Spark windows vs NULLS LAST in SQL
+    oracles, shifting every cross-strata fold per engine). Factored
+    so the three operators that read the SAME frame cannot
+    desynchronize on the contract (the _ab9_variant precedent)."""
+    e = F.col(exposure).cast("long")
+    o = F.col(outcome).cast("long")
+    per_s = df.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(e).alias("__r1"),
+        F.sum(o).alias("__c1"),
+        F.sum(e * o).alias("__a"),
+        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bade"),
+        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
+               .otherwise(F.lit(1))).alias("__bado"))
+    return per_s.filter(
+        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
+            f"{op}: exposure column must be a binary {{0, 1}} "
+            "assignment — found other/null exposure values")))
+         .when(F.col("__bado") > 0, F.raise_error(F.lit(
+            f"{op}: outcome column must be a 0/1 indicator — "
+            "found other/null outcome values")))
+         .when(F.isnull(stratum), F.raise_error(F.lit(
+            f"{op}: stratum column must be non-null — a null "
+            "stratum has no principled 2x2 table, and null order "
+            "keys sort differently per engine in the cross-strata "
+            "fold")))
+         .otherwise(F.lit(True)))
+
+
 def cmh_test(df: DataFrame, stratum: str, exposure: str,
              outcome: str) -> DataFrame:
     """Cochran-Mantel-Haenszel test of a binary exposure's association
@@ -3269,30 +3310,8 @@ def cmh_test(df: DataFrame, stratum: str, exposure: str,
         raise ValueError(
             f"cmh_test: stratum column {stratum!r} collides with an "
             f"output column of this test {reserved}; alias it first")
-    e = F.col(exposure).cast("long")
-    o = F.col(outcome).cast("long")
-    per_s = df.groupBy(stratum).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum(e).alias("__r1"),
-        F.sum(o).alias("__c1"),
-        F.sum(e * o).alias("__a"),
-        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bade"),
-        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bado"))
-    per_s = per_s.filter(
-        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
-            "cmh_test: exposure column must be a binary {0, 1} "
-            "assignment — found other/null exposure values")))
-         .when(F.col("__bado") > 0, F.raise_error(F.lit(
-            "cmh_test: outcome column must be a 0/1 indicator — "
-            "found other/null outcome values")))
-         .when(F.isnull(stratum), F.raise_error(F.lit(
-            "cmh_test: stratum column must be non-null — a null "
-            "stratum has no principled 2x2 table, and null order "
-            "keys sort differently per engine in the cross-strata "
-            "fold")))
-         .otherwise(F.lit(True)))
+    per_s = _stratified_2x2_margins(df, stratum, exposure, outcome,
+                                    "cmh_test")
     n = F.col("__n")
     r1 = F.col("__r1")
     r0 = n - r1
@@ -3541,30 +3560,8 @@ def mh_odds_ratio(df: DataFrame, stratum: str, exposure: str,
         raise ValueError(
             f"mh_odds_ratio: stratum column {stratum!r} collides "
             f"with an output column {reserved}; alias it first")
-    e = F.col(exposure).cast("long")
-    o = F.col(outcome).cast("long")
-    per_s = df.groupBy(stratum).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum(e).alias("__r1"),
-        F.sum(o).alias("__c1"),
-        F.sum(e * o).alias("__a"),
-        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bade"),
-        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bado"))
-    per_s = per_s.filter(
-        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
-            "mh_odds_ratio: exposure column must be a binary {0, 1} "
-            "assignment — found other/null exposure values")))
-         .when(F.col("__bado") > 0, F.raise_error(F.lit(
-            "mh_odds_ratio: outcome column must be a 0/1 indicator — "
-            "found other/null outcome values")))
-         .when(F.isnull(stratum), F.raise_error(F.lit(
-            "mh_odds_ratio: stratum column must be non-null — a null "
-            "stratum has no principled 2x2 table, and null order "
-            "keys sort differently per engine in the cross-strata "
-            "fold")))
-         .otherwise(F.lit(True)))
+    per_s = _stratified_2x2_margins(df, stratum, exposure, outcome,
+                                    "mh_odds_ratio")
     n = F.col("__n")
     a = F.col("__a")
     b = F.col("__r1") - a
@@ -3681,30 +3678,8 @@ def woolf_test(df: DataFrame, stratum: str, exposure: str,
         raise ValueError(
             f"woolf_test: stratum column {stratum!r} collides with "
             f"an output column {reserved}; alias it first")
-    e = F.col(exposure).cast("long")
-    o = F.col(outcome).cast("long")
-    per_s = df.groupBy(stratum).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum(e).alias("__r1"),
-        F.sum(o).alias("__c1"),
-        F.sum(e * o).alias("__a"),
-        F.sum(F.when(F.col(exposure).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bade"),
-        F.sum(F.when(F.col(outcome).isin(0, 1), F.lit(0))
-               .otherwise(F.lit(1))).alias("__bado"))
-    per_s = per_s.filter(
-        F.when(F.col("__bade") > 0, F.raise_error(F.lit(
-            "woolf_test: exposure column must be a binary {0, 1} "
-            "assignment — found other/null exposure values")))
-         .when(F.col("__bado") > 0, F.raise_error(F.lit(
-            "woolf_test: outcome column must be a 0/1 indicator — "
-            "found other/null outcome values")))
-         .when(F.isnull(stratum), F.raise_error(F.lit(
-            "woolf_test: stratum column must be non-null — a null "
-            "stratum has no principled 2x2 table, and null order "
-            "keys sort differently per engine in the cross-strata "
-            "fold")))
-         .otherwise(F.lit(True)))
+    per_s = _stratified_2x2_margins(df, stratum, exposure, outcome,
+                                    "woolf_test")
     n = F.col("__n")
     a = F.col("__a")
     b = F.col("__r1") - a

@@ -79,13 +79,13 @@ Adversarial pre-review risks and closures:
    within 0.15 at sf0.01 (measured 0.3911 vs 0.4545 on the
    ~25-40-subject strata — the degenerate stratum's corrected log-OR
    shrinks toward 0 and drags the Woolf mean slightly).
-5. RISK: the sf0.001 frame is only 15 users and EVERY stratum has a
+4. RISK: the sf0.001 frame is only 15 users and EVERY stratum has a
    zero diagonal — the running R is 0 and or_mh is 0.0 with no CI.
    CLOSED by pinning, not dodging: the spec asserts exactly that
    shape at sf0.001 (the R = 0 rule on real data); the healthy
    estimate (OR 1.5754, CI brackets it) is the graded sf0.01 case,
    and BOTH SFs hash-match their oracles.
-4. RISK: CTE alias collision — the base frame CTEs already use
+5. RISK: CTE alias collision — the base frame CTEs already use
    single letters (c, m, t, x); the cell columns b/c/d could shadow.
    CLOSED: the oracles name the derived cells bcell/ccell/dcell.
 
@@ -105,9 +105,7 @@ import pytest
 from data_pipeline_eng_project_1_spark.operators import relational
 
 from tests.oracle_harness import compare_df_vs_sql
-from tests.test_r17_oracle_specs import _cmh_frame
-
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+from tests.test_r17_oracle_specs import SFS, _cmh_frame
 
 #: Shared base CTEs — the banked events_cmh_arm_conversion frame
 #: token for token (dominant event_type strata via window-max +

@@ -250,7 +250,7 @@ def test_z_critical_and_md5_salt_literals_pinned():
     # -- 1a'. Spark-side CI multipliers: any float literal multiplied
     # onto a standard-error name (se / se_log / stderr-style
     # identifiers) is a z-critical and must be 1.96
-    ci_zs = set(re.findall(r"(\d+\.\d+) \* (?:se|stderr)[a-z_]*\b",
+    ci_zs = set(re.findall(r"(\d+\.\d+) \* (?:se|se_log|stderr)\b",
                            rel_src))
     assert ci_zs <= {"1.96"}, ci_zs
     assert ci_zs, "expected at least the mh_odds_ratio CI sites"
@@ -290,7 +290,12 @@ def test_z_critical_and_md5_salt_literals_pinned():
         # CI multipliers: a float literal times sqrt(...) (or an se
         # alias) in an oracle is a z-critical — 1.96 or nothing.
         # (Zero matches today; arms the guard for the banked
-        # mh_odds_ratio oracle the day it registers.)
+        # mh_odds_ratio oracle the day it registers.) A future
+        # legitimate non-z multiplier (e.g. a 3-sigma band
+        # `3.0 * sqrt(var)`) must be added to an explicit
+        # per-query exception dict HERE, not by loosening the scan —
+        # the loud failure forcing that one-line decision is the
+        # guard's job (the u_stat/ks_stat EXCEPTIONS precedent).
         ci = re.findall(r"(\d+\.\d+)\s*\*\s*(?:sqrt\(|se\b)",
                         s.oracle)
         assert set(ci) <= {"1.96"}, (s.name, ci)
