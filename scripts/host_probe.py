@@ -29,6 +29,17 @@ Readings and their meaning (see docs/BACKLOG.md "idle host" bullet):
 Usage:
     python scripts/host_probe.py                 # controls only
     python scripts/host_probe.py q1,q2,...       # bracket targets too
+    python scripts/host_probe.py --watch 480     # WARM watch mode:
+        one long-lived session re-reads the controls every N seconds
+        and prints one JSON line per reading. Because the session
+        stays warm, watch readings are comparable to IN-SWEEP control
+        values (the fresh-session penalty the r15 note warns about
+        applies only to the first reading) — this is the
+        clean-window detector the r16 standing instruction needs:
+        when a watch reading's ratio drops to ~1.0-1.15x, stop the
+        watcher and take a full sweep immediately. Each reading costs
+        ~2 s of host time per interval, negligible contamination; do
+        NOT leave it running during a sweep.
 """
 from __future__ import annotations
 
@@ -52,7 +63,33 @@ CONTROLS = (("stats_agg_lineitem", 0.196), ("filter_project_cast", 0.142))
 N = 5
 
 
+def watch(interval_s: int) -> None:
+    """Warm clean-window watcher: emit one JSON reading of the two
+    controls every ``interval_s`` seconds from ONE long-lived session
+    (median-of-3 per control per reading), until killed."""
+    spark = get_spark("host-probe-watch", cores=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    builders = {s.name: s.builder for s in Q.specs()}
+    for name, _ in CONTROLS:
+        run_query(spark, builders[name], SF_DIR)  # warm
+    while True:
+        out = {"watch": True, "utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()), "controls": {}}
+        for name, steady in CONTROLS:
+            s = [round(run_query(spark, builders[name], SF_DIR), 3)
+                 for _ in range(3)]
+            med = statistics.median(s)
+            out["controls"][name] = {
+                "samples": s, "median": med,
+                "ratio_vs_r12_sweep": round(med / steady, 2)}
+        print(json.dumps(out), flush=True)
+        time.sleep(interval_s)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--watch":
+        watch(int(sys.argv[2]) if len(sys.argv) > 2 else 480)
+        return
     targets = sys.argv[1].split(",") if len(sys.argv) > 1 else []
     known = {s.name for s in Q.specs()}
     unknown = [t for t in targets if t not in known]
