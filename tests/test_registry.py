@@ -488,3 +488,29 @@ def test_bare_chi2_df1_critical_literals_pinned():
             assert got == want, (path, got)
             hits += 1
     assert hits >= 3  # srm oracle + srm/cmh package flags at minimum
+
+
+def test_stratified_stack_shares_one_margin_contract():
+    """The three stratified-contingency operators (cmh_test /
+    mh_odds_ratio / woolf_test) read the SAME subject frame, so their
+    per-stratum 2x2 aggregation + validation must be ONE factored
+    helper (_stratified_2x2_margins) — a re-inlined copy in any of
+    them could drift the contract for that operator alone (the
+    _ab9_variant lesson, applied to the r18 bank by review). Also
+    pins that nobody else grows a private binary-margin aggregate:
+    the __bade/__bado validation counters exist ONLY in the
+    helper."""
+    import inspect
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    for op in (relational.cmh_test, relational.mh_odds_ratio,
+               relational.woolf_test):
+        src = inspect.getsource(op)
+        assert "_stratified_2x2_margins(" in src, op.__name__
+        assert "__bade" not in src, (
+            f"{op.__name__} re-inlines the margin validation")
+    helper = inspect.getsource(relational._stratified_2x2_margins)
+    assert "__bade" in helper and "__bado" in helper
+    rel_src = inspect.getsource(relational)
+    assert rel_src.count('alias("__bade")') == 1
