@@ -90,3 +90,38 @@ def test_lint_actually_detects_the_kaplan_class():
     assert banned_oracle_types(
         con, "SELECT regr_count(o_totalprice, o_custkey) AS n "
              "FROM orders") == []
+
+
+def test_banked_spec_oracles_pass_the_type_lint_too():
+    """The banked (not-yet-registered) oracle constants in the
+    tests/test_r1*_oracle_specs.py files go through the SAME binder
+    lint as registered oracles, so a HUGEINT/DECIMAL output hazard
+    surfaces at BANKING time — not on registration day when the walk
+    budget is already committed. Discovers every module-level
+    *_SQL string in the current bank spec files dynamically."""
+    import importlib
+    import pathlib
+
+    con = duck_connection(SF)
+    here = pathlib.Path(__file__).parent
+    offenders = {}
+    checked = 0
+    # only files whose pairs are still PRE-registration hold bare
+    # *_SQL constants that compare_df_vs_sql reads; registered-era
+    # spec files re-point at the registry and keep no constants
+    for p in sorted(here.glob("test_r*_oracle_specs.py")):
+        mod = importlib.import_module(f"tests.{p.stem}")
+        for name in dir(mod):
+            if not name.endswith("_SQL"):
+                continue
+            sql = getattr(mod, name)
+            if not isinstance(sql, str) or "SELECT" not in sql:
+                continue
+            checked += 1
+            bad = banned_oracle_types(con, sql)
+            if bad:
+                offenders[f"{p.stem}.{name}"] = bad
+    assert not offenders, (
+        f"banked spec oracles with hash-unsafe output types: "
+        f"{offenders}")
+    assert checked >= 4  # the r17 + r18 banks today
