@@ -89,6 +89,18 @@ Adversarial pre-review risks and closures:
    single letters (c, m, t, x); the cell columns b/c/d could shadow.
    CLOSED: the oracles name the derived cells bcell/ccell/dcell.
 
+Rounding-boundary margin audit (one-off, r16 closing session — a new
+pre-registration evidence class for TRANSCENDENTAL-bearing pairs,
+where cross-engine ln/exp ulp differences are the only remaining
+drift channel): stripped the round() calls from both oracles and
+measured every unrounded output value's distance from its nearest
+half-way rounding boundary at sf0.001 / sf0.01 / sf0.1. Worst margin
+across all columns, rows and SFs: 2.33e-4 grid units (ci_high
+3.3973500233... at sf0.01's 4dp grid, ~2e-8 absolute) — roughly
+EIGHT orders of magnitude above libm ulp noise (~1e-16 relative), so
+no engine pair can disagree on any rounded digit. All other margins
+>= 4e-3 grid units.
+
 One-off deep-fuzz (not in the suite — the r10+ banking convention):
 20k random cases per operator twin, zero violations — MH: label-swap
 R<->S with var preservation, duplication (OR invariant, var exactly
