@@ -506,6 +506,9 @@ def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
 
     encode = F.pandas_udf(_encode, "array<int>")
 
+    # NO CPU-spread (r16 measured-negative, part of ann_pq 1.18x: the
+    # Arrow GEMM encode of a fixture-sized corpus is cheaper than the
+    # exchange that would parallelize it; a real corpus scans wide)
     return df.select(F.col(id_col).alias("match_id"),
                      encode(F.col(vec_col)).alias("codes"))
 
@@ -802,6 +805,11 @@ def covariance_matrix(corpus: DataFrame, vec_col: str = "embedding",
                 "sxy": g[iu],
             })
 
+    # NO CPU-spread here (r16 measured-negative): the per-batch BLAS
+    # partial is a single tiny GEMM at fixture scale — an RR exchange of
+    # the vectors costs 2.0x more than the one-core GEMM it parallelizes
+    # (same-session A/B, sf0.1: 0.54 -> 1.08 s). At 100 TB the scan is
+    # wide on its own and the partials parallelize for free.
     agg = (
         corpus.select(vec_col).mapInPandas(partials, schema)
         .groupBy("i", "j")
@@ -869,6 +877,9 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"kcenter_select: unknown method {method!r}")
     _require_plain_identifier("kcenter_select", vec_col)
     spark = corpus.sparkSession
+    # NO CPU-spread (r16 measured-negative, 1.16x: k TakeOrdered rounds
+    # over 32 spread partitions cost more task overhead than the
+    # single-split fold they parallelize at fixture scale)
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
@@ -971,6 +982,10 @@ def pca_power(corpus: DataFrame, vec_col: str = "embedding",
             break  # zero covariance: direction is arbitrary, keep v
         v = [int(_round_half_away(x * float(grid) / m, 0)) for x in w]
 
+    # NO CPU-spread (r16 measured-neutral: 9-sample interleaved A/B at
+    # sf0.1 read medians 2.08 s unspread vs 2.12 s spread — the single
+    # 64-dim fold per row is too cheap for the exchange to pay off; at
+    # scale the scan is wide on its own)
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
@@ -1043,7 +1058,9 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
     if k < 1 or iters < 0:
         raise ValueError("kmeans_lloyd: k >= 1 and iters >= 0 required")
     _require_plain_identifier("kmeans_lloyd", vec_col)
-    base = corpus.select(
+    # gated CPU-spread: every iteration's assignment folds and dim-sum
+    # partials run wide instead of on the fixture's single split (r16)
+    base = _spread(corpus).select(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
     if dim is None:
@@ -1116,7 +1133,16 @@ def silhouette_by_label(corpus: DataFrame, vec_col: str = "embedding",
             f"integral type (label values are interpolated into a "
             f"generated CASE expression), got {lbl_t}")
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = corpus.select(F.col(label_col).alias("__lbl"), dbl.alias("__v"))
+    # gated CPU-spread (round-robin, NOT by label — 10 labels would use
+    # 10 of 32 cores): the scoring projection is k interpreted 64-dim
+    # folds per row and the dim-sums aggregate is 64 partials per row,
+    # both single-split on the fixture scan otherwise. Measured r16
+    # same-session A/B at sf0.1: 3.57 -> 2.73 s (0.76x). The unrolled
+    # codegen form of the folds was ALSO tried and measured-NEGATIVE:
+    # 10 CASE arms x least(9 x 64-term) expressions explode
+    # planning/compile time past any per-row win at this scale.
+    base = _spread(corpus).select(F.col(label_col).alias("__lbl"),
+                                  dbl.alias("__v"))
     sums = base.groupBy("__lbl").agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
