@@ -65,20 +65,46 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
     if n == 0:
         raise ValueError("pagerank: empty node set")
     base = (1.0 - damping) / n
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(outdeg, "src")
+    if "deg" in edges.columns:
+        # caller ships the out-degree on the edge rows (e.g. an
+        # adjacency-set derivation knows it as size(nbrs) for free) —
+        # skip the extra groupBy+join (one full edge shuffle saved)
+        e = edges
+    else:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        e = edges.join(outdeg, "src")
     if materialize:
-        e = e.localCheckpoint(eager=True)
+        # Checkpoint the derived graph ALREADY partitioned by dst
+        # (LogicalRDD keeps the partitioning): every iteration's
+        # contribution groupBy("dst") then needs NO exchange — the one
+        # repartition at derivation time replaces ``iters`` per-round
+        # shuffles of the contribution stream (guide §2.4: operations
+        # keyed the same way share one exchange). r16 measurement,
+        # together with the broadcast hints below: 2.27 s → 1.21 s
+        # (0.53×) same-session isolated at sf0.1.
+        npart = edges.sparkSession.sparkContext.defaultParallelism
+        e = e.repartition(npart, "dst").localCheckpoint(eager=True)
     r = nodes.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(iters):
+        # Broadcast the RANK VECTOR, not the edges: without the hint the
+        # planner broadcast the checkpointed edge frame (the side that
+        # is huge at scale) and sort-merge-joined the node set with an
+        # exchange+sort per iteration. The rank/contribution frames are
+        # ≤ |nodes| rows by construction — the node DIMENSION, orders
+        # of magnitude under the edge volume this operator is sized for
+        # (guide §3.1: pick the strategy deliberately). For a
+        # billion-node graph broadcast would not fit; that regime wants
+        # a co-partitioned rank table — documented, not this operator's
+        # fixture-star contract.
         contrib = (
-            e.join(r, e["src"] == r["id"])
+            e.join(F.broadcast(r), e["src"] == r["id"])
             .select("dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         r = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            nodes.join(F.broadcast(contrib),
+                       nodes["id"] == contrib["dst"], "left")
             .select(nodes["id"],
                     (F.lit(base)
                      + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
