@@ -16,10 +16,27 @@ from pyspark.sql import functions as F
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
-             damping: float = 0.85, materialize: bool = True) -> DataFrame:
+             damping: float = 0.85, materialize: bool = True,
+             deg_col: str | None = None,
+             broadcast_ranks: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over a directed graph: ``nodes`` with
     column ``id``, ``edges`` with ``src``/``dst`` (parallel edges count
     once per row — pre-aggregate or distinct upstream if unwanted).
+
+    ``deg_col`` (r17, explicit contract — was an implicit "deg" column
+    sniff): name of an edge column that ALREADY carries src's out-degree
+    over exactly these edge rows (e.g. an adjacency-set derivation knows
+    it as size(nbrs) for free), saving the out-degree groupBy+join — one
+    full edge shuffle. Default None recomputes the degree; an unrelated
+    or stale column named "deg" in the caller's frame is then ignored
+    rather than silently trusted.
+
+    ``broadcast_ranks`` (r17): the per-iteration rank/contribution
+    frames are ≤ |nodes| rows — the node DIMENSION — so by default they
+    are broadcast-hinted (the planner otherwise broadcast the EDGE side,
+    backwards at scale). The hint overrides size estimates, so a
+    billion-node caller must pass False to degrade to a shuffle join
+    (that regime really wants a co-partitioned rank table).
 
     Recurrence (the simplified absorbing form):
 
@@ -65,14 +82,17 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
     if n == 0:
         raise ValueError("pagerank: empty node set")
     base = (1.0 - damping) / n
-    if "deg" in edges.columns:
-        # caller ships the out-degree on the edge rows (e.g. an
-        # adjacency-set derivation knows it as size(nbrs) for free) —
-        # skip the extra groupBy+join (one full edge shuffle saved)
-        e = edges
+    if deg_col is not None:
+        # caller ships the out-degree on the edge rows — skip the extra
+        # groupBy+join (one full edge shuffle saved); contract is the
+        # EXPLICIT deg_col parameter, never a column-name sniff
+        if deg_col not in edges.columns:
+            raise ValueError(f"pagerank: deg_col {deg_col!r} not in edges")
+        e = edges if deg_col == "deg" else edges.withColumnRenamed(deg_col,
+                                                                   "deg")
     else:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        e = edges.join(outdeg, "src")
+        e = edges.select("src", "dst").join(outdeg, "src")
     if materialize:
         # Checkpoint the derived graph ALREADY partitioned by dst
         # (LogicalRDD keeps the partitioning): every iteration's
@@ -85,6 +105,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
         npart = edges.sparkSession.sparkContext.defaultParallelism
         e = e.repartition(npart, "dst").localCheckpoint(eager=True)
     r = nodes.select("id", F.lit(1.0 / n).alias("r"))
+
+    def _bc(df):
+        return F.broadcast(df) if broadcast_ranks else df
+
     for _ in range(iters):
         # Broadcast the RANK VECTOR, not the edges: without the hint the
         # planner broadcast the checkpointed edge frame (the side that
@@ -93,17 +117,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
         # ≤ |nodes| rows by construction — the node DIMENSION, orders
         # of magnitude under the edge volume this operator is sized for
         # (guide §3.1: pick the strategy deliberately). For a
-        # billion-node graph broadcast would not fit; that regime wants
-        # a co-partitioned rank table — documented, not this operator's
-        # fixture-star contract.
+        # billion-node graph broadcast would not fit — pass
+        # broadcast_ranks=False there (see docstring).
         contrib = (
-            e.join(F.broadcast(r), e["src"] == r["id"])
+            e.join(_bc(r), e["src"] == r["id"])
             .select("dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         r = (
-            nodes.join(F.broadcast(contrib),
+            nodes.join(_bc(contrib),
                        nodes["id"] == contrib["dst"], "left")
             .select(nodes["id"],
                     (F.lit(base)

@@ -45,6 +45,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     return catalog.load_table(spark, name, sf_dir)
 
 
+# Within-query materialization switch (r17). True (production/bench): a
+# frame read k times by one query is localCheckpoint'ed so the diamond
+# above it plans the derivation once instead of 2^k times. False: plans
+# stay pure lineage — used by the plan audits (tests/test_plans.py) and
+# scripts/plan_dump.py to inspect/dump the full pre-materialization plan
+# without hiding subtrees behind Scan ExistingRDD, and without running
+# the heavy upstream jobs just to print a plan. NOTE on timing: under
+# AQE even ``localCheckpoint(eager=False)`` executes every upstream
+# shuffle map stage at DataFrame BUILD time (the r4 lesson pinned in
+# dedup.connected_components) — bench timings stay honest because
+# bench.py times builder+action together in one span.
+MATERIALIZE = True
+
+
+def _ckpt(df):
+    """Materialize an intra-query reused frame (no-op when MATERIALIZE
+    is off). Local checkpoints live on executor storage — fine for these
+    within-query aggregate-sized frames; a corpus-sized frame would want
+    persist(MEMORY_AND_DISK) or a reliable checkpoint instead (r16
+    verdict note)."""
+    if MATERIALIZE:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def _spread(df):
     """Round-robin repartition to full parallelism before CPU-dense row
     work: text corpora land as few fat parquet files (1 row-group = 1
@@ -1293,11 +1318,11 @@ def _q_text_collocation_llr(spark, sf_dir):
     # Materialize the bigram-count table once (r16): bc is read FOUR
     # times (row marginals, column marginals, grand total, scored) and
     # each reference re-planned the whole explode+count derivation.
-    # Lazy localCheckpoint (computed inside the query's first job, the
-    # tfidf posting-list rule): 1.54 -> 0.93 s (0.60x) same-session A/B
-    # at sf0.1, oracle parity re-proven at sf0.001 + sf0.01.
-    bc = (bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-          .localCheckpoint(eager=False))
+    # Lazy localCheckpoint (upstream stages run at build time under AQE,
+    # inside run_query's timed span — see _ckpt): 1.54 -> 0.93 s (0.60x)
+    # same-session A/B at sf0.1, oracle parity re-proven at
+    # sf0.001 + sf0.01.
+    bc = _ckpt(bi.groupBy("w1", "w2").agg(F.count("*").alias("c")))
     r1 = bc.groupBy("w1").agg(F.sum("c").alias("r"))
     c2 = bc.groupBy("w2").agg(F.sum("c").alias("s"))
     nb = bc.agg(F.sum("c").alias("n"))
@@ -1411,7 +1436,7 @@ def _q_supplier_pagerank(spark, sf_dir):
     edges = adj.select("src", F.explode("nbrs").alias("dst"),
                        F.size("nbrs").alias("deg"))
     nodes = sup.select(F.col("s_suppkey").alias("id"))
-    pr = graph.pagerank(nodes, edges, iters=4, damping=0.85)
+    pr = graph.pagerank(nodes, edges, iters=4, damping=0.85, deg_col="deg")
     return pr.select(F.col("id").alias("s_suppkey"),
                      F.round("rank", 6).alias("rank"))
 
@@ -4335,11 +4360,12 @@ def _q_text_tfidf_cosine_pairs(spark, sf_dir):
     # per reference — the r15 plan held 75 shuffle exchanges, 92
     # aggregates and 28 document scans from the 2^k lineage fan-out.
     # A derived frame read k times should be materialized once (the
-    # pagerank-edges rule); lazy localCheckpoint computes it inside the
-    # query's own first job. Measured same-session A/B at sf0.1
-    # (together with the half-matrix checkpoint below):
+    # pagerank-edges rule); the lazy localCheckpoint's upstream stages
+    # run at build time under AQE, inside run_query's timed span (see
+    # _ckpt). Measured same-session A/B at sf0.1 (together with the
+    # half-matrix checkpoint below):
     # 2.38 -> 1.82 s (0.76x), oracle parity re-proven at both SFs.
-    joinable = joinable.localCheckpoint(eager=False)
+    joinable = _ckpt(joinable)
     a = joinable.select(F.col("doc_id").alias("doc_a"), "h",
                         F.col("t2").alias("ta"), F.col("u").alias("ua"))
     b = joinable.select(F.col("doc_id").alias("doc_b"), "h",
@@ -4354,7 +4380,7 @@ def _q_text_tfidf_cosine_pairs(spark, sf_dir):
         .filter(F.col("cosine") >= 0.25)
     )
     # same rule for the mirrored union: half is read twice
-    half = half.localCheckpoint(eager=False)
+    half = _ckpt(half)
     pairs = half.unionByName(
         half.select(F.col("doc_b").alias("doc_a"),
                     F.col("doc_a").alias("doc_b"),

@@ -58,6 +58,33 @@ def test_pagerank_random_graphs_match_reference(spark):
         assert all(abs(got[v] - want[v]) < 1e-12 for v in want), seed
 
 
+def test_pagerank_stale_deg_column_is_ignored_unless_named(spark):
+    """r17 contract (ADVICE r16): a column that happens to be called
+    'deg' in the caller's edge frame is NOT silently trusted as the
+    out-degree — only an explicit deg_col engages the skip. A stale/
+    wrong deg must be ignored (recomputed) by default, and honored —
+    reproducing the wrong ranks — only when named."""
+    n = 4
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    # attach a WRONG degree (all 7) to every edge row
+    e_bad = spark.createDataFrame([(s, t, 7) for s, t in edges],
+                                  ["src", "dst", "deg"])
+    got = {r["id"]: r["rank"]
+           for r in graph.pagerank(nodes, e_bad, iters=3).collect()}
+    want = _pagerank_reference(n, edges, iters=3)
+    assert all(abs(got[v] - want[v]) < 1e-12 for v in want)
+    # named explicitly, the bogus degree IS used -> different ranks
+    got_bad = {r["id"]: r["rank"]
+               for r in graph.pagerank(nodes, e_bad, iters=3,
+                                       deg_col="deg").collect()}
+    assert any(abs(got_bad[v] - want[v]) > 1e-9 for v in want)
+    import pytest
+
+    with pytest.raises(ValueError, match="deg_col"):
+        graph.pagerank(nodes, e_bad, iters=1, deg_col="nope")
+
+
 def test_pagerank_empty_nodes_raises(spark):
     import pytest
 

@@ -421,10 +421,36 @@ def test_cdc_chunks_never_shuffles_text(spark):
 def test_tfidf_candidate_join_shuffles_hash_keys(spark):
     """The r8 8-byte-key claim, pinned: the posting self-join's exchange
     partitions on the xxhash64 long (h), and the only term-keyed
-    exchanges are the vocabulary aggregates below it."""
+    exchanges are the vocabulary aggregates below it. Since r16 the
+    posting list is localCheckpoint'ed before the self-join (diamond
+    collapse), which hides the h-exchange behind Scan ExistingRDD in the
+    production plan — so the claim is audited on the pure-lineage plan
+    via the llm_ops.MATERIALIZE switch, and the materialization boundary
+    is pinned separately on the production plan."""
+    from data_pipeline_eng_project_1_spark.plans import llm_ops
+
+    saved = llm_ops.MATERIALIZE
+    llm_ops.MATERIALIZE = False
+    try:
+        df = _builders()["text_tfidf_cosine_pairs"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        llm_ops.MATERIALIZE = saved
+    assert "hashpartitioning(h#" in plan, plan[:1200]
+
+
+def test_tfidf_materializes_posting_list_once(spark):
+    """The r16 diamond-collapse claim, pinned: with MATERIALIZE on (the
+    bench/production path) the self-join's posting list and half matrix
+    are checkpointed, so the final plan reads them as ExistingRDD scans
+    instead of re-planning the tf/df/norm derivation per reference (the
+    r15 plan held 75 exchanges / 28 document scans)."""
     df = _builders()["text_tfidf_cosine_pairs"](spark, SF_DIR)
     plan = _plan(df)
-    assert "hashpartitioning(h#" in plan, plan[:1200]
+    assert "Scan ExistingRDD" in plan, plan[:1200]
+    # the whole derivation ran below the checkpoint: no document scan
+    # and no term-keyed aggregate exchange is left in the final plan
+    assert "documents.parquet" not in plan
 
 
 def test_kmeans_lloyd_assignment_is_scan_side(spark):
