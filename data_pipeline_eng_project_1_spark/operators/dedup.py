@@ -312,41 +312,101 @@ def jaccard_pairs_prefix(sh: DataFrame, threshold: float,
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def _winnow_batches(k: int, w: int, mod: int = 2147483647, base: int = 257):
+    """mapInPandas body for winnow_fingerprint_table: per Arrow batch,
+    flatten every normalized text into ONE contiguous uint8 code array
+    (normalize() output is [a-z0-9 ] — ASCII by construction) and run
+    the whole winnow in vectorized NumPy int64 math:
+
+    - gram hashes: k shifted multiply-add-mod passes over the flat array
+      — the SAME Horner chain, same mod-after-every-step order, as the
+      unrolled JVM expression and the oracle's list_reduce (integer
+      math, so bit-exactness is trivial, unlike the float operators);
+    - window minima: w-1 shifted np.minimum passes;
+    - per doc: slice its valid positions (grams crossing a document
+      boundary are computed on the flat array but sliced OUT — a gram at
+      flat offset i belongs to doc [s, s+L) iff i <= s+L-k, a window min
+      iff i <= s+L-k-w+1), then np.unique == array_sort∘array_distinct.
+
+    Docs shorter than one window (L < k+w-1), empty or null texts yield
+    an EMPTY fps array — the exact behavior of the expression form
+    (pinned by test_winnowing_guarantee_and_short_docs)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            texts_b = ["" if s is None else s for s in pdf["__norm"]]
+            lens = np.fromiter((len(s) for s in texts_b), dtype=np.int64,
+                               count=len(texts_b))
+            flat = np.frombuffer("".join(texts_b).encode("ascii"),
+                                 dtype=np.uint8).astype(np.int64)
+            n_h = flat.shape[0] - k + 1
+            m = None
+            if n_h >= w:
+                acc = np.zeros(n_h, dtype=np.int64)
+                for j in range(k):
+                    acc *= base
+                    acc += flat[j:n_h + j]
+                    acc %= mod
+                n_m = n_h - w + 1
+                m = acc[:n_m].copy()
+                for t in range(1, w):
+                    np.minimum(m, acc[t:n_m + t], out=m)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            fps = []
+            for s, L in zip(starts, lens):
+                n_fp = L - k - w + 2
+                if n_fp <= 0:
+                    fps.append([])
+                else:
+                    fps.append(np.unique(m[s:s + n_fp]).tolist())
+            yield pd.DataFrame({"id": pdf["id"], "fps": fps})
+
+    return fn
+
+
 def winnow_fingerprint_table(df: DataFrame, k: int = 8, w: int = 4,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              materialize: bool = False) -> DataFrame:
-    """(id, fps): winnowing fingerprint sets per document (see
-    functions/texts.py::winnow_fingerprints for the algorithm), staged
-    through TWO materialization barriers — character codes, then gram
-    hashes. Catalyst's interpreted higher-order lambdas re-evaluate
-    INLINED subexpressions per element, so the nested single-expression
-    form is O(n²·k) per doc (measured: minutes at fixture scale vs ~1 s
-    staged); materializing each stage behind an id-hash exchange makes
-    every lambda read a stored array, restoring the O(n·(k+w)) bound.
-    The exchanged payloads are code/hash arrays (≈ text bytes), so the
-    two shuffles are linear in corpus size; unlike ``tokenized``'s
-    gated spread, these barriers are semantically REQUIRED for the
-    complexity bound, not just CPU spreading.
+    """(id, fps): winnowing fingerprint sets per document — normalize
+    scan-side (JVM regex, unchanged), then ONE Arrow pass computes gram
+    hashes + window minima + distinct-sort in vectorized NumPy integer
+    math (``_winnow_batches``; guide §4.2 — hand whole batches to native
+    code). Bit-exact vs the r7-r16 unrolled-expression form: the math is
+    all int64 with the same mod-after-every-multiply-add order, proven
+    by a full-corpus frame diff at sf0.01 (500/500 identical fps arrays)
+    plus the property tests.
 
-    ``materialize=True`` additionally localCheckpoints the result —
-    REQUIRED whenever a consumer will filter or join on ``fps``:
-    predicate pushdown crosses repartition barriers, so e.g. a
-    fingerprint equi-join's inferred ``isnotnull`` predicate re-inlines
-    the whole nested winnow expression into a scan-stage interpreted
-    filter and the O(n²·k) blow-up returns (observed: a stuck
-    900-CPU-second single task; jstack showed the full
-    transform/aggregate tower inside a GeneratedClass Filter predicate).
-    Truncating lineage is the only composition-proof guard; the
-    fingerprint table is fingerprint-sized, and materializing a derived
-    index once is the production shape anyway."""
+    The r7 expression form needed TWO id-hash exchanges as
+    materialization barriers (interpreted higher-order lambdas
+    re-evaluate inlined subexpressions per element — O(n²·k) per doc
+    without them) and still paid ~12 interpreted element_at calls per
+    character. The Arrow form needs NO exchange: the winnow runs inside
+    the scan stage (gated spread aside), and because the Python function
+    is opaque, predicate pushdown can never re-inline the winnow
+    expressions into a scan filter (the hazard the old docstring
+    documented is structurally gone). Shuffle ledger at 100 TB: zero
+    exchanges here vs two full corpus-sized ones before.
+
+    ``materialize=True`` still localCheckpoints the result — consumers
+    that fan the table into a self-join (dedup_winnow_pairs) read it
+    twice, and materializing a derived index once is the production
+    shape; the fingerprint table is fingerprint-sized.
+
+    Gated CPU-spread (the ``tokenized`` rule): an under-split fixture
+    scan is hash-spread by id so the Arrow workers run wide; a real
+    many-file corpus is already wide and gets no exchange."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    c = (df.select(F.col(id_col).alias("id"),
-                   texts.char_codes(F.col(text_col)).alias("__codes"))
-         .repartition(n, "id"))
-    g = (c.select("id", texts.gram_hashes(F.col("__codes"), k).alias("__gh"))
-         .repartition(n, "id"))
-    out = g.select("id", texts.winnow_mins(F.col("__gh"), w).alias("fps"))
+    id_t = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("id"),
+                    texts.normalize(F.col(text_col)).alias("__norm"))
+    if scan_width(df) < n:
+        src = src.repartition(n, "id")
+    out = src.mapInPandas(_winnow_batches(k, w),
+                          f"id {id_t}, fps array<long>")
     if materialize:
         out = out.localCheckpoint(eager=True)
     return out

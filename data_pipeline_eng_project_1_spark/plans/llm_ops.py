@@ -2010,6 +2010,17 @@ def _q_dedup_winnow_pairs(spark, sf_dir):
     ex0 = wft.select("id", F.explode("fps").alias("fp"))
     keep = (ex0.groupBy("fp").agg(F.count("*").alias("__df"))
             .filter(F.col("__df") <= 200).select("fp"))
+    # Measured-NEGATIVE (r17): checkpointing the capped posting list
+    # (the tfidf posting-list rule — ex is referenced 4x, keep 4x, the
+    # fingerprint table 8x in the printed plan) makes the query SLOWER,
+    # not faster: same-session interleaved A/B at sf0.1, ex+nf ckpt
+    # 4.33 s vs 2.64 s plain, nf-only ckpt 3.40 s vs 2.12 s plain. The
+    # printed duplication is collapsed at RUNTIME by AQE shuffle-stage
+    # reuse (all the duplicate subtrees hash to the same exchange), so a
+    # checkpoint only adds build-time jobs + block-manager round-trips.
+    # The tfidf checkpoints survive their own A/B (re-proven r17) —
+    # the difference is tfidf's diamond duplicates SCAN+explode work
+    # below its FIRST exchange, which stage reuse cannot share.
     ex = ex0.join(keep, "fp")
     nf = ex.groupBy("id").agg(F.count("*").alias("nf"))
     a, b = ex.alias("a"), ex.alias("b")

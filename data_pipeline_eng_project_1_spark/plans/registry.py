@@ -519,6 +519,13 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     # satisfy every contract, so the output is identical — but the
     # definition changed, so the r15 green row is stale evidence:
     "events_friedman_dow": 15,
+    # changed in r17 (r16-and-earlier green rows stale) — the winnow
+    # fingerprint derivation moved from the unrolled element_at chains
+    # to one vectorized NumPy Arrow pass (same integer math, same
+    # mod-after-every-step order; full-corpus frame diff at sf0.01 is
+    # 500/500 identical fps arrays — same output):
+    "text_winnow_fingerprint": 16,
+    "dedup_winnow_pairs": 16,
 }
 
 

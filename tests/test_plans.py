@@ -418,6 +418,20 @@ def test_cdc_chunks_never_shuffles_text(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_winnow_fingerprint_is_one_arrow_pass(spark):
+    """r17: the winnow derivation is ONE vectorized Arrow pass riding
+    the scan stage — no interpreted HOF folds, no join/window, and the
+    only exchange is the gated id-spread of the single-split fixture
+    scan (a wide 100 TB corpus skips it). Replaces the r7 shape's two
+    id-hash materialization-barrier exchanges."""
+    df = _builders()["text_winnow_fingerprint"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning") <= 1     # the gated spread only
+    assert "Join" not in plan and "Window" not in plan
+    assert "aggregate(" not in plan                # no interpreted fold left
+
+
 def test_tfidf_candidate_join_shuffles_hash_keys(spark):
     """The r8 8-byte-key claim, pinned: the posting self-join's exchange
     partitions on the xxhash64 long (h), and the only term-keyed

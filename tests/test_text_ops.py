@@ -175,6 +175,46 @@ def test_winnowing_guarantee_and_short_docs(spark):
     assert out[4] == set()
 
 
+def test_winnow_arrow_matches_python_reference(spark):
+    """The r17 NumPy winnow (dedup._winnow_batches) against a direct
+    per-document Python replay of the algorithm — Horner chain with mod
+    after every multiply-add, w-window minima, sorted distinct — over
+    randomized texts including nulls, empties, and boundary lengths
+    (bit-exact integer math, so equality is exact, not approximate)."""
+    import random
+
+    from data_pipeline_eng_project_1_spark.operators import dedup
+
+    def ref(text, k=8, w=4, mod=2147483647):
+        import re
+        norm = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "",
+                                        (text or "").lower())).strip()
+        codes = [ord(c) for c in norm]
+        if len(codes) < k + w - 1:
+            return []
+        gh = []
+        for i in range(len(codes) - k + 1):
+            acc = 0
+            for j in range(k):
+                acc = (acc * 257 + codes[i + j]) % mod
+            gh.append(acc)
+        mins = [min(gh[j:j + w]) for j in range(len(gh) - w + 1)]
+        return sorted(set(mins))
+
+    rng = random.Random(7)
+    alpha = "abcdefghij XYZ!,09 "
+    rows = [(i, "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(0, 60))))
+            for i in range(40)]
+    rows += [(100, None), (101, ""), (102, "a" * 10), (103, "a" * 11),
+             (104, "b" * 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["fps"] for r in
+           dedup.winnow_fingerprint_table(df, k=8, w=4).collect()}
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
+
+
 def test_char_entropy_matches_python_reference(spark, sf_dir):
     """Spark entropy == a direct Python computation of
     -sum p log2 p over the normalized alphabet, for every fixture doc."""
