@@ -1006,6 +1006,28 @@ def pca_power(corpus: DataFrame, vec_col: str = "embedding",
     return v, scores
 
 
+def _seq_sq_l2_dists(X, cents):
+    """(n, k) squared-L2 distances of batch matrix ``X`` (n x dim,
+    float64) to every centroid in ``cents``, with the accumulation in
+    the SAME sequential dim order as the ``aggregate(zip_with(...))``
+    fold and the oracle's list_sum(list_transform(...)) — acc_j =
+    acc_{j-1} + (x_j - c_j)^2, vectorized ACROSS rows (per-row IEEE ops
+    are independent, so elementwise += reproduces the scalar fold
+    bit-for-bit; a BLAS GEMM would not — pairwise summation reorders
+    the adds)."""
+    import numpy as np
+
+    n = X.shape[0]
+    D = np.empty((n, len(cents)), dtype=np.float64)
+    for ci, c in enumerate(cents):
+        acc = np.zeros(n, dtype=np.float64)
+        for j, cj in enumerate(c):
+            diff = X[:, j] - cj
+            acc += diff * diff
+        D[:, ci] = acc
+    return D
+
+
 def _round_half_away(x: float, dp: int) -> float:
     """Driver-side decimal rounding matching the pinned cross-engine
     round() contract (tests/test_text_ops.py): ties at dp+1 go HALF AWAY
@@ -1074,6 +1096,16 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 3,
     cents = [[_round_half_away(float(x), round_dp) for x in r["v"]]
              for r in init]
 
+    # Measured-NEGATIVE (r17): replacing these folds with the silhouette
+    # Arrow pass (pandas_udf over _seq_sq_l2_dists — byte-identical
+    # assignments, verified) is SLOWER here: alternating isolated probes
+    # at sf0.1, Arrow 2.68-3.23 s vs fold 1.92-2.93 s across three
+    # pairings. At k=4 the per-row fold is ~5x cheaper than silhouette's
+    # k=10 a+b CASE (19 folds/row), while the Arrow form pays the
+    # JVM->Python vector transfer per ITERATION job (iters+1 boundary
+    # crossings of the whole corpus) — the boundary, not the math, is
+    # the cost at this k. A large-k caller should revisit (the
+    # silhouette numbers say the crossover is somewhere under k=10).
     def best(cent_list):
         scores = F.array(*[
             F.struct(_sq_l2_to_literal("v", c).alias("d"),
@@ -1114,33 +1146,33 @@ def silhouette_by_label(corpus: DataFrame, vec_col: str = "embedding",
     Scale shape (the kmeans_lloyd choreography): ONE (label)-keyed
     (count, dim-sums) aggregate; the driver holds only k x dim floats,
     each mean rounded HALF AWAY FROM ZERO to 6dp (the pinned cross-
-    engine handoff) and re-inlined as literal scan-side squared-L2
-    folds — scoring is a pure projection on the corpus scan, no join,
-    no second shuffle; the final per-label aggregate is the only other
-    exchange, and the corpus-average windows run over its <= k-row
-    frame.
+    engine handoff) and handed to a vectorized Arrow scorer (r17; was
+    literal scan-side squared-L2 folds) — scoring is a pure projection
+    on the corpus scan, no join, no second shuffle; the final per-label
+    aggregate is the only other exchange, and the corpus-average windows
+    run over its <= k-row frame.
 
-    ``label_col`` must be an integral type: label VALUES are
-    interpolated into the generated ``CASE __lbl WHEN {l}`` SQL, which
-    only parses for numeric literals — a string label would yield
-    invalid SQL or unintended splicing, so it is rejected up front
-    (dense-rank string labels to ints first).
+    ``label_col`` must be an integral type: labels index the centroid
+    matrix via a sorted-order lookup inside the Arrow scorer (r9-r16
+    interpolated them into generated ``CASE __lbl WHEN {l}`` SQL — the
+    original reason for the guard), and an ordered integral key keeps
+    that lookup exact; dense-rank string labels to ints first.
     """
     lbl_t = corpus.schema[label_col].dataType.simpleString()
     if lbl_t not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
             f"silhouette_by_label: label column {label_col!r} must be an "
-            f"integral type (label values are interpolated into a "
-            f"generated CASE expression), got {lbl_t}")
+            f"integral type (labels index the centroid matrix in the "
+            f"Arrow scorer), got {lbl_t}")
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # gated CPU-spread (round-robin, NOT by label — 10 labels would use
-    # 10 of 32 cores): the scoring projection is k interpreted 64-dim
-    # folds per row and the dim-sums aggregate is 64 partials per row,
-    # both single-split on the fixture scan otherwise. Measured r16
-    # same-session A/B at sf0.1: 3.57 -> 2.73 s (0.76x). The unrolled
-    # codegen form of the folds was ALSO tried and measured-NEGATIVE:
-    # 10 CASE arms x least(9 x 64-term) expressions explode
-    # planning/compile time past any per-row win at this scale.
+    # 10 of 32 cores): the Arrow scorer and the dim-sums aggregate (64
+    # partials per row) run single-split on the fixture scan otherwise.
+    # Measured r16 same-session A/B at sf0.1 (fold-form era):
+    # 3.57 -> 2.73 s (0.76x). The unrolled codegen form of the folds was
+    # ALSO tried and measured-NEGATIVE: 10 CASE arms x least(9 x
+    # 64-term) expressions explode planning/compile time past any
+    # per-row win at this scale.
     base = _spread(corpus).select(F.col(label_col).alias("__lbl"),
                                   dbl.alias("__v"))
     sums = base.groupBy("__lbl").agg(
@@ -1155,28 +1187,42 @@ def silhouette_by_label(corpus: DataFrame, vec_col: str = "embedding",
              for r in rows}
     labels = sorted(cents)
 
-    # One SQL string per expression instead of k x k py4j Column builds:
-    # the similarity_ann_ivf lesson — ~100 sq-L2 sub-expressions built
-    # through when()/least() Column algebra cost ~2 s of pure driver
-    # py4j round-trips per plan; two F.expr parses are milliseconds.
-    def _sq(center: list[float]) -> str:
-        arr = "array(" + ", ".join(f"{x!r}D" for x in center) + ")"
-        return (f"aggregate(zip_with(__v, {arr}, (x, y) -> (x - y) * (x - y)),"
-                f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    # r17 (guide §4.2, VERDICT item 5): the k interpreted 64-dim
+    # aggregate(zip_with(...)) CASE folds per row (CodegenFallback —
+    # the r16 spread only moved them to more cores) are replaced by ONE
+    # vectorized Arrow pass: per batch, a (n x k) distance matrix via
+    # _seq_sq_l2_dists (same sequential dim-order accumulation, so every
+    # per-row a/b/s double is bit-identical to the fold — verified by a
+    # full-frame diff at sf0.1, 10/10 output rows byte-equal), a = own
+    # label's column, b = min over the others (exact min), s = (b-a)/
+    # max(a,b) with the same >0 guard. Still a pure projection: no join,
+    # no window, no exchange added (ArrowEvalPython rides the scan
+    # stage). The r16 unrolled-codegen CASE attempt stays pinned
+    # measured-negative above; this form removes the interpreter without
+    # the plan-size explosion. Same-session A/B at sf0.1: see
+    # OPTIMIZATION_r17.md (silhouette query).
+    cent_rows = [cents[l] for l in labels]
+    lab_arr = labels
 
-    a_sql = "CASE __lbl " + " ".join(
-        f"WHEN {l} THEN {_sq(cents[l])}" for l in labels) + " END"
-    b_sql = "CASE __lbl " + " ".join(
-        "WHEN {l} THEN {near}".format(
-            l=l,
-            near=(lambda os: os[0] if len(os) == 1
-                  else "least(" + ", ".join(os) + ")")(
-                [_sq(cents[m]) for m in labels if m != l]))
-        for l in labels) + " END"
-    a, b = F.expr(a_sql), F.expr(b_sql)
-    sil = F.when(F.greatest(a, b) > 0,
-                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
-    per = (base.select("__lbl", sil.alias("__s"))
+    @F.pandas_udf("double")
+    def _sil_score(lbl, v):
+        import numpy as np
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype="float64")
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        D = _seq_sq_l2_dists(X, cent_rows)
+        li = np.searchsorted(np.asarray(lab_arr), lbl.to_numpy())
+        rows = np.arange(X.shape[0])
+        a = D[rows, li]
+        D[rows, li] = np.inf
+        b = D.min(axis=1)
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        return pd.Series(s)
+
+    per = (base.select("__lbl", _sil_score("__lbl", "__v").alias("__s"))
            .groupBy("__lbl")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("__s").alias("__sum")))
     whole = Window.orderBy("__lbl").rowsBetween(

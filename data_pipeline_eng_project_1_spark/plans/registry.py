@@ -526,6 +526,11 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     # 500/500 identical fps arrays — same output):
     "text_winnow_fingerprint": 16,
     "dedup_winnow_pairs": 16,
+    # changed in r17 — silhouette scoring moved from interpreted
+    # aggregate(zip_with) CASE folds to one vectorized Arrow pass with
+    # the identical sequential accumulation order (full-frame diff at
+    # sf0.1: 10/10 output rows byte-equal — same output):
+    "embedding_silhouette": 16,
 }
 
 
