@@ -428,10 +428,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                               # (physical only, same output)
     "similarity_ann_lsh": 5,  # same spread gating (same output)
     # changed in r7 (r6-and-earlier green rows stale):
-    "text_winnow_fingerprint": 6,  # gram_hashes/winnow_mins unrolled to
-                                   # element_at chains (bit-exact math,
-                                   # same output)
-    "dedup_winnow_pairs": 6,       # same winnow unroll (same output)
+    # (text_winnow_fingerprint / dedup_winnow_pairs also changed in r7 —
+    # the element_at unroll, re-graded green since; those entries are
+    # subsumed by their r17 rows below — the duplicate-key lint)
     "supplier_pagerank": 6,        # edge derivation drops the redundant
                                    # pre-distinct before collect_set
                                    # (same edge set, same output)
@@ -475,10 +474,9 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
                                    # name interpolated into F.expr
                                    # (advice fix; same output)
     "events_cusum_changepoint": 9,  # same identifier guard (same output)
-    "embedding_silhouette": 9,     # label column now validated integral
-                                   # before label VALUES are interpolated
-                                   # into the generated CASE (same
-                                   # output)
+    # (embedding_silhouette also changed in r9 — integral-label guard,
+    # re-graded green since; that entry is subsumed by its r17 row
+    # below — the duplicate-key lint)
     "events_rolling_anomaly": 9,   # null values now dropped BEFORE the
                                    # trailing window so batch matches the
                                    # streaming twin's value-ring
