@@ -11,12 +11,18 @@ Reference operators re-expressed (SURVEY.md §2.4):
 - fixed-arity array → columns    dags/utils.py:324-343 (positional INSERT)
 - find-by-key probe (odds)       get_odd_value, dags/utils.py:226-235
 - 8×3 odds widening              process_row_odd, dags/utils.py:237-250
+
+r17 form: every helper emits SQL TEXT consumed by one ``selectExpr`` per
+transform instead of per-column ``pyspark.sql.functions`` Column objects.
+The expressions (and therefore the computed values) are identical — the
+change is purely driver-side: the r7-r16 Column form cost one py4j
+round-trip per node, ~700 round-trips ≈ 1.5-2 s of pure plan-build time
+per flashscore_format_parity run (the similarity_ann_ivf r6 lesson,
+measured again here: builder 2.1 s vs 0.5 s of execution); a batched
+selectExpr is one round-trip per projection.
 """
 
 from __future__ import annotations
-
-from pyspark.sql import Column
-from pyspark.sql import functions as F
 
 #: The eight bookmaker probe keys hard-coded in process_row_odd
 #: (dags/utils.py:240-248), in output order. These are data constants of the
@@ -38,58 +44,64 @@ ODDS_SIDES = ("HOME", "NIL", "AWAY")
 LINEUP_SIZE = 11
 
 
-def team_names(lineups: Column, team: str) -> Column:
-    """Pluck player names from lineups_data.<Team>: array<struct{name}> →
-    array<string> (reference: per-row list comprehension, dags/utils.py:161-162)."""
-    return lineups.getField(team).getField("name")
+def team_names_sql(lineups: str, team: str) -> str:
+    """SQL: pluck player names from <lineups>.<Team>: array<struct{name}>
+    → array<string> (reference: per-row list comprehension,
+    dags/utils.py:161-162)."""
+    return f"{lineups}.{team}.name"
 
 
-def pad_or_null(names: Column, size: int = LINEUP_SIZE) -> Column:
-    """Arity guard: keep the array only when it has exactly `size` entries,
-    else null (reference replaces with [None]*11, dags/utils.py:164-165;
-    all-null rows are then skipped at load, :341-342). Null (vs a null-filled
-    array) lets downstream use a single isNotNull filter."""
-    return F.when(F.size(names) == size, names)
+def pad_or_null_sql(names: str, size: int = LINEUP_SIZE) -> str:
+    """SQL arity guard: keep the array only when it has exactly ``size``
+    entries, else null (reference replaces with [None]*11,
+    dags/utils.py:164-165; all-null rows are then skipped at load,
+    :341-342). Null (vs a null-filled array) lets downstream use a single
+    IS NOT NULL filter."""
+    return f"CASE WHEN size({names}) = {size} THEN {names} END"
 
 
-def array_to_columns(names: Column, prefix: str, size: int = LINEUP_SIZE) -> list[Column]:
-    """Fixed-arity array → SIZE columns `<prefix>_1..SIZE` (reference does
-    this implicitly via positional INSERT params, dags/utils.py:324-337)."""
-    return [
-        F.element_at(names, i + 1).alias(f"{prefix}_{i + 1}")
-        for i in range(size)
-    ]
+def array_to_columns_sql(names: str, prefix: str,
+                         size: int = LINEUP_SIZE) -> list[str]:
+    """SQL: fixed-arity array → SIZE columns `<prefix>_1..SIZE` (reference
+    does this implicitly via positional INSERT params,
+    dags/utils.py:324-337)."""
+    return [f"element_at({names}, {i + 1}) AS {prefix}_{i + 1}"
+            for i in range(size)]
 
 
-def find_odds_by_bookmaker(bookmakers: Column, name: str) -> Column:
-    """Probe bookmakers_data for one bookmaker's odds triple.
+def find_odds_by_bookmaker_sql(bookmakers: str, name: str) -> str:
+    """SQL: probe <bookmakers> for one bookmaker's odds triple.
 
     Semantics of get_odd_value (dags/utils.py:226-235): first entry whose
-    ``bookmaker`` matches → its odds cast to float, but only when the odds
-    array has exactly 3 entries; missing bookmaker or malformed arity → null
-    (→ three null columns after widening).
+    ``bookmaker`` matches → its odds cast to double, but only when the
+    odds array has exactly 3 entries; missing bookmaker or malformed
+    arity → null (→ three null columns after widening).
+
+    try_element_at: missing bookmaker -> empty filtered array -> null
+    (element_at on index 1 of an empty array throws under ANSI mode).
+    try_cast: a non-numeric odd string → null — the reference's bare
+    float() (dags/utils.py:234) would crash the whole run on one bad
+    value; a null cell is the deliberate hardening here.
     """
-    # try_element_at: missing bookmaker -> empty filtered array -> null
-    # (element_at on index 1 of an empty array throws under ANSI mode).
-    entry = F.try_element_at(
-        F.filter(bookmakers, lambda b: b.getField("bookmaker") == F.lit(name)),
-        F.lit(1),
-    )
-    odds = entry.getField("odds")
-    valid = F.when(F.size(odds) == 3, odds)
-    # try_cast: non-numeric odd string → null. The reference's bare float()
-    # (dags/utils.py:234) would crash the whole run on one bad value; a null
-    # cell is the deliberate hardening here.
-    return F.transform(valid, lambda o: o.try_cast("double"))
+    entry = (f"try_element_at(filter({bookmakers}, "
+             f"b -> b.bookmaker = '{name}'), 1)")
+    return (f"transform(CASE WHEN size({entry}.odds) = 3 "
+            f"THEN {entry}.odds END, o -> try_cast(o AS DOUBLE))")
 
 
-def widen_odds(bookmakers: Column) -> list[Column]:
+def widen_odds_sql(bookmakers: str) -> tuple[list[str], list[str]]:
     """8 bookmakers × {HOME,NIL,AWAY} → 24 double columns
-    (reference: process_row_odd, dags/utils.py:237-250 + INSERT column list
-    at :263-287). Pure loop-generated column algebra — one projection node."""
-    cols: list[Column] = []
-    for probe_name, col_name in zip(BOOKMAKERS, BOOKMAKER_COLS):
-        triple = find_odds_by_bookmaker(bookmakers, probe_name)
-        for i, side in enumerate(ODDS_SIDES):
-            cols.append(F.element_at(triple, i + 1).alias(f"{col_name}_{side}_ODD"))
-    return cols
+    (reference: process_row_odd, dags/utils.py:237-250 + INSERT column
+    list at :263-287). Returns (triple_exprs, widen_exprs) for TWO
+    stacked projections: the probes once per bookmaker, then the
+    element_at fan-out — same shape the Column form planned."""
+    triples = [
+        f"{find_odds_by_bookmaker_sql(bookmakers, probe)} AS __t_{col}"
+        for probe, col in zip(BOOKMAKERS, BOOKMAKER_COLS)
+    ]
+    widened = [
+        f"element_at(__t_{col}, {i + 1}) AS {col}_{side}_ODD"
+        for col in BOOKMAKER_COLS
+        for i, side in enumerate(ODDS_SIDES)
+    ]
+    return triples, widened

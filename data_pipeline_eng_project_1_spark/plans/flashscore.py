@@ -57,29 +57,29 @@ _RENAME = {
 }
 
 
-def match_id() -> F.Column:
-    """Deterministic ID_MATCH: sha256 over the natural key.
+#: Deterministic ID_MATCH: sha256 over the natural key (SQL text — every
+#: transform builds its projection as ONE selectExpr; see the nested.py
+#: module docstring for the r17 py4j-round-trip rationale).
+#:
+#: Replaces the per-row uuid4 (dags/utils.py:107) + post-insert read-back
+#: (dags/utils.py:215-217). Deterministic ⇒ all four sinks agree without
+#: caching, and reprocessing a file is idempotent.
+MATCH_ID_SQL = (
+    "sha2(concat_ws('|', current_country, current_tournament, "
+    "participant_home, participant_away, "
+    "year, month, day, hour, minute), 256)"
+)
 
-    Replaces the per-row uuid4 (dags/utils.py:107) + post-insert read-back
-    (dags/utils.py:215-217). Deterministic ⇒ all four sinks agree without
-    caching, and reprocessing a file is idempotent.
-    """
-    return F.sha2(
-        F.concat_ws(
-            "|",
-            F.col("current_country"), F.col("current_tournament"),
-            F.col("participant_home"), F.col("participant_away"),
-            F.col("year"), F.col("month"), F.col("day"),
-            F.col("hour"), F.col("minute"),
-        ),
-        256,
-    )
+
+def match_id() -> F.Column:
+    """Column form of MATCH_ID_SQL (kept for callers/tests)."""
+    return F.expr(MATCH_ID_SQL)
 
 
 def finished(df: DataFrame) -> DataFrame:
     """Status predicate shared by all three transforms
     (dags/utils.py:83,152,176)."""
-    return df.filter(F.col("current_status") == "Finished")
+    return df.where("current_status = 'Finished'")
 
 
 def transform_matches(df: DataFrame) -> DataFrame:
@@ -88,21 +88,22 @@ def transform_matches(df: DataFrame) -> DataFrame:
 
     Order preserved from the reference: dropna runs BEFORE the cast, so a
     non-numeric score survives as a null SCORE_* cell (pandas errors='coerce'
-    ≙ try_cast).
+    ≙ try_cast). na.drop("any") over the 11 projected columns is spelled as
+    one conjunctive IS NOT NULL filter — same rows.
     """
-    base = (
-        finished(df)
-        .select(*_KEEP)
-        .na.drop("any")
-        .withColumn("participant_home_current_score",
-                    F.col("participant_home_current_score").try_cast("int"))
-        .withColumn("participant_away_current_score",
-                    F.col("participant_away_current_score").try_cast("int"))
-        .withColumn("ID_MATCH", match_id())
-        .withColumn("DATE_LOAD", F.current_timestamp())
-    )
-    renamed = base.withColumnsRenamed(_RENAME)
-    return renamed.select(*MATCH_COLUMNS)
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in _KEEP)
+    inv = {v: k for k, v in _RENAME.items()}
+    exprs = []
+    for out in MATCH_COLUMNS:
+        if out == "ID_MATCH":
+            exprs.append(f"{MATCH_ID_SQL} AS ID_MATCH")
+        elif out == "DATE_LOAD":
+            exprs.append("current_timestamp() AS DATE_LOAD")
+        elif out in ("SCORE_TEAM_HOME", "SCORE_TEAM_AWAY"):
+            exprs.append(f"try_cast({inv[out]} AS INT) AS {out}")
+        else:
+            exprs.append(f"{inv[out]} AS {out}")
+    return finished(df).where(not_null).selectExpr(*exprs)
 
 
 def transform_lineups(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -114,18 +115,18 @@ def transform_lineups(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     na.drop removed match rows; here the shared deterministic ID_MATCH makes
     the link correct by construction.
     """
-    base = finished(df).select(
-        match_id().alias("ID_MATCH"),
-        nested.pad_or_null(nested.team_names(F.col("lineups_data"), "Team1")).alias("home"),
-        nested.pad_or_null(nested.team_names(F.col("lineups_data"), "Team2")).alias("away"),
+    base = finished(df).selectExpr(
+        f"{MATCH_ID_SQL} AS ID_MATCH",
+        f"{nested.pad_or_null_sql(nested.team_names_sql('lineups_data', 'Team1'))} AS home",
+        f"{nested.pad_or_null_sql(nested.team_names_sql('lineups_data', 'Team2'))} AS away",
     )
     home = (
-        base.filter(F.col("home").isNotNull())
-        .select("ID_MATCH", *nested.array_to_columns(F.col("home"), "NAME_PLAYER"))
+        base.where("home IS NOT NULL")
+        .selectExpr("ID_MATCH", *nested.array_to_columns_sql("home", "NAME_PLAYER"))
     )
     away = (
-        base.filter(F.col("away").isNotNull())
-        .select("ID_MATCH", *nested.array_to_columns(F.col("away"), "NAME_PLAYER"))
+        base.where("away IS NOT NULL")
+        .selectExpr("ID_MATCH", *nested.array_to_columns_sql("away", "NAME_PLAYER"))
     )
     return home, away
 
@@ -134,10 +135,9 @@ def transform_odds(df: DataFrame) -> DataFrame:
     """ODDS table: ID_MATCH + 8 bookmakers × {HOME,NIL,AWAY} = 25 columns
     (transform_odds dags/utils.py:169-182 + process_row_odd :237-250 +
     INSERT :263-287)."""
-    return finished(df).select(
-        match_id().alias("ID_MATCH"),
-        *nested.widen_odds(F.col("bookmakers_data")),
-    )
+    triples, widened = nested.widen_odds_sql("bookmakers_data")
+    probed = finished(df).selectExpr(f"{MATCH_ID_SQL} AS ID_MATCH", *triples)
+    return probed.selectExpr("ID_MATCH", *widened)
 
 
 def transform_all(df: DataFrame) -> dict[str, DataFrame]:

@@ -4004,23 +4004,34 @@ def _write_parity_dumps() -> tuple[str, str]:
     return jp, xp
 
 
-def _fingerprint_frame(tdf: DataFrame, fmt: str, table: str) -> DataFrame:
-    """(source_format, table_name, n_rows, content_md5) for one pipeline
-    table: md5 over the sorted canonical row strings. DATE_LOAD (wall
-    clock) is excluded; float cells canonicalize as round(x*1000) BIGINT
-    milli-units (cross-engine string rendering of doubles is not pinned;
-    integer strings are); nulls as a '~null~' marker so concat_ws's
-    null-skip can never alias two different rows."""
+def _canonical_rows(tdf: DataFrame, fmt: str, table: str) -> DataFrame:
+    """(source_format, table_name, __r) — one canonical row string per
+    table row. DATE_LOAD (wall clock) is excluded; float cells
+    canonicalize as round(x*1000) BIGINT milli-units (cross-engine
+    string rendering of doubles is not pinned; integer strings are);
+    nulls as a '~null~' marker so concat_ws's null-skip can never alias
+    two different rows."""
     cells = []
     for c, t in tdf.dtypes:
         if c == "DATE_LOAD":
             continue
-        col = F.col(c)
+        col = f"`{c}`"
         if t in ("float", "double"):
-            col = F.round(col.cast("double") * 1000, 0).cast("long")
-        cells.append(F.coalesce(col.cast("string"), F.lit("~null~")))
-    row = F.concat_ws("|", *cells)
-    agg = tdf.select(row.alias("__r")).agg(
+            col = (f"CAST(round(CAST({col} AS DOUBLE) * 1000, 0) "
+                   f"AS BIGINT)")
+        cells.append(f"coalesce(CAST({col} AS STRING), '~null~')")
+    # one selectExpr per table — the Column form cost ~40 py4j
+    # round-trips per table, ~0.4 s of pure driver time over 8 tables
+    return tdf.selectExpr(f"'{fmt}' AS source_format",
+                          f"'{table}' AS table_name",
+                          f"concat_ws('|', {', '.join(cells)}) AS __r")
+
+
+def _fingerprint_frame(tdf: DataFrame, fmt: str, table: str) -> DataFrame:
+    """(source_format, table_name, n_rows, content_md5) for one pipeline
+    table: md5 over the sorted canonical row strings of
+    ``_canonical_rows``."""
+    agg = _canonical_rows(tdf, fmt, table).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.md5(F.array_join(F.array_sort(F.collect_list("__r")), "\n"))
          .alias("content_md5"))
@@ -4144,16 +4155,35 @@ def _q_flashscore_format_parity(spark, sf_dir):
         read_matches_xml,
     )
 
+    from data_pipeline_eng_project_1_spark.plans import llm_ops
+
     jp, xp = _write_parity_dumps()
     frames = []
     for fmt, src in (("json", read_matches(spark, jp)),
                      ("xml", read_matches_xml(spark, xp))):
+        # Parse each dump ONCE (r17, guide §2.4/§5): the four table
+        # branches otherwise each re-run the multiLine-JSON / XML intake
+        # — the r16 plan held 8 format scans. The parsed source is
+        # record-count-sized (the parity fixture), and at a real intake
+        # scale "land the parse once, fan the tables out of it" is
+        # exactly what run_pipeline's parquet landing does.
+        src = llm_ops._ckpt(src)
         for name, tdf in flashscore.transform_all(src).items():
-            frames.append(_fingerprint_frame(tdf, fmt, name))
-    out = frames[0]
+            frames.append(_canonical_rows(tdf, fmt, name))
+    rows = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("source_format", "table_name")
+        rows = rows.unionByName(f)
+    # ONE keyed aggregate instead of 8 global ones (8 partial+final
+    # exchange stage pairs -> 1): per (format, table) the count and the
+    # md5-over-sorted-rows are computed by the identical expressions, so
+    # the output rows are unchanged. The 8 groups are literal keys — the
+    # exchange carries 8 tiny partitions; no group can be empty (the
+    # parity records are code literals and every table keeps >= 1 row).
+    return (rows.groupBy("source_format", "table_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.md5(F.array_join(F.array_sort(F.collect_list("__r")),
+                                    "\n")).alias("content_md5"))
+            .orderBy("source_format", "table_name"))
 
 
 @_register(
