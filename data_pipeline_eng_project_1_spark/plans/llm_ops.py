@@ -1066,11 +1066,24 @@ def _q_text_quality(spark, sf_dir):
         "final aggregation; the quality math rides the dedup exchange.",
 )
 def _q_corpus_curation(spark, sf_dir):
-    d = _spread(_t(spark, sf_dir, "documents"))
+    # ONE gated hash-spread shared by both dedup_exact branches (r17):
+    # the r16 shape paid an RR spread + tokenized's id-hash barrier —
+    # two full-text exchanges whose second bought nothing (the final
+    # groupBy keys on (source, lang), not id; CollapseProject keeps the
+    # multi-referenced __toks alias materialized without a barrier).
+    # It was also the c8>c32 inversion VERDICT flagged: 32-way task
+    # fan-out on three exchanges of a 5000-doc corpus is pure
+    # scheduling overhead. Same-session A/B at sf0.1: 1.45 -> 1.20 s
+    # (0.83x), output frame-diff identical (100/100 rows); c8/c32
+    # re-measured in OPTIMIZATION_r17.md.
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    if dedup.scan_width(d) < n:
+        d = d.repartition(n, "doc_id")
     kept = dedup.dedup_exact(d)
-    toked = dedup.tokenized(kept, "doc_id", "text",
-                            extra_cols=("text", "source", "lang"))
     text, toks = F.col("text"), F.col("__toks")
+    toked = kept.select(texts.tokens(text).alias("__toks"),
+                        "text", "source", "lang")
     pre = toked.select(
         "source", "lang",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -4071,23 +4084,43 @@ def _q_embedding_covariance(spark, sf_dir):
         "corpus-quadratic; the S x S result frame is tiny at any scale.",
 )
 def _q_corpus_source_overlap(spark, sf_dir):
-    d = _spread(_t(spark, sf_dir, "documents"))
-    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("source",))
-    sh = (toked.select("source",
-                       F.explode(texts.word_shingles_of(F.col("__toks")))
-                       .alias("g"))
-          .distinct())
-    sz = sh.groupBy("source").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("source").alias("source_a"), "g")
-    b = sh.select(F.col("source").alias("source_b"), "g")
-    ix = (a.join(b, ["g"])
-          .filter(F.col("source_a") < F.col("source_b"))
-          .groupBy("source_a", "source_b")
-          .agg(F.count("*").alias("inter")))
+    # Adjacency-set form (r17 — the supplier_pagerank derivation trick):
+    # ONE g-keyed collect_set aggregate replaces the r16 shape's
+    # (source, g) DISTINCT aggregate + vocabulary self-join on g —
+    # collect_set dedups in-aggregate (map-side partials), the per-g
+    # source set is bounded by #sources, and the pair fan-out is a
+    # scan-side double-explode of each sorted set's i<j pairs (exactly
+    # the source_a < source_b join predicate). Per-query exchanges:
+    # spread + g-agg + sz-agg + pair-agg, vs spread + distinct-agg +
+    # 2 self-join exchanges + pair-agg — and the self-join's vocabulary
+    # fan-out never materializes. Same-session A/B at sf0.1: 1.33 ->
+    # 0.94 s (0.70x), output frame-diff identical (190/190 rows).
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    if dedup.scan_width(d) < n:  # ONE gated spread (the shingled() rule),
+        d = d.repartition(n, "doc_id")  # not RR + id-barrier (2 exchanges)
+    toked = d.select("source", texts.tokens(F.col("text")).alias("__toks"))
+    ex = toked.select("source",
+                      F.explode(texts.word_shingles_of(F.col("__toks")))
+                      .alias("g"))
+    ss = ex.groupBy("g").agg(F.array_sort(F.collect_set("source"))
+                             .alias("ss"))
+    sz = (ss.select(F.explode("ss").alias("source"))
+          .groupBy("source").agg(F.count("*").alias("n")))
+    pairs = (
+        ss.filter(F.size("ss") >= 2)
+        .select(F.explode(F.expr(
+            "flatten(transform(ss, (a, i) -> "
+            "transform(slice(ss, i + 2, size(ss) - i - 1), "
+            "b2 -> struct(a AS sa, b2 AS sb))))")).alias("p"))
+        .select(F.col("p.sa").alias("source_a"),
+                F.col("p.sb").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("inter")))
     sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
     sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
     return (
-        ix.join(F.broadcast(sa), "source_a")
+        pairs.join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")
         .select("source_a", "source_b",
                 F.col("inter").cast("long").alias("n_shared"),

@@ -529,6 +529,12 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     # the identical sequential accumulation order (full-frame diff at
     # sf0.1: 10/10 output rows byte-equal — same output):
     "embedding_silhouette": 16,
+    # changed in r17 — exchange restructures, output frame-diff
+    # identical at sf0.1 (100/190 rows respectively) + oracle-green at
+    # sf0.001/sf0.01:
+    "corpus_curation": 16,        # one gated hash-spread, no id barrier
+    "corpus_source_overlap": 16,  # vocabulary self-join -> per-shingle
+                                  # adjacency sets (collect_set)
 }
 
 

@@ -103,16 +103,15 @@ def test_stale_refresh_fits_budget_now():
     # i.e. at the hard ceiling), so together with the next round's
     # planned definition load they must fit the next budget. The
     # reserve is re-derived each round from the PLANNED load, not a
-    # historical heuristic (the r10 advice): r16's walk carries 3
-    # needy rows (the banked stratified-logrank/Page registrations +
-    # the events_friedman_dow re-needy from the diagnostic-priority
-    # advice-class fix) + the FULL 43-row r12 tail (it retires this
-    # round, leaving no green row older than r13) + 4 r13 refreshes
-    # = 50; the remaining 44 r13 rows spill here; r17's planned
-    # definition load is <= 4 (docs/BACKLOG.md: bank <= 2 specs —
-    # Cochran-Mantel-Haenszel + Cochran's Q — plus <= 2 advice
-    # re-needies), and 44 + 4 = 48 fits the next budget.
-    reserve = 4
+    # historical heuristic (the r10 advice): r17 is optimization round
+    # 2 of 2 and registers NOTHING (the r16 verdict's standing rule —
+    # the banked CMH/Cochran-Q pair stays unregistered), but its five
+    # output-identical optimization restructures (winnow x2,
+    # silhouette, curation, source_overlap) are recorded as re-needies
+    # and lead this walk; a hypothetical r18 build round's planned
+    # definition load is exactly the 2 banked registrations
+    # (docs/BACKLOG.md), and 48 spilled + 2 = 50 fits the next budget.
+    reserve = 2
     assert spilled <= BUDGET - reserve, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
         f"budget — more than {BUDGET - reserve} cannot re-converge on "
