@@ -367,6 +367,95 @@ def _winnow_batches(k: int, w: int, mod: int = 2147483647, base: int = 257):
     return fn
 
 
+def _cdc_batches(avg: int, min_len: int, max_len: int, table: list[int]):
+    """mapInPandas body for cdc_boundary_table: the gear fold
+    (h = (2h + gear[c]) mod 2^31, reset at every cut) vectorized ACROSS
+    documents with a chunk-frontier loop — every active document
+    advances one chunk per round, the ≤ max_len hash steps of a round
+    running as whole-array ops (the oracle's recursive-CTE shape, in
+    NumPy). All integer math — bit-exact vs the interpreted
+    aggregate-fold form by construction, and asserted row-identical in
+    tests. Null/empty texts yield an empty bounds array (the
+    size(codes) > 0 guard of the expression form)."""
+    import numpy as np
+    import pandas as pd
+
+    gear = np.zeros(256, dtype=np.int64)
+    gear[:len(table)] = np.asarray(table, dtype=np.int64)
+    mod = 2147483648
+
+    def fn(batches):
+        for pdf in batches:
+            texts_b = ["" if s is None else s for s in pdf["__norm"]]
+            lens = np.fromiter((len(s) for s in texts_b), dtype=np.int64,
+                               count=len(texts_b))
+            g = gear[np.frombuffer("".join(texts_b).encode("ascii"),
+                                   dtype=np.uint8)]
+            nd = len(lens)
+            doc_start = np.zeros(nd, dtype=np.int64)
+            np.cumsum(lens[:-1], out=doc_start[1:])
+            doc_end = doc_start + lens
+            bounds: list[list[int]] = [[0] if L > 0 else [] for L in lens]
+            active = lens > 0
+            start = doc_start.copy()
+            while active.any():
+                idx = np.nonzero(active)[0]
+                s, e = start[idx], doc_end[idx]
+                h = np.zeros(len(idx), dtype=np.int64)
+                cutlen = np.zeros(len(idx), dtype=np.int64)
+                running = np.ones(len(idx), dtype=bool)
+                for j in range(max_len):
+                    inb = running & (s + j < e)
+                    if not inb.any():
+                        break
+                    hj = (h[inb] * 2 + g[s[inb] + j]) % mod
+                    h[inb] = hj
+                    cut = np.zeros(len(idx), dtype=bool)
+                    if j + 1 >= max_len:
+                        cut[inb] = True
+                    elif j + 1 >= min_len:
+                        cut[inb] = hj % avg == 0
+                    cutlen[cut] = j + 1
+                    running &= ~cut
+                newstart = np.where(cutlen > 0, s + cutlen, e)
+                for k, d in enumerate(idx):
+                    if cutlen[k] > 0 and newstart[k] < doc_end[d]:
+                        bounds[d].append(int(newstart[k] - doc_start[d]))
+                        start[d] = newstart[k]
+                    else:
+                        active[d] = False
+            yield pd.DataFrame({"id": pdf["id"], "bs": bounds})
+
+    return fn
+
+
+def cdc_boundary_table(df: DataFrame, avg: int = 64, min_len: int = 32,
+                       max_len: int = 128, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, bs): content-defined chunk boundaries per document — the
+    Arrow twin of ``functions/texts.py::cdc_boundaries`` (which stays as
+    the expression-form reference the property tests replay). Normalize
+    scan-side, then one vectorized NumPy pass (``_cdc_batches``; guide
+    §4.2) replaces the interpreted O(n) struct-accumulator fold — same
+    integers, same boundaries, asserted frame-identical in
+    test_cdc_arrow_matches_expression_form. Gated spread as usual; no
+    exchange, no join, no window (the plan audit pins it)."""
+    from data_pipeline_eng_project_1_spark.functions.texts import _cdc_gear
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    id_t = df.schema[id_col].dataType.simpleString()
+    gear = _cdc_gear()
+    table = [0] * 123
+    for c, gv in gear.items():
+        table[ord(c)] = gv
+    src = df.select(F.col(id_col).alias("id"),
+                    texts.normalize(F.col(text_col)).alias("__norm"))
+    if scan_width(df) < n:
+        src = src.repartition(n, "id")
+    return src.mapInPandas(_cdc_batches(avg, min_len, max_len, table),
+                           f"id {id_t}, bs array<int>")
+
+
 def winnow_fingerprint_table(df: DataFrame, k: int = 8, w: int = 4,
                              id_col: str = "doc_id",
                              text_col: str = "text",

@@ -4716,8 +4716,12 @@ def _cdc_gear_sql() -> str:
 def _q_doc_cdc_chunks(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     norm = texts.normalize(F.col("text"))
-    b = (_spread(d.filter(F.length(norm) > 0))
-         .select("doc_id", texts.cdc_boundaries(F.col("text")).alias("bs")))
+    # Arrow gear fold (r17): dedup.cdc_boundary_table vectorizes the
+    # interpreted struct-accumulator fold in NumPy (frame-identical,
+    # integer math) — see the operator docstring; A/B in
+    # OPTIMIZATION_r17.md.
+    b = dedup.cdc_boundary_table(d.filter(F.length(norm) > 0)) \
+        .withColumnRenamed("id", "doc_id")
     return b.select(
         "doc_id",
         F.size("bs").cast("int").alias("n_chunks"),

@@ -535,6 +535,8 @@ _CHANGED_SINCE_GREEN: dict[str, int] = {
     "corpus_curation": 16,        # one gated hash-spread, no id barrier
     "corpus_source_overlap": 16,  # vocabulary self-join -> per-shingle
                                   # adjacency sets (collect_set)
+    "doc_cdc_chunks": 16,         # gear fold -> Arrow chunk-frontier
+                                  # (frame-identical, integer math)
 }
 
 

@@ -407,15 +407,18 @@ def test_grouped_regression_is_one_partial_final_aggregate(spark):
 
 
 def test_cdc_chunks_never_shuffles_text(spark):
-    """Content-defined chunking is one scan-side O(n) fold per document:
-    no key-based exchange, no join, no window — the only allowed
-    exchange is the round-robin _spread of the single-row-group fixture
-    scan (which a many-file corpus skips)."""
+    """Content-defined chunking is one scan-side O(n) pass per document
+    (r17: a vectorized Arrow pass — MapInPandas — instead of the
+    interpreted fold): no join, no window, and the only exchange is the
+    gated id-spread of the single-row-group fixture scan (which a
+    many-file corpus skips)."""
     df = _builders()["doc_cdc_chunks"](spark, SF_DIR)
     plan = _plan(df)
-    assert "hashpartitioning" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning") <= 1     # the gated spread only
     assert "rangepartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
+    assert "aggregate(" not in plan                # no interpreted fold left
 
 
 def test_winnow_fingerprint_is_one_arrow_pass(spark):

@@ -105,13 +105,14 @@ def test_stale_refresh_fits_budget_now():
     # reserve is re-derived each round from the PLANNED load, not a
     # historical heuristic (the r10 advice): r17 is optimization round
     # 2 of 2 and registers NOTHING (the r16 verdict's standing rule —
-    # the banked CMH/Cochran-Q pair stays unregistered), but its five
+    # the banked CMH/Cochran-Q pair stays unregistered), but its six
     # output-identical optimization restructures (winnow x2,
-    # silhouette, curation, source_overlap) are recorded as re-needies
-    # and lead this walk; a hypothetical r18 build round's planned
-    # definition load is exactly the 2 banked registrations
-    # (docs/BACKLOG.md), and 48 spilled + 2 = 50 fits the next budget.
-    reserve = 2
+    # silhouette, curation, source_overlap, cdc_chunks) are recorded
+    # as re-needies and lead this walk; docs/BACKLOG.md staggers a
+    # hypothetical r18 build round to ONE registration (CMH first,
+    # Cochran's Q the round after), so 49 spilled + 1 = 50 fits the
+    # next budget.
+    reserve = 1
     assert spilled <= BUDGET - reserve, (
         f"{spilled} stale-green queries spill past the {BUDGET}-row "
         f"budget — more than {BUDGET - reserve} cannot re-converge on "

@@ -215,6 +215,27 @@ def test_winnow_arrow_matches_python_reference(spark):
     assert got == want
 
 
+def test_cdc_arrow_matches_expression_form(spark):
+    """The r17 NumPy chunk-frontier CDC (dedup.cdc_boundary_table)
+    against the expression-form reference (texts.cdc_boundaries) —
+    integer gear math, so equality is exact — over edge cases: null,
+    empty, sub-min, exactly-max, max+1, and repetitive texts."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.functions import texts
+    from data_pipeline_eng_project_1_spark.operators import dedup
+
+    rows = [(1, None), (2, ""), (3, "short text"), (4, "a" * 127),
+            (5, "b" * 128), (6, "c" * 129), (7, "Hello, World! " * 40),
+            (8, "x" * 31), (9, "y" * 32),
+            (10, "the quick brown fox jumps over the lazy dog " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id", texts.cdc_boundaries(F.col("text")).alias("b")).collect()}
+    new = {r["id"]: r["bs"] for r in dedup.cdc_boundary_table(df).collect()}
+    assert old == new
+
+
 def test_char_entropy_matches_python_reference(spark, sf_dir):
     """Spark entropy == a direct Python computation of
     -sum p log2 p over the normalized alphabet, for every fixture doc."""
