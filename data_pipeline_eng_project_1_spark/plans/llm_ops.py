@@ -2560,6 +2560,14 @@ def _q_corpus_pipeline(spark, sf_dir):
         .filter(F.col("n_tokens").between(20, 1000)
                 & F.col("_stop").between(0.01, 0.6))
     )
+    # Measured-NEGATIVE (r17, VERDICT item 6): lazy-checkpointing the
+    # gated `quality` frame so the sh/clean branches fan out of one
+    # materialization — 1.53 s vs 1.14 s plain, same-session interleaved
+    # median-of-5 at sf0.1. Same class as the dedup_winnow_pairs pin:
+    # AQE runtime shuffle-stage reuse already executes the duplicated
+    # tokenize chain once per exchange, so the checkpoint only adds
+    # build-time jobs; and the r16 aggregate-form rewrite stays
+    # measured-negative too (it lost scan pushdown, 1.14x worse).
     sh = quality.select(
         "doc_id", "source", "n_tokens",
         texts.word_shingles_of(F.col("toks"), 3).alias("s"))
