@@ -1406,3 +1406,178 @@ def test_sprt_stream_rejects_changed_hypothesis_across_restart(
          "event_type": "purchase", "value": 1.0}))
     with pytest.raises(Exception, match="different SPRT parameters"):
         drain(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming plan audits (r17 optimization round): pin the EXECUTED plan
+# shape and the state-store row counts the docstrings promise, the same
+# way the batch paths pin their plans in test_plans.py. The plan string
+# is the last trigger's executed physical plan (what
+# StreamingQuery.explain() prints); state rows come from
+# lastProgress["stateOperators"]. Observability only — no semantics.
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(q) -> str:
+    """Executed physical plan of the query's last trigger, returned
+    instead of printed (explainInternal backs StreamingQuery.explain)."""
+    return q._jsq.explainInternal(False)
+
+
+def _state_rows(q) -> list[int]:
+    """numRowsTotal per stateful operator in the final progress."""
+    return [op["numRowsTotal"] for op in q.lastProgress["stateOperators"]]
+
+
+def test_seasonal_gate_stream_plan_broadcast_joins_profile(spark, tmp_path):
+    """The stream-static seasonal gate must BROADCAST its <= cycle-row
+    profile (a sort-merge join would shuffle the event stream every
+    micro-batch) and carry no state store — the executed plan is the
+    audit, not the docstring."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_eng_project_1_spark.operators import relational
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [{"event_id": i, "user_id": 1 + i % 3,
+             "ts_ms": (i * 24 + (i % 2) * 12) * 3_600_000,
+             "event_type": "view", "value": 10.0 + (i % 3) * 0.1}
+            for i in range(20)]
+    _write_events(src / "e1.json", rows)
+    profile = relational.seasonal_profile(
+        spark.createDataFrame(
+            [(r["event_id"], r["ts_ms"], r["value"]) for r in rows],
+            "event_id long, ts_ms long, value double"),
+        "ts_ms", "value")
+
+    q = sp.run_to_memory(
+        sp.seasonal_gate_stream(sp.stream_events(spark, str(src)), profile),
+        "sg_plan_audit", str(tmp_path / "ck"))
+    q.awaitTermination()
+    plan = _executed_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "StateStore" not in plan          # stateless, as documented
+    assert q.lastProgress["stateOperators"] == []
+
+
+def test_quality_gate_stream_plan_is_scan_side_stateless(spark, tmp_path):
+    """quality_gate_stream promises pure scan-side column algebra: the
+    executed micro-batch plan must have NO exchange, NO join, and NO
+    state store — the score rides the read stage."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 1, "text": "clean useful prose with several words"},
+        {"doc_id": 2, "text": ""},
+    ]))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    q = sp.run_to_memory(
+        sp.quality_gate_stream(spark.readStream.schema(schema)
+                               .json(str(src))),
+        "qg_plan_audit", str(tmp_path / "ck"))
+    q.awaitTermination()
+    plan = _executed_plan(q)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "StateStore" not in plan
+    assert q.lastProgress["stateOperators"] == []
+
+
+def test_anomaly_stream_state_rows_are_per_key(spark, tmp_path):
+    """The rolling detector's state is ONE row per user (holding the
+    O(w) ring), never a row per event: 60 events over 3 users must
+    leave exactly 3 state rows after the drain."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "e1.json",
+                  [_event(i, 60_000 * (i + 1), user=1 + i % 3,
+                          value=float(i % 7))
+                   for i in range(60)])
+    q = sp.run_to_memory(
+        sp.anomaly_stream(sp.stream_events(spark, str(src)),
+                          w=5, z_thresh=3.0, min_n=4),
+        "an_state_audit", str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert _state_rows(q) == [3]
+    assert "FlatMapGroupsInPandasWithState" in _executed_plan(q)
+
+
+def test_srm_stream_state_rows_are_per_experiment(spark, tmp_path):
+    """SRM state is O(k) counts per EXPERIMENT: two experiments sharing
+    one stream leave exactly 2 state rows regardless of event volume."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "e1.json",
+                  [_event(i, 60_000 * (i + 1), user=i) for i in range(80)])
+    stream = sp.srm_stream(
+        sp.stream_events(spark, str(src))
+        .withColumn("experiment",
+                    F.when(F.col("user_id") % 2 == 0, "expA")
+                    .otherwise("expB"))
+        .withColumn("v", ((F.col("user_id") % 4) < 2).cast("int")),
+        variant="v", expected={0: 0.5, 1: 0.5}, chi2_threshold=3.841)
+    q = sp.run_to_memory(stream, "srm_state_audit", str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert _state_rows(q) == [2]
+
+
+def test_sprt_stream_state_rows_are_per_experiment(spark, tmp_path):
+    """SPRT state is O(1) per experiment (counts + llr + decision): two
+    experiments leave exactly 2 state rows after a shared drain."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "e1.json",
+                  [_event(i, 60_000 * (i + 1), user=i, etype="purchase")
+                   for i in range(40)])
+    stream = sp.sprt_stream(
+        sp.stream_events(spark, str(src))
+        .withColumn("experiment",
+                    F.when(F.col("user_id") % 2 == 0, "expA")
+                    .otherwise("expB"))
+        .withColumn("v", ((F.col("user_id") % 4) < 2).cast("int")),
+        variant="v", success=F.col("event_type") == "purchase")
+    q = sp.run_to_memory(stream, "sprt_state_audit", str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert _state_rows(q) == [2]
+
+
+def test_token_drift_stream_state_rows_bounded_by_active_vocab(
+        spark, tmp_path):
+    """Drift state is keyed on (window, term) with BOTH sides sharing
+    one row as conditional sums: one open window over a 3-term
+    vocabulary holds exactly 3 state rows, however many documents or
+    token occurrences arrived."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs = [{"doc_id": i, "ts_ms": 60_000 * (1 + i % 5), "side": i % 2,
+             "text": "alpha beta alpha gamma"} for i in range(30)]
+    (src / "d1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("side", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    q = sp.run_to_memory(sp.token_drift_stream(stream), "td_state_audit",
+                         str(tmp_path / "ck"), output_mode="complete")
+    q.awaitTermination()
+    # all docs land in the single hour-0 window, which stays open (the
+    # watermark never passes its end), so every (window, term) state row
+    # is still live: exactly the 3-term vocabulary.
+    assert _state_rows(q) == [3]
