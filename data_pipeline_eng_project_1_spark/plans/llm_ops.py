@@ -5076,31 +5076,75 @@ def _q_text_bm25_topk(spark, sf_dir):
             .limit(15))
 
 
+def _bm25_per_doc(d, quality: bool = False):
+    """Single-scan per-doc BM25 inputs (r17, guide §2 shuffle removal +
+    §6 one pass): ONE tokenize pass emits a NARROW per-doc row
+    (doc_id, __dl, __tf0..__tfN[, __q]) — each query term's tf is
+    ``size(toks) - size(array_remove(toks, term))``, native collection
+    expressions, so there is no explode, no (doc, term) shuffle, and no
+    re-derivation of the tokenize subtree for the df / corpus-stats /
+    quality branches (the old shape planned the tokenizer 3x for bm25
+    alone, 4x with the RRF quality branch — each a full corpus pass at
+    100 TB). The frame is materialized via _ckpt: corpus-LENGTH but
+    ~50 bytes/doc (the tfidf posting-list class, r16 verdict note), and
+    every consumer reads it instead of replanning the scan. ``quality``
+    additionally carries the rounded quality-classifier score (guarded
+    on __dl > 0: ANSI division) so the RRF hybrid's second ranking
+    rides the same single pass."""
+    toks = texts.tokens(F.col("text"))
+    base = d.select("doc_id", "text", toks.alias("__toks"))
+    cols = [F.col("doc_id"), F.size("__toks").cast("long").alias("__dl")]
+    for i, t in enumerate(_BM25_TERMS):
+        cols.append((F.size("__toks")
+                     - F.size(F.array_remove("__toks", t)))
+                    .cast("long").alias(f"__tf{i}"))
+    if quality:
+        score = texts.quality_score_of(F.col("text"), F.col("__toks"))
+        cols.append(F.when(F.size("__toks") > 0,
+                           F.round(score, 4)).alias("__q"))
+    return _ckpt(base.select(*cols))
+
+
+def _bm25_from_per_doc(per, k1: float = 1.2, b_c: float = 0.75):
+    """(doc_id, bm25, n_terms) from the single-scan per-doc frame: the
+    corpus stats (nd, avgdl) and every term's document frequency come
+    out of ONE global aggregate broadcast back as a 1-row frame, and
+    the score is scan-side algebra over the tf columns (same
+    expressions as the old (doc, term)-row form, summed in fixed
+    _BM25_TERMS order; a term the doc lacks contributes an exact
+    +0.0)."""
+    ts = range(len(_BM25_TERMS))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        *[F.count_if(F.col(f"__tf{i}") > 0).alias(f"__df{i}") for i in ts])
+    matched = None
+    for i in ts:
+        hit = F.col(f"__tf{i}") > 0
+        matched = hit if matched is None else (matched | hit)
+    scored = per.filter(matched).crossJoin(F.broadcast(stats))
+    bm25 = None
+    n_terms = None
+    for i in ts:
+        tf, df_t = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = F.log(1.0 + (F.col("__nd") - df_t + 0.5) / (df_t + 0.5))
+        s = (idf * tf * (F.lit(k1) + 1.0)
+             / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b_c)
+                                  + F.lit(b_c) * F.col("__dl")
+                                  / F.col("__avgdl"))))
+        s = F.when(tf > 0, s).otherwise(F.lit(0.0))
+        hit = F.when(tf > 0, 1).otherwise(0)
+        bm25 = s if bm25 is None else (bm25 + s)
+        n_terms = hit if n_terms is None else (n_terms + hit)
+    return scored.select(
+        "doc_id", F.round(bm25, 6).alias("bm25"),
+        n_terms.cast("long").alias("n_terms"))
+
+
 def _bm25_scored(d, k1: float = 1.2, b_c: float = 0.75):
     """(doc_id, bm25, n_terms) for every doc matching >= 1 query term —
-    the Spark twin of the ``bm25s`` CTE."""
-    toks = texts.tokens(F.col("text"))
-    base = d.select("doc_id", F.size(toks).cast("long").alias("__dl"),
-                    toks.alias("__toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__nd"),
-        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"))
-    tf = (base.select("doc_id", "__dl",
-                      F.explode("__toks").alias("term"))
-          .filter(F.col("term").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl")))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(1.0 + (F.col("__nd") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    score = (idf * F.col("tf") * (F.lit(k1) + 1.0)
-             / (F.col("tf")
-                + F.lit(k1) * (F.lit(1.0) - F.lit(b_c)
-                               + F.lit(b_c) * F.col("dl") / F.col("__avgdl"))))
-    return (scored.groupBy("doc_id")
-            .agg(F.round(F.sum(score), 6).alias("bm25"),
-                 F.count(F.lit(1)).alias("n_terms")))
+    the Spark twin of the ``bm25s`` CTE, single-scan form (r17)."""
+    return _bm25_from_per_doc(_bm25_per_doc(d), k1, b_c)
 
 
 _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
@@ -5157,18 +5201,21 @@ _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
         "k-boundary are cross-engine deterministic.",
 )
 def _q_text_rrf_hybrid(spark, sf_dir):
+    # ONE tokenize pass feeds BOTH rankings (r17): the per-doc frame
+    # carries bm25 tf inputs and the quality score, so the two
+    # TakeOrdered-50 branches and the corpus-stats aggregate all read
+    # the same materialized ~50 B/doc frame (was: 4 full scan+tokenize
+    # subtrees — tf, df, stats, quality).
     d = _spread(_t(spark, sf_dir, "documents"))
-    bm50 = (_bm25_scored(d)
+    per = _bm25_per_doc(d, quality=True)
+    bm50 = (_bm25_from_per_doc(per)
             .orderBy(F.desc("bm25"), "doc_id").limit(50)
             .select("doc_id",
                     F.row_number().over(
                         Window.orderBy(F.desc("bm25"), "doc_id"))
                      .alias("rank_bm25")))
-    toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
-    score = F.round(
-        texts.quality_score_of(F.col("text"), F.col("__toks")), 4)
-    q50 = (toked.filter(F.size("__toks") > 0)
-           .select(F.col("id").alias("doc_id"), score.alias("__score"))
+    q50 = (per.filter(F.col("__dl") > 0)
+           .select("doc_id", F.col("__q").alias("__score"))
            .orderBy(F.desc("__score"), "doc_id").limit(50)
            .select("doc_id",
                    F.row_number().over(

@@ -571,14 +571,43 @@ def test_roc_auc_no_rank_sum_sort(spark):
 
 
 def test_bm25_joins_are_broadcast_topk_is_takeordered(spark):
-    """text_bm25_topk's scale shape: the df and corpus-stats frames
-    reach the postings via broadcast (no sort-merge/shuffled hash join
-    of the postings), and the top-k ships as TakeOrdered."""
-    df = _builders()["text_bm25_topk"](spark, SF_DIR)
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
+    """text_bm25_topk's scale shape (single-scan form, r17): per-term
+    tf is scan-side collection algebra — no explode/Generate and no
+    (doc, term) shuffle anywhere; the corpus stats + df reach the rows
+    as ONE broadcast 1-row frame (no sort-merge/shuffled hash join);
+    top-k ships as TakeOrdered. Audited on the pure-lineage plan (the
+    per-doc frame is _ckpt-materialized in production), where the ONLY
+    scans are of documents.parquet."""
+    from data_pipeline_eng_project_1_spark.plans import llm_ops
+
+    saved = llm_ops.MATERIALIZE
+    llm_ops.MATERIALIZE = False
+    try:
+        df = _builders()["text_bm25_topk"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        llm_ops.MATERIALIZE = saved
+    assert "Generate" not in plan          # no token explode
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no (doc,term)/df join left
+    assert "BroadcastNestedLoopJoin" in plan   # the 1-row stats frame
+    assert "TakeOrderedAndProject" in plan
+    # no key-based exchange at all: tf/df/stats need no (doc, term) or
+    # term-keyed shuffle in the single-scan form
+    assert "hashpartitioning" not in plan
+
+
+def test_rrf_hybrid_single_tokenize_pass(spark):
+    """text_rrf_hybrid's r17 claim: BOTH rankings (bm25 + quality) ride
+    ONE materialized per-doc frame — the production plan derives from
+    Scan ExistingRDD boundaries, tokenizes nothing above them, and
+    fuses the two TakeOrdered-50 frames with a 50-row join."""
+    df = _builders()["text_rrf_hybrid"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan       # the shared per-doc frame
+    assert "Generate" not in plan
+    assert "FileScan" not in plan           # nothing replans the corpus
     assert "TakeOrderedAndProject" in plan
 
 
