@@ -2145,6 +2145,8 @@ def _q_events_anomaly_zscore(spark, sf_dir):
         "float divide.",
 )
 def _q_basket_brand_lift(spark, sf_dir):
+    from data_pipeline_eng_project_1_spark.plans import llm_ops
+
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
     ob = (li.select("l_orderkey", "l_partkey")
@@ -2153,9 +2155,17 @@ def _q_basket_brand_lift(spark, sf_dir):
           .select(F.col("l_orderkey").alias("okey"),
                   F.col("p_brand").alias("brand"))
           .distinct())
-    per_order = ob.groupBy("okey").agg(F.collect_set("brand").alias("bs"))
+    # ONE fact-table pass (r17): the old shape re-planned the
+    # lineitem x part distinct subtree FOUR times (pairs, sa, sb, n) —
+    # four full fact scans at 100 TB. Everything now derives from the
+    # materialized per-order brand-set frame: n is its row count, the
+    # brand supports re-explode its (deduped) sets, and the pair
+    # fan-out reads it in place.
+    per_order = llm_ops._ckpt(
+        ob.groupBy("okey").agg(F.collect_set("brand").alias("bs")))
     n = per_order.agg(F.count("*").alias("n_orders"))
-    bs = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
+    bs = (per_order.select(F.explode("bs").alias("brand"))
+          .groupBy("brand").agg(F.count("*").alias("n_b")))
     # Pair fan-out as TWO NATIVE explodes + a codegen'd predicate (the
     # supplier_pagerank edge-derivation lesson: the nested
     # transform/filter/struct lambda chain this replaces is interpreted

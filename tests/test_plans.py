@@ -598,6 +598,19 @@ def test_bm25_joins_are_broadcast_topk_is_takeordered(spark):
     assert "hashpartitioning" not in plan
 
 
+def test_basket_lift_single_fact_pass(spark):
+    """basket_brand_lift's r17 claim: pair fan-out, brand supports and
+    the order count ALL derive from one materialized per-order
+    brand-set frame — the production plan replans no fact-table scan
+    (the old shape planned the lineitem x part distinct subtree four
+    times)."""
+    df = _builders()["basket_brand_lift"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan       # the shared set frame
+    assert "FileScan" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_rrf_hybrid_single_tokenize_pass(spark):
     """text_rrf_hybrid's r17 claim: BOTH rankings (bm25 + quality) ride
     ONE materialized per-doc frame — the production plan derives from
