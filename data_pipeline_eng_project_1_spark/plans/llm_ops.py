@@ -2271,9 +2271,15 @@ def _q_text_tfidf(spark, sf_dir):
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(texts.tokenize_words(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH df and the scored join (r17): materialized once so
+    # the tokenize+explode+aggregate subtree plans once, not per
+    # consumer (the tfidf_cosine_pairs posting-list rule); ndocs counts
+    # the RAW table — repartitioning text just to count rows was a
+    # gratuitous exchange.
+    tf = _ckpt(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    ndocs = d.select(F.count("*").alias("n_docs"))
+    ndocs = _t(spark, sf_dir, "documents").select(
+        F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
@@ -3617,10 +3623,13 @@ def _q_docs_quality_calibration(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toked = dedup.tokenized(d, "doc_id", "text", extra_cols=("text",))
     toks, text = F.col("__toks"), F.col("text")
-    base = toked.filter(F.size("__toks") > 0).select(
+    # calibration_bins reads the scored frame twice (percentile
+    # boundaries + bucketing) — materialize the narrow (score, y) rows
+    # once so the tokenize/score pass plans once (r17).
+    base = _ckpt(toked.filter(F.size("__toks") > 0).select(
         F.round(texts.quality_score_of(text, toks), 4).alias("score"),
         (F.size(toks).between(20, 1000)
-         & texts.stopword_ratio_of(toks).between(0.01, 0.6)).alias("y"))
+         & texts.stopword_ratio_of(toks).between(0.01, 0.6)).alias("y")))
     return relational.calibration_bins(base, "score", F.col("y"), bins=10)
 
 
