@@ -2651,6 +2651,11 @@ def _q_similarity_pq(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     books = similarity.pq_train(e)
     probes = e.filter(F.col("vec_id") < 20)
+    # Measured-NEGATIVE (r17): _ckpt-materializing `exact` (read twice:
+    # recall-hit join + final select) measured 1.20 -> 1.31 s at sf0.1,
+    # interleaved median-of-5 — the extra build-time job barrier costs
+    # more than the duplicated top-k subtree, whose probe side is a
+    # 20-row broadcast and whose shuffle stages AQE already reuses.
     exact = similarity.topk_cosine(probes, e, k=5, dim=64)
     pq = (similarity.pq_topk_rerank(probes, e, books, k=5, shortlist_mult=160)
           .select("probe_id", "match_id"))
