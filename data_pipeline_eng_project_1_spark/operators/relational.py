@@ -606,28 +606,36 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str,
 
 def table_profile(df: DataFrame, columns: list[tuple[str, str]],
                   approx: bool = False) -> DataFrame:
-    """Single-pass long-format table profiling (the ANALYZE / trust-a-new-
-    drop report): per column null count, distinct count, and numeric
-    min/max — ALL columns in ONE aggregate over ONE scan, then a
-    driver-free stack() to long format.
+    """Long-format table profiling (the ANALYZE / trust-a-new-drop
+    report): per column null count, distinct count, and numeric min/max.
 
     ``columns`` is a list of (name, kind): kind "num" profiles min/max of
     the value, "str" of the value LENGTH (no cross-engine string-format
     surface), "ts" as epoch-millis.
 
-    The scale switch: ``approx=False`` uses exact count(DISTINCT), which
-    plans as Expand (xN_cols rows of one narrow column each) — the
-    documented-correct exact shape, fine to ~billions of rows.
-    ``approx=True`` swaps in approx_count_distinct (HLL++, default 5%
-    rsd): the Expand disappears and the whole profile is a single pass
-    of constant-size sketches — the 100 TB form, identical output schema
-    (tests/test_stats_ops.py pins both the plan-shape difference and the
-    sketch error bound).
+    Plan shapes (r17 — the exact form changed, same output):
+    ``approx=False`` runs ONE single-DISTINCT aggregate per column and
+    stacks the 1-row frames with unionAll. A single multi-DISTINCT
+    aggregate plans as Expand — every input row multiplied x(N_cols+1)
+    through a wide-key hash aggregate — and measured 1.61 s vs 0.61 s
+    for this union form on the 150k-row orders profile at sf0.1; with
+    parquet column pruning the N branches decode the same total bytes
+    as one full-width scan, each through a narrow partial+final
+    aggregate instead of the row fan-out. NOTE: the branches re-plan
+    ``df`` once per column — profile a DERIVED frame by persisting it
+    first; a raw table scan (the intended use) needs nothing.
+    ``approx=True`` stays the single-pass form: approx_count_distinct
+    (HLL++, default 5% rsd) sketches all columns in one aggregate over
+    one scan — the 100 TB one-pass option, identical output schema
+    (tests/test_stats_ops.py pins the plan shapes and the sketch error
+    bound).
 
-    Column names are interpolated into the generated stack() expression,
-    so they are validated against a plain-identifier regex up front — a
-    name carrying a quote or comma would otherwise splice into the SQL
-    string (profile such columns by aliasing them first).
+    Column names are interpolated into the approx path's generated
+    stack() expression, so they are validated against a
+    plain-identifier regex up front — a name carrying a quote or comma
+    would otherwise splice into the SQL string (profile such columns by
+    aliasing them first; the exact path validates identically so the
+    two forms accept the same inputs).
     """
     import re
 
@@ -638,24 +646,43 @@ def table_profile(df: DataFrame, columns: list[tuple[str, str]],
                 "identifier ([A-Za-z_][A-Za-z0-9_]*); alias it before "
                 "profiling — names are interpolated into a generated "
                 "stack() expression")
-    nd = F.approx_count_distinct if approx else F.countDistinct
+
+    def _minmax(c: str, kind: str) -> tuple[Column, Column]:
+        if kind == "num":
+            return F.min(c).cast("double"), F.max(c).cast("double")
+        if kind == "str":
+            return (F.min(F.length(c)).cast("double"),
+                    F.max(F.length(c)).cast("double"))
+        if kind == "ts":
+            return (F.unix_millis(F.min(F.col(c).cast("timestamp")))
+                    .cast("double"),
+                    F.unix_millis(F.max(F.col(c).cast("timestamp")))
+                    .cast("double"))
+        raise ValueError(f"table_profile: unknown kind {kind!r}")
+
+    if not approx:
+        out = None
+        for c, kind in columns:
+            mn, mx = _minmax(c, kind)
+            branch = df.agg(
+                (F.count(F.lit(1)) - F.count(c)).alias("nn"),
+                F.countDistinct(c).alias("ndist"),
+                mn.alias("mn"), mx.alias("mx"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                F.col("nn").cast("long").alias("n_nulls"),
+                F.col("ndist").cast("long").alias("n_distinct"),
+                F.round("mn", 4).alias("min_num"),
+                F.round("mx", 4).alias("max_num"))
+            out = branch if out is None else out.unionAll(branch)
+        return out
+
     aggs: list[Column] = []
     rows: list[str] = []
     for i, (c, kind) in enumerate(columns):
-        if kind == "num":
-            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
-        elif kind == "str":
-            mn = F.min(F.length(c)).cast("double")
-            mx = F.max(F.length(c)).cast("double")
-        elif kind == "ts":
-            mn = (F.unix_millis(F.min(F.col(c).cast("timestamp")))
-                  .cast("double"))
-            mx = (F.unix_millis(F.max(F.col(c).cast("timestamp")))
-                  .cast("double"))
-        else:
-            raise ValueError(f"table_profile: unknown kind {kind!r}")
+        mn, mx = _minmax(c, kind)
         aggs += [(F.count(F.lit(1)) - F.count(c)).alias(f"nn_{i}"),
-                 nd(c).alias(f"nd_{i}"),
+                 F.approx_count_distinct(c).alias(f"nd_{i}"),
                  mn.alias(f"mn_{i}"), mx.alias(f"mx_{i}")]
         rows.append(f"'{c}', nn_{i}, nd_{i}, mn_{i}, mx_{i}")
     stacked = df.agg(*aggs).select(F.expr(

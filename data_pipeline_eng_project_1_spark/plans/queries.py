@@ -2297,18 +2297,17 @@ def _q_entity_match_fuzzy(spark, sf_dir):
         "before trusting a new drop): per column null count, exact "
         "distinct count, numeric/temporal min-max (timestamps as "
         "epoch-millis, varchar profiled by value LENGTH so no "
-        "cross-engine string-formatting surface exists). Spark computes "
-        "ALL columns' stats in ONE aggregate over one scan — the "
-        "multi-DISTINCT agg plans as Expand (x6 rows of one narrow "
-        "column each), the standard exact form; at 100 TB call "
-        "relational.table_profile(..., approx=True) — the "
-        "count(DISTINCT) becomes approx_count_distinct, the Expand "
-        "collapses to a single pass of HLL sketches, same output "
-        "schema (plan-shape + error-bound pinned by "
-        "tests/test_stats_ops.py). The long-format result is a "
-        "driver-free stack of the single aggregate row, not six scans "
-        "(the oracle spells it as UNION ALL because DuckDB reads the "
-        "15k-row fixture six times for free).",
+        "cross-engine string-formatting surface exists). Spark runs "
+        "one single-DISTINCT aggregate per column and unions the 1-row "
+        "frames (r17: the old single multi-DISTINCT aggregate planned "
+        "as Expand — every row multiplied x7 through a wide-key hash "
+        "aggregate — and measured 1.61 vs 0.61 s at sf0.1; with "
+        "parquet column pruning the six branches decode the same total "
+        "bytes as one full-width scan). At 100 TB call "
+        "relational.table_profile(..., approx=True) for the ONE-pass "
+        "form — approx_count_distinct HLL sketches for every column in "
+        "a single aggregate, same output schema (plan-shape + "
+        "error-bound pinned by tests/test_stats_ops.py).",
 )
 def _q_orders_table_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

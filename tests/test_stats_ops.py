@@ -256,19 +256,24 @@ def test_hll_registers_merge_by_cellwise_max(spark):
 # ---------------------------------------------------------------------------
 
 def test_table_profile_approx_drops_expand_within_hll_tolerance(spark):
-    """approx=True is the 100 TB form: the multi-DISTINCT Expand
-    disappears from the plan (single pass of HLL sketches), nulls and
-    min/max stay EXACT, and the approximate distinct counts land within
-    HLL++ tolerance (default 5% rsd) of the exact ones."""
+    """Plan shapes per the r17 contract: the exact form is a UNION of
+    per-column single-DISTINCT aggregates (no Expand row fan-out
+    anywhere); approx=True is the one-pass form — a single aggregate of
+    HLL sketches (no Expand, no Union). Nulls and min/max stay EXACT,
+    and the approximate distinct counts land within HLL++ tolerance
+    (default 5% rsd) of the exact ones."""
     cols = [("o_orderkey", "num"), ("o_custkey", "num"),
             ("o_orderstatus", "str"), ("o_totalprice", "num"),
             ("o_orderdate", "ts"), ("o_orderpriority", "str")]
     o = spark.read.parquet(f"{SF}/orders.parquet")
     exact = relational.table_profile(o, cols)
     approx = relational.table_profile(o, cols, approx=True)
-    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in \
-        approx._jdf.queryExecution().executedPlan().toString()
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in exact_plan
+    assert "Union" in exact_plan
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx_plan
+    assert "Union" not in approx_plan
     ex = {r["column_name"]: r for r in exact.collect()}
     ap = {r["column_name"]: r for r in approx.collect()}
     assert set(ex) == set(ap) == {c for c, _ in cols}
