@@ -2427,13 +2427,19 @@ def _q_referential_integrity_audit(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
 
     def fk(name, child, key, parent, pkey, bcast=True):
-        p = parent.select(F.col(pkey).alias(key)).distinct()
+        # ONE child pass per FK (r17): the old anti-join + separate
+        # count(*) scanned every child twice — a left join against the
+        # flagged parent keyset folds the orphan count and the row
+        # count into one conditional aggregate (a NULL child key never
+        # matches, exactly like NOT EXISTS).
+        p = (parent.select(F.col(pkey).alias(key)).distinct()
+             .withColumn("__hit", F.lit(True)))
         if bcast:
             p = F.broadcast(p)
-        orphans = (child.join(p, key, "left_anti")
-                   .agg(F.count("*").alias("n_violations")))
-        total = child.agg(F.count("*").alias("n_rows"))
-        return (total.crossJoin(orphans)
+        return (child.join(p, key, "left")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count_if(F.col("__hit").isNull())
+                      .alias("n_violations"))
                 .select(F.lit(name).alias("constraint_name"),
                         "n_rows", "n_violations"))
 
