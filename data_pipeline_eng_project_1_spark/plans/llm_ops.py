@@ -3141,6 +3141,13 @@ def _q_text_bigram_lm_perplexity(spark, sf_dir):
         .select("doc_id", F.col("bg.w1").alias("w1"),
                 F.col("bg.w2").alias("w2"))
     )
+    # Measured-NEGATIVE (r17): _ckpt-materializing bigr (read by c2 +
+    # scored) and c1 (joined twice), with tot folded to sum(c1.c),
+    # measured 1.19 -> 1.46 s at sf0.1, interleaved median-of-5 — AQE
+    # runtime shuffle-stage reuse already executes the duplicated
+    # tokenize/fan-out subtrees once per exchange, so the checkpoints
+    # only add sequential build-time job barriers (the winnow_pairs /
+    # ann_pq pin class).
     uni = tok.select(F.explode("__toks").alias("w"))
     c1 = uni.groupBy("w").agg(F.count("*").alias("c"))
     tot = uni.agg(F.count("*").alias("n"))
