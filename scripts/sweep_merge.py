@@ -1,8 +1,11 @@
 """Standing bench-measurement protocol (r15 — the r13/r14 epoch
 discipline made permanent, per the r14 verdict): min-merge two or more
 complete full-sweep sidecars per query, then report every number as a
-PER-QUERY RATIO vs the frozen clean anchor (the r12 committed sweep,
-108.0 s, commit 78b65a1) instead of comparing absolute wall-clock
+PER-QUERY RATIO vs the frozen clean anchor (re-frozen r17: the
+two-sweep min-merge at aa36d7e, 100.523 s / 193 queries — the r12
+anchor epoch became reproducible again in r16, so the bars stop being
+epoch-scaled; the old anchor stays computable from git history at
+78b65a1) instead of comparing absolute wall-clock
 totals — two consecutive multiplicative host-throttle epochs made
 totals uninterpretable round-over-round.
 
@@ -25,7 +28,8 @@ import statistics
 import subprocess
 import sys
 
-ANCHOR_COMMIT = "78b65a1"  # r12 clean sweep, 108.0 s
+ANCHOR_COMMIT = "aa36d7e"  # r17 two-sweep min-merge, 100.523 s / 193
+ANCHOR_DESC = f"r17 min-merge at {ANCHOR_COMMIT} (100.523 s)"
 
 
 def anchor_queries() -> dict[str, float]:
@@ -78,7 +82,7 @@ def main() -> None:
             "name": "min-merge-of-full-sweeps",
             "n_sweeps": len(paths),
             "per_sweep_method": sweeps[0].get("method"),
-            "anchor": f"r12 sweep at {ANCHOR_COMMIT} (108.0 s)",
+            "anchor": ANCHOR_DESC,
             "note": ("per-query MIN of complete median3-interleaved "
                      "sweeps; regression bar = 2x anchor + 0.3 s; "
                      "whole-board uniform moves are host-throttle "
@@ -116,7 +120,7 @@ def main() -> None:
               file=sys.stderr)
     new = sorted(q for q in names if q not in anchor)
     if new:
-        print(f"not in anchor (post-r12 registrations): {' '.join(new)}",
+        print(f"not in anchor (post-anchor registrations): {' '.join(new)}",
               file=sys.stderr)
     json.dump(sidecar, sys.stdout, indent=1, sort_keys=True)
     print()
