@@ -2021,19 +2021,26 @@ def _q_dedup_winnow_pairs(spark, sf_dir):
     wft = dedup.winnow_fingerprint_table(
         d.filter(F.length(norm) >= 11), k=8, w=4, materialize=True)
     ex0 = wft.select("id", F.explode("fps").alias("fp"))
-    keep = (ex0.groupBy("fp").agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= 200).select("fp"))
-    # Measured-NEGATIVE (r17): checkpointing the capped posting list
-    # (the tfidf posting-list rule — ex is referenced 4x, keep 4x, the
-    # fingerprint table 8x in the printed plan) makes the query SLOWER,
-    # not faster: same-session interleaved A/B at sf0.1, ex+nf ckpt
-    # 4.33 s vs 2.64 s plain, nf-only ckpt 3.40 s vs 2.12 s plain. The
-    # printed duplication is collapsed at RUNTIME by AQE shuffle-stage
-    # reuse (all the duplicate subtrees hash to the same exchange), so a
-    # checkpoint only adds build-time jobs + block-manager round-trips.
+    # Measured-NEGATIVE (r17, on the earlier self-join shape):
+    # checkpointing the capped posting list / nf aggregate made the
+    # query SLOWER (ex+nf ckpt 4.33 s vs 2.64 s plain, nf-only 3.40 vs
+    # 2.12 s) — the printed duplication was collapsed at RUNTIME by AQE
+    # shuffle-stage reuse, so checkpoints only added build-time jobs.
     # The tfidf checkpoints survive their own A/B (re-proven r17) —
     # the difference is tfidf's diamond duplicates SCAN+explode work
     # below its FIRST exchange, which stage reuse cannot share.
+    # Measured-NEGATIVE (r17): the corpus_source_overlap adjacency-set
+    # form (fp-keyed collect_set + double-explode i<j fan-out, cap on
+    # set size) measured 2.96 -> 3.33 s at sf0.1, interleaved
+    # median-of-5, output-identical — collect_set is an
+    # ObjectHashAggregate over up-to-200-element sets and the explode
+    # fan emits 2x the pair rows pre-filter, while the self-join it
+    # replaced is whole-stage-codegen'd and its posting exchange is
+    # already AQE-reused across both sides. The trick wins on
+    # source_overlap (sets bounded by #sources, ~5) and loses here
+    # (sets up to the 200 cap).
+    keep = (ex0.groupBy("fp").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= 200).select("fp"))
     ex = ex0.join(keep, "fp")
     nf = ex.groupBy("id").agg(F.count("*").alias("nf"))
     a, b = ex.alias("a"), ex.alias("b")
